@@ -1,13 +1,318 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (reference O-1…O-16, M-1…M-5) plus the
+  * training-data ops is exposed here as a named query over the driver's
+  * testdata tables, paired with an ANSI-SQL oracle for the DuckDB compare.
+  *
+  * Determinism discipline (the driver hash-compares values):
+  *  - double SUMs go through DECIMAL(18,4) casts on BOTH sides (double
+  *    addition is order-dependent; decimal is exact and associative);
+  *  - every top-k / page query carries a total tiebreak order;
+  *  - raw double columns are passed through untouched (bit-exact parquet
+  *    values) — never re-derived by float arithmetic.
+  */
 object SparkEntry {
+
+  /** Load a testdata table. The `events` table carries TIMESTAMP(NANOS)
+    * parquet timestamps, which Spark 4 refuses natively; read them as Long
+    * nanos (legacy flag) and convert to µs timestamps with exact integer
+    * division (TESTDATA values are µs-aligned; `div` avoids double rounding
+    * above 2^53).
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    val nanoCols = raw.schema.fields.collect {
+      case f if f.dataType == LongType && (f.name == "ts" || f.name.endsWith("_ns")) &&
+        name == "events" => f.name
+    }
+    nanoCols.foldLeft(raw)((df, c) =>
+      df.withColumn(c, timestamp_micros(expr(s"$c div 1000"))))
+  }
+
+  private val dec: DataType = DecimalType(18, 4)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q04_latest_state")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O-3/O-4 + the run's max-cursor aggregation (run.py:72-75):
+    // watermark advance = greatest(saved default, max(updated_at)).
+    "q14_watermark_advance" -> ((s, dir) => {
+      t(s, dir, "events")
+        .agg(max(col("ts")).as("max_ts"))
+        .select(greatest(col("max_ts"),
+          lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).as("last_success_time"))
+    }),
+
+    // O-1/M-2 — incremental change scan: strictly-greater cursor filter,
+    // pushed down to the parquet scan.
+    "q05_incremental_scan" -> ((s, dir) => {
+      Feed.changedSince(t(s, dir, "events"),
+          lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")), "ts")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // M-1/M-3 — sort + limit/offset pagination over the filtered feed.
+    "q06_page" -> ((s, dir) => {
+      val filtered = Feed.changedSince(t(s, dir, "events"),
+        lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")), "ts")
+      Feed.page(filtered, limit = 200, offset = 100, tsCol = "ts", idCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // M-4 — page envelope: count = TOTAL filtered count, not page size.
+    "q07_page_envelope" -> ((s, dir) => {
+      val filtered = Feed.changedSince(t(s, dir, "events"),
+        lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")), "ts")
+      Feed.envelope(filtered, limit = 200, offset = 100)
+        .withColumnsRenamed(Map("limit" -> "page_limit", "offset" -> "page_offset",
+          "count" -> "total_count"))
+    }),
+
+    // O-9 — keyed dedup keep-last: latest (ts, event_id) row per
+    // (user_id, event_type).
+    "q08_dedup_keeplast" -> ((s, dir) => {
+      Dedup.keepLast(t(s, dir, "events"), Seq("user_id", "event_type"),
+          ordering = Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    }),
+
+    // O-12 as a derived view — latest state per key via window dedup.
+    "q04_latest_state" -> ((s, dir) => {
+      Dedup.keepLast(t(s, dir, "events"), Seq("user_id"),
+          ordering = Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          col("ts").as("last_ts"))
+    }),
+
+    // O-11 — history append delta: incoming batch anti-joined against
+    // already-loaded history (idempotent set-insert).
+    "q09_history_delta" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val history = events.filter(col("event_id") % 3 === 0)
+      val batch = events.filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+      Merge.historyDelta(history, batch, keys = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    }),
+
+    // O-12 — newer-wins upsert merge of an incoming batch into an existing
+    // keyed table; ties keep the existing row (strict `>` guard).
+    "q10_latest_upsert" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      val existing = Dedup.keepLast(events.filter(col("event_id") % 2 === 0),
+        Seq("user_id"), ordering = Seq(col("ts"), col("event_id")))
+      val incoming = events.filter(col("event_id") % 2 === 1)
+      Merge.latestUpsert(existing, incoming, key = "user_id", versionCol = "ts")
+    }),
+
+    // O-10 — canonical JSON payload + sha256 content hash.
+    "q11_payload_hash" -> ((s, dir) => {
+      Payload.withPayloadAndHash(t(s, dir, "nation"))
+        .select(col("n_nationkey"), col("payload"), col("payload_hash"))
+    }),
+
+    // O-5 — suffix-convention time normalization (string → ts/date,
+    // null-on-bad-parse).
+    "q12_normalize_time" -> ((s, dir) => {
+      val raw = t(s, dir, "events").select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("updated_at"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      Normalize.parseTimeCols(raw)
+    }),
+
+    // O-6 — nested array-of-structs flattened to canonical JSON text.
+    "q13_flatten_json" -> ((s, dir) => {
+      val nested = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("event_id"), col("event_type"))))
+          .as("lines"))
+      Normalize.flattenNested(nested, "lines")
+    }),
+
+    // O-7 — required-field validation counts (plan-only form).
+    "q16_validation" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        count(lit(1)).as("rows_total"),
+        count(when(col("event_type").isNull || col("user_id").isNull, 1)).as("rows_invalid"))
+    }),
+
+    // M-5 — status state machine as a chained CASE expression.
+    "q15_status_machine" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus").as("status"),
+          StateMachine.nextStatus(col("o_orderstatus"), Seq("O" -> "P", "P" -> "F"))
+            .as("next_status"))
+        .groupBy(col("status"), col("next_status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Core analytics: group-by aggregation (TPC-H Q1 shape) — decimal-exact.
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Core analytics: multi-way join with broadcast dimensions.
+    "q02_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Core analytics: top-k with total tiebreak order.
+    "q03_topk_customers" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("o_custkey").asc)
+        .limit(10)
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q14_watermark_advance" ->
+      """SELECT greatest(max(ts), TIMESTAMP '2024-01-20 00:00:00') AS last_success_time
+         FROM events""",
+
+    "q05_incremental_scan" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""",
+
+    "q06_page" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+         ORDER BY ts, event_id LIMIT 200 OFFSET 100""",
+
+    "q07_page_envelope" ->
+      """SELECT 200 AS page_limit, 100 AS page_offset, count(*) AS total_count
+         FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00'""",
+
+    "q08_dedup_keeplast" ->
+      """SELECT user_id, event_type, event_id, ts FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) = 1""",
+
+    "q04_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+                value AS last_value, ts AS last_ts
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) = 1""",
+
+    "q09_history_delta" ->
+      """SELECT event_id, user_id, ts, event_type FROM events
+         WHERE ts > TIMESTAMP '2024-01-25 00:00:00' AND event_id % 3 <> 0""",
+
+    "q10_latest_upsert" ->
+      """WITH existing AS (
+           SELECT event_id, ts, user_id, event_type, value, props
+           FROM events WHERE event_id % 2 = 0
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) = 1),
+         incoming AS (
+           SELECT event_id, ts, user_id, event_type, value, props
+           FROM events WHERE event_id % 2 = 1),
+         u AS (
+           SELECT *, 1 AS is_existing FROM existing
+           UNION ALL
+           SELECT *, 0 AS is_existing FROM incoming)
+         SELECT event_id, ts, user_id, event_type, value, props FROM u
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, is_existing DESC, event_id DESC) = 1""",
+
+    "q11_payload_hash" ->
+      """SELECT n_nationkey,
+                CAST(to_json(struct_pack(n_name := n_name, n_nationkey := n_nationkey,
+                                         n_regionkey := n_regionkey)) AS VARCHAR) AS payload,
+                sha256(CAST(to_json(struct_pack(n_name := n_name, n_nationkey := n_nationkey,
+                                                n_regionkey := n_regionkey)) AS VARCHAR))
+                  AS payload_hash
+         FROM nation""",
+
+    "q12_normalize_time" ->
+      """SELECT event_id,
+                CAST(strftime(ts, '%Y-%m-%dT%H:%M:%S') AS TIMESTAMP) AS updated_at,
+                CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS event_date
+         FROM events""",
+
+    "q13_flatten_json" ->
+      """SELECT user_id,
+                CAST(to_json(list(struct_pack(event_id := event_id, event_type := event_type)
+                             ORDER BY event_id)) AS VARCHAR) AS lines_json
+         FROM events GROUP BY user_id""",
+
+    "q16_validation" ->
+      """SELECT count(*) AS rows_total,
+                count(CASE WHEN event_type IS NULL OR user_id IS NULL THEN 1 END) AS rows_invalid
+         FROM events""",
+
+    "q15_status_machine" ->
+      """SELECT o_orderstatus AS status,
+                CASE WHEN o_orderstatus = 'O' THEN 'P'
+                     WHEN o_orderstatus = 'P' THEN 'F'
+                     ELSE o_orderstatus END AS next_status,
+                count(*) AS n
+         FROM orders GROUP BY 1, 2""",
+
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+                sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_join_revenue" ->
+      """SELECT r_name,
+                sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q03_topk_customers" ->
+      """SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_spend,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY total_spend DESC, o_custkey LIMIT 10""",
+  )
 }

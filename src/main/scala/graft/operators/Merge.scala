@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed merge semantics of the staging store (reference O-11/O-12;
+  * `services/staging/app/staging_repo.py:25-99`).
+  *
+  * The reference implements these as Postgres `INSERT ... ON CONFLICT`;
+  * relationally they are a left-anti join (history set-insert) and a
+  * newer-wins full merge (latest upsert), which is exactly how we plan them.
+  *
+  * Scale notes: both are single-shuffle joins on the merge key. For the
+  * history append the existing side should be pruned to the incoming key
+  * range first (partition pruning on `updated_at` date when history is
+  * date-partitioned) so the anti-join never scans cold history; with AQE on,
+  * a small incoming batch turns the anti-join into a broadcast.
+  */
+object Merge {
+
+  /** O-11 — history append with idempotent dedup
+    * (`staging_repo.py:25-58`, conflict key `(id, updated_at, payload_hash)`
+    * per `sql/init_dw.sql:39`). Returns only the rows that are NOT already in
+    * history — re-running the same batch yields 0 rows, the reference's
+    * `ON CONFLICT DO NOTHING` idempotence (proven by
+    * `tests/integration/staging/test_staging_repo.py:7-27`).
+    *
+    * The incoming batch is first deduped on the conflict key (a multi-row
+    * batch with an internal duplicate must insert once, like executemany
+    * against a PK), then anti-joined against existing history.
+    */
+  def historyDelta(history: DataFrame, batch: DataFrame,
+                   keys: Seq[String] = Seq("id", "updated_at", "payload_hash")): DataFrame = {
+    val batchDeduped = Dedup.keepLast(batch, keys)
+    batchDeduped.join(history.select(keys.map(col): _*), keys, "left_anti")
+  }
+
+  /** O-12 — latest-state upsert, newer-wins type-1 merge
+    * (`staging_repo.py:62-99`; guard `WHERE excluded.updated_at >
+    * current.updated_at` at line 89). Strict `>`: on an `updated_at` tie the
+    * EXISTING row survives (proven by `test_staging_repo.py:29-73`), hence
+    * the `_is_existing` tiebreak column.
+    *
+    * Implemented as union + `max_by` over `struct(versionCol, _is_existing)`
+    * — a partially-aggregable single-shuffle plan (map-side combine reduces
+    * each side to one candidate per key per partition before the exchange).
+    */
+  def latestUpsert(existing: DataFrame, incoming: DataFrame,
+                   key: String = "id", versionCol: String = "updated_at"): DataFrame = {
+    val cols = existing.columns.toSeq
+    require(cols.sorted == incoming.columns.toSeq.sorted,
+      s"schema mismatch: ${cols.mkString(",")} vs ${incoming.columns.mkString(",")}")
+    // Incoming batches can carry several versions of one id; collapse to the
+    // newest first (latest-arriving wins exact ties, as in O-9).
+    val incomingLatest = Dedup.keepLast(incoming, Seq(key), ordering = Seq(col(versionCol)))
+    val tagged = existing.select(cols.map(col): _*).withColumn("_is_existing", lit(1))
+      .unionByName(incomingLatest.select(cols.map(col): _*).withColumn("_is_existing", lit(0)))
+    val ord = struct(col(versionCol), col("_is_existing"))
+    Dedup.keepLastAgg(tagged, Seq(key), ord).drop("_is_existing")
+      .select(cols.map(col): _*)
+  }
+
+  /** Rows of `incoming` that would actually change `existing` under O-12
+    * semantics — the upserted-count the run log records
+    * (`rows_upserted_latest`). Anti-join form: newer-than-existing or new key.
+    */
+  def upsertDelta(existing: DataFrame, incoming: DataFrame,
+                  key: String = "id", versionCol: String = "updated_at"): DataFrame = {
+    val ex = existing.select(col(key).as("_ex_key"), col(versionCol).as("_ex_ver"))
+    Dedup.keepLast(incoming, Seq(key), ordering = Seq(col(versionCol)))
+      .join(ex, col(key) === col("_ex_key"), "left_outer")
+      .filter(col("_ex_ver").isNull || col(versionCol) > col("_ex_ver"))
+      .drop("_ex_key", "_ex_ver")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.Path
+
+/** Small keyed parquet datasets used as control/state tables (the role
+  * Postgres plays in the reference: watermark, run log, history, latest).
+  *
+  * Writes follow the reference's write-to-tmp + atomic-rename discipline
+  * (`services/extractor/app/writer_landing.py:11-13,42-52`) lifted to
+  * directory level: write `<dir>.tmp-<nonce>`, then swap. Readers see either
+  * the old or the new complete dataset, never a partial one. On HDFS the
+  * rename is atomic; on object stores swap the pointer via a manifest/table
+  * format instead — the API boundary here is what you'd back with Delta/
+  * Iceberg on a real cluster (not available in this offline build).
+  *
+  * These tables are intentionally tiny (control metadata) or append-mostly
+  * (history); reads of control tables are driver-cheap and never in a hot
+  * loop.
+  */
+object StateStore {
+
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Atomically replace `dir` with the contents of `df`. */
+  def overwrite(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val old = new Path(dir + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    // Control tables are small by construction; one file keeps the swap cheap.
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(path)) {
+      if (!fs.rename(path, old)) throw new java.io.IOException(s"swap-out failed: $dir")
+    }
+    if (!fs.rename(tmp, path)) {
+      // Roll back so readers still see the old data.
+      if (fs.exists(old)) fs.rename(old, path)
+      throw new java.io.IOException(s"swap-in failed: $dir")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Append `df` to `dir` (history-style append-only datasets). */
+  def append(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
+the sf parquet tables as DuckDB views, runs each oracle, reads the matching
+Spark result parquet, and compares (columns sorted by name, rows sorted,
+values normalized). Prints one line per query: OK / MISMATCH / ERROR.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None) if s.dt.tz is None else pd.to_datetime(s).dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = df[c].astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.apply(lambda v: str(v) if v is not None and not (isinstance(v, float) and pd.isna(v)) else None)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(6)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_ok = n_bad = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            expected = con.execute(sql).fetchdf()
+            got_dir = Path(out_dir) / name
+            got = con.execute(f"SELECT * FROM '{got_dir}/*.parquet'").fetchdf()
+            e, g = normalize(expected), normalize(got)
+            if list(e.columns) != list(g.columns):
+                print(f"MISMATCH {name}: columns {list(g.columns)} != {list(e.columns)}")
+                n_bad += 1
+            elif len(e) != len(g):
+                print(f"MISMATCH {name}: rows {len(g)} != {len(e)}")
+                n_bad += 1
+            else:
+                try:
+                    pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9)
+                    print(f"OK       {name} ({len(g)} rows)")
+                    n_ok += 1
+                    continue
+                except AssertionError as ex:
+                    print(f"MISMATCH {name}: {str(ex).splitlines()[-1] if str(ex) else ex}")
+                    # show first differing cells
+                    for c in e.columns:
+                        neq = ~((e[c] == g[c]) | (e[c].isna() & g[c].isna()))
+                        if neq.any():
+                            i = neq.idxmax()
+                            print(f"    col {c} row {i}: oracle={e[c][i]!r} spark={g[c][i]!r}")
+                    n_bad += 1
+        except Exception as ex:
+            print(f"ERROR    {name}: {ex}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
