@@ -199,6 +199,99 @@ object SparkEntry {
         .orderBy(col("total_spend").desc, col("o_custkey").asc)
         .limit(10)
     }),
+
+    // ---- training-data pipeline ops (graft.functions) ----
+
+    // Token counting over the documents corpus.
+    "q17_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
+    // Quality scoring: length/punctuation/stopword metrics.
+    "q18_text_quality" -> ((s, dir) => {
+      val m = graft.functions.TextAnalysis.qualityMetrics(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        m("n_chars").cast("long").as("n_chars"),
+        m("n_tokens").cast("long").as("n_tokens"),
+        m("n_punct").cast("long").as("n_punct"),
+        m("n_stopwords").cast("long").as("n_stopwords"),
+        m("stop_ratio").as("stop_ratio"))
+    }),
+
+    // Language ID: stopword-hit argmax with fixed priority order.
+    "q19_lang_id" -> ((s, dir) => {
+      val scores = graft.functions.TextAnalysis.langScores(col("text"))
+      val scoreCols = scores.map { case (lang, c) => c.cast("long").as(s"n_$lang") }
+      t(s, dir, "documents").select(
+        (col("doc_id") +: scoreCols :+
+          graft.functions.TextAnalysis.langId(col("text")).as("pred_lang")): _*)
+    }),
+
+    // Document fingerprint: canonical-text md5.
+    "q20_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // Exact dedup by content hash.
+    "q21_dedup_exact" -> ((s, dir) => {
+      graft.functions.NearDup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // N-gram (3-word shingle) Jaccard near-dup pairs via inverted index.
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      graft.functions.NearDup.ngramJaccardPairs(t(s, dir, "documents"),
+        "text", "doc_id", n = 3, minJaccard = 0.2, maxBucket = 1000)
+    }),
+
+    // Exact cosine top-k: 8 query vectors against the whole corpus.
+    "q23_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.functions.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // MinHash+LSH near-dup candidates (no SQL oracle: rows-only check;
+    // exactness covered by NearDupSpec against brute-force Jaccard).
+    "q24_minhash_neardup" -> ((s, dir) => {
+      graft.functions.NearDup.minhashNearDup(t(s, dir, "documents"),
+        "text", "doc_id", n = 3, k = 32, bands = 8, minJaccard = 0.1)
+    }),
+
+    // SimHash signatures (no SQL oracle: xxhash64 has no DuckDB equivalent).
+    "q25_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.NearDup.simhash(
+          graft.functions.TextAnalysis.tokens(col("text"))).as("simhash"))
+    }),
+
+    // Approximate ANN via random-hyperplane LSH (rows-only; recall vs exact
+    // top-k asserted in SimilaritySpec).
+    "q26_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.functions.Similarity.lshTopK(
+          emb.filter(col("vec_id") < 8), emb, k = 5, dim = 64, tables = 16, bits = 6)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Multimodal plumbing: opaque binary content + typed features.
+    "q27_multimodal" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      media.select(col("doc_id"),
+        graft.functions.Multimodal.nBytes(col("content")).cast("long").as("n_bytes"),
+        graft.functions.Multimodal.contentHash(col("content")).as("content_hash"),
+        graft.functions.Multimodal.headerHex(col("content")).as("header_hex"))
+    }),
+
+    // Rolling-hash document signature (order-sensitive, Rabin-Karp style;
+    // no DuckDB xxhash64 → rows-only).
+    "q28_rolling_hash" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.rollingHash(col("text")).as("rhash"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -314,5 +407,97 @@ object SparkEntry {
                 count(*) AS n_orders
          FROM orders GROUP BY o_custkey
          ORDER BY total_spend DESC, o_custkey LIMIT 10""",
+
+    "q17_token_count" ->
+      """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+         FROM documents""",
+
+    "q18_text_quality" ->
+      """WITH tok AS (
+           SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents)
+         SELECT doc_id,
+                length(text) AS n_chars,
+                len(ts) AS n_tokens,
+                length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+                len(list_filter(ts, x -> x IN ('the','a','an','and','of','to','in','is',
+                                               'that','it','for','on'))) AS n_stopwords,
+                round(len(list_filter(ts, x -> x IN ('the','a','an','and','of','to','in','is',
+                                                     'that','it','for','on'))) * 1.0
+                      / len(ts), 4) AS stop_ratio
+         FROM tok""",
+
+    "q19_lang_id" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         scored AS (
+           SELECT doc_id,
+             len(list_filter(ts, x -> x IN ('the','a','and','of','to','in','is','that'))) AS n_en,
+             len(list_filter(ts, x -> x IN ('der','die','das','und','nicht','ein','zu','ist'))) AS n_de,
+             len(list_filter(ts, x -> x IN ('el','la','los','que','y','un','es','por'))) AS n_es,
+             len(list_filter(ts, x -> x IN ('le','les','et','dans','est','une','pour','sur'))) AS n_fr
+           FROM tok)
+         SELECT doc_id, n_en, n_de, n_es, n_fr,
+                CASE WHEN n_en + n_de + n_es + n_fr = 0 THEN 'other'
+                     WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+                     WHEN n_de > n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+                     WHEN n_es > n_en AND n_es > n_de AND n_es >= n_fr THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+         FROM scored""",
+
+    "q20_fingerprint" ->
+      """SELECT doc_id, md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+         FROM documents""",
+
+    "q21_dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM documents GROUP BY sha256(text)""",
+
+    "q22_ngram_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         inv AS (SELECT * FROM inv0 WHERE shingle IN (
+                   SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
+         pairs AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+                round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2""",
+
+    "q23_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+           FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 5""",
+
+    "q27_multimodal" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS n_bytes,
+                sha256(text) AS content_hash,
+                upper(hex(encode(substring(text, 1, 8)))) AS header_hex
+         FROM documents""",
   )
 }

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: exact hash dedup,
+  * n-gram Jaccard via inverted shingle index, MinHash+LSH, SimHash.
+  *
+  * Scale design: the naive all-pairs comparison is O(n²) and dead at 100 TB.
+  * Every path here goes through an inverted index or LSH banding so the only
+  * shuffles are (a) explode+groupBy on shingle/band keys and (b) a key-
+  * equality self-join whose fan-out is bounded by bucket size — candidate
+  * generation is ~linear in corpus size for non-degenerate data. Hot keys
+  * (stop-shingles shared by everything) are the skew risk: cap bucket size
+  * with [[pruneHotKeys]] before the self-join, the standard trick from
+  * MinHash-LSH dedup pipelines.
+  */
+object NearDup {
+
+  /** Exact dedup: one row per distinct content hash with the smallest doc id
+    * as the surviving representative and the group size.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Drop inverted-index keys whose posting list exceeds `maxBucket` — they
+    * generate quadratic candidate fan-out while carrying little similarity
+    * signal (the df-cutoff heuristic).
+    */
+  def pruneHotKeys(exploded: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
+    val hot = exploded.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxBucket).select(col(keyCol))
+    exploded.join(hot, Seq(keyCol), "left_anti")
+  }
+
+  /** Word n-gram Jaccard similarity over all candidate pairs sharing ≥1
+    * shingle: explode distinct shingles → self-join on shingle (inverted
+    * index) → count common → |A∩B| / (|A|+|B|−|A∩B|). Returns
+    * (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+                        minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
+    // spread the raw rows BEFORE the shingle projection: a Project above the
+    // round-robin Exchange runs at full width; below it, on one scan split.
+    val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
+    val sh = Par.materialize(base.select(col("_id"),
+      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("_text")), n)).as("_sh")))
+    val sizes = sh.select(col("_id"), size(col("_sh")).as("_size"))
+    val inv = pruneHotKeys(
+      sh.select(col("_id"), explode(col("_sh")).as("_shingle")), "_shingle", maxBucket)
+    val pairs = inv.as("l").join(inv.as("r"),
+        col("l._shingle") === col("r._shingle") && col("l._id") < col("r._id"))
+      .groupBy(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnsRenamed(Map("_id" -> "id_a", "_size" -> "size_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("_id" -> "id_b", "_size" -> "size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+        col("jaccard"))
+  }
+
+  /** Deterministic universal-hash family over xxhash64(shingle):
+    * h_i(s) = (a_i·x + b_i) mod p, with fixed odd multipliers derived from
+    * the seed — the standard MinHash construction.
+    */
+  // 2^31 - 1: keeps a·x + b < 2^62, so the universal hash never overflows a
+  // long even under ANSI arithmetic.
+  private val minhashPrime = 2147483647L
+
+  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val r = new java.util.Random(seed + i)
+      (math.abs(r.nextLong()) % (minhashPrime - 1) + 1, math.abs(r.nextLong()) % minhashPrime)
+    }
+
+  /** MinHash signature (array of k longs) of a shingle array column. */
+  def minhashSignature(shingleCol: Column, k: Int = 32, seed: Long = 42L): Column = {
+    val params = hashParams(k, seed)
+    array(params.map { case (a, b) =>
+      array_min(transform(shingleCol,
+        s => pmod(lit(a) * pmod(xxhash64(s), lit(minhashPrime)) + lit(b), lit(minhashPrime))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    *
+    * k hashes split into `bands` bands of k/bands rows; docs colliding in any
+    * band become candidates (prob ≈ 1-(1-j^r)^b); candidates then get exact
+    * shingle-set Jaccard and are filtered by `minJaccard`. The only shuffles:
+    * explode on band key + bounded self-join + the verify join.
+    */
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String, n: Int = 3,
+                     k: Int = 32, bands: Int = 8, minJaccard: Double = 0.5,
+                     seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
+    val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
+    val sh = base.select(col("_id"),
+        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("_text")), n)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val sig = Par.materialize(sh.withColumn("_sig", minhashSignature(col("_sh"), k, seed)))
+    // band key = (band index, hash of the band's slice of the signature)
+    val banded = sig.select(col("_id"), col("_sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(concat_ws(",",
+          slice(col("_sig"), b * rows + 1, rows))).as("bandhash"))
+      }: _*)).as("_bk"))
+      .select(col("_id"), col("_sh"), col("_bk.band"), col("_bk.bandhash"))
+    val pruned = pruneHotKeys(banded, "bandhash", maxBucket)
+    val cand = pruned.as("l").join(pruned.as("r"),
+        col("l.band") === col("r.band") && col("l.bandhash") === col("r.bandhash") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        col("l._sh").as("sh_a"), col("r._sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token stream: per bit position, sum +1/−1 weighted
+    * votes of each token's xxhash64 bit, take the sign. Near-dups differ in
+    * few bits (compare with [[hammingDistance]]).
+    */
+  def simhash(toks: Column): Column =
+    (0 until 64).map { i =>
+      val bitSum = aggregate(toks, lit(0L),
+        (a, t) => a + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via 4-chunk banding (pigeonhole: hamming ≤ 3 ⇒
+    * at least one of 4 16-bit chunks equal), verified by exact hamming
+    * distance — avoids the O(n²) compare.
+    */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sigs = Par.materialize(
+      Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
+        .select(col("_id"), simhash(TextAnalysis.tokens(col("_text"))).as("_sim")))
+    val chunked = sigs.select(col("_id"), col("_sim"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("_sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunkval"))
+      }: _*)).as("_ck"))
+      .select(col("_id"), col("_sim"), col("_ck.chunk"), col("_ck.chunkval"))
+    val pruned = pruneHotKeys(chunked, "chunkval", maxBucket)
+    pruned.as("l").join(pruned.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.chunkval") === col("r.chunkval") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        hammingDistance(col("l._sim"), col("r._sim")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

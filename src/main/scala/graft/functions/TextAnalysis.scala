@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All pure `org.apache.spark.sql.functions` compositions — codegen'd,
+  * map-side, no UDFs, no shuffles; at 100 TB these run at scan speed and fuse
+  * into whole-stage codegen with the parquet reader.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped. Single-space split + filter
+    * (not `\s+` regex) so the semantics are trivially portable across
+    * engines; use [[tokensRegex]] when inputs have tabs/newlines.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Regex tokenizer: splits on any whitespace run; a BPE-ish superset that
+    * also splits off punctuation clusters.
+    */
+  def tokensRegex(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  /** Count of tokens found in `vocab`. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(vocab)))
+
+  /** English stopwords used by the quality score. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "on")
+
+  /** Quality metrics: integer counts plus a stopword ratio. The ratio is
+    * rounded to 4 places so the value is comparison-stable across engines.
+    */
+  def qualityMetrics(text: Column): Map[String, Column] = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val nStop = vocabHits(toks, enStopwords)
+    Map(
+      "n_chars" -> length(text),
+      "n_tokens" -> nTokens,
+      "n_punct" -> punctCount(text),
+      "n_stopwords" -> nStop,
+      "stop_ratio" -> round(nStop.cast("double") / nTokens.cast("double"), 4))
+  }
+
+  /** Language-ID heuristic: count stopword hits per candidate language and
+    * take the argmax with a fixed priority order (en > de > es > fr; `other`
+    * when nothing hits). Deterministic by construction; n-gram-free so it
+    * stays a pure vectorizable expression.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ein", "zu", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "y", "un", "es", "por"),
+    "fr" -> Seq("le", "les", "et", "dans", "est", "une", "pour", "sur"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langStopwords.map { case (lang, words) => lang -> vocabHits(toks, words) }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    // argmax with priority = list order: a language wins only if strictly
+    // greater than every earlier one and >= every later one.
+    val best = scores.zipWithIndex.foldRight(lit("other")) {
+      case (((lang, score), i), elseCol) =>
+        val beats = scores.zipWithIndex.collect {
+          case ((_, s), j) if j < i => score > s
+          case ((_, s), j) if j > i => score >= s
+        }
+        when(beats.reduceOption(_ && _).getOrElse(lit(true)), lit(lang)).otherwise(elseCol)
+    }
+    when(anyHit, best).otherwise(lit("other"))
+  }
+
+  /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,
+    * trimmed text. Stable across formatting-only edits.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(lower(regexp_replace(text, "\\s+", " "))))
+
+  /** Rolling (polynomial) hash over the token stream — a Rabin-Karp style
+    * document signature: h = (h·B + hash(tᵢ)) mod p, p = 2^31−1. The modulus
+    * keeps every intermediate < 2^62 (ANSI-safe, no long overflow).
+    * Order-sensitive, unlike [[fingerprint]].
+    */
+  def rollingHash(text: Column, base: Long = 1000003L): Column = {
+    val p = 2147483647L
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(base) + pmod(xxhash64(t), lit(p)), lit(p)))
+  }
+
+  /** Word `n`-gram shingles of the token array (empty below n tokens). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+}

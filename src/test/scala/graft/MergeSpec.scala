@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Merge, Payload}
+
+/** Mirrors `tests/integration/staging/test_staging_repo.py` and
+  * `tests/unit/staging/test_payload.py`.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("payload excludes _-prefixed meta cols, keys sorted, hash = sha256(payload) (test_payload.py:7-17)") {
+    val df = Seq(("a", "NEW", "r1")).toDF("id", "status", "_run_id")
+    val out = Payload.withPayloadAndHash(df)
+    val r = out.head()
+    val payload = r.getAs[String]("payload")
+    assert(payload == """{"id":"a","status":"NEW"}""") // sorted keys, compact, no meta
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("payload_hash") == expected)
+  }
+
+  test("history append is idempotent: rerunning the same batch inserts 0 (test_staging_repo.py:7-27)") {
+    val batch = Seq(
+      ("a", ts("2024-01-01 00:00:00"), "h1"),
+      ("b", ts("2024-01-01 00:00:01"), "h2")).toDF("id", "updated_at", "payload_hash")
+    val empty = batch.limit(0)
+    val first = Merge.historyDelta(empty, batch)
+    assert(first.count() == 2)
+    val history = empty.unionByName(first)
+    assert(Merge.historyDelta(history, batch).count() == 0) // rerun → no-op
+  }
+
+  test("history append dedups within the incoming batch on the conflict key") {
+    val batch = Seq(
+      ("a", ts("2024-01-01 00:00:00"), "h1"),
+      ("a", ts("2024-01-01 00:00:00"), "h1")).toDF("id", "updated_at", "payload_hash")
+    assert(Merge.historyDelta(batch.limit(0), batch).count() == 1)
+  }
+
+  test("latest upsert: newer wins, older never clobbers, ties keep existing (test_staging_repo.py:29-73)") {
+    val existing = Seq(
+      ("a", ts("2024-01-02 00:00:00"), "old-a"),
+      ("b", ts("2024-01-02 00:00:00"), "old-b"),
+      ("c", ts("2024-01-02 00:00:00"), "old-c")).toDF("id", "updated_at", "note")
+    val incoming = Seq(
+      ("a", ts("2024-01-03 00:00:00"), "new-a"),  // newer → wins
+      ("b", ts("2024-01-01 00:00:00"), "new-b"),  // older → loses
+      ("c", ts("2024-01-02 00:00:00"), "new-c"),  // tie → existing survives
+      ("d", ts("2024-01-01 00:00:00"), "new-d"))  // brand new key → inserted
+      .toDF("id", "updated_at", "note")
+    val merged = Merge.latestUpsert(existing, incoming).orderBy("id")
+    val notes = merged.select("note").as[String].collect().toSeq
+    assert(notes == Seq("new-a", "old-b", "old-c", "new-d"))
+  }
+
+  test("latest upsert collapses multi-version incoming batches to the newest") {
+    val existing = Seq(("a", ts("2024-01-01 00:00:00"), "old")).toDF("id", "updated_at", "note")
+    val incoming = Seq(
+      ("a", ts("2024-01-02 00:00:00"), "v2"),
+      ("a", ts("2024-01-03 00:00:00"), "v3")).toDF("id", "updated_at", "note")
+    val merged = Merge.latestUpsert(existing, incoming)
+    assert(merged.count() == 1)
+    assert(merged.select("note").as[String].head() == "v3")
+  }
+
+  test("upsertDelta counts only rows that change state") {
+    val existing = Seq(
+      ("a", ts("2024-01-02 00:00:00"), "old-a"),
+      ("b", ts("2024-01-02 00:00:00"), "old-b")).toDF("id", "updated_at", "note")
+    val incoming = Seq(
+      ("a", ts("2024-01-03 00:00:00"), "new-a"),  // newer → counts
+      ("b", ts("2024-01-02 00:00:00"), "tie-b"),  // tie → strict '>' → not counted
+      ("d", ts("2024-01-01 00:00:00"), "new-d"))  // new key → counts
+      .toDF("id", "updated_at", "note")
+    val delta = Merge.upsertDelta(existing, incoming)
+    assert(delta.select("id").as[String].collect().toSet == Set("a", "d"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Multimodal, NearDup, Similarity, TextAnalysis}
+
+/** Training-data ops: text analysis, near-dup family, similarity search,
+  * multimodal plumbing. The approximate paths (MinHash, SimHash, LSH-ANN)
+  * are asserted against their exact counterparts on constructed corpora.
+  */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drop empties; token count") {
+    val df = Seq(("a  b c", 3), ("", 0), ("  ", 0)).toDF("text", "expected")
+    val bad = df.filter(TextAnalysis.tokenCount($"text") =!= $"expected")
+    assert(bad.count() == 0)
+  }
+
+  test("quality metrics: counts and stop ratio") {
+    val r = Seq("the cat, and the dog!").toDF("text")
+      .select(TextAnalysis.qualityMetrics($"text").toSeq.map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Int]("n_punct") == 2)   // comma + bang
+    assert(r.getAs[Int]("n_stopwords") == 3) // the, and, the
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 0.6) < 1e-9)
+  }
+
+  test("lang id: clear corpora classify; empty → other; tie → priority order") {
+    val df = Seq(
+      ("the cat is in the house and it is that", "en"),
+      ("der hund und die katze ist nicht ein zu", "de"),
+      ("el perro y la casa que es un por", "es"),
+      ("le chien et les chats dans une pour sur", "fr"),
+      ("zzz qqq www", "other"),
+      ("the der", "en")) // 1-1 tie → en priority
+      .toDF("text", "expected")
+    val bad = df.filter(TextAnalysis.langId($"text") =!= $"expected")
+    assert(bad.count() == 0)
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    val fps = Seq("Hello  World", "hello world", "hello   world ")
+      .toDF("text").select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("rolling hash is order-sensitive, fingerprint is not") {
+    val df = Seq(("a b c"), ("c b a")).toDF("text")
+    val rh = df.select(TextAnalysis.rollingHash($"text")).as[Long].collect()
+    assert(rh(0) != rh(1))
+  }
+
+  test("shingles: sliding 3-grams; short docs → empty") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens($"text"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens($"text"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup groups identical texts under min witness id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("doc_id", "text")
+    val out = NearDup.exactDedup(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 1L && out(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  // Synthetic near-dup corpus: 20 base docs of 40 tokens, each with a
+  // mutated twin (2 tokens changed → Jaccard ≈ 0.85), plus unrelated noise.
+  private def nearDupCorpus = {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val docs = (0 until 20).flatMap { d =>
+      val base = (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val twin = base.updated(5, "MUT1").updated(25, "MUT2")
+      Seq((d.toLong * 2, base.mkString(" ")), (d.toLong * 2 + 1, twin.mkString(" ")))
+    }
+    docs.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds the high-Jaccard twins that exact n-gram Jaccard finds") {
+    val df = nearDupCorpus
+    val exact = NearDup.ngramJaccardPairs(df, "text", "doc_id", n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = NearDup.minhashNearDup(df, "text", "doc_id", n = 3, k = 32, bands = 8,
+      minJaccard = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain high-jaccard twins")
+    // verification step makes approx ⊆ exact; banding should catch ≥ 90%
+    assert(approx.subsetOf(exact))
+    assert(approx.size >= (exact.size * 9) / 10, s"recall too low: ${approx.size}/${exact.size}")
+  }
+
+  test("simhash: twins within small hamming distance, unrelated docs far") {
+    val df = nearDupCorpus
+    val sigs = df.select($"doc_id", NearDup.simhash(TextAnalysis.tokens($"text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val twinDists = (0 until 20).map(d => java.lang.Long.bitCount(sigs(d * 2L) ^ sigs(d * 2L + 1)))
+    val unrelDists = (0 until 19).map(d => java.lang.Long.bitCount(sigs(d * 2L) ^ sigs(d * 2L + 2)))
+    assert(twinDists.sum.toDouble / twinDists.size < unrelDists.sum.toDouble / unrelDists.size,
+      s"twins $twinDists should be closer than unrelated $unrelDists")
+  }
+
+  test("brute-force cosine top-k on a hand-checkable corpus") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df.filter($"vec_id" === 0), df, k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L)) // closest then orthogonal; opposite excluded by k
+  }
+
+  test("LSH ANN recall vs exact top-k on real embeddings (sf0.001)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, emb, k = 5, dim = 64, tables = 16, bits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (found ${approx.size} pairs)")
+  }
+
+  test("multimodal: featurize schema + deterministic stub features + frame sampling") {
+    val df = Seq((1L, "image", "0123456789abcdef" * 64)).toDF("media_id", "media_type", "txt")
+      .withColumn("content", $"txt".cast("binary")).drop("txt")
+    val feat = Multimodal.featurize(df)
+    assert(Seq("n_bytes", "content_hash", "header_hex", "features").forall(feat.columns.contains))
+    val r = feat.head()
+    assert(r.getAs[Int]("n_bytes") == 1024)
+    assert(r.getAs[String]("header_hex") == "3031323334353637") // "01234567"
+    assert(r.getAs[collection.Seq[Double]]("features").length == 8)
+    // deterministic: second evaluation identical
+    assert(feat.head().getAs[collection.Seq[Double]]("features") ==
+      r.getAs[collection.Seq[Double]]("features"))
+    val frames = df.select(Multimodal.frameSample($"content", frameBytes = 100, stride = 2,
+      maxFrames = 10).as("f")).head().getAs[collection.Seq[Array[Byte]]]("f")
+    assert(frames.length == 6) // 1024 bytes / 200-byte stride → 6 non-empty chunks
+    assert(frames.head.length == 100)
+  }
+}
