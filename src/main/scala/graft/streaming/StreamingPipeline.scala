@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.operators.Merge
+import graft.sources.StateStore
+
+/** Structured Streaming form of the reference's watermark-loop pipeline
+  * (SURVEY.md §2 "Streaming" row): the batch extractor's cursor+lookback+
+  * dedup+upsert triangle is exactly event-time watermarking, in-stream
+  * dedup, and a foreachBatch newer-wins merge.
+  *
+  *   batch reference concept          → streaming construct
+  *   watermark cursor (O-3/O-4)       → engine-managed offsets/commits
+  *   LOOKBACK_SECONDS=120 re-read     → withWatermark(ts, "120 seconds")
+  *   O-11 idempotent history insert   → dropDuplicatesWithinWatermark
+  *   O-12 newer-wins latest upsert    → foreachBatch Merge.latestUpsert
+  *
+  * Scale notes: dedup state is partitioned by key and pruned by the
+  * watermark; the foreachBatch merge only shuffles each micro-batch (small)
+  * against the latest table's matching keys. On a real deployment the
+  * overwrite store becomes a MERGE-capable table format.
+  */
+object StreamingPipeline {
+
+  /** CDC upsert stream → continuously maintained latest-state table. */
+  def latestStateSink(stream: DataFrame, latestDir: String, checkpointDir: String,
+                      key: String = "id", versionCol: String = "updated_at",
+                      lateness: String = "120 seconds"): StreamingQuery = {
+    val deduped = stream
+      .withWatermark(versionCol, lateness)
+      .dropDuplicatesWithinWatermark(key, versionCol)
+    deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val plain = batch.toDF()
+          val cur = StateStore.read(plain.sparkSession, latestDir, plain.schema)
+          StateStore.overwrite(Merge.latestUpsert(cur, plain, key, versionCol), latestDir)
+        }
+      }
+      .start()
+  }
+
+  /** Tumbling-window event counts with late-data handling — the standard
+    * watermarked windowed aggregation over a change feed.
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String, windowLen: String,
+                     lateness: String = "120 seconds"): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("status"), col("n"))
+
+  /** Per-key status-transition log via arbitrary stateful processing
+    * (`mapGroupsWithState`): remembers each key's last seen status and emits
+    * one row per observed transition — the streaming view of the M-5 state
+    * machines.
+    */
+  final case class StatusEvent(id: String, status: String, updatedAt: java.sql.Timestamp)
+  final case class Transition(id: String, from: String, to: String,
+                              at: java.sql.Timestamp)
+
+  def statusTransitions(events: Dataset[StatusEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: String, rows: Iterator[StatusEvent], state: GroupState[String]) =>
+          // order within the micro-batch: event time
+          val sorted = rows.toSeq.sortBy(_.updatedAt.getTime)
+          var last = state.getOption
+          val out = sorted.flatMap { e =>
+            val t = last match {
+              case Some(prev) if prev != e.status => Some(Transition(id, prev, e.status, e.updatedAt))
+              case _ => None
+            }
+            last = Some(e.status)
+            t
+          }
+          state.update(last.getOrElse(""))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.pipeline.Simulator
+import graft.operators.StateMachine
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.{StatusEvent, Transition}
+
+/** Streaming variant (SURVEY.md §7 M5) + the deterministic simulator. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming latest-state sink: newer wins across micro-batches, replays deduped") {
+    val dir = Files.createTempDirectory("stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("id", "updated_at", "status")
+    val q = StreamingPipeline.latestStateSink(stream, s"$dir/latest", s"$dir/ckpt")
+    try {
+      mem.addData(("a", ts("2024-02-01 10:00:00"), "NEW"), ("b", ts("2024-02-01 10:01:00"), "NEW"))
+      q.processAllAvailable()
+      mem.addData(
+        ("a", ts("2024-02-01 11:00:00"), "PROCESSING"), // newer → wins
+        ("a", ts("2024-02-01 10:00:00"), "NEW"),        // replay → deduped
+        ("c", ts("2024-02-01 11:30:00"), "NEW"))
+      q.processAllAvailable()
+      val latest = spark.read.parquet(s"$dir/latest")
+      assert(latest.count() == 3)
+      assert(latest.filter($"id" === "a").select("status").as[String].head() == "PROCESSING")
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark (tumbling windows over the change feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val counts = StreamingPipeline.windowedCounts(
+      mem.toDF().toDF("id", "updated_at", "status"), "updated_at", "1 hour")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        ("a", ts("2024-02-01 10:05:00"), "NEW"),
+        ("b", ts("2024-02-01 10:55:00"), "NEW"),
+        ("c", ts("2024-02-01 11:05:00"), "PROCESSING"))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 3)
+      assert(rows.length == 2) // two distinct (window, status) groups... NEW@10, PROCESSING@11
+    } finally q.stop()
+  }
+
+  test("statusTransitions: mapGroupsWithState emits per-key transitions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StatusEvent]
+    val q = StreamingPipeline.statusTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      mem.addData(StatusEvent("a", "NEW", ts("2024-02-01 10:00:00")))
+      q.processAllAvailable()
+      mem.addData(
+        StatusEvent("a", "PROCESSING", ts("2024-02-01 11:00:00")),
+        StatusEvent("a", "FINISHED", ts("2024-02-01 12:00:00")),
+        StatusEvent("b", "NEW", ts("2024-02-01 11:30:00")))
+      q.processAllAvailable()
+      val trans = spark.table("trans").as[Transition].collect().sortBy(_.at.getTime)
+      assert(trans.map(t => (t.id, t.from, t.to)).toSeq ==
+        Seq(("a", "NEW", "PROCESSING"), ("a", "PROCESSING", "FINISHED")))
+    } finally q.stop()
+  }
+
+  test("simulator tick: deterministic, advances statuses legally, bumps updated_at") {
+    val base = (1 to 200).map(i => (s"id$i", "NEW", ts("2024-01-01 00:00:00"), "loader"))
+      .toDF("id", "status", "updated_at", "updated_by")
+    val t1 = Simulator.tick(base, StateMachine.ibChain, tick = 1,
+      tickTime = lit(ts("2024-01-02 00:00:00")))
+    val t1again = Simulator.tick(base, StateMachine.ibChain, tick = 1,
+      tickTime = lit(ts("2024-01-02 00:00:00")))
+    assert(t1.collect().toSeq == t1again.collect().toSeq) // deterministic
+    val statuses = t1.groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(statuses.keySet.subsetOf(Set("NEW", "PROCESSING", "CANCELLED")))
+    assert(statuses.getOrElse("PROCESSING", 0L) > 0) // some rows advanced
+    // changed rows got the tick time; unchanged kept theirs
+    val changed = t1.filter($"status" =!= "NEW")
+    assert(changed.filter($"updated_at" =!= ts("2024-01-02 00:00:00")).count() == 0)
+    assert(t1.filter($"status" === "NEW")
+      .filter($"updated_at" =!= ts("2024-01-01 00:00:00")).count() == 0)
+  }
+}
