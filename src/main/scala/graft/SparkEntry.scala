@@ -260,10 +260,12 @@ object SparkEntry {
         "text", "doc_id", n = 3, k = 32, bands = 8, minJaccard = 0.1)
     }),
 
-    // SimHash signatures (no SQL oracle: xxhash64 has no DuckDB equivalent).
+    // SimHash signatures via the native single-pass expression
+    // (no SQL oracle: xxhash64 has no DuckDB equivalent).
     "q25_simhash" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.NearDup.simhash(
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.simhash64(docs,
           graft.functions.TextAnalysis.tokens(col("text"))).as("simhash"))
     }),
 

@@ -104,7 +104,9 @@ object NearDup {
     val sh = base.select(col("_id"),
         array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("_text")), n)).as("_sh"))
       .filter(size(col("_sh")) > 0)
-    val sig = Par.materialize(sh.withColumn("_sig", minhashSignature(col("_sh"), k, seed)))
+    // native single-pass expression; minhashSignature is the composable form
+    val sig = Par.materialize(sh.withColumn("_sig",
+      graft.plans.GraftFunctions.minhashSig(sh, col("_sh"), k, seed)))
     // band key = (band index, hash of the band's slice of the signature)
     val banded = sig.select(col("_id"), col("_sh"),
       explode(array((0 until bands).map { b =>
@@ -149,7 +151,9 @@ object NearDup {
                      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sigs = Par.materialize(
       Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
-        .select(col("_id"), simhash(TextAnalysis.tokens(col("_text"))).as("_sim")))
+        .select(col("_id"),
+          graft.plans.GraftFunctions.simhash64(df, TextAnalysis.tokens(col("_text")))
+            .as("_sim")))
     val chunked = sigs.select(col("_id"), col("_sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -1,0 +1,162 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Native Catalyst expressions for the signature-heavy dedup operators.
+  *
+  * The composable forms in [[graft.functions.NearDup]] build SimHash/MinHash
+  * out of higher-order functions (`aggregate`/`transform`), which Spark
+  * evaluates interpreted, per element, with closure overhead — 64
+  * re-traversals of the token array for SimHash, k re-traversals (and k
+  * re-hashes of every shingle) for MinHash. These expressions do the same
+  * math in one imperative pass per row: hash each element once, update all
+  * counters/minima in a tight loop. Same inputs, same outputs, ~10× less
+  * per-row work at 100 TB.
+  *
+  * Evaluation is `CodegenFallback` — a single opaque JVM call per row is
+  * already optimal here; there is no per-element expression tree left for
+  * whole-stage codegen to fuse.
+  */
+
+/** 64-bit SimHash of an array<string>: per bit, sign of Σ ±1 votes from each
+  * element's xxhash64 (seed 42, matching Spark's `xxhash64`).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftFunctions.requireStringArray(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature (array<long> of length k) of an array<string> shingle
+  * set: h_i(s) = (a_i·x + b_i) mod p over x = xxhash64(s) mod p, p = 2^31−1.
+  * Identical hash family and parameters to
+  * [[graft.functions.NearDup.minhashSignature]] — each shingle is hashed
+  * once instead of k times.
+  */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftFunctions.requireStringArray(prettyName, child)
+
+  private val p = 2147483647L
+  private lazy val params: Array[(Long, Long)] = (0 until k).map { i =>
+    val r = new java.util.Random(seed + i)
+    (math.abs(r.nextLong()) % (p - 1) + 1, math.abs(r.nextLong()) % p)
+  }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x0 = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L) % p
+        val x = if (x0 < 0) x0 + p else x0
+        var j = 0
+        while (j < k) {
+          val (a, b) = params(j)
+          val v = (a * x + b) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Registration: both the `SparkSessionExtensions` route (cluster-wide via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) and an idempotent
+  * per-session helper for sessions built without extensions.
+  */
+object GraftFunctions {
+  private[plans] def requireStringArray(fn: String, child: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<string>, got ${other.catalogString}")
+    }
+  }
+
+  def simhash64(df: org.apache.spark.sql.DataFrame, toks: Column): Column = {
+    register(df.sparkSession)
+    call_function("graft_simhash64", toks)
+  }
+
+  def minhashSig(df: org.apache.spark.sql.DataFrame, shingles: Column,
+                 k: Int = 32, seed: Long = 42L): Column = {
+    register(df.sparkSession, k, seed)
+    call_function(s"graft_minhash_sig_${k}_$seed", shingles)
+  }
+
+  private val registeredKs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Int, Long)]()
+
+  def register(spark: SparkSession, k: Int = 32, seed: Long = 42L): Unit = {
+    val key = (System.identityHashCode(spark).toLong, k, seed)
+    if (registeredKs.add(key)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_minhash_sig_${k}_$seed", exprs => MinHashSig(exprs.head, k, seed), "built-in")
+    }
+  }
+}
+
+/** Session extension: `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig_32_42"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig_32_42"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head, 32, 42L)))
+  }
+}

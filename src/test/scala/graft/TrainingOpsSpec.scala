@@ -102,6 +102,19 @@ class TrainingOpsSpec extends SparkSpec {
       s"twins $twinDists should be closer than unrelated $unrelDists")
   }
 
+  test("native SimHash64/MinHashSig expressions ≡ composable HOF forms") {
+    val df = nearDupCorpus
+    val toks = TextAnalysis.tokens($"text")
+    val sh = array_distinct(TextAnalysis.shingles(toks, 3))
+    val cmp = df.select(
+      NearDup.simhash(toks).as("sim_hof"),
+      graft.plans.GraftFunctions.simhash64(df, toks).as("sim_native"),
+      NearDup.minhashSignature(sh, k = 16, seed = 7L).as("mh_hof"),
+      graft.plans.GraftFunctions.minhashSig(df, sh, k = 16, seed = 7L).as("mh_native"))
+    assert(cmp.filter($"sim_hof" =!= $"sim_native").count() == 0)
+    assert(cmp.filter(to_json($"mh_hof") =!= to_json($"mh_native")).count() == 0)
+  }
+
   test("brute-force cosine top-k on a hand-checkable corpus") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
