@@ -43,7 +43,7 @@ object Similarity {
     val c = Par.spread(
       candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .withColumn("sim", graft.plans.GraftFunctions.cosine(c, col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -78,10 +78,14 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int,
               tables: Int = 8, bits: Int = 10, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      Par.spread(df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs)))
-        .withColumn("_bk", explode(lshBuckets(col(vecAs), dim, tables, bits, seed)))
-        .select(col(idAs), col(vecAs), col("_bk.table"), col("_bk.bucket"))
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val base = Par.spread(df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs)))
+      // native single-pass bucketing; lshBuckets is the composable form
+      base
+        .withColumn("_bks",
+          graft.plans.GraftFunctions.hyperplaneBuckets(base, col(vecAs), dim, tables, bits, seed))
+        .select(col(idAs), col(vecAs), posexplode(col("_bks")).as(Seq("table", "bucket")))
+    }
     val q = bucketed(queries, "query_id", "_qv")
     val c = Par.materialize(bucketed(candidates, "neighbor_id", "_cv"))
     val cand = q.join(c, Seq("table", "bucket"))
@@ -89,7 +93,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("sim", cosine(col("_qv"), col("_cv")))
+    cand.withColumn("sim", graft.plans.GraftFunctions.cosine(cand, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))

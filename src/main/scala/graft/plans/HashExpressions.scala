@@ -131,6 +131,20 @@ object GraftFunctions {
     call_function(s"graft_minhash_sig_${k}_$seed", shingles)
   }
 
+  def cosine(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
+    register(df.sparkSession)
+    call_function("graft_cosine", a, b)
+  }
+
+  def hyperplaneBuckets(df: org.apache.spark.sql.DataFrame, vec: Column,
+                        dim: Int, tables: Int, bits: Int, seed: Long): Column = {
+    val name = s"graft_hp_buckets_${dim}_${tables}_${bits}_$seed"
+    val spark = df.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => HyperplaneBuckets(exprs.head, dim, tables, bits, seed), "built-in")
+    call_function(name, vec)
+  }
+
   private val registeredKs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Int, Long)]()
 
@@ -141,6 +155,8 @@ object GraftFunctions {
         "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"graft_minhash_sig_${k}_$seed", exprs => MinHashSig(exprs.head, k, seed), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_cosine", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     }
   }
 }

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.time.Instant
+import java.util
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for the paginated change feed (reference O-1
+  * live mode; SURVEY.md §7.2 — the one genuinely custom engine extension in
+  * scope).
+  *
+  * `spark.read.format("graft-feed").option("feed", <name>).load()`
+  *
+  * Engine integration:
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): a
+  *    `updated_at > cursor` predicate is pushed into the feed query itself —
+  *    exactly how the reference pushes `updated_after` into the HTTP query
+  *    string (`extract.py:49-53`) instead of filtering client-side. Catalyst
+  *    re-applies residual filters above, so correctness never depends on the
+  *    source honoring the pushdown.
+  *  - **Partitioned scan**: the M-4 envelope count lets the scan plan one
+  *    input partition per page *range*, so a cold-start backfill pulls pages
+  *    concurrently from many executors instead of the reference's serial
+  *    driver loop. `pages_per_partition` bounds per-task work.
+  *
+  * The transport is pluggable via [[FeedRegistry]] — tests and local runs
+  * register in-JVM feeds; an HTTP transport implements the same `fetch`
+  * signature with [[PagedFeed.withRetry]] around each page. (In-JVM feeds
+  * work in `local[*]` because driver and executors share the registry; a
+  * cluster deployment needs a transport resolvable from executors, like
+  * HTTP.)
+  */
+object FeedRegistry {
+  final case class RegisteredFeed(schema: StructType,
+                                  fetch: (Option[Instant], Int, Long) => PagedFeed.Page)
+
+  private val feeds = new java.util.concurrent.ConcurrentHashMap[String, RegisteredFeed]()
+
+  def register(name: String, schema: StructType,
+               fetch: (Option[Instant], Int, Long) => PagedFeed.Page): Unit =
+    feeds.put(name, RegisteredFeed(schema, fetch))
+
+  def get(name: String): RegisteredFeed = {
+    val f = feeds.get(name)
+    require(f != null, s"no registered feed '$name' — call FeedRegistry.register first")
+    f
+  }
+}
+
+class FeedTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-feed"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FeedRegistry.get(options.get("feed")).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FeedTable(properties.get("feed"), schema)
+}
+
+class FeedTable(feedName: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-feed:$feedName"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FeedScanBuilder(feedName, tableSchema,
+      options.getInt("pagesize", 500),
+      options.getInt("pages_per_partition", 4))
+}
+
+class FeedScanBuilder(feedName: String, schema: StructType, pageSize: Int,
+                      pagesPerPartition: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var cursor: Option[Instant] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept `updated_at > ts` (the feed's native cursor predicate); leave
+    * everything else to Spark. Returned array = filters Spark must still
+    * evaluate; we also let Spark re-check the pushed one (cheap, safe).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val tsField = schema.fields.find(f =>
+      f.name == "updated_at" && f.dataType == TimestampType).map(_.name)
+    pushed = filters.filter {
+      case GreaterThan(col, v) if tsField.contains(col) =>
+        val inst = v match {
+          case t: java.sql.Timestamp => Some(t.toInstant)
+          case i: Instant => Some(i)
+          case _ => None
+        }
+        inst match {
+          case Some(i) =>
+            cursor = Some(cursor.filter(_.isAfter(i)).getOrElse(i))
+            true
+          case None => false
+        }
+      case _ => false
+    }
+    filters // Spark re-evaluates everything; pushdown is a scan optimization
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new FeedScan(feedName, schema, cursor, pageSize,
+    pagesPerPartition)
+}
+
+final case class FeedInputPartition(firstOffset: Long, lastOffsetExclusive: Long)
+    extends InputPartition
+
+class FeedScan(feedName: String, val schema: StructType, cursor: Option[Instant],
+               pageSize: Int, pagesPerPartition: Int) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-feed:$feedName cursor=${cursor.getOrElse("none")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // one cheap envelope probe for the total filtered count (M-4 semantics)
+    val total = FeedRegistry.get(feedName).fetch(cursor, 1, 0).totalCount
+    if (total == 0) return Array.empty
+    val span = pageSize.toLong * pagesPerPartition
+    (0L until total by span)
+      .map(start => FeedInputPartition(start, math.min(start + span, total)))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(feedName, schema, cursor, pageSize)
+}
+
+class FeedReaderFactory(feedName: String, schema: StructType,
+                        cursor: Option[Instant], pageSize: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FeedInputPartition]
+    new PartitionReader[InternalRow] {
+      private val feed = FeedRegistry.get(feedName)
+      private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+      private var offset = p.firstOffset
+      private var page: Iterator[Row] = Iterator.empty
+      private var exhausted = false
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (!page.hasNext && !exhausted && offset < p.lastOffsetExclusive) {
+          val limit = math.min(pageSize.toLong, p.lastOffsetExclusive - offset).toInt
+          val fetched = PagedFeed.withRetry()(() => feed.fetch(cursor, limit, offset))
+          offset += fetched.rows.size
+          if (fetched.rows.size < limit) exhausted = true
+          page = fetched.rows.iterator
+        }
+        if (page.hasNext) {
+          current = toCatalyst(page.next()).asInstanceOf[InternalRow]
+          true
+        } else false
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -115,6 +115,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cmp.filter(to_json($"mh_hof") =!= to_json($"mh_native")).count() == 0)
   }
 
+  test("native CosineSim/HyperplaneBuckets ≡ composable forms (bit-identical)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val shifted = emb.withColumn("w", reverse($"v"))
+    val cmp = shifted.select(
+      Similarity.cosine($"v", $"w").as("cos_hof"),
+      graft.plans.GraftFunctions.cosine(shifted, $"v", $"w").as("cos_native"),
+      to_json(transform(Similarity.lshBuckets($"v", 64, 4, 6, 42L), b => b.getField("bucket")))
+        .as("bk_hof"),
+      to_json(graft.plans.GraftFunctions.hyperplaneBuckets(shifted, $"v", 64, 4, 6, 42L))
+        .as("bk_native"))
+    assert(cmp.filter($"cos_hof" =!= $"cos_native").count() == 0) // same fold order → same bits
+    assert(cmp.filter($"bk_hof" =!= $"bk_native").count() == 0)
+  }
+
   test("brute-force cosine top-k on a hand-checkable corpus") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
