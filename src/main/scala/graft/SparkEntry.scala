@@ -294,6 +294,36 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.TextAnalysis.rollingHash(col("text")).as("rhash"))
     }),
+
+    // Window: running per-key aggregate over event time (decimal-exact).
+    "q29_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(dec)).over(w).as("running_value"),
+          row_number().over(w).cast("long").as("seq"))
+    }),
+
+    // Rollup: hierarchical aggregation with subtotal + grand-total rows.
+    "q30_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Distinct aggregation + conditional counts per group.
+    "q31_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          count(when(col("value") > 100.0, 1)).as("n_large"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -494,6 +524,27 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
          FROM ranked WHERE rank <= 5""",
+
+    "q29_running_total" ->
+      """SELECT user_id, event_id,
+                sum(CAST(value AS DECIMAL(18,4))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS seq
+         FROM events WHERE user_id < 20""",
+
+    "q30_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS revenue, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q31_distinct_agg" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events,
+                count(CASE WHEN value > 100.0 THEN 1 END) AS n_large
+         FROM events GROUP BY event_type""",
 
     "q27_multimodal" ->
       """SELECT doc_id,
