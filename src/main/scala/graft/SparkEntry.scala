@@ -315,6 +315,25 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // IVF approximate ANN: k-means coarse quantizer + nprobe cell search
+    // (rows-only; recall vs exact top-k asserted in TrainingOpsSpec).
+    "q32_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.functions.Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 8), emb, k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Element-wise embedding statistics: per-(label, dimension) decimal sums.
+    "q33_embed_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v").cast(dec)).as("sum_v"), count(lit(1)).as("n"))
+        .withColumn("pos", col("pos").cast("long"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -538,6 +557,16 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
                 sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS revenue, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q33_embed_stats" ->
+      """WITH flat AS (
+           SELECT label,
+                  generate_subscripts(embedding, 1) - 1 AS pos,
+                  unnest(embedding) AS v
+           FROM embeddings)
+         SELECT label, pos, sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,4))) AS sum_v,
+                count(*) AS n
+         FROM flat GROUP BY label, pos""",
 
     "q31_distinct_agg" ->
       """SELECT event_type,

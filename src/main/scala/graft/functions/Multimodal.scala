@@ -74,4 +74,31 @@ object Multimodal {
       "content_hash" -> contentHash(col(contentCol)),
       "header_hex" -> headerHex(col(contentCol)),
       "features" -> fakeDecodeFeatures(col(contentCol))))
+
+  final case class MediaRow(media_id: Long, content: Array[Byte])
+  final case class DecodedRow(media_id: Long, n_bytes: Int, features: Array[Double])
+
+  /** Batched decode via `mapPartitions` — the Scala analog of a vectorized
+    * pandas-UDF decode: each partition's rows are grouped into fixed-size
+    * batches and handed to the decoder whole, the shape a native/FFI codec
+    * wants (amortized setup, contiguous buffers). The decoder body is the
+    * STUB; the batching, schema, and encoder plumbing are the real contract.
+    */
+  def decodeBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
+      .toDF()
+  }
+
+  /** STUB batch decoder: deterministic features from the content bytes.
+    * A real implementation passes the batch to an image/audio codec.
+    */
+  private def decodeBatchStub(batch: Seq[MediaRow]): Seq[DecodedRow] =
+    batch.map { m =>
+      val h = java.util.Arrays.hashCode(m.content)
+      DecodedRow(m.media_id, m.content.length,
+        Array.tabulate(8)(i => ((h.toLong * (i + 1)) & 0xFFFFFFL).toDouble / 0xFFFFFF))
+    }
 }

@@ -154,6 +154,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low (found ${approx.size} pairs)")
   }
 
+  test("IVF ANN recall vs exact top-k on real embeddings (sf0.001)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (${approx.size} pairs)")
+  }
+
+  test("multimodal batched decode: mapPartitions batches, deterministic, full coverage") {
+    val df = (1L to 200L).map(i => (i, s"payload-$i" * 10)).toDF("media_id", "txt")
+      .withColumn("content", $"txt".cast("binary")).drop("txt")
+    val out = Multimodal.decodeBatched(df, batchSize = 16)
+    assert(out.count() == 200)
+    assert(out.columns.toSeq == Seq("media_id", "n_bytes", "features"))
+    val r = out.filter($"media_id" === 7L).head()
+    assert(r.getAs[Int]("n_bytes") == "payload-7".length * 10)
+    assert(out.filter($"media_id" === 7L).head().getAs[collection.Seq[Double]]("features") ==
+      r.getAs[collection.Seq[Double]]("features")) // deterministic
+  }
+
   test("multimodal: featurize schema + deterministic stub features + frame sampling") {
     val df = Seq((1L, "image", "0123456789abcdef" * 64)).toDF("media_id", "media_type", "txt")
       .withColumn("content", $"txt".cast("binary")).drop("txt")
