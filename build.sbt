@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // timestamp literals must parse as UTC wall-clock, matching the DuckDB
+  // oracle's naive TIMESTAMP literals, regardless of the host timezone
+  "-Duser.timezone=UTC",
+  // local[32] with checkpointed intermediates needs headroom; the box has
+  // 128 GiB and the driver is the only executor in local mode
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

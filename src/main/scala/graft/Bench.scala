@@ -8,9 +8,25 @@ import org.apache.spark.sql.SparkSession
   * JIT/codegen for its plan shape, then timed at the target scale factor —
   * so the recorded number measures the operator, not JVM warmup. Queries run
   * in name order for run-to-run comparability.
+  *
+  * Persisted blocks (localCheckpoints from Par.materialize, SQL cache) are
+  * dropped after every query: 33 queries × 2 executions otherwise accumulate
+  * checkpoint blocks in one session until the block manager evicts/spills and
+  * late queries measure memory pressure instead of their plan (round-1 bench
+  * showed q22/q24 at 60 s that run in <2 s isolated).
   */
 object Bench {
+  private def dropPersisted(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    // blocking: the next timed query must not race block removal; gc: pay
+    // accumulated allocation debt between queries, not inside a timed run
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated query-name subset (debug bisection)
+    val subset = args.headOption.map(_.split(",").toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -24,11 +40,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_STAGES=1: per-stage timings >1s on stderr (debug)
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = for (s <- si.submissionTime; e <- si.completionTime) yield e - s
+          if (dur.exists(_ > 1000))
+            System.err.println(s"[stage] ${si.stageId} " +
+              s"'${si.name.takeWhile(_ != '\n').take(60)}' tasks=${si.numTasks} " +
+              s"${dur.get / 1000.0}s")
+        }
+      })
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      dropPersisted(spark)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropPersisted(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

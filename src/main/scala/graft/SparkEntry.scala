@@ -15,7 +15,13 @@ import graft.operators._
   *
   * Determinism discipline (the driver hash-compares values):
   *  - double SUMs go through DECIMAL(18,4) casts on BOTH sides (double
-  *    addition is order-dependent; decimal is exact and associative);
+  *    addition is order-dependent; decimal is exact and associative), and the
+  *    FINAL result is cast back to DOUBLE on both sides — Spark's
+  *    sum(DECIMAL(18,4)) result type (DECIMAL(28,4)) and DuckDB's
+  *    (DECIMAL(38,4)) render differently under the driver's value hashing,
+  *    while the double image of the identical exact sum is bit-equal
+  *    (round-1 gate: all 6 decimal-typed outputs hash-mismatched, all
+  *    double-typed outputs matched);
   *  - every top-k / page query carries a total tiebreak order;
   *  - raw double columns are passed through untouched (bit-exact parquet
   *    values) — never re-derived by float arithmetic.
@@ -41,6 +47,17 @@ object SparkEntry {
 
   private val dec: DataType = DecimalType(18, 4)
 
+  /** Timestamp literal parsed as UTC wall-clock, independent of the JVM
+    * default timezone. `java.sql.Timestamp.valueOf` would parse in the
+    * default zone and shift every cursor literal relative to the DuckDB
+    * oracle's naive TIMESTAMP literals on a non-UTC JVM
+    * (spark.sql.session.timeZone is pinned to UTC on every launch path).
+    */
+  private def tsLit(s: String): Column =
+    lit(java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .atZone(java.time.ZoneOffset.UTC).toInstant))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q04_latest_state")(spark, "/root/testdata/sf0.001")
@@ -54,21 +71,21 @@ object SparkEntry {
       t(s, dir, "events")
         .agg(max(col("ts")).as("max_ts"))
         .select(greatest(col("max_ts"),
-          lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).as("last_success_time"))
+          tsLit("2024-01-20 00:00:00")).as("last_success_time"))
     }),
 
     // O-1/M-2 — incremental change scan: strictly-greater cursor filter,
     // pushed down to the parquet scan.
     "q05_incremental_scan" -> ((s, dir) => {
       Feed.changedSince(t(s, dir, "events"),
-          lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")), "ts")
+          tsLit("2024-01-20 00:00:00"), "ts")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     }),
 
     // M-1/M-3 — sort + limit/offset pagination over the filtered feed.
     "q06_page" -> ((s, dir) => {
       val filtered = Feed.changedSince(t(s, dir, "events"),
-        lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")), "ts")
+        tsLit("2024-01-10 00:00:00"), "ts")
       Feed.page(filtered, limit = 200, offset = 100, tsCol = "ts", idCol = "event_id")
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
@@ -76,7 +93,7 @@ object SparkEntry {
     // M-4 — page envelope: count = TOTAL filtered count, not page size.
     "q07_page_envelope" -> ((s, dir) => {
       val filtered = Feed.changedSince(t(s, dir, "events"),
-        lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")), "ts")
+        tsLit("2024-01-10 00:00:00"), "ts")
       Feed.envelope(filtered, limit = 200, offset = 100)
         .withColumnsRenamed(Map("limit" -> "page_limit", "offset" -> "page_offset",
           "count" -> "total_count"))
@@ -104,7 +121,7 @@ object SparkEntry {
     "q09_history_delta" -> ((s, dir) => {
       val events = t(s, dir, "events")
       val history = events.filter(col("event_id") % 3 === 0)
-      val batch = events.filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+      val batch = events.filter(col("ts") > tsLit("2024-01-25 00:00:00"))
       Merge.historyDelta(history, batch, keys = Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     }),
@@ -167,10 +184,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -186,7 +203,7 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(
           sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
-            .as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -198,6 +215,7 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
         .orderBy(col("total_spend").desc, col("o_custkey").asc)
         .limit(10)
+        .withColumn("total_spend", col("total_spend").cast("double"))
     }),
 
     // ---- training-data pipeline ops (graft.functions) ----
@@ -303,7 +321,7 @@ object SparkEntry {
       t(s, dir, "events")
         .filter(col("user_id") < 20)
         .select(col("user_id"), col("event_id"),
-          sum(col("value").cast(dec)).over(w).as("running_value"),
+          sum(col("value").cast(dec)).over(w).cast("double").as("running_value"),
           row_number().over(w).cast("long").as("seq"))
     }),
 
@@ -311,7 +329,7 @@ object SparkEntry {
     "q30_rollup_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_extendedprice").cast(dec)).as("revenue"),
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double").as("revenue"),
           count(lit(1)).as("n"))
     }),
 
@@ -330,7 +348,7 @@ object SparkEntry {
         .select(col("label"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
-        .agg(sum(col("v").cast(dec)).as("sum_v"), count(lit(1)).as("n"))
+        .agg(sum(col("v").cast(dec)).cast("double").as("sum_v"), count(lit(1)).as("n"))
         .withColumn("pos", col("pos").cast("long"))
     }),
 
@@ -435,17 +453,17 @@ object SparkEntry {
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-                sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
                 count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
     "q02_join_revenue" ->
       """SELECT r_name,
-                sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
@@ -454,10 +472,11 @@ object SparkEntry {
          GROUP BY r_name""",
 
     "q03_topk_customers" ->
-      """SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_spend,
+      """SELECT o_custkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
                 count(*) AS n_orders
          FROM orders GROUP BY o_custkey
-         ORDER BY total_spend DESC, o_custkey LIMIT 10""",
+         ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,4))) DESC, o_custkey LIMIT 10""",
 
     "q17_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
@@ -546,16 +565,17 @@ object SparkEntry {
 
     "q29_running_total" ->
       """SELECT user_id, event_id,
-                sum(CAST(value AS DECIMAL(18,4))) OVER (
+                CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
                   PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
                 row_number() OVER (
                   PARTITION BY user_id ORDER BY ts, event_id) AS seq
          FROM events WHERE user_id < 20""",
 
     "q30_rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS revenue, count(*) AS n
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q33_embed_stats" ->
@@ -564,7 +584,8 @@ object SparkEntry {
                   generate_subscripts(embedding, 1) - 1 AS pos,
                   unnest(embedding) AS v
            FROM embeddings)
-         SELECT label, pos, sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,4))) AS sum_v,
+         SELECT label, pos,
+                CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
                 count(*) AS n
          FROM flat GROUP BY label, pos""",
 

@@ -52,8 +52,13 @@ object Merge {
     require(cols.sorted == incoming.columns.toSeq.sorted,
       s"schema mismatch: ${cols.mkString(",")} vs ${incoming.columns.mkString(",")}")
     // Incoming batches can carry several versions of one id; collapse to the
-    // newest first (latest-arriving wins exact ties, as in O-9).
-    val incomingLatest = Dedup.keepLast(incoming, Seq(key), ordering = Seq(col(versionCol)))
+    // newest first (latest-arriving wins exact ties, as in O-9). Arrival
+    // order is captured BEFORE the collapse's shuffle and appended as the
+    // final tiebreak — ordering by versionCol alone is a partial order, and
+    // row_number over a partial order picks a nondeterministic survivor.
+    val incomingLatest = Dedup.keepLast(Dedup.withArrivalOrder(incoming), Seq(key),
+        ordering = Seq(col(versionCol), col("_arrival")))
+      .drop("_arrival")
     val tagged = existing.select(cols.map(col): _*).withColumn("_is_existing", lit(1))
       .unionByName(incomingLatest.select(cols.map(col): _*).withColumn("_is_existing", lit(0)))
     val ord = struct(col(versionCol), col("_is_existing"))

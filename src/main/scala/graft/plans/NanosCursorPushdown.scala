@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * The original predicate is kept and the derived one is ADDED as a
   * conjunct (the `InferFiltersFromConstraints` pattern): the derived bound
   * only has to be implied by the original, so correctness never depends on
-  * the rewrite being tight. Bounds are exact for non-negative (post-epoch)
-  * literals, which is also the guard under which `div`'s
-  * truncation-toward-zero agrees with floor division:
+  * the rewrite being tight. Bounds are exact for strictly-positive
+  * (post-epoch, m >= 1 µs) literals, which is the guard under which `div`'s
+  * truncation-toward-zero agrees with floor division. m = 0 is excluded:
+  * micros(n) = 0 holds for n in [-999, 999] under truncation, so the
+  * `>=`/`=` lower bound n > -1 would wrongly reject pre-epoch n in
+  * [-999, -1] that the original predicate accepts:
   *
   *   micros(n) >  M  ⟺  n > 1000·M + 999
   *   micros(n) >= M  ⟺  n > 1000·M − 1
@@ -43,10 +46,13 @@ object NanosCursorPushdown extends Rule[LogicalPlan] {
     }
   }
 
-  /** Timestamp literal in Catalyst = Long micros since epoch. */
+  /** Timestamp literal in Catalyst = Long micros since epoch. m >= 1: at
+    * m = 0 the derived `>=`/`=` lower bound is unsound for pre-epoch nanos
+    * (see class doc).
+    */
   private object TsLit {
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(m: Long, TimestampType) if m >= 0 && m < Long.MaxValue / 1000 - 1 =>
+      case Literal(m: Long, TimestampType) if m >= 1 && m < Long.MaxValue / 1000 - 1 =>
         Some(m)
       case _ => None
     }
