@@ -352,6 +352,27 @@ object SparkEntry {
         .withColumn("pos", col("pos").cast("long"))
     }),
 
+    // Embedding-cosine near-dup pairs — fifth member of the dedup family
+    // (exact hash / n-gram Jaccard / MinHash / SimHash / cosine). Exact
+    // broadcast form; the LSH-bucketed candidate path is the scale variant.
+    // τ=0.4 sits inside the synthetic corpus's similarity range (max ≈0.6).
+    "q34_cosine_neardup" -> ((s, dir) => {
+      graft.functions.Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), minCosine = 0.4)
+    }),
+
+    // HLL-sketch distinct count per group (approx_count_distinct) next to
+    // the exact count — the 100 TB form of q31's countDistinct (no shuffle
+    // of distinct pairs, one sketch per group per partition). Rows-only:
+    // DuckDB's HLL implementation differs; accuracy vs exact is asserted in
+    // TrainingOpsSpec.
+    "q35_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -588,6 +609,16 @@ object SparkEntry {
                 CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
                 count(*) AS n
          FROM flat GROUP BY label, pos""",
+
+    // threshold compared as DOUBLE on both sides: a bare 0.4 literal is
+    // DECIMAL(1,1) in DuckDB, and decimal-space comparison drops pairs whose
+    // rounded sim is exactly 0.400000 (the nearest double to 0.4 is below it)
+    "q34_cosine_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.ev, b.ev), 6) AS sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= CAST(0.4 AS DOUBLE)""",
 
     "q31_distinct_agg" ->
       """SELECT event_type,

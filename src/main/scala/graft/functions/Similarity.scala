@@ -117,6 +117,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: every unordered pair with
+    * cosine ≥ `minCosine` (id_a < id_b), exact. Completes the dedup family
+    * (exact hash / n-gram Jaccard / MinHash / SimHash / embedding-cosine).
+    *
+    * This is the exact baseline and the oracle-checkable form: one side is
+    * broadcast, so the corpus is scanned once and the candidate generation is
+    * an O(n²/2) comparison bounded by the broadcast side. At corpus sizes
+    * where n² is no longer affordable, generate candidates with the
+    * hyperplane-LSH bucketing of [[lshTopK]] (key-equality join, ~linear) and
+    * apply exactly this cosine+threshold verify to the candidate pairs —
+    * same verify expression, approximate recall.
+    */
+  def cosineNearDupPairs(df: DataFrame, minCosine: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = Par.spread(df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("_va")))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("_vb"))
+    val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+    pairs
+      .withColumn("sim", round(graft.plans.GraftFunctions.cosine(pairs, col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Approximate cosine top-k via multi-table hyperplane LSH: queries and
     * candidates are bucketed; only same-(table,bucket) pairs are scored.
     * Returns at most k neighbors per query (fewer if recall misses).

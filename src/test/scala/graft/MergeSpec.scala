@@ -78,4 +78,18 @@ class MergeSpec extends SparkSpec {
     val delta = Merge.upsertDelta(existing, incoming)
     assert(delta.select("id").as[String].collect().toSet == Set("a", "d"))
   }
+
+  test("latest upsert: exact (key, version) duplicates in one batch resolve " +
+       "deterministically to the latest-arriving row") {
+    val existing = Seq(("a", ts("2024-01-01 00:00:00"), "old"))
+      .toDF("id", "updated_at", "note")
+    // two rows with IDENTICAL (id, updated_at) — executemany later-row-wins
+    val incoming = Seq(
+      ("a", ts("2024-01-02 00:00:00"), "first-arrival"),
+      ("a", ts("2024-01-02 00:00:00"), "last-arrival")).toDF("id", "updated_at", "note")
+    val notes = (1 to 5).map { _ =>
+      Merge.latestUpsert(existing, incoming).select("note").as[String].head()
+    }
+    assert(notes.distinct == Seq("last-arrival"), s"nondeterministic or wrong: $notes")
+  }
 }

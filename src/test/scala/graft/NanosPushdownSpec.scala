@@ -49,6 +49,19 @@ class NanosPushdownSpec extends SparkSpec {
     assert(once.toString == twice.toString)
   }
 
+  test("epoch literal (m=0): >= keeps pre-epoch same-µs rows — no unsound rewrite") {
+    val dir = Files.createTempDirectory("nanos0").toString + "/t"
+    // nanos straddling epoch: micros(n) = 0 for all of [-999, 999] (div
+    // truncates toward zero), so every one of these satisfies tsc >= epoch
+    Seq(-999L, -1L, 0L, 999L, 1000L).toDF("ts").write.parquet(dir)
+    val epoch = java.sql.Timestamp.from(java.time.Instant.EPOCH)
+    val df = converted(dir).filter(col("tsc") >= lit(epoch))
+    assert(df.count() == 5, "m=0 rewrite must not reject pre-epoch nanos in [-999,-1]")
+    // and the rule must not have derived a bound for the epoch literal
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("> -1"), plan.take(600))
+  }
+
   test("non-matching filters are untouched") {
     val df = converted(nanosTable()).filter(col("ts") > 5L) // plain long predicate
     assert(NanosCursorPushdown(df.queryExecution.analyzed).toString ==

@@ -195,4 +195,54 @@ class TrainingOpsSpec extends SparkSpec {
     assert(frames.length == 6) // 1024 bytes / 200-byte stride → 6 non-empty chunks
     assert(frames.head.length == 100)
   }
+
+  test("cosine near-dup pairs: exact threshold pairs on a hand-checkable corpus") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f)),  // cos(0,1) ≈ 0.990
+      (2L, Array(0.0f, 1.0f)),    // orthogonal to 0
+      (3L, Array(0.1f, 0.995f)))  // cos(2,3) ≈ 0.995
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("cosine near-dup on real embeddings matches a driver-collected brute force") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.cosineNearDupPairs(emb, minCosine = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Seq, not Map: a for-comprehension over a Map yields a Map and silently
+    // collapses multiple (id_a, *) pairs to the last one
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j
+      // compare in DOUBLE space like the engine: rounded-to-6dp value as the
+      // nearest double, against the double literal 0.4 (BigDecimal(0.4)
+      // would be the inexact 0.4000000000000000222… and drop boundary pairs)
+      if BigDecimal(cos(vi, vj)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4
+    } yield (i, j)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("approx distinct per group within rsd of exact countDistinct") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val cmp = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact"),
+        approx_count_distinct($"user_id", rsd = 0.02).as("approx"))
+      .select($"exact".cast("double"), $"approx".cast("double")).as[(Double, Double)]
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact drifts > 5%")
+    }
+  }
 }
