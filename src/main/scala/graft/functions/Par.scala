@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Parallelism control for compute-bound operators.
   *
@@ -29,4 +30,29 @@ object Par {
     * survives executor loss — swap here if dynamic allocation is on.
     */
   def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** Skew-resistant equi-join: a hot join key concentrates all its rows on
+    * one reducer in a hash-partitioned join; salting splits each key's rows
+    * across `n` reducers and replicates the OTHER side `n` ways so every
+    * (key, salt) partition still sees its full match set. Use when one side
+    * is too big to broadcast and its key histogram is heavy-tailed — the
+    * complement to AQE's skew-join split, which only kicks in for
+    * sort-merge joins on materialized shuffle statistics.
+    *
+    * `skewed` carries the salt (derived from a row id, NOT from the key, so
+    * hot keys spread); `compact` is replicated n× — its shuffle volume grows
+    * n-fold, so keep `compact` the smaller side and n modest (8-32).
+    * Inner/left-outer semantics are preserved; result equals the unsalted
+    * join row-for-row.
+    */
+  def saltedJoin(skewed: DataFrame, compact: DataFrame, keys: Seq[String], n: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"salting preserves semantics for inner/left joins only, got $joinType")
+    val salted = skewed.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(n)).cast("int"))
+    val replicated = compact.withColumn("_salt",
+      explode(array((0 until n).map(i => lit(i)): _*)))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit: the properties that decide whether these operators
+  * survive a 100 TB / 1000-executor scale-up, asserted on the actual
+  * executed plans so a regression (lost pushdown, join strategy flip,
+  * accidental cartesian) fails CI instead of surfacing as a slow cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("incremental scan pushes the nanos cursor bound into the parquet scan") {
+    val p = plan("q05_incremental_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      p.take(800))
+  }
+
+  test("star join builds broadcast hash joins, never sort-merge, on dim tables") {
+    val p = plan("q02_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast:\n" + p.take(800))
+    // one shuffle total: the final groupBy. Dim broadcasts are not shuffles.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("group-by aggregations are partial (map-side combine before the exchange)") {
+    for (q <- Seq("q01_agg", "q21_dedup_exact", "q31_distinct_agg")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q:\n" + p.take(400))
+      // partial + final pair = at least two HashAggregate nodes
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q lost partial agg:\n" + p.take(800))
+    }
+  }
+
+  test("no query plans a CartesianProduct") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))
+    }
+  }
+
+  test("projection pruning reaches the scan: token count reads only 2 columns") {
+    val p = plan("q17_token_count")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), p.take(800))
+    assert(!readSchema.contains("lang") && !readSchema.contains("quality"), readSchema)
+  }
+
+  test("latest upsert is a single-shuffle partial aggregation (max_by merge)") {
+    val p = plan("q10_latest_upsert")
+    // the merge itself: object hash aggregate with partial_max_by below one exchange
+    assert(p.contains("max_by"), p.take(800))
+    assert(p.contains("partial_max_by") || "HashAggregate".r.findAllIn(p).size >= 2,
+      "merge must map-side combine:\n" + p.take(800))
+  }
+
+  test("salted join equals the plain join on a skewed fixture and spreads the hot key") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail, joined to a 100-row dim
+    val facts = ((1 to 10000).map(i => ("hot", i)) ++ (1 to 500).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val dim = (("hot" +: (1 to 99).map(i => s"k$i")).map(k => (k, s"d-$k"))).toDF("k", "attr")
+    val plain = facts.join(dim, Seq("k")).select("k", "v", "attr")
+    val salted = graft.functions.Par.saltedJoin(facts, dim, Seq("k"), n = 8)
+      .select("k", "v", "attr")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // left-outer keeps unmatched left rows exactly once
+    val lo = graft.functions.Par.saltedJoin(facts, dim, Seq("k"), n = 8, "left_outer")
+    assert(lo.count() == facts.count())
+    // and the hot key's rows really are spread across salt values
+    val saltSpread = facts
+      .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
+      .filter($"k" === "hot").select("_salt").distinct().count()
+    assert(saltSpread > 1, s"hot key stayed on $saltSpread salt(s)")
+  }
+}
