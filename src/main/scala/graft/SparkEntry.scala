@@ -373,6 +373,37 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // As-of join: latest click at-or-before each purchase, per user — the
+    // single-shuffle union+window form (no join fan-out; see TimeJoin).
+    "q36_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("prev_click_id"), col("ts").as("prev_click_ts"))
+      TimeJoin.asofBackward(purchases, clicks, keys = Seq("user_id"),
+        tsCol = "ts", rightTie = "prev_click_id",
+        rightPayload = Seq("prev_click_id", "prev_click_ts"))
+    }),
+
+    // Range join: errors within 24h after each purchase, per user, counted —
+    // bucketized equi-join instead of an inequality cross-product.
+    "q37_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+      val pairs = TimeJoin.pointsInWindow(purchases, errors, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "err_ts", windowSeconds = 86400L)
+      purchases.join(
+          pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n_errors")),
+          Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -619,6 +650,27 @@ object SparkEntry {
                 round(list_cosine_similarity(a.ev, b.ev), 6) AS sim
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= CAST(0.4 AS DOUBLE)""",
+
+    "q36_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts, p.value,
+                c.event_id AS prev_click_id, c.ts AS prev_click_ts
+         FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         QUALIFY row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts DESC, c.event_id DESC) = 1""",
+
+    "q37_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error')
+         SELECT p.event_id, p.user_id, count(e.event_id) AS n_errors
+         FROM p LEFT JOIN e ON p.user_id = e.user_id
+           AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 24 HOURS
+         GROUP BY p.event_id, p.user_id""",
 
     "q31_distinct_agg" ->
       """SELECT event_type,
