@@ -29,12 +29,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    concurrently from many executors instead of the reference's serial
   *    driver loop. `pages_per_partition` bounds per-task work.
   *
-  * The transport is pluggable via [[FeedRegistry]] — tests and local runs
-  * register in-JVM feeds; an HTTP transport implements the same `fetch`
-  * signature with [[PagedFeed.withRetry]] around each page. (In-JVM feeds
-  * work in `local[*]` because driver and executors share the registry; a
-  * cluster deployment needs a transport resolvable from executors, like
-  * HTTP.)
+  * The transport is pluggable via [[FeedTransport]]: `option("feed", name)`
+  * resolves through the in-JVM [[FeedRegistry]] (local mode / tests, where
+  * driver and executors share the process); `option("url", ...)` +
+  * `schema_ddl` uses [[HttpTransport]] — the cluster path, where every
+  * executor fetches its own page range with [[PagedFeed.withRetry]] around
+  * each page.
   */
 object FeedRegistry {
   final case class RegisteredFeed(schema: StructType,
@@ -53,30 +53,61 @@ object FeedRegistry {
   }
 }
 
+/** Where page fetches actually go. Implementations must be small
+  * serializable configs — a transport rides the task closure to every
+  * executor, which then issues its partition's page range itself (no
+  * driver-side fan-in). [[RegistryTransport]] resolves through the in-JVM
+  * registry (local mode / tests); [[HttpTransport]] is the cluster path.
+  */
+trait FeedTransport extends Serializable {
+  def fetch(cursor: Option[Instant], limit: Int, offset: Long): PagedFeed.Page
+  /** Shown in the scan description / Spark UI. */
+  def label: String = toString
+}
+
+final case class RegistryTransport(feedName: String) extends FeedTransport {
+  override def fetch(cursor: Option[Instant], limit: Int, offset: Long): PagedFeed.Page =
+    FeedRegistry.get(feedName).fetch(cursor, limit, offset)
+  override def label: String = feedName
+}
+
 class FeedTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-feed"
 
+  /** Registry feeds carry their schema; HTTP feeds declare it via the
+    * `schema_ddl` option (or `.schema(...)` on the reader) — a remote
+    * endpoint is not probed at planning time just to guess types.
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FeedRegistry.get(options.get("feed")).schema
+    if (options.containsKey("url")) {
+      require(options.containsKey("schema_ddl"),
+        "graft-feed over HTTP needs .schema(...) or option(\"schema_ddl\", ...)")
+      StructType.fromDDL(options.get("schema_ddl"))
+    } else FeedRegistry.get(options.get("feed")).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new FeedTable(properties.get("feed"), schema)
+                        properties: util.Map[String, String]): Table = {
+    val transport =
+      if (properties.containsKey("url")) HttpTransport(properties.get("url"), schema)
+      else RegistryTransport(properties.get("feed"))
+    new FeedTable(transport, schema)
+  }
 }
 
-class FeedTable(feedName: String, tableSchema: StructType) extends Table with SupportsRead {
-  override def name(): String = s"graft-feed:$feedName"
+class FeedTable(transport: FeedTransport, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-feed:${transport.label}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FeedScanBuilder(feedName, tableSchema,
+    new FeedScanBuilder(transport, tableSchema,
       options.getInt("pagesize", 500),
       options.getInt("pages_per_partition", 4))
 }
 
-class FeedScanBuilder(feedName: String, schema: StructType, pageSize: Int,
+class FeedScanBuilder(transport: FeedTransport, schema: StructType, pageSize: Int,
                       pagesPerPartition: Int)
     extends ScanBuilder with SupportsPushDownFilters {
 
@@ -110,23 +141,23 @@ class FeedScanBuilder(feedName: String, schema: StructType, pageSize: Int,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new FeedScan(feedName, schema, cursor, pageSize,
+  override def build(): Scan = new FeedScan(transport, schema, cursor, pageSize,
     pagesPerPartition)
 }
 
 final case class FeedInputPartition(firstOffset: Long, lastOffsetExclusive: Long)
     extends InputPartition
 
-class FeedScan(feedName: String, val schema: StructType, cursor: Option[Instant],
+class FeedScan(transport: FeedTransport, val schema: StructType, cursor: Option[Instant],
                pageSize: Int, pagesPerPartition: Int) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-feed:$feedName cursor=${cursor.getOrElse("none")}"
+    s"graft-feed:${transport.label} cursor=${cursor.getOrElse("none")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // one cheap envelope probe for the total filtered count (M-4 semantics)
-    val total = FeedRegistry.get(feedName).fetch(cursor, 1, 0).totalCount
+    val total = PagedFeed.withRetry()(() => transport.fetch(cursor, 1, 0)).totalCount
     if (total == 0) return Array.empty
     val span = pageSize.toLong * pagesPerPartition
     (0L until total by span)
@@ -135,16 +166,15 @@ class FeedScan(feedName: String, val schema: StructType, cursor: Option[Instant]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(feedName, schema, cursor, pageSize)
+    new FeedReaderFactory(transport, schema, cursor, pageSize)
 }
 
-class FeedReaderFactory(feedName: String, schema: StructType,
+class FeedReaderFactory(transport: FeedTransport, schema: StructType,
                         cursor: Option[Instant], pageSize: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeedInputPartition]
     new PartitionReader[InternalRow] {
-      private val feed = FeedRegistry.get(feedName)
       private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
       private var offset = p.firstOffset
       private var page: Iterator[Row] = Iterator.empty
@@ -154,7 +184,7 @@ class FeedReaderFactory(feedName: String, schema: StructType,
       override def next(): Boolean = {
         while (!page.hasNext && !exhausted && offset < p.lastOffsetExclusive) {
           val limit = math.min(pageSize.toLong, p.lastOffsetExclusive - offset).toInt
-          val fetched = PagedFeed.withRetry()(() => feed.fetch(cursor, limit, offset))
+          val fetched = PagedFeed.withRetry()(() => transport.fetch(cursor, limit, offset))
           offset += fetched.rows.size
           if (fetched.rows.size < limit) exhausted = true
           page = fetched.rows.iterator
