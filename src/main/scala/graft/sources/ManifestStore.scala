@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.util.matching.Regex
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-backed table: the object-store-safe successor to
+  * [[StateStore]]'s directory swap.
+  *
+  * [[StateStore.overwrite]] relies on directory-rename atomicity, which
+  * holds on local FS/HDFS but not on S3-class stores (rename = copy+delete,
+  * and readers can observe the gap). This store never renames data: data
+  * files are immutable and write-once under unique names, and the ONLY
+  * commit point is publishing a manifest — a JSON file listing the exact
+  * data files of one table version:
+  *
+  * {{{
+  * <dir>/_manifests/v00000042.json   // {"version":42,"files":[...],"op":"append"}
+  * <dir>/d-<nonce>/part-*.parquet    // immutable data, never renamed
+  * }}}
+  *
+  * Properties (the same core protocol as Delta/Iceberg, minimal form):
+  *  - **Atomic commit**: `vNNNNNNNN.json` is claimed with create-exclusive
+  *    (`O_EXCL`) — the true test-and-set on local FS/HDFS. On S3 the same
+  *    slot-claim is a conditional `PUT If-None-Match:*`; the filesystem
+  *    hook is [[publish]], one call. Readers skip an unparseable top
+  *    manifest (mid-write or crashed writer), so a claim is never a lock.
+  *  - **Optimistic concurrency**: two writers racing to version N+1 — one
+  *    wins the slot, the loser re-reads the new latest snapshot and retries
+  *    on top of it (append re-bases automatically; overwrite just bumps).
+  *  - **Snapshot isolation**: a reader resolves the latest manifest once;
+  *    the files it pins are immutable and survive later commits, so a long
+  *    job reads one consistent version end to end. Old versions stay
+  *    readable ([[readVersion]] — time travel) until [[vacuum]].
+  *
+  * Intended for the pipeline's control/state tables (watermark, run log,
+  * latest, history) where the reference used Postgres transactions
+  * (`services/staging/app/staging_repo.py:18-23` batches in one txn);
+  * history appends map to `append`, latest/watermark swaps to `overwrite`.
+  */
+object ManifestStore {
+
+  final case class Snapshot(version: Long, files: Seq[String], op: String)
+
+  private val manifestName: Regex = raw"v(\d{8})\.json".r
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(dir: String) = new Path(dir, "_manifests")
+
+  private def manifestPath(dir: String, version: Long) =
+    new Path(manifestDir(dir), f"v$version%08d.json")
+
+  /** Latest committed snapshot, or None for an empty/uninitialized table.
+    *
+    * Reader resilience: the newest manifest may be mid-write (create is the
+    * atomic *claim*; the body lands within the same call but a reader can
+    * race the microseconds between) or left corrupt by a crashed writer. An
+    * unparseable top manifest is skipped and the previous version serves —
+    * a later commit shadows the corpse, so no writer ever blocks on it.
+    */
+  def currentSnapshot(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    if (!f.exists(md)) return None
+    val versions = f.listStatus(md).toSeq.flatMap(s => s.getPath.getName match {
+      case manifestName(v) => Some(v.toLong)
+      case _ => None
+    })
+    versions.sorted.reverse.iterator
+      .map(v => scala.util.Try(readManifest(spark, dir, v)))
+      .collectFirst { case scala.util.Success(s) => s }
+  }
+
+  def readManifest(spark: SparkSession, dir: String, version: Long): Snapshot = {
+    val f = fs(spark, dir)
+    val in = f.open(manifestPath(dir, version))
+    val body = try org.apache.commons.io.IOUtils.toString(in, StandardCharsets.UTF_8)
+               finally in.close()
+    val root = mapper.readTree(body)
+    val files = (0 until root.path("files").size()).map(root.path("files").get(_).asText())
+    Snapshot(root.path("version").asLong(), files, root.path("op").asText())
+  }
+
+  /** DataFrame of the latest version (empty frame with `schema` if none). */
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    currentSnapshot(spark, dir) match {
+      case Some(s) => readSnapshot(spark, dir, s, schema)
+      case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+
+  /** Time travel: the table exactly as of `version`. */
+  def readVersion(spark: SparkSession, dir: String, version: Long,
+                  schema: StructType): DataFrame =
+    readSnapshot(spark, dir, readManifest(spark, dir, version), schema)
+
+  private def readSnapshot(spark: SparkSession, dir: String, s: Snapshot,
+                           schema: StructType): DataFrame =
+    if (s.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(s.files.map(new Path(dir, _).toString): _*)
+
+  /** Replace the table contents with `df`. Returns the committed version. */
+  def overwrite(df: DataFrame, dir: String): Long =
+    commit(df, dir, "overwrite", (_, fresh) => fresh)
+
+  /** Append `df` to the table. Returns the committed version. Concurrent
+    * appends both land: the slot loser re-bases on the winner's snapshot.
+    */
+  def append(df: DataFrame, dir: String): Long =
+    commit(df, dir, "append", (prev, fresh) => prev ++ fresh)
+
+  private def commit(df: DataFrame, dir: String, op: String,
+                     combine: (Seq[String], Seq[String]) => Seq[String],
+                     maxAttempts: Int = 10): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    // 1. write the new data files once, under a unique never-renamed prefix
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"d-$nonce"
+    df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+    val fresh = f.listStatus(new Path(dir, dataRel)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .sorted.map(n => s"$dataRel/$n")
+    // 2. claim the next version slot; on a lost race, re-base and retry —
+    //    only the manifest publish repeats, never the data write
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      // files re-base on the latest PARSEABLE snapshot, but the version must
+      // advance past every claimed slot — including a crashed writer's
+      // corrupt manifest — or commits would retry a dead version forever
+      val prev = currentSnapshot(spark, dir)
+      val version = math.max(maxClaimedVersion(f, dir), prev.map(_.version).getOrElse(0L)) + 1
+      val files = combine(prev.map(_.files).getOrElse(Nil), fresh)
+      val body = mapper.createObjectNode()
+      body.put("version", version)
+      body.put("op", op)
+      val arr = body.putArray("files")
+      files.foreach(arr.add)
+      if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"manifest commit on $dir lost $maxAttempts straight races — aborting")
+  }
+
+  private def maxClaimedVersion(f: FileSystem, dir: String): Long = {
+    val md = manifestDir(dir)
+    if (!f.exists(md)) return 0L
+    f.listStatus(md).toSeq.flatMap(s => s.getPath.getName match {
+      case manifestName(v) => Some(v.toLong)
+      case _ => None
+    }).foldLeft(0L)(math.max)
+  }
+
+  /** Atomically claim `vNNNNNNNN.json` with create-exclusive (`O_EXCL`) —
+    * NOT rename: POSIX rename silently overwrites an existing destination,
+    * so renaming into the slot lets a race clobber a committed manifest.
+    * Create-exclusive is the true test-and-set on local FS/HDFS; on S3 the
+    * same claim is a conditional `PUT If-None-Match:*` — this method is the
+    * single point to swap. Returns false on a lost race (caller re-bases).
+    */
+  private def publish(f: FileSystem, dir: String, version: Long, body: String): Boolean = {
+    val target = manifestPath(dir, version)
+    val out = try f.create(target, false)
+              catch { case _: java.io.IOException => return false }
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    true
+  }
+
+  /** Drop versions older than the latest `keepVersions`, then delete every
+    * data file no surviving manifest references. Returns (manifests, data
+    * files) deleted. Readers of vacuumed versions lose time travel — the
+    * retention contract, same as any table format.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    if (!f.exists(md)) return (0, 0)
+    val versions = f.listStatus(md).toSeq.flatMap(s => s.getPath.getName match {
+      case manifestName(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val live = keep.flatMap(v => readManifest(spark, dir, v).files).toSet
+    var dataDeleted = 0
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
+      .foreach { d =>
+        f.listStatus(d.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { file =>
+            val rel = s"${d.getPath.getName}/${file.getPath.getName}"
+            if (!live.contains(rel)) { f.delete(file.getPath, false); dataDeleted += 1 }
+          }
+        if (f.listStatus(d.getPath).forall(!_.getPath.getName.endsWith(".parquet")))
+          f.delete(d.getPath, true) // only bookkeeping files left
+      }
+    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    (drop.size, dataDeleted)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.ManifestStore
+
+class ManifestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL("k BIGINT, v STRING")
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-manifest").toString
+
+  private def df(pairs: (Long, String)*) = pairs.toDF("k", "v")
+
+  private def contents(dir: String): Set[(Long, String)] =
+    ManifestStore.read(spark, dir, schema).as[(Long, String)].collect().toSet
+
+  test("append and overwrite round-trip with monotonically growing versions") {
+    val dir = tmpDir()
+    assert(ManifestStore.read(spark, dir, schema).isEmpty)
+    assert(ManifestStore.append(df(1L -> "a"), dir) === 1L)
+    assert(ManifestStore.append(df(2L -> "b", 3L -> "c"), dir) === 2L)
+    assert(contents(dir) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(ManifestStore.overwrite(df(9L -> "z"), dir) === 3L)
+    assert(contents(dir) === Set(9L -> "z"))
+  }
+
+  test("snapshot isolation: a resolved reader survives a later overwrite") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a", 2L -> "b"), dir)
+    val snapshotReader = ManifestStore.read(spark, dir, schema) // pins v1 files
+    ManifestStore.overwrite(df(3L -> "c"), dir)
+    assert(snapshotReader.as[(Long, String)].collect().toSet ===
+      Set(1L -> "a", 2L -> "b"))
+    // and time travel reads v1 explicitly
+    assert(ManifestStore.readVersion(spark, dir, 1L, schema)
+      .as[(Long, String)].collect().toSet === Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("a claimed version slot makes the writer re-base, not clobber") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a"), dir)
+    // simulate a racing winner: hand-claim v2 with a valid manifest listing
+    // v1's files (an overwrite that dropped nothing)
+    val v1 = ManifestStore.readManifest(spark, dir, 1L)
+    val claim = JPath.of(dir, "_manifests", "v00000002.json")
+    Files.write(claim, s"""{"version":2,"op":"overwrite","files":[${
+      v1.files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+      .getBytes(StandardCharsets.UTF_8))
+    // our append must land at v3, on top of the racer's v2
+    assert(ManifestStore.append(df(2L -> "b"), dir) === 3L)
+    assert(contents(dir) === Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("corrupt top manifest: readers fall back, writers advance past it") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a"), dir)
+    Files.write(JPath.of(dir, "_manifests", "v00000002.json"),
+      "{not json".getBytes(StandardCharsets.UTF_8)) // crashed writer's corpse
+    assert(contents(dir) === Set(1L -> "a")) // v2 skipped, v1 serves
+    assert(ManifestStore.append(df(2L -> "b"), dir) === 3L) // not blocked on 2
+    assert(contents(dir) === Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("vacuum drops old versions and their unreferenced data files only") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a"), dir)         // v1: files A
+    ManifestStore.overwrite(df(2L -> "b"), dir)      // v2: files B (A now dead)
+    ManifestStore.append(df(3L -> "c"), dir)         // v3: files B+C
+    val (manifestsDropped, filesDropped) = ManifestStore.vacuum(spark, dir, keepVersions = 2)
+    assert(manifestsDropped === 1) // v1 gone
+    assert(filesDropped >= 1)      // v1's data files unreferenced by v2/v3
+    assert(contents(dir) === Set(2L -> "b", 3L -> "c")) // latest untouched
+    assert(ManifestStore.readVersion(spark, dir, 2L, schema)
+      .as[(Long, String)].collect().toSet === Set(2L -> "b")) // kept version reads
+    intercept[Exception] { // vacuumed version is really gone
+      ManifestStore.readVersion(spark, dir, 1L, schema).collect()
+    }
+  }
+
+  test("many interleaved commits keep every append (optimistic retries hold)") {
+    val dir = tmpDir()
+    (1 to 12).foreach(i => ManifestStore.append(df(i.toLong -> s"r$i"), dir))
+    assert(ManifestStore.currentSnapshot(spark, dir).get.version === 12L)
+    assert(contents(dir).size === 12)
+  }
+}
