@@ -404,6 +404,55 @@ object SparkEntry {
           coalesce(col("n_errors"), lit(0L)).as("n_errors"))
     }),
 
+    // Gap-based sessionization (4h gap) + per-session feature aggregation —
+    // one window pass, no self-join; numbering is total-ordered (ts, id).
+    "q38_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(t(s, dir, "events").filter(col("user_id") < 50),
+          keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+          gapSeconds = 14400L, valueCol = Some("value"))
+        .select(col("user_id"), col("session_seq"), col("session_start"),
+          col("session_end"), col("n_events"), col("sum_value"))
+    }),
+
+    // Exact discrete percentiles as order statistics (value at row
+    // ceil(p·n)) — identical index arithmetic on both engines, so the
+    // result is a raw data value passed through bit-exact, immune to the
+    // interpolation/rounding differences of native percentile functions.
+    "q39_percentile" -> ((s, dir) => {
+      val byType = Window.partitionBy(col("event_type"))
+      val w = byType.orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(byType))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(lit(0.5) * col("n")), col("value"))).as("p50"),
+          max(when(col("rn") === ceil(lit(0.9) * col("n")), col("value"))).as("p90"),
+          max(col("n")).as("n_events"))
+    }),
+
+    // Pivot with EXPLICIT values — no distinct-discovery job before the
+    // pivot (at 100 TB that pre-scan costs a full pass; the value set is
+    // part of the contract, M-5's closed status enums).
+    "q40_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id")).pivot("event_type", types).count()
+      pivoted.select(col("user_id") +:
+        types.map(ty => coalesce(col(ty), lit(0L)).as(s"n_$ty")): _*)
+    }),
+
+    // Fixed-width histogram binning per group (training-data QC shape):
+    // identical IEEE double bucket arithmetic on both engines.
+    "q41_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          least(floor(col("value") / 50.0), lit(19.0)).cast("long").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -671,6 +720,51 @@ object SparkEntry {
          FROM p LEFT JOIN e ON p.user_id = e.user_id
            AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 24 HOURS
          GROUP BY p.event_id, p.user_id""",
+
+    "q38_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value FROM events WHERE user_id < 50),
+         flagged AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+                       THEN 1 ELSE 0 END AS is_start
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         tagged AS (
+           SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM flagged)
+         SELECT user_id, session_seq, min(ts) AS session_start,
+                max(ts) AS session_end, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM tagged GROUP BY user_id, session_seq""",
+
+    "q39_percentile" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+                max(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * n) THEN value END) AS p50,
+                max(CASE WHEN rn = ceil(CAST(0.9 AS DOUBLE) * n) THEN value END) AS p90,
+                max(n) AS n_events
+         FROM ranked GROUP BY event_type""",
+
+    "q40_pivot" ->
+      """SELECT user_id,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+         FROM events WHERE user_id < 50 GROUP BY user_id""",
+
+    "q41_histogram" ->
+      """SELECT event_type,
+                CAST(least(floor(value / 50.0), 19.0) AS BIGINT) AS bucket,
+                count(*) AS n
+         FROM events GROUP BY 1, 2""",
 
     "q31_distinct_agg" ->
       """SELECT event_type,
