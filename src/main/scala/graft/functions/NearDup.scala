@@ -45,9 +45,14 @@ object NearDup {
     // spread the raw rows BEFORE the shingle projection: a Project above the
     // round-robin Exchange runs at full width; below it, on one scan split.
     val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
+    // native single-pass shingling (text → distinct n-grams); the HOF chain
+    // equivalent is interpreted per element and dominates materialization
     val sh = Par.materialize(base.select(col("_id"),
-      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("_text")), n)).as("_sh")))
+      graft.plans.GraftFunctions.wordShingles(base, col("_text"), n).as("_sh")))
     val sizes = sh.select(col("_id"), size(col("_sh")).as("_size"))
+    // NOT materialized, unlike the band index in minhashNearDup: the full
+    // inverted index is |docs|·|shingles| rows — recomputing the explode per
+    // join side beats checkpointing that volume (measured 2-3× faster)
     val inv = pruneHotKeys(
       sh.select(col("_id"), explode(col("_sh")).as("_shingle")), "_shingle", maxBucket)
     val pairs = inv.as("l").join(inv.as("r"),
@@ -102,25 +107,35 @@ object NearDup {
     val rows = k / bands
     val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
     val sh = base.select(col("_id"),
-        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("_text")), n)).as("_sh"))
+        graft.plans.GraftFunctions.wordShingles(base, col("_text"), n).as("_sh"))
       .filter(size(col("_sh")) > 0)
     // native single-pass expression; minhashSignature is the composable form
     val sig = Par.materialize(sh.withColumn("_sig",
       graft.plans.GraftFunctions.minhashSig(sh, col("_sh"), k, seed)))
-    // band key = (band index, hash of the band's slice of the signature)
-    val banded = sig.select(col("_id"), col("_sh"),
+    // band key = (band index, hash of the band's slice of the signature).
+    // The banded/self-joined stream carries ONLY (id, band key) — never the
+    // shingle array, which would amplify shuffle volume `bands`-fold and
+    // again quadratically in the self-join. Shingles are re-attached from
+    // the (materialized) signature table for just the surviving candidate
+    // pairs — a tiny fraction of the corpus for non-degenerate data.
+    val banded = sig.select(col("_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(concat_ws(",",
           slice(col("_sig"), b * rows + 1, rows))).as("bandhash"))
       }: _*)).as("_bk"))
-      .select(col("_id"), col("_sh"), col("_bk.band"), col("_bk.bandhash"))
-    val pruned = pruneHotKeys(banded, "bandhash", maxBucket)
-    val cand = pruned.as("l").join(pruned.as("r"),
+      .select(col("_id"), col("_bk.band"), col("_bk.bandhash"))
+    // materialized: the self-join references it twice, and recomputing it
+    // means re-running the band explode AND the hot-key aggregation per side
+    val pruned = Par.materialize(pruneHotKeys(banded, "bandhash", maxBucket))
+    val candIds = pruned.as("l").join(pruned.as("r"),
         col("l.band") === col("r.band") && col("l.bandhash") === col("r.bandhash") &&
           col("l._id") < col("r._id"))
-      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
-        col("l._sh").as("sh_a"), col("r._sh").as("sh_b"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val shingles = sig.select(col("_id"), col("_sh"))
+    val cand = candIds
+      .join(shingles.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
+      .join(shingles.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
     cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("common").cast("double") /
@@ -160,7 +175,7 @@ object NearDup {
           shiftright(col("_sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunkval"))
       }: _*)).as("_ck"))
       .select(col("_id"), col("_sim"), col("_ck.chunk"), col("_ck.chunkval"))
-    val pruned = pruneHotKeys(chunked, "chunkval", maxBucket)
+    val pruned = Par.materialize(pruneHotKeys(chunked, "chunkval", maxBucket))
     pruned.as("l").join(pruned.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.chunkval") === col("r.chunkval") &&
           col("l._id") < col("r._id"))

@@ -105,6 +105,68 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Word n-gram shingles straight from the text string, one imperative pass:
+  * whitespace-split, drop empties, join each n-window with a single space,
+  * optionally keeping only first occurrences (`array_distinct` semantics).
+  *
+  * The composable form ([[graft.functions.TextAnalysis.shingles]] over
+  * `tokens`) chains four interpreted higher-order/array ops — `filter`,
+  * `sequence`, `transform`, `slice` — where `slice` + `concat_ws` copy O(n)
+  * per shingle; this is the signature-materialization hot spot of the
+  * near-dup family. Same outputs for non-null text (null text yields null
+  * here vs empty array there — both vanish identically downstream of the
+  * `size > 0` / `explode` steps every caller applies).
+  */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    // LinkedHashSet keeps first-occurrence order, matching array_distinct
+    val out: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](math.max(16, toks.length))
+      else new java.util.ArrayList[String](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) {
+      arr(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Registration: both the `SparkSessionExtensions` route (cluster-wide via
   * `spark.sql.extensions=graft.plans.GraftExtensions`) and an idempotent
   * per-session helper for sessions built without extensions.
@@ -129,6 +191,18 @@ object GraftFunctions {
                  k: Int = 32, seed: Long = 42L): Column = {
     register(df.sparkSession, k, seed)
     call_function(s"graft_minhash_sig_${k}_$seed", shingles)
+  }
+
+  /** Distinct word n-gram shingles of a text column, single native pass —
+    * equals `array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(t), n))`
+    * for non-null text.
+    */
+  def wordShingles(df: org.apache.spark.sql.DataFrame, text: Column, n: Int,
+                   distinct: Boolean = true): Column = {
+    val name = s"graft_shingles_${n}_$distinct"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => WordShingles(exprs.head, n, distinct), "built-in")
+    call_function(name, text)
   }
 
   def cosine(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {

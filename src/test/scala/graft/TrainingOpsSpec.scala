@@ -115,6 +115,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cmp.filter(to_json($"mh_hof") =!= to_json($"mh_native")).count() == 0)
   }
 
+  test("native WordShingles ≡ array_distinct(shingles(tokens)) incl. edge cases") {
+    val edge = Seq("", "one", "a b", "a b c", "a  b   c d", // short / multi-space
+      "x y x y x y x y", "a b c a b c a b c")               // heavy duplicates
+    val docs = (nearDupCorpus.select($"text").as[String].collect().toSeq ++ edge)
+      .toDF("text")
+    for (n <- Seq(2, 3)) {
+      val cmp = docs.select(
+        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens($"text"), n)).as("hof"),
+        graft.plans.GraftFunctions.wordShingles(docs, $"text", n).as("native"))
+      assert(cmp.filter(to_json($"hof") =!= to_json($"native")).count() == 0,
+        s"n=$n mismatch")
+    }
+    // non-distinct keeps duplicates in stream order
+    val dup = Seq("a b a b a b").toDF("text").select(
+      graft.plans.GraftFunctions.wordShingles(Seq("x").toDF("t"), $"text", 2,
+        distinct = false).as("s"))
+    assert(dup.as[Seq[String]].head() === Seq("a b", "b a", "a b", "b a", "a b"))
+  }
+
   test("native CosineSim/HyperplaneBuckets ≡ composable forms (bit-identical)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
