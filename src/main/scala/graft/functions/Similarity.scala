@@ -85,27 +85,35 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = Par.materialize(Par.spread(
       candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))))
-    val trainDf = c.select(array_to_vector(col("_cv")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(trainDf)
-    val centroids = model.clusterCenters.map(_.toArray)
-    // nearest-cell assignment as a plain expression over broadcast centroids
-    // (euclidean, matching k-means training)
-    def dist2(vec: Column, ctr: Array[Double]): Column = {
-      val carr = array(ctr.map(lit): _*)
-      aggregate(zip_with(vec, carr, (a, b) => (a - b) * (a - b)), lit(0.0), (s, v) => s + v)
-    }
-    def nearestCells(vec: Column, n: Int): Column =
-      slice(transform(array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
-        struct(dist2(vec, ctr).as("d"), lit(i).as("cell"))
-      }: _*)), s => s.getField("cell")), 1, n)
+    // train the quantizer on a bounded deterministic sample (hash-mod on the
+    // id, not `limit`/`sample` — stable across partitionings): 16-ish cells
+    // don't need the full corpus, and at 100 TB a full-corpus k-means pass
+    // would dwarf the query itself. The standard IVF practice (train on
+    // O(nlist·10²) points, assign everything).
+    val maxTrain = nlist * 512L
+    val total = c.count()
+    val trainRows =
+      if (total <= maxTrain) c
+      else c.filter(pmod(xxhash64(col("neighbor_id")), lit(total / maxTrain + 1)) === 0)
+    // the sample is bounded (nlist·512 rows, a few MB at any corpus size), so
+    // Lloyd's runs ON THE DRIVER: 10 in-memory iterations cost ~ms, versus
+    // ~10 distributed job barriers for a cluster k-means over the same rows.
+    // FAISS-style IVF practice: sample → local train → broadcast centroids.
+    val sample = trainRows.orderBy(col("neighbor_id")) // deterministic order
+      .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    val centroids: Seq[Seq[Double]] =
+      localKMeans(sample, nlist, iters = 10, seed).map(_.toSeq).toSeq
+    // nearest-cell assignment via the native expression (euclidean, matching
+    // k-means training; one flat loop/row instead of nlist·dim interpreted
+    // closures + a full sort of the cell list)
+    def nearestCells(df: DataFrame, vec: Column, n: Int): Column =
+      graft.plans.GraftFunctions.nearestCentroids(df, vec, centroids, n)
     val cAssigned = Par.materialize(
-      c.withColumn("cell", nearestCells(col("_cv"), 1)(0)))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
-      .withColumn("cell", explode(nearestCells(col("_qv"), nprobe)))
+      c.withColumn("cell", nearestCells(c, col("_cv"), 1)(0)))
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+    val q = q0.withColumn("cell", explode(nearestCells(q0, col("_qv"), nprobe)))
     val cand = q.join(cAssigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -115,6 +123,62 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Seeded Lloyd's k-means over an in-memory sample (the IVF coarse
+    * quantizer's training loop). Init = k points drawn by seeded shuffle;
+    * empty clusters keep their previous centroid. Deterministic for a fixed
+    * (sample, k, iters, seed).
+    */
+  private[functions] def localKMeans(points: Array[Array[Double]], k: Int,
+                                     iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty sample")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(points.indices.toVector).take(math.min(k, points.length))
+    var ctrs = init.map(i => points(i).clone()).toArray
+    if (ctrs.length < k) // degenerate tiny sample: pad by repeating points
+      ctrs = Array.tabulate(k)(i => points(i % points.length).clone())
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) {
+        val v = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var d = 0
+          val ctr = ctrs(c)
+          while (d < dim) { val t = v(d) - ctr(d); s += t * t; d += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < points.length) {
+        val v = points(p); val a = assign(p)
+        var d = 0
+        while (d < dim) { sums(a)(d) += v(d); d += 1 }
+        counts(a) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dim) { sums(c)(d) /= counts(c); d += 1 }
+          ctrs(c) = sums(c)
+        } // else: empty cluster keeps its previous centroid
+        c += 1
+      }
+      it += 1
+    }
+    ctrs
   }
 
   /** Embedding-cosine near-duplicate pairs: every unordered pair with

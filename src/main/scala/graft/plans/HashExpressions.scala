@@ -210,6 +210,20 @@ object GraftFunctions {
     call_function("graft_cosine", a, b)
   }
 
+  /** `n` nearest centroids (squared euclidean, ties → lower cell) of an
+    * array<double> column; function name keyed by the centroid matrix so
+    * distinct quantizers coexist in one session.
+    */
+  def nearestCentroids(df: org.apache.spark.sql.DataFrame, vec: Column,
+                       centroids: Seq[Seq[Double]], n: Int): Column = {
+    val key = java.util.Arrays.deepHashCode(
+      centroids.map(_.toArray.asInstanceOf[AnyRef]).toArray)
+    val name = s"graft_ivf_cells_${centroids.length}_${n}_${key.toHexString}"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => NearestCentroids(exprs.head, centroids, n), "built-in")
+    call_function(name, vec)
+  }
+
   def hyperplaneBuckets(df: org.apache.spark.sql.DataFrame, vec: Column,
                         dim: Int, tables: Int, bits: Int, seed: Long): Column = {
     val name = s"graft_hp_buckets_${dim}_${tables}_${bits}_$seed"

@@ -114,3 +114,61 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int, bits: Int
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 }
+
+/** The `n` nearest centroids of a vector (squared-euclidean, ties to the
+  * lower cell index), as array<int> in ascending-distance order — the IVF
+  * cell-assignment / probe-list primitive. The composable form
+  * (`array_sort` over per-centroid `zip_with`+`aggregate` distance structs)
+  * interprets nlist·dim closures per row and sorts all nlist cells; this is
+  * one flat loop with an n-slot insertion select, the same arithmetic in
+  * the same index order (bit-identical distances).
+  */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= centroids.length, "need 1 <= n <= nlist")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  private lazy val ctrs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dists = new Array[Double](ctrs.length)
+    var c = 0
+    while (c < ctrs.length) {
+      val ctr = ctrs(c)
+      val dim = math.min(v.numElements(), ctr.length)
+      var s = 0.0
+      var d = 0
+      while (d < dim) { val t = v.getDouble(d) - ctr(d); s += t * t; d += 1 }
+      dists(c) = s
+      c += 1
+    }
+    // n-pass selection (n is tiny: 1..nprobe); ties resolve to lower index
+    val out = new Array[Any](n)
+    val taken = new Array[Boolean](ctrs.length)
+    var slot = 0
+    while (slot < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < ctrs.length) {
+        if (!taken(i) && dists(i) < bestD) { best = i; bestD = dists(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(slot) = best
+      slot += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
