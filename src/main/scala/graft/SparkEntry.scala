@@ -342,6 +342,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF-PQ ANN: coarse cells + product-quantization codes + ADC scoring +
+    // exact re-rank (rows-only; recall + exact-sim asserted in
+    // TrainingOpsSpec). The ~32×-compressed billion-vector path.
+    "q42_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.functions.Similarity.ivfpqTopK(
+          emb.filter(col("vec_id") < 8), emb, k = 5, nlist = 16, nprobe = 4,
+          m = 8, ksub = 32, rerankFactor = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // Element-wise embedding statistics: per-(label, dimension) decimal sums.
     "q33_embed_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")

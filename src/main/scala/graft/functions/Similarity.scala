@@ -125,6 +125,87 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF-PQ approximate top-k — the billion-vector memory path. On top of
+    * [[ivfTopK]]'s coarse cells, every candidate vector is stored as `m`
+    * product-quantization codes (~`m` bytes instead of 4·dim — ≈32×
+    * compression at the defaults), and probe-time scoring is asymmetric
+    * distance computation: one per-query lookup table of subspace inner
+    * products, then a pure m-entry table sum per candidate — no vector math
+    * against candidates at all. Optionally the top `rerankFactor·k` ADC
+    * survivors are re-ranked with exact cosine against the full vectors
+    * (IVFADC+R), which restores near-exact top-k while touching only a few
+    * full vectors per query.
+    *
+    * Simplifications vs FAISS IVFPQ, documented deliberately: codes quantize
+    * the L2-normalized vector itself (not the residual v − centroid), so
+    * cosine ≡ inner product and one codebook set serves all cells; residual
+    * encoding is the next refinement when cells are tight.
+    */
+  def ivfpqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
+                rerankFactor: Int = 3, seed: Long = 42L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.{GraftFunctions => GF}
+    val c = Par.materialize(Par.spread(
+      candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))))
+    val maxTrain = nlist * 512L
+    val total = c.count()
+    val trainRows =
+      if (total <= maxTrain) c
+      else c.filter(pmod(xxhash64(col("neighbor_id")), lit(total / maxTrain + 1)) === 0)
+    val sample = trainRows.orderBy(col("neighbor_id"))
+      .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty candidate corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    def l2(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val normSample = sample.map(l2)
+    // coarse quantizer + per-subspace codebooks, all trained driver-side on
+    // the bounded sample (see ivfTopK for why that holds at any corpus size)
+    val coarse: Seq[Seq[Double]] =
+      localKMeans(normSample, nlist, iters = 10, seed).map(_.toSeq).toSeq
+    val effKsub = math.min(ksub, normSample.length)
+    val codebooks = new Array[Double](m * effKsub * dsub)
+    for (s <- 0 until m) {
+      val sub = normSample.map(_.slice(s * dsub, (s + 1) * dsub))
+      val cb = localKMeans(sub, effKsub, iters = 10, seed + s)
+      for (j <- 0 until effKsub; d <- 0 until dsub)
+        codebooks((s * effKsub + j) * dsub + d) = cb(j)(d)
+    }
+    // corpus: normalized once, then only (cell, codes) travel; the full
+    // vector is kept solely for the optional exact re-rank
+    val cNorm = c.withColumn("_nv", GF.l2normalize(c, col("_cv")))
+    val cIndexed = Par.materialize(cNorm
+      .withColumn("cell", GF.nearestCentroids(cNorm, col("_nv"), coarse, 1)(0))
+      .withColumn("codes", GF.pqEncode(cNorm, col("_nv"), codebooks, m, effKsub, dsub))
+      .select(col("neighbor_id"), col("cell"), col("codes"), col("_cv")))
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+    val qn = q0.withColumn("_nqv", GF.l2normalize(q0, col("_qv")))
+      .withColumn("_lut", GF.pqLut(q0, col("_nqv"), codebooks, m, effKsub, dsub))
+    val q = qn.withColumn("cell",
+        explode(GF.nearestCentroids(qn, col("_nqv"), coarse, nprobe)))
+      .select(col("query_id"), col("_qv"), col("_lut"), col("cell"))
+    val cand = q.join(cIndexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("adc", GF.pqAdc(cand, col("codes"), col("_lut"), effKsub))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val survivors = scored.withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= math.max(k, k * rerankFactor))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    survivors
+      .withColumn("sim", graft.plans.GraftFunctions.cosine(survivors, col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Seeded Lloyd's k-means over an in-memory sample (the IVF coarse
     * quantizer's training loop). Init = k points drawn by seeded shuffle;
     * empty clusters keep their previous centroid. Deterministic for a fixed

@@ -233,6 +233,41 @@ object GraftFunctions {
     call_function(name, vec)
   }
 
+  def l2normalize(df: org.apache.spark.sql.DataFrame, vec: Column): Column = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2_normalize", exprs => L2Normalize(exprs.head), "built-in")
+    call_function("graft_l2_normalize", vec)
+  }
+
+  /** PQ primitives share one flattened [m][ksub][dsub] codebook array;
+    * function names keyed by its content hash so distinct codebooks coexist.
+    */
+  def pqEncode(df: org.apache.spark.sql.DataFrame, vec: Column,
+               codebooks: Array[Double], m: Int, ksub: Int, dsub: Int): Column = {
+    val name = s"graft_pq_encode_${m}_${ksub}_" +
+      java.util.Arrays.hashCode(codebooks).toHexString
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PQEncode(exprs.head, codebooks, m, ksub, dsub), "built-in")
+    call_function(name, vec)
+  }
+
+  def pqLut(df: org.apache.spark.sql.DataFrame, vec: Column,
+            codebooks: Array[Double], m: Int, ksub: Int, dsub: Int): Column = {
+    val name = s"graft_pq_lut_${m}_${ksub}_" +
+      java.util.Arrays.hashCode(codebooks).toHexString
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PQLut(exprs.head, codebooks, m, ksub, dsub), "built-in")
+    call_function(name, vec)
+  }
+
+  def pqAdc(df: org.apache.spark.sql.DataFrame, codes: Column, lut: Column,
+            ksub: Int): Column = {
+    val name = s"graft_pq_adc_$ksub"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PQADC(exprs.head, exprs(1), ksub), "built-in")
+    call_function(name, codes, lut)
+  }
+
   private val registeredKs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Int, Long)]()
 

@@ -172,3 +172,157 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: I
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
 }
+
+/** v / ‖v‖₂ (zero vector passes through unchanged) — computed once per row
+  * so downstream cosine becomes plain inner product.
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    if (norm == 0.0) while (i < n) { out(i) = v.getDouble(i); i += 1 }
+    else while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+/** Product-quantization codes: the vector is split into `m` contiguous
+  * subspaces of `dsub` dims; each subspace is encoded as the index of its
+  * nearest codebook centroid (squared euclidean, ties → lower code).
+  * `codebooks` is flattened [m][ksub][dsub]. Output: array<int> of length m
+  * — the ~32× compressed representation that makes a billion-vector corpus
+  * fit executor memory.
+  */
+case class PQEncode(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
+                    dsub: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.length == m * ksub * dsub, "codebook shape mismatch")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        val cOff = (s * ksub + j) * dsub
+        var d2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val t = v.getDouble(off + d) - codebooks(cOff + d)
+          d2 += t * t
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PQEncode =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: lut[s·ksub + j] = ⟨query_s, centroid_{s,j}⟩,
+  * so a candidate's approximate inner product is a pure m-entry table sum
+  * ([[PQADC]]) — no vector math per candidate at probe time.
+  */
+case class PQLut(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
+                 dsub: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.length == m * ksub * dsub, "codebook shape mismatch")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](m * ksub)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var j = 0
+      while (j < ksub) {
+        val cOff = (s * ksub + j) * dsub
+        var dot = 0.0
+        var d = 0
+        while (d < dsub) { dot += v.getDouble(off + d) * codebooks(cOff + d); d += 1 }
+        out(s * ksub + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PQLut =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance score: Σ_s lut[s·ksub + codes[s]] ≈ ⟨query, vec⟩. */
+case class PQADC(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int> codes, array<double> lut), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0
+    var sum = 0.0
+    while (s < m) { sum += lut.getDouble(s * ksub + codes.getInt(s)); s += 1 }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PQADC =
+    copy(left = newLeft, right = newRight)
+}

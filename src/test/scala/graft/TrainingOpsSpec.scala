@@ -185,6 +185,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low (${approx.size} pairs)")
   }
 
+  test("IVF-PQ ANN recall vs exact top-k on real embeddings (sf0.001)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfpqTopK(queries, emb, k = 5, nlist = 8, nprobe = 4,
+      m = 8, ksub = 32, rerankFactor = 10)
+    // re-ranked sims are exact cosine: every reported sim must match the
+    // brute-force value for that pair (the PQ approximation only gates
+    // candidate selection, never the reported score)
+    val exactSims = Similarity.bruteForceTopK(queries, emb, k = 2000)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    approx.select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)]
+      .collect().foreach { case (q, n, s) =>
+        assert(exactSims.get((q, n)).contains(s), s"sim mismatch for ($q,$n)")
+      }
+    val approxPairs = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approxPairs).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall too low (${approxPairs.size} pairs)")
+  }
+
   test("multimodal batched decode: mapPartitions batches, deterministic, full coverage") {
     val df = (1L to 200L).map(i => (i, s"payload-$i" * 10)).toDF("media_id", "txt")
       .withColumn("content", $"txt".cast("binary")).drop("txt")
