@@ -55,6 +55,29 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("status"), col("n"))
 
+  /** Gap-based streaming sessionization — the incremental counterpart of
+    * [[graft.operators.Sessionize]]: Spark's native `session_window` merges
+    * events into per-key sessions that close once no event arrives within
+    * `gap`, emitting each session exactly once when the watermark passes its
+    * end. Same gap rule as the batch form except the exact boundary: an
+    * event precisely `gap` after its predecessor stays in-session in the
+    * batch operator (strict `>` split) but opens a new session here
+    * (`session_window`'s half-open extent). The trade is session *numbering*
+    * (a per-key ordinal needs total history) for bounded state — at 100 TB
+    * of events/day, that is the right trade, and the batch operator remains
+    * the backfill/repair path over landed history.
+    */
+  def sessionized(stream: DataFrame, keys: Seq[String], tsCol: String,
+                  gap: String, lateness: String = "120 seconds"): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keys.map(col) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")): _*)
+
   /** Per-key status-transition log via arbitrary stateful processing
     * (`mapGroupsWithState`): remembers each key's last seen status and emits
     * one row per observed transition — the streaming view of the M-5 state

@@ -53,6 +53,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap merge, session close on watermark, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = StreamingPipeline.sessionized(
+      mem.toDF().toDF("user_id", "ts"), Seq("user_id"), "ts",
+      gap = "10 minutes", lateness = "1 minute")
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts separated by > gap; user 2: one event
+      mem.addData(
+        (1L, ts("2024-02-01 10:00:00")), (1L, ts("2024-02-01 10:05:00")),
+        (1L, ts("2024-02-01 10:30:00")),
+        (2L, ts("2024-02-01 10:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far past every session end → all sessions emit
+      mem.addData((99L, ts("2024-02-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      assert(rows.contains((1L, ts("2024-02-01 10:00:00"), 2L))) // burst merged
+      assert(rows.contains((1L, ts("2024-02-01 10:30:00"), 1L))) // split by gap
+      assert(rows.contains((2L, ts("2024-02-01 10:00:00"), 1L)))
+      // batch parity: same splits (numbering aside) from the batch operator
+      val batch = graft.operators.Sessionize.sessions(
+          Seq((1L, ts("2024-02-01 10:00:00"), 1L), (1L, ts("2024-02-01 10:05:00"), 2L),
+            (1L, ts("2024-02-01 10:30:00"), 3L), (2L, ts("2024-02-01 10:00:00"), 4L))
+            .toDF("user_id", "ts", "id"),
+          Seq("user_id"), "ts", "id", gapSeconds = 600L)
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      assert(batch === rows.filter(_._1 != 99L))
+    } finally q.stop()
+  }
+
   test("statusTransitions: mapGroupsWithState emits per-key transitions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatusEvent]
