@@ -464,6 +464,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Skew-resistant salted join, oracle-checked against the PLAIN join's
+    // semantics: salting must be invisible in the result. The fact side is
+    // the event stream (user_id is the natural hot key at scale), the
+    // compact side a per-user aggregate dimension.
+    "q43_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val facts = ev.select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_total"))
+      graft.functions.Par.saltedJoin(facts, dim, Seq("user_id"), n = 8)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("user_total"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -776,6 +789,13 @@ object SparkEntry {
                 CAST(least(floor(value / 50.0), 19.0) AS BIGINT) AS bucket,
                 count(*) AS n
          FROM events GROUP BY 1, 2""",
+
+    "q43_salted_join" ->
+      """SELECT event_id, e.user_id, event_type, d.user_total
+         FROM events e
+         JOIN (SELECT user_id, count(*) AS user_total
+               FROM events GROUP BY user_id) d
+           ON e.user_id = d.user_id""",
 
     "q31_distinct_agg" ->
       """SELECT event_type,

@@ -62,6 +62,25 @@ class PlanAuditSpec extends SparkSpec {
       "merge must map-side combine:\n" + p.take(800))
   }
 
+  test("as-of join is a single shuffle (union + one window exchange, no join)") {
+    val p = plan("q36_asof_join")
+    assert(!p.contains("Join"), "as-of must not plan a join:\n" + p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("sessionization reuses the window's partitioning for the session agg") {
+    val p = plan("q38_sessionize")
+    // one exchange: hashpartitioning(user_id) serves both the window pass
+    // and the (user_id, session_seq) group-by above it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("range join stays an equi-join on (keys, bucket) — no nested loop") {
+    val p = plan("q37_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("salted join equals the plain join on a skewed fixture and spreads the hot key") {
     import spark.implicits._
     // 10k rows of one hot key + a tail, joined to a 100-row dim
