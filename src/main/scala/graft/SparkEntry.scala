@@ -477,6 +477,31 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("user_total"))
     }),
 
+    // Quantile sketch per group (Greenwald-Khanna via approx_percentile) —
+    // the mergeable one-pass form of q39's exact order statistics; bounded
+    // error (accuracy vs exact asserted in TrainingOpsSpec), no per-group
+    // sort. Rows-only: DuckDB's approx algorithm differs.
+    "q44_quantile_sketch" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(2000))
+          .as("p_approx"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("p_approx")(0).as("p50_approx"),
+          col("p_approx")(1).as("p90_approx"), col("n_events"))
+    }),
+
+    // Column profile — per-column null count + exact distinct count over the
+    // orders fact (training-data QC: schema drift / null-rate monitoring).
+    // One pass, partially aggregated; exact → oracle-checked.
+    "q45_profile" -> ((s, dir) => {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val aggs = cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct")))
+      t(s, dir, "orders").agg(count(lit(1)).as("n_rows"), aggs: _*)
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -789,6 +814,18 @@ object SparkEntry {
                 CAST(least(floor(value / 50.0), 19.0) AS BIGINT) AS bucket,
                 count(*) AS n
          FROM events GROUP BY 1, 2""",
+
+    "q45_profile" ->
+      """SELECT count(*) AS n_rows,
+                count(CASE WHEN o_custkey IS NULL THEN 1 END) AS o_custkey_nulls,
+                count(DISTINCT o_custkey) AS o_custkey_distinct,
+                count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS o_orderstatus_nulls,
+                count(DISTINCT o_orderstatus) AS o_orderstatus_distinct,
+                count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS o_totalprice_nulls,
+                count(DISTINCT o_totalprice) AS o_totalprice_distinct,
+                count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS o_orderpriority_nulls,
+                count(DISTINCT o_orderpriority) AS o_orderpriority_distinct
+         FROM orders""",
 
     "q43_salted_join" ->
       """SELECT event_id, e.user_id, event_type, d.user_total

@@ -275,6 +275,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("quantile sketch rank error is within accuracy bound vs exact order stats") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q44_quantile_sketch")(spark, dir)
+      .select("event_type", "p50_approx", "p90_approx")
+      .as[(String, Double, Double)].collect()
+      .map { case (t, a, b) => t -> (a, b) }.toMap
+    // GK with accuracy=2000 guarantees rank error <= n/2000; verify the
+    // reported value's actual rank sits within that band of the target rank
+    val vals = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((t, (p50, p90)) <- approx; (q, v) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+      val xs = vals(t)
+      val rank = xs.count(_ <= v).toDouble / xs.length
+      assert(math.abs(rank - q) <= 1.0 / 2000 + 1.0 / xs.length + 0.01,
+        s"$t q=$q: reported $v has rank $rank")
+    }
+  }
+
   test("approx distinct per group within rsd of exact countDistinct") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
