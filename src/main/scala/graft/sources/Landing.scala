@@ -25,6 +25,25 @@ object Landing {
   def runDir(root: String, entity: String, runId: String): String =
     s"$root/$entity/run_id=$runId"
 
+  /** Bucketed canonical table — the co-located-join layout. Writing history
+    * / latest bucketed (and sorted) by the merge key means every downstream
+    * keyed operation — the O-11 anti-join, the O-12 upsert merge, fact-to-
+    * fact joins — reads both sides already hash-distributed on the key:
+    * Spark plans the join with ZERO exchanges (asserted in `BucketingSpec`).
+    * At 100 TB that deletes the largest shuffle in the pipeline; the price
+    * is paid once at write time, amortized over every later run.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable`), the
+    * standard Spark mechanism; `buckets` should be sized so one bucket's
+    * rows fit an executor's memory at the target scale (e.g. 4096 buckets
+    * for a 10 TB table → ~2.5 GB/bucket).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    mode: String = "errorifexists"): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** O-13 — write one run's batch. `numFiles` controls output parallelism:
     * the reference writes a single `part-000` file; at scale leave this at
     * the natural partitioning (0 = don't coalesce).
