@@ -4,7 +4,7 @@ import java.time.Instant
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Schemas
-import graft.sources.StateStore
+import graft.sources.{StateStore, TableStore}
 
 /** Pipeline run/audit log (reference O-15;
   * `services/staging/app/pipeline_run_logs_repo.py:7-71`, DDL
@@ -15,9 +15,10 @@ import graft.sources.StateStore
   * updates counts and clears error; `failed` records the error truncated to
   * 4000 chars (`pipeline_run_logs_repo.py:70`).
   */
-class RunLog(spark: SparkSession, dir: String) {
+class RunLog(spark: SparkSession, dir: String,
+             store: TableStore = StateStore) {
 
-  def table: DataFrame = StateStore.read(spark, dir, Schemas.runLog)
+  def table: DataFrame = store.read(spark, dir, Schemas.runLog)
 
   private def rowDf(runId: String, pipeline: String, entity: String,
                     startedAt: Instant, endedAt: Option[Instant], status: String,
@@ -36,7 +37,7 @@ class RunLog(spark: SparkSession, dir: String) {
     val incoming = rowDf(runId, pipeline, entity, startedAt, None, "running",
       None, None, None, None)
     val delta = incoming.join(table.select(col("run_id")), Seq("run_id"), "left_anti")
-    StateStore.overwrite(table.unionByName(delta), dir)
+    store.overwrite(table.unionByName(delta), dir)
   }
 
   private def finish(runId: String, update: Row): Unit = {
@@ -51,7 +52,7 @@ class RunLog(spark: SparkSession, dir: String) {
         "rows_inserted_history" -> lit(update.get(3)),
         "rows_upserted_latest" -> lit(update.get(4)),
         "error" -> lit(update.get(5)))).select(cols.map(col).toIndexedSeq: _*))
-    StateStore.overwrite(merged, dir)
+    store.overwrite(merged, dir)
   }
 
   /** UPDATE ... status='success', error=NULL (`pipeline_run_logs_repo.py:26-51`). */

@@ -4,7 +4,7 @@ import java.time.Instant
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Schemas
-import graft.sources.StateStore
+import graft.sources.{StateStore, TableStore}
 
 /** Watermark control table (reference O-3/O-4;
   * `services/extractor/app/watermark_repo.py:18-64`, DDL `sql/init_dw.sql:2-9`).
@@ -18,9 +18,10 @@ import graft.sources.StateStore
   *    (`tests/integration/extractor/test_watermark_repo.py:48-65`), i.e. it is
   *    spec, so we replicate it (SURVEY.md §8 Q-4).
   */
-class Watermark(spark: SparkSession, dir: String) {
+class Watermark(spark: SparkSession, dir: String,
+                store: TableStore = StateStore) {
 
-  def table: DataFrame = StateStore.read(spark, dir, Schemas.watermark)
+  def table: DataFrame = store.read(spark, dir, Schemas.watermark)
 
   /** O-3 — read the saved watermark, falling back to `defaultStart`. */
   def get(pipeline: String, entity: String, defaultStart: Instant): Instant = {
@@ -48,6 +49,6 @@ class Watermark(spark: SparkSession, dir: String) {
         // ...but run_id/updated_at always take the newest write (Q-4).
         min_by(col("last_success_run_id"), col("_is_existing")).as("last_success_run_id"),
         min_by(col("updated_at"), col("_is_existing")).as("updated_at"))
-    StateStore.overwrite(merged, dir)
+    store.overwrite(merged, dir)
   }
 }

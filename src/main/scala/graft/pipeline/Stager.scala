@@ -4,7 +4,7 @@ import java.time.Instant
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Merge, Payload, RunLog}
-import graft.sources.{Landing, StateStore}
+import graft.sources.{Landing, StateStore, TableStore}
 
 /** The staging run, wired as the reference's `services/staging/app/run.py:28-99`
   * (traced in SURVEY.md §3.2):
@@ -25,17 +25,18 @@ final case class StagerConfig(landingRoot: String, stateRoot: String,
 final case class StageResult(entity: String, runId: String, rowsIn: Long,
                              rowsInsertedHistory: Long, rowsUpsertedLatest: Long)
 
-class Stager(spark: SparkSession, cfg: StagerConfig) {
+class Stager(spark: SparkSession, cfg: StagerConfig,
+             store: TableStore = StateStore) {
 
-  private val runLog = new RunLog(spark, s"${cfg.stateRoot}/pipeline_run_log")
+  private val runLog = new RunLog(spark, s"${cfg.stateRoot}/pipeline_run_log", store)
 
   def historyDir(entity: String): String = s"${cfg.stateRoot}/stg_${entity}_history"
   def latestDir(entity: String): String = s"${cfg.stateRoot}/stg_$entity"
 
   def history(entity: String, like: DataFrame): DataFrame =
-    StateStore.read(spark, historyDir(entity), like.schema)
+    store.read(spark, historyDir(entity), like.schema)
   def latest(entity: String, like: DataFrame): DataFrame =
-    StateStore.read(spark, latestDir(entity), like.schema)
+    store.read(spark, latestDir(entity), like.schema)
 
   def run(entity: String, runId: String, now: Instant = Instant.now()): StageResult = {
     runLog.start(runId, cfg.pipelineName, entity, startedAt = now)
@@ -52,13 +53,13 @@ class Stager(spark: SparkSession, cfg: StagerConfig) {
       val hist = history(entity, records)
       val delta = Merge.historyDelta(hist, records)
       val nHist = delta.count()
-      if (nHist > 0) StateStore.append(delta, historyDir(entity))
+      if (nHist > 0) store.append(delta, historyDir(entity))
 
       // O-12: newer-wins merge into the latest-state table.
       val cur = latest(entity, records)
       val nLatest = Merge.upsertDelta(cur, records).count()
       val merged = Merge.latestUpsert(cur, records)
-      StateStore.overwrite(merged, latestDir(entity))
+      store.overwrite(merged, latestDir(entity))
 
       runLog.finishSuccess(runId, rowsIn, nHist, nLatest, endedAt = now)
       StageResult(entity, runId, rowsIn, nHist, nLatest)

@@ -48,6 +48,20 @@ object ManifestStore {
 
   final case class Snapshot(version: Long, files: Seq[String], op: String)
 
+  /** [[TableStore]] view: the drop-in object-store-safe backend for every
+    * pipeline component (committed versions are discarded by the interface;
+    * use the typed methods directly when you need them).
+    */
+  object asTableStore extends TableStore {
+    override def read(spark: SparkSession, dir: String,
+                      schema: StructType): DataFrame =
+      ManifestStore.read(spark, dir, schema)
+    override def overwrite(df: DataFrame, dir: String): Unit =
+      ManifestStore.overwrite(df, dir): Unit
+    override def append(df: DataFrame, dir: String): Unit =
+      ManifestStore.append(df, dir): Unit
+  }
+
   private val manifestName: Regex = raw"v(\d{8})\.json".r
   private val mapper = new ObjectMapper()
 

@@ -4,6 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.Path
 
+/** Storage contract for the pipeline's control/state tables. Two
+  * implementations: [[StateStore]] (directory swap via rename — local
+  * FS/HDFS) and [[ManifestStore.asTableStore]] (manifest-committed — object
+  * stores, snapshot isolation, time travel). Every pipeline component takes
+  * a `TableStore` so the backend is a deployment choice, not a code change.
+  */
+trait TableStore {
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame
+  def overwrite(df: DataFrame, dir: String): Unit
+  def append(df: DataFrame, dir: String): Unit
+}
+
 /** Small keyed parquet datasets used as control/state tables (the role
   * Postgres plays in the reference: watermark, run log, history, latest).
   *
@@ -19,7 +31,7 @@ import org.apache.hadoop.fs.Path
   * (history); reads of control tables are driver-cheap and never in a hot
   * loop.
   */
-object StateStore {
+object StateStore extends TableStore {
 
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val path = new Path(dir)
