@@ -42,6 +42,9 @@ object TimeJoin {
     val leftCols = left.columns.toSeq
     require(rightPayload.intersect(leftCols).isEmpty,
       s"payload columns collide with left: ${rightPayload.intersect(leftCols)}")
+    val reserved = Set("_tie", "_side", "_r", "_match")
+    require(!leftCols.exists(reserved) && !rightPayload.exists(reserved),
+      s"column names $reserved are reserved by asofBackward")
     val restCols = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
     val tieType = right.schema(rightTie).dataType
     val rTagged = right.select(
