@@ -136,10 +136,13 @@ object Similarity {
     * (IVFADC+R), which restores near-exact top-k while touching only a few
     * full vectors per query.
     *
-    * Simplifications vs FAISS IVFPQ, documented deliberately: codes quantize
-    * the L2-normalized vector itself (not the residual v − centroid), so
-    * cosine ≡ inner product and one codebook set serves all cells; residual
-    * encoding is the next refinement when cells are tight.
+    * This is the residual (FAISS IVFPQ) form: codes quantize r = v_norm −
+    * coarse[cell(v)] — residuals cluster far tighter than raw vectors, so
+    * the same code budget carries more signal — and the score decomposes as
+    * ⟨q, v⟩ ≈ ⟨q, coarse_cell⟩ (one per probed cell, from a precomputed
+    * per-query dot array) + ADC over the residual lookup table. Working on
+    * L2-normalized vectors keeps cosine ≡ inner product, so one shared
+    * codebook set serves every cell.
     */
   def ivfpqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
@@ -164,35 +167,57 @@ object Similarity {
       if (n == 0.0) v else v.map(_ / n)
     }
     val normSample = sample.map(l2)
-    // coarse quantizer + per-subspace codebooks, all trained driver-side on
-    // the bounded sample (see ivfTopK for why that holds at any corpus size)
+    // coarse quantizer + per-subspace RESIDUAL codebooks, all trained
+    // driver-side on the bounded sample (see ivfTopK for why that holds at
+    // any corpus size)
     val coarse: Seq[Seq[Double]] =
       localKMeans(normSample, nlist, iters = 10, seed).map(_.toSeq).toSeq
-    val effKsub = math.min(ksub, normSample.length)
+    val coarseArr = coarse.map(_.toArray).toArray
+    def nearestIdx(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < coarseArr.length) {
+        var s2 = 0.0; var d = 0
+        while (d < dim) { val t = p(d) - coarseArr(ci)(d); s2 += t * t; d += 1 }
+        if (s2 < bestD) { bestD = s2; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val residSample = normSample.map { p =>
+      val ctr = coarseArr(nearestIdx(p))
+      Array.tabulate(dim)(d => p(d) - ctr(d))
+    }
+    val effKsub = math.min(ksub, residSample.length)
     val codebooks = new Array[Double](m * effKsub * dsub)
     for (s <- 0 until m) {
-      val sub = normSample.map(_.slice(s * dsub, (s + 1) * dsub))
+      val sub = residSample.map(_.slice(s * dsub, (s + 1) * dsub))
       val cb = localKMeans(sub, effKsub, iters = 10, seed + s)
       for (j <- 0 until effKsub; d <- 0 until dsub)
         codebooks((s * effKsub + j) * dsub + d) = cb(j)(d)
     }
-    // corpus: normalized once, then only (cell, codes) travel; the full
-    // vector is kept solely for the optional exact re-rank
+    // corpus: normalized once, then only (cell, residual codes) travel; the
+    // full vector is kept solely for the optional exact re-rank
     val cNorm = c.withColumn("_nv", GF.l2normalize(c, col("_cv")))
+      .withColumn("cell", GF.nearestCentroids(c, col("_nv"), coarse, 1)(0))
     val cIndexed = Par.materialize(cNorm
-      .withColumn("cell", GF.nearestCentroids(cNorm, col("_nv"), coarse, 1)(0))
-      .withColumn("codes", GF.pqEncode(cNorm, col("_nv"), codebooks, m, effKsub, dsub))
+      .withColumn("codes", GF.pqEncode(cNorm,
+        GF.centroidResidual(cNorm, col("_nv"), col("cell"), coarse),
+        codebooks, m, effKsub, dsub))
       .select(col("neighbor_id"), col("cell"), col("codes"), col("_cv")))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
     val qn = q0.withColumn("_nqv", GF.l2normalize(q0, col("_qv")))
       .withColumn("_lut", GF.pqLut(q0, col("_nqv"), codebooks, m, effKsub, dsub))
+      .withColumn("_cdots", GF.centroidDots(q0, col("_nqv"), coarse))
     val q = qn.withColumn("cell",
         explode(GF.nearestCentroids(qn, col("_nqv"), coarse, nprobe)))
-      .select(col("query_id"), col("_qv"), col("_lut"), col("cell"))
+      .select(col("query_id"), col("_qv"), col("_lut"),
+        element_at(col("_cdots"), col("cell") + 1).as("_qdotc"), col("cell"))
     val cand = q.join(cIndexed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("adc", GF.pqAdc(cand, col("codes"), col("_lut"), effKsub))
+    val scored = cand.withColumn("adc",
+      col("_qdotc") + GF.pqAdc(cand, col("codes"), col("_lut"), effKsub))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val survivors = scored.withColumn("_r", row_number().over(wAdc))

@@ -239,6 +239,26 @@ object GraftFunctions {
     call_function("graft_l2_normalize", vec)
   }
 
+  def centroidResidual(df: org.apache.spark.sql.DataFrame, vec: Column, cell: Column,
+                       centroids: Seq[Seq[Double]]): Column = {
+    val key = java.util.Arrays.deepHashCode(
+      centroids.map(_.toArray.asInstanceOf[AnyRef]).toArray)
+    val name = s"graft_centroid_residual_${centroids.length}_${key.toHexString}"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => CentroidResidual(exprs.head, exprs(1), centroids), "built-in")
+    call_function(name, vec, cell)
+  }
+
+  def centroidDots(df: org.apache.spark.sql.DataFrame, vec: Column,
+                   centroids: Seq[Seq[Double]]): Column = {
+    val key = java.util.Arrays.deepHashCode(
+      centroids.map(_.toArray.asInstanceOf[AnyRef]).toArray)
+    val name = s"graft_centroid_dots_${centroids.length}_${key.toHexString}"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => CentroidDots(exprs.head, centroids), "built-in")
+    call_function(name, vec)
+  }
+
   /** PQ primitives share one flattened [m][ksub][dsub] codebook array;
     * function names keyed by its content hash so distinct codebooks coexist.
     */

@@ -205,6 +205,78 @@ case class L2Normalize(child: Expression)
     copy(child = newChild)
 }
 
+/** v − centroids[cell]: the IVF residual a PQ codebook quantizes (FAISS
+  * IVFPQ form — residuals are tighter-clustered than raw vectors, so the
+  * same code budget buys more accuracy). `left` = array<double> vector,
+  * `right` = int cell index.
+  */
+case class CentroidResidual(left: Expression, right: Expression,
+                            centroids: Seq[Seq[Double]])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_residual"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, int), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  private lazy val ctrs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val ctr = ctrs(r.asInstanceOf[Int])
+    val n = math.min(v.numElements(), ctr.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = v.getDouble(i) - ctr(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ⟨v, c_i⟩ for every centroid, as array<double> — the per-cell base term
+  * of residual-PQ scoring (⟨q, b⟩ = ⟨q, coarse_cell⟩ + ⟨q, residual⟩).
+  */
+case class CentroidDots(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_dots"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  private lazy val ctrs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](ctrs.length)
+    var c = 0
+    while (c < ctrs.length) {
+      val ctr = ctrs(c)
+      val n = math.min(v.numElements(), ctr.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * ctr(i); i += 1 }
+      out(c) = dot
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDots =
+    copy(child = newChild)
+}
+
 /** Product-quantization codes: the vector is split into `m` contiguous
   * subspaces of `dsub` dims; each subspace is encoded as the index of its
   * nearest codebook centroid (squared euclidean, ties → lower code).
