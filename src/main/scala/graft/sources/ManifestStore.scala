@@ -189,6 +189,20 @@ object ManifestStore {
     true
   }
 
+  /** Rewrite the current contents as one fresh version with `numFiles`
+    * output files — the maintenance pass for append-heavy tables whose
+    * manifests accumulate one small file per commit (every streaming
+    * micro-batch, every incremental run). Readers are never disturbed: the
+    * compacted version commits through the same optimistic protocol, old
+    * versions remain time-travelable until [[vacuum]]. Returns the new
+    * version.
+    */
+  def compact(spark: SparkSession, dir: String, schema: StructType,
+              numFiles: Int = 1): Long = {
+    val cur = read(spark, dir, schema)
+    overwrite(cur.coalesce(math.max(1, numFiles)), dir)
+  }
+
   /** Drop versions older than the latest `keepVersions`, then delete every
     * data file no surviving manifest references. Returns (manifests, data
     * files) deleted. Readers of vacuumed versions lose time travel — the

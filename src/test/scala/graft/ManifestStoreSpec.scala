@@ -84,6 +84,23 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact squashes accumulated append files into one, content intact") {
+    val dir = tmpDir()
+    (1 to 6).foreach(i => ManifestStore.append(df(i.toLong -> s"r$i"), dir))
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    assert(before.files.size >= 6) // one+ file per append
+    val v = ManifestStore.compact(spark, dir, schema)
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.version === v && v === 7L)
+    assert(after.files.size === 1)
+    assert(contents(dir) === (1 to 6).map(i => i.toLong -> s"r$i").toSet)
+    // pre-compaction version still time-travels until vacuumed
+    assert(ManifestStore.readVersion(spark, dir, 6L, schema).count() === 6)
+    val (_, dropped) = ManifestStore.vacuum(spark, dir, keepVersions = 1)
+    assert(dropped >= 6) // the small files are reclaimed
+    assert(contents(dir).size === 6)
+  }
+
   test("many interleaved commits keep every append (optimistic retries hold)") {
     val dir = tmpDir()
     (1 to 12).foreach(i => ManifestStore.append(df(i.toLong -> s"r$i"), dir))
