@@ -502,6 +502,30 @@ object SparkEntry {
       t(s, dir, "orders").agg(count(lit(1)).as("n_rows"), aggs: _*)
     }),
 
+    // Time-RANGE window: per-user trailing-24h event-value sum at each
+    // event — frame bounds by event TIME, not row count (peers at equal ts
+    // all included, so the result is set-determined and decimal-exact).
+    "q46_trailing_window" -> ((s, dir) => {
+      val day = 86400000000L // µs
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-day, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(col("value").cast(dec)).over(w).cast("double").as("trailing_24h"),
+          count(lit(1)).over(w).as("n_24h"))
+    }),
+
+    // CUBE: all 2^k grouping combinations in one pass (rollup's superset).
+    "q47_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .cube(col("event_type"), col("user_id") % 10)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .withColumnRenamed("(user_id % 10)", "user_mod")
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -814,6 +838,19 @@ object SparkEntry {
                 CAST(least(floor(value / 50.0), 19.0) AS BIGINT) AS bucket,
                 count(*) AS n
          FROM events GROUP BY 1, 2""",
+
+    "q46_trailing_window" ->
+      """SELECT user_id, event_id, ts,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_24h,
+                count(*) OVER w AS n_24h
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
+
+    "q47_cube" ->
+      """SELECT event_type, user_id % 10 AS user_mod, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY CUBE (event_type, user_id % 10)""",
 
     "q45_profile" ->
       """SELECT count(*) AS n_rows,
