@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.time.Instant
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/** Streaming offset = the change-feed cursor itself: µs since epoch of the
+  * last `updated_at` this stream has fully consumed. A micro-batch is the
+  * half-open cursor interval `(start, end]` — exactly the reference's
+  * watermark loop (`services/extractor/app/run.py:27-75`) with the engine's
+  * checkpointed offset in place of the hand-rolled watermark table.
+  */
+case class FeedOffset(micros: Long) extends Offset {
+  override def json(): String = micros.toString
+}
+
+/** Micro-batch source over the paginated change feed.
+  *
+  * The streaming twin of [[FeedScan]]'s batch path, on the same pluggable
+  * [[FeedTransport]]:
+  *  - `latestOffset` probes the feed for the max `updated_at` past the
+  *    current cursor (one envelope call + one last-page call) — the
+  *    driver-side planning cost per trigger is two page fetches, constant
+  *    in corpus size.
+  *  - `planInputPartitions(start, end)` plans page ranges against the
+  *    `start` cursor (the feed's native `updated_after` parameter), so
+  *    executors pull pages concurrently exactly as in a batch backfill.
+  *  - Readers re-filter rows to `(start, end]` by `updated_at`: rows that
+  *    mutate (and so re-order) AFTER `latestOffset` probed are excluded
+  *    from this batch and picked up by the next one — at-least-once from
+  *    the source, exactly-once after the pipeline's idempotent sinks
+  *    (history anti-join / newer-wins upsert), the same contract as the
+  *    reference's lookback re-read.
+  *
+  * Requires a `TimestampType` column named `updated_at` in the schema (the
+  * feed's ordering contract, SURVEY.md O-1/O-2).
+  */
+class FeedMicroBatchStream(transport: FeedTransport, schema: StructType,
+                           startCursor: Option[Instant], pageSize: Int,
+                           pagesPerPartition: Int) extends MicroBatchStream {
+  require(schema.fields.exists(f => f.name == "updated_at" && f.dataType == TimestampType),
+    "graft-feed streaming needs a TIMESTAMP column 'updated_at'")
+  private val tsIdx = schema.fieldIndex("updated_at")
+
+  private def toInstant(o: Offset): Option[Instant] = {
+    val m = o.asInstanceOf[FeedOffset].micros
+    if (m == Long.MinValue) None
+    else Some(Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L))
+  }
+
+  private def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  override def initialOffset(): Offset =
+    FeedOffset(startCursor.map(micros).getOrElse(Long.MinValue))
+
+  /** Max `updated_at` currently visible past the cursor; the stored offset
+    * when the feed has nothing new (offsets must never regress).
+    */
+  override def latestOffset(): Offset = {
+    // this source is only asked for latestOffset after initialOffset or
+    // deserializeOffset established the cursor via planInputPartitions'
+    // start — Spark passes the previous end back through deserialize, so
+    // probing from the initial cursor is correct for the first trigger and
+    // conservative (never loses rows) afterwards.
+    probeLatest(startCursor).getOrElse(initialOffset())
+  }
+
+  private def probeLatest(cursor: Option[Instant]): Option[FeedOffset] = {
+    val total = PagedFeed.withRetry()(() => transport.fetch(cursor, 1, 0)).totalCount
+    if (total == 0) return None
+    val lastPage = PagedFeed.withRetry()(() =>
+      transport.fetch(cursor, 1, total - 1)).rows
+    lastPage.lastOption.map(r => FeedOffset(micros(r.getTimestamp(tsIdx).toInstant)))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startCur = toInstant(start)
+    val endMicros = end.asInstanceOf[FeedOffset].micros
+    if (endMicros <= start.asInstanceOf[FeedOffset].micros) return Array.empty
+    val total = PagedFeed.withRetry()(() => transport.fetch(startCur, 1, 0)).totalCount
+    if (total == 0) return Array.empty
+    val span = pageSize.toLong * pagesPerPartition
+    (0L until total by span)
+      .map(s => FeedStreamPartition(s, math.min(s + span, total),
+        start.asInstanceOf[FeedOffset].micros, endMicros))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedStreamReaderFactory(transport, schema, tsIdx, pageSize)
+
+  override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class FeedStreamPartition(firstOffset: Long, lastOffsetExclusive: Long,
+                                     startMicros: Long, endMicros: Long)
+    extends InputPartition
+
+class FeedStreamReaderFactory(transport: FeedTransport, schema: StructType,
+                              tsIdx: Int, pageSize: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FeedStreamPartition]
+    val startCur =
+      if (p.startMicros == Long.MinValue) None
+      else Some(Instant.ofEpochSecond(p.startMicros / 1000000L,
+        (p.startMicros % 1000000L) * 1000L))
+    new PartitionReader[InternalRow] {
+      private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+      private var offset = p.firstOffset
+      private var page: Iterator[Row] = Iterator.empty
+      private var exhausted = false
+      private var current: InternalRow = _
+
+      private def inRange(r: Row): Boolean = {
+        val ts = r.getTimestamp(tsIdx)
+        ts != null && {
+          val m = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+          m > p.startMicros && m <= p.endMicros
+        }
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          while (page.hasNext) {
+            val r = page.next()
+            if (inRange(r)) { // rows past `end` mutated after the probe —
+              current = toCatalyst(r).asInstanceOf[InternalRow] // next batch's
+              return true
+            }
+          }
+          if (exhausted || offset >= p.lastOffsetExclusive) return false
+          val limit = math.min(pageSize.toLong, p.lastOffsetExclusive - offset).toInt
+          val fetched = PagedFeed.withRetry()(() => transport.fetch(startCur, limit, offset))
+          offset += fetched.rows.size
+          if (fetched.rows.size < limit) exhausted = true
+          page = fetched.rows.iterator
+        }
+        false
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

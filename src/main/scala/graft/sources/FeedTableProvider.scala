@@ -99,7 +99,7 @@ class FeedTable(transport: FeedTransport, tableSchema: StructType)
   override def name(): String = s"graft-feed:${transport.label}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeedScanBuilder(transport, tableSchema,
@@ -152,6 +152,9 @@ class FeedScan(transport: FeedTransport, val schema: StructType, cursor: Option[
                pageSize: Int, pagesPerPartition: Int) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FeedMicroBatchStream(transport, schema, cursor, pageSize, pagesPerPartition)
   override def description(): String =
     s"graft-feed:${transport.label} cursor=${cursor.getOrElse("none")}"
 
