@@ -57,16 +57,23 @@ class FeedMicroBatchStream(transport: FeedTransport, schema: StructType,
   override def initialOffset(): Offset =
     FeedOffset(startCursor.map(micros).getOrElse(Long.MinValue))
 
+  /** Committed cursor, tracked driver-side so each trigger's probe runs
+    * against only-new rows: probing from the INITIAL cursor would make the
+    * per-trigger envelope count grow with everything the stream has ever
+    * consumed. Resets on restart (Long.MinValue) — the first post-restart
+    * probe pays one full count from the initial cursor, then re-tightens.
+    */
+  @volatile private var committedMicros: Long = Long.MinValue
+
   /** Max `updated_at` currently visible past the cursor; the stored offset
     * when the feed has nothing new (offsets must never regress).
     */
   override def latestOffset(): Offset = {
-    // this source is only asked for latestOffset after initialOffset or
-    // deserializeOffset established the cursor via planInputPartitions'
-    // start — Spark passes the previous end back through deserialize, so
-    // probing from the initial cursor is correct for the first trigger and
-    // conservative (never loses rows) afterwards.
-    probeLatest(startCursor).getOrElse(initialOffset())
+    val cur = math.max(committedMicros,
+      startCursor.map(micros).getOrElse(Long.MinValue))
+    val c = if (cur == Long.MinValue) None
+            else Some(Instant.ofEpochSecond(cur / 1000000L, (cur % 1000000L) * 1000L))
+    probeLatest(c).getOrElse(FeedOffset(cur))
   }
 
   private def probeLatest(cursor: Option[Instant]): Option[FeedOffset] = {
@@ -94,7 +101,8 @@ class FeedMicroBatchStream(transport: FeedTransport, schema: StructType,
     new FeedStreamReaderFactory(transport, schema, tsIdx, pageSize)
 
   override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    committedMicros = math.max(committedMicros, end.asInstanceOf[FeedOffset].micros)
   override def stop(): Unit = ()
 }
 
