@@ -91,6 +91,23 @@ class TimeJoinSpec extends SparkSpec {
     assert(edge === Set(11L))
   }
 
+  test("pointsInWindow is exact across the epoch boundary (truncating div)") {
+    // timestamps straddling 1970-01-01: `div` truncates toward zero, which
+    // widens bucket 0 — the residual filter must keep results exact anyway
+    def epochTs(sec: Long) = new Timestamp(sec * 1000)
+    val left = (-20L to 20L).map(s => (s, 1L, epochTs(s * 60))).toDF("l_id", "k", "ts")
+    val right = (-20L to 20L).map(s => (s + 1000, 1L, epochTs(s * 60 + 30)))
+      .toDF("r_id", "k", "r_ts")
+    val got = TimeJoin.pointsInWindow(left, right, Seq("k"), "ts", "r_ts", 150L)
+      .select("l_id", "r_id")
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 150 SECONDS"))
+      .select("l_id", "r_id")
+    assert(got.count() > 0)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("pointsInWindow produces no duplicate pairs from the bucket explode") {
     val (left, right) = fixture(seed = 13, n = 500)
     val r2 = right.select(col("k"), col("ts").as("r_ts"), col("r_id"))
