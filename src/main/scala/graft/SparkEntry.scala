@@ -526,6 +526,15 @@ object SparkEntry {
         .withColumnRenamed("(user_id % 10)", "user_mod")
     }),
 
+    // Dedup clusters: near-dup pairs → connected components, each doc
+    // labeled with its component's min doc id (the canonical survivor).
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.functions.NearDup.ngramJaccardPairs(
+        t(s, dir, "documents"), "text", "doc_id", n = 3, minJaccard = 0.2)
+      graft.functions.NearDup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnsRenamed(Map("node" -> "doc_id", "component" -> "cluster_id"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -851,6 +860,39 @@ object SparkEntry {
       """SELECT event_type, user_id % 10 AS user_mod, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY CUBE (event_type, user_id % 10)""",
+
+    // transitive closure via recursive CTE — exact for the gate's small
+    // components; the Spark side must produce identical min-labeling
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         inv AS (SELECT * FROM inv0 WHERE shingle IN (
+                   SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
+         cnt AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT id_a, id_b FROM cnt
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2),
+         edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a""",
 
     "q45_profile" ->
       """SELECT count(*) AS n_rows,

@@ -70,6 +70,57 @@ object NearDup {
         col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (every doc labeled with the
+    * min id of its component; the label is the canonical survivor).
+    *
+    * Min-label propagation: every node repeatedly adopts the smallest label
+    * among itself and its neighbors until fixpoint. Each round is one
+    * join + one groupBy-min (both partially aggregable, shuffle on node
+    * id), and rounds are bounded by the component diameter — near-dup
+    * graphs are overwhelmingly tiny cliques/chains, so 3-4 rounds close
+    * them. The driver only orchestrates; per-round state is
+    * `localCheckpoint`ed to truncate lineage (iterative DataFrames
+    * otherwise replan from scratch each round). At larger diameters swap in
+    * the large-star/small-star contraction (same building blocks, fewer
+    * rounds).
+    *
+    * Returns (`node`, `component`) for every node appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = Par.materialize {
+      val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
+    var labels = Par.materialize(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(Map("node" -> "dst", "component" -> "_nc")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("_nc")).as("_minNeighbor"))
+      val next = Par.materialize(
+        labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("_minNeighbor"), col("component")))
+              .as("component")))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"components did not converge in $maxIter rounds " +
+      "(pathological diameter — switch to star contraction)")
+    labels
+  }
+
   /** Deterministic universal-hash family over xxhash64(shingle):
     * h_i(s) = (a_i·x + b_i) mod p, with fixed odd multipliers derived from
     * the seed — the standard MinHash construction.

@@ -275,6 +275,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("connected components match a driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(21)
+    // 300 nodes, sparse random edges → mix of singletons-in-pairs, chains,
+    // small blobs (the near-dup graph shape)
+    val edges = (1 to 260).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = NearDup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // brute force: union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    assert(got.keySet === expected.keySet)
+    // same partition into components, each labeled by its min member
+    got.foreach { case (n, c) => assert(c === expected(n) || find(c) === expected(n)) }
+    val gotGroups = got.groupBy(_._2).values.map(_.keySet).toSet
+    val expGroups = expected.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(gotGroups === expGroups)
+    got.foreach { case (_, c) => assert(got(c) === c, s"label $c must be its own root") }
+  }
+
   test("quantile sketch rank error is within accuracy bound vs exact order stats") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.01"
