@@ -103,16 +103,17 @@ object NearDup {
         .join(labels.withColumnsRenamed(Map("node" -> "dst", "component" -> "_nc")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("_nc")).as("_minNeighbor"))
+      // the change flag rides the same projection — one materialized pass
+      // per round, no extra old-vs-new join for the convergence check
       val next = Par.materialize(
         labels.join(neighborMin, Seq("node"), "left")
           .select(col("node"),
             least(col("component"), coalesce(col("_minNeighbor"), col("component")))
-              .as("component")))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
+              .as("_newComponent"), col("component").as("_old"))
+          .select(col("node"), col("_newComponent").as("component"),
+            (col("_newComponent") =!= col("_old")).as("_changed")))
+      val changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
       converged = changed == 0
       iter += 1
     }
