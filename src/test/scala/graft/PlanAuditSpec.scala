@@ -81,6 +81,17 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("driver contract: every oracle has a query; the flagship entry returns rows") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("trailing RANGE window is a single shuffle (no extra sort exchange)") {
+    val p = plan("q46_trailing_window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
   test("salted join equals the plain join on a skewed fixture and spreads the hot key") {
     import spark.implicits._
     // 10k rows of one hot key + a tail, joined to a 100-row dim
