@@ -535,6 +535,16 @@ object SparkEntry {
         .withColumnsRenamed(Map("node" -> "doc_id", "component" -> "cluster_id"))
     }),
 
+    // The deduplicated corpus: drop every doc that lost its near-dup
+    // cluster election — the shippable end product of the dedup family.
+    "q49_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.functions.NearDup.ngramJaccardPairs(
+        docs, "text", "doc_id", n = 3, minJaccard = 0.2)
+      graft.functions.NearDup.canonicalCorpus(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -893,6 +903,41 @@ object SparkEntry {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a""",
+
+    "q49_dedup_corpus" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         inv AS (SELECT * FROM inv0 WHERE shingle IN (
+                   SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
+         cnt AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT id_a, id_b FROM cnt
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2),
+         edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         clusters AS (
+           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a)
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id NOT IN (
+           SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""",
 
     "q45_profile" ->
       """SELECT count(*) AS n_rows,

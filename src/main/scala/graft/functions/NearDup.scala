@@ -122,6 +122,19 @@ object NearDup {
     labels
   }
 
+  /** The deduplicated corpus: every document that is either untouched by
+    * `pairs` or the canonical survivor (min id) of its component — the
+    * actual output a training pipeline ships. One components pass + one
+    * broadcast-sized anti-join against the (tiny) set of dropped ids.
+    */
+  def canonicalCorpus(df: DataFrame, pairs: DataFrame, idCol: String,
+                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val dropped = connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic universal-hash family over xxhash64(shingle):
     * h_i(s) = (a_i·x + b_i) mod p, with fixed odd multipliers derived from
     * the seed — the standard MinHash construction.
