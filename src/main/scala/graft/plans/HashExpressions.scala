@@ -239,6 +239,14 @@ object GraftFunctions {
     call_function("graft_l2_normalize", vec)
   }
 
+  def interleaveBits(df: org.apache.spark.sql.DataFrame, buckets: Seq[Column],
+                     bits: Int): Column = {
+    val name = s"graft_interleave_${buckets.size}_$bits"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => InterleaveBits(exprs, bits), "built-in")
+    call_function(name, buckets: _*)
+  }
+
   def centroidResidual(df: org.apache.spark.sql.DataFrame, vec: Column, cell: Column,
                        centroids: Seq[Seq[Double]]): Column = {
     val key = java.util.Arrays.deepHashCode(

@@ -115,6 +115,52 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int, bits: Int
     copy(child = newChild)
 }
 
+/** Bit-interleave of `n` bucket indices into one long — the Z-order
+  * (Morton) curve value. Children are pre-bucketed ints in [0, 2^bits);
+  * bit j of child i lands at position j·n + i, so sorting by the result
+  * clusters rows that are close in EVERY dimension, which is what gives
+  * parquet min/max pruning multi-dimensional selectivity (a linear sort
+  * only prunes its leading column).
+  */
+case class InterleaveBits(children: Seq[Expression], bits: Int)
+    extends Expression with CodegenFallback {
+  require(children.nonEmpty && children.size * bits <= 63,
+    s"need dims·bits <= 63, got ${children.size}·$bits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_interleave_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType == IntegerType || c.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires integral buckets")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = children.size
+    var z = 0L
+    var i = 0
+    while (i < n) {
+      val raw = children(i).eval(input)
+      val v = if (raw == null) 0L else raw match {
+        case l: Long => l
+        case x: Int => x.toLong
+      }
+      val clamped = math.min(math.max(v, 0L), (1L << bits) - 1)
+      var j = 0
+      while (j < bits) {
+        z |= ((clamped >> j) & 1L) << (j * n + i)
+        j += 1
+      }
+      i += 1
+    }
+    z
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): InterleaveBits =
+    copy(children = newChildren)
+}
+
 /** The `n` nearest centroids of a vector (squared-euclidean, ties to the
   * lower cell index), as array<int> in ascending-distance order — the IVF
   * cell-assignment / probe-list primitive. The composable form

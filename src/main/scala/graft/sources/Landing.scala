@@ -44,6 +44,53 @@ object Landing {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Z-order clustering value for multi-dimensional data skipping. Each
+    * column is bucketed by its value's position between driver-sampled
+    * `approxQuantile` fences (rank-normalization — Z-order on raw values
+    * degenerates when ranges differ by orders of magnitude), then the
+    * bucket bits are interleaved into one Morton value. Write with
+    * `repartitionByRange(zorderValue(...))` + sort-within-partitions and
+    * every file's parquet min/max footprint is tight in EVERY listed
+    * dimension — point/range predicates on ANY of them skip most files,
+    * where a linear sort only serves its leading column. The quantile
+    * sample is driver-side and bounded (same posture as the IVF trainer);
+    * fences are broadcast as literals inside the expression.
+    */
+  def zorderValue(df: DataFrame, cols: Seq[String], bits: Int = 12): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col => c}
+    val nBuckets = 1 << bits
+    val fences = cols.map { name =>
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      df.stat.approxQuantile(name, probs, 0.001)
+    }
+    val buckets = cols.zip(fences).map { case (name, f) =>
+      // binary-search-equivalent as a literal fence array: count of fences
+      // <= value = bucket index. aggregate over a literal array is tiny
+      // (evaluated once per row over nBuckets-1 doubles) — acceptable for
+      // writes; a native expression is the next step if profiled hot.
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.array(f.map(org.apache.spark.sql.functions.lit): _*),
+        org.apache.spark.sql.functions.lit(0),
+        (acc, fence) => acc + org.apache.spark.sql.functions
+          .when(c(name).cast("double") >= fence, 1).otherwise(0))
+    }
+    graft.plans.GraftFunctions.interleaveBits(df, buckets, bits)
+  }
+
+  /** Cluster `df` on the Z-order of `cols` into `numFiles` range buckets
+    * and write parquet — the layout step that buys multi-dimensional
+    * min/max pruning on the landed data.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, cols: Seq[String],
+                    numFiles: Int, bits: Int = 12): Unit = {
+    val z = zorderValue(df, cols, bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("errorifexists").parquet(dir)
+  }
+
   /** O-13 — write one run's batch. `numFiles` controls output parallelism:
     * the reference writes a single `part-000` file; at scale leave this at
     * the natural partitioning (0 = don't coalesce).
