@@ -88,6 +88,47 @@ object StreamingPipeline {
   final case class Transition(id: String, from: String, to: String,
                               at: java.sql.Timestamp)
 
+  /** The same transition log on the `transformWithState` API (Spark 4's
+    * successor to `mapGroupsWithState`), with the property that matters at
+    * scale: per-key state carries a TTL, so an unbounded key space (every
+    * user/entity ever seen) cannot grow state forever — idle keys expire
+    * and a late revisit simply restarts its transition chain. Requires the
+    * RocksDB state store provider.
+    */
+  private class TransitionProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, StatusEvent, Transition] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState("last", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(id: String, rows: Iterator[StatusEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(_.updatedAt.getTime)
+      var prev = if (last.exists()) Option(last.get()) else None
+      val out = sorted.flatMap { e =>
+        val t = prev.filter(_ != e.status).map(p => Transition(id, p, e.status, e.updatedAt))
+        prev = Some(e.status)
+        t
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  def statusTransitionsTWS(events: Dataset[StatusEvent],
+                           stateTtl: java.time.Duration): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.id)
+      .transformWithState(new TransitionProcessor(stateTtl),
+        // TTL is clocked by processing time — the only TimeMode that can
+        // expire state without event-time watermarks
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[Transition]])
+  }
+
   def statusTransitions(events: Dataset[StatusEvent]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.id)

@@ -108,6 +108,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState transitions: same semantics as mapGroupsWithState, TTL state") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // checkpoint checksum writers deadlock under local[4]'s saturated task
+    // threads (awaitResult on a checksum future that never runs) — not a
+    // feature under test here
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // TTL state runs in ProcessingTime mode, where the engine keeps
+    // scheduling eviction micro-batches — processAllAvailable never settles.
+    // AvailableNow drains what exists then stops; restarting on the same
+    // checkpoint ALSO proves the RocksDB state survives a restart.
+    val root = Files.createTempDirectory("tws").toString
+    val mem = MemoryStream[StatusEvent]
+    def runOnce(): Unit = {
+      // parquet sink: the memory sink refuses checkpoint recovery, and the
+      // restart is the point — RocksDB state must survive it
+      val q = StreamingPipeline.statusTransitionsTWS(mem.toDS(),
+          stateTtl = java.time.Duration.ofHours(1))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination(120000)
+    }
+    try {
+      mem.addData(
+        StatusEvent("a", "NEW", ts("2024-02-01 10:00:00")),
+        StatusEvent("a", "PROCESSING", ts("2024-02-01 11:00:00")))
+      runOnce()
+      mem.addData(
+        StatusEvent("a", "FINISHED", ts("2024-02-01 12:00:00")), // state across restart
+        StatusEvent("b", "NEW", ts("2024-02-01 12:30:00")),
+        StatusEvent("b", "NEW", ts("2024-02-01 12:45:00")))      // no-op repeat
+      runOnce()
+      val got = spark.read.parquet(s"$root/out").as[Transition].collect()
+        .map(t => (t.id, t.from, t.to)).toSet
+      assert(got === Set(
+        ("a", "NEW", "PROCESSING"),
+        ("a", "PROCESSING", "FINISHED")))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("simulator tick: deterministic, advances statuses legally, bumps updated_at") {
     val base = (1 to 200).map(i => (s"id$i", "NEW", ts("2024-01-01 00:00:00"), "loader"))
       .toDF("id", "status", "updated_at", "updated_by")
