@@ -825,7 +825,7 @@ object SparkEntry {
            SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            FROM flagged)
-         SELECT user_id, session_seq, min(ts) AS session_start,
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, min(ts) AS session_start,
                 max(ts) AS session_end, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM tagged GROUP BY user_id, session_seq""",

@@ -25,13 +25,26 @@ object NearDup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.NearDup")
+
   /** Drop inverted-index keys whose posting list exceeds `maxBucket` — they
     * generate quadratic candidate fan-out while carrying little similarity
     * signal (the df-cutoff heuristic).
+    *
+    * The cap is NOT silent: the dropped-key count is logged (WARN) so a
+    * corpus whose candidate recall is being truncated is visible in the
+    * driver log. The hot-key set is materialized once (it is a handful of
+    * stop-shingle keys) and served to both the count and the anti-join, so
+    * the visibility costs no extra aggregation pass.
     */
   def pruneHotKeys(exploded: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
-    val hot = exploded.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxBucket).select(col(keyCol))
+    val hot = Par.materialize(
+      exploded.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxBucket).select(col(keyCol)))
+    val nHot = hot.count()
+    if (nHot > 0)
+      log.warn(s"pruneHotKeys: dropping $nHot hot '$keyCol' key(s) with posting " +
+        s"lists > $maxBucket — candidate recall is truncated on those keys")
     exploded.join(hot, Seq(keyCol), "left_anti")
   }
 
@@ -74,25 +87,33 @@ object NearDup {
     * turns near-dup PAIRS into dedup CLUSTERS (every doc labeled with the
     * min id of its component; the label is the canonical survivor).
     *
-    * Min-label propagation: every node repeatedly adopts the smallest label
-    * among itself and its neighbors until fixpoint. Each round is one
-    * join + one groupBy-min (both partially aggregable, shuffle on node
-    * id), and rounds are bounded by the component diameter — near-dup
-    * graphs are overwhelmingly tiny cliques/chains, so 3-4 rounds close
-    * them. The driver only orchestrates; per-round state is
-    * `localCheckpoint`ed to truncate lineage (iterative DataFrames
-    * otherwise replan from scratch each round). At larger diameters swap in
-    * the large-star/small-star contraction (same building blocks, fewer
-    * rounds).
+    * Min-label propagation with pointer jumping: every node first adopts
+    * the smallest label among itself and its neighbors (one join + one
+    * groupBy-min, both partially aggregable, shuffle on node id), then
+    * shortcuts to its label's label (one self-join of the label table —
+    * the path-compression step of Hash-Min / star-contraction CC
+    * algorithms). Propagation alone needs diameter-many rounds — dead on a
+    * pathological chain; with the jump the adopted label's distance from
+    * the component minimum more than doubles per round, so rounds are
+    * O(log diameter): a 1000-node chain closes in ~10 rounds, and
+    * `maxIter = 25` covers any component a physical corpus can hold
+    * (diameter ≳ 2^25). Near-dup graphs are overwhelmingly tiny
+    * cliques/chains that close in 2-3 rounds regardless.
+    *
+    * The driver only orchestrates; per-round state is `localCheckpoint`ed
+    * to truncate lineage (iterative DataFrames otherwise replan from
+    * scratch each round). `pairs` is materialized once before the
+    * symmetric-edge union — the union references it twice, and an
+    * unmaterialized pair list would recompute its (expensive: shingle
+    * index + self-join) derivation per reference.
     *
     * Returns (`node`, `component`) for every node appearing in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val edges = Par.materialize {
-      val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    }
+                          maxIter: Int = 25): DataFrame = {
+    val e = Par.materialize(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val edges = Par.materialize(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     var labels = Par.materialize(
       edges.select(col("src").as("node")).distinct()
         .withColumn("component", col("node")))
@@ -103,22 +124,29 @@ object NearDup {
         .join(labels.withColumnsRenamed(Map("node" -> "dst", "component" -> "_nc")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("_nc")).as("_minNeighbor"))
-      // the change flag rides the same projection — one materialized pass
-      // per round, no extra old-vs-new join for the convergence check
-      val next = Par.materialize(
+      // propagate: adopt min(own label, neighbors' labels)
+      val prop = Par.materialize(
         labels.join(neighborMin, Seq("node"), "left")
           .select(col("node"),
             least(col("component"), coalesce(col("_minNeighbor"), col("component")))
-              .as("_newComponent"), col("component").as("_old"))
-          .select(col("node"), col("_newComponent").as("component"),
-            (col("_newComponent") =!= col("_old")).as("_changed")))
+              .as("component"), col("component").as("_old")))
+      // jump: component <- label(component). Labels only ever decrease and
+      // every label is itself a node, so the lookup always hits and the
+      // looked-up label is <= the current one. The change flag rides the
+      // same projection — no extra old-vs-new join for convergence.
+      val parent = prop.select(col("node").as("component"), col("component").as("_cc"))
+      val next = Par.materialize(
+        prop.join(parent, Seq("component"), "left")
+          .select(col("node"),
+            coalesce(col("_cc"), col("component")).as("component"),
+            (coalesce(col("_cc"), col("component")) =!= col("_old")).as("_changed")))
       val changed = next.filter(col("_changed")).count()
       labels = next.drop("_changed")
       converged = changed == 0
       iter += 1
     }
     require(converged, s"components did not converge in $maxIter rounds " +
-      "(pathological diameter — switch to star contraction)")
+      "(diameter beyond 2^$maxIter — not reachable by a physical pair list)")
     labels
   }
 
@@ -128,10 +156,21 @@ object NearDup {
     * broadcast-sized anti-join against the (tiny) set of dropped ids.
     */
   def canonicalCorpus(df: DataFrame, pairs: DataFrame, idCol: String,
-                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val dropped = connectedComponents(pairs, aCol, bCol)
-      .filter(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
+                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    canonicalCorpusFromClusters(df, connectedComponents(pairs, aCol, bCol), idCol)
+
+  /** [[canonicalCorpus]] over PRECOMPUTED clusters (the output of
+    * [[connectedComponents]]) — a pipeline that already built clusters (for
+    * reporting, for cluster-size stats) must not pay the pair generation
+    * and the component loop a second time to get the corpus; the two
+    * heaviest stages of the dedup family are shared through this seam.
+    */
+  def canonicalCorpusFromClusters(df: DataFrame, clusters: DataFrame,
+                                  idCol: String, nodeCol: String = "node",
+                                  componentCol: String = "component"): DataFrame = {
+    val dropped = clusters
+      .filter(col(nodeCol) =!= col(componentCol))
+      .select(col(nodeCol).as(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Par {
   def spread(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // estimate the scan's split count from logical-plan size stats — NOT
+    // df.rdd.getNumPartitions, which compiles the whole physical plan and
+    // materializes an RDD lineage that is then thrown away (one extra plan
+    // compile per operator invocation)
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes / splitBytes >= n) df else df.repartition(n)
   }
 
   /** Materialize an expensive, multiply-referenced intermediate (shingle

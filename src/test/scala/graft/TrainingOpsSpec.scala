@@ -304,6 +304,28 @@ class TrainingOpsSpec extends SparkSpec {
     got.foreach { case (_, c) => assert(got(c) === c, s"label $c must be its own root") }
   }
 
+  test("connected components close a 1000-node chain (pathological diameter)") {
+    // worst case for plain min-label propagation (needs diameter rounds =
+    // 999); pointer jumping must close it within the round budget
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = NearDup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length === 1000)
+    assert(got.forall(_._2 == 0L), "every chain node must label to the min node 0")
+  }
+
+  test("canonical corpus from precomputed clusters equals the one-shot form") {
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 7L)).toDF("id_a", "id_b")
+    val oneShot = NearDup.canonicalCorpus(docs, pairs, "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    val clusters = NearDup.connectedComponents(pairs, "id_a", "id_b")
+    val shared = NearDup.canonicalCorpusFromClusters(docs, clusters, "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(oneShot.toSeq === Seq(0L, 3L, 4L, 5L, 6L, 8L, 9L))
+    assert(shared.toSeq === oneShot.toSeq)
+  }
+
   test("quantile sketch rank error is within accuracy bound vs exact order stats") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.01"
