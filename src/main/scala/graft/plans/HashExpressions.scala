@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, SparkSession}
@@ -18,23 +18,25 @@ import org.apache.spark.sql.functions.call_function
   * counters/minima in a tight loop. Same inputs, same outputs, ~10× less
   * per-row work at 100 TB.
   *
-  * Evaluation is `CodegenFallback` — a single opaque JVM call per row is
-  * already optimal here; there is no per-element expression tree left for
-  * whole-stage codegen to fuse.
+  * Each implements `doGenCode` as a direct call to its imperative kernel
+  * (`compute`). The kernel itself has no per-element expression tree for
+  * whole-stage codegen to fuse — but a `CodegenFallback` marker would kick
+  * the WHOLE containing stage (scan → filter → project) out of whole-stage
+  * codegen (`CollapseCodegenStages` rejects any plan holding one), making
+  * every OTHER expression in the signature projection interpreted too.
   */
 
 /** 64-bit SimHash of an array<string>: per bit, sign of Σ ±1 votes from each
   * element's xxhash64 (seed 42, matching Spark's `xxhash64`).
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     GraftFunctions.requireStringArray(prettyName, child)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -55,6 +57,13 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     out
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -66,7 +75,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * once instead of k times.
   */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
@@ -79,8 +88,7 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     (math.abs(r.nextLong()) % (p - 1) + 1, math.abs(r.nextLong()) % p)
   }.toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -101,6 +109,13 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
@@ -118,7 +133,7 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   * `size > 0` / `explode` steps every caller applies).
   */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
@@ -132,9 +147,8 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     }
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.split(" ").filter(_.nonEmpty)
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = input.toString.split(" ").filter(_.nonEmpty)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     // LinkedHashSet keeps first-occurrence order, matching array_distinct
     val out: java.util.Collection[String] =
@@ -161,6 +175,14 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
       k += 1
     }
     new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -14,11 +15,18 @@ import org.apache.spark.sql.types._
   * bucketing) the closure overhead dominates. These run the same arithmetic
   * in the same order (index-ascending double accumulation — bit-identical
   * results) as one JVM loop per row.
+  *
+  * Every expression implements `doGenCode` (NOT `CodegenFallback`): a
+  * single `CodegenFallback` expression anywhere in a projection kicks the
+  * whole fused stage out of whole-stage codegen (`CollapseCodegenStages`
+  * rejects the plan), so the hottest loops of the similarity family would
+  * run with interpreted per-row dispatch. The generated code calls the same
+  * imperative kernel (`compute`) through an expression reference — the
+  * stage stays fused, rows stay unboxed, and eval/codegen share one body.
   */
 
 /** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), null on length mismatch. */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -31,11 +39,8 @@ case class CosineSim(left: Expression, right: Expression)
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
-    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -44,6 +49,23 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else compute(a, b)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $ref.compute($a, $b);
+      }""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -57,8 +79,7 @@ case class CosineSim(left: Expression, right: Expression)
   * [[graft.functions.Similarity.lshBuckets]].
   */
 case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int, bits: Int,
-                             seed: Long)
-    extends UnaryExpression with CodegenFallback {
+                             seed: Long) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_buckets"
 
@@ -89,8 +110,8 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int, bits: Int
     out
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(input: ArrayData): ArrayData = {
+    val v = input
     val n = math.min(v.numElements(), dim)
     val buckets = new Array[Long](tables)
     var t = 0
@@ -111,6 +132,13 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int, bits: Int
     new GenericArrayData(buckets)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hpBuckets", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 }
@@ -122,8 +150,7 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int, bits: Int
   * parquet min/max pruning multi-dimensional selectivity (a linear sort
   * only prunes its leading column).
   */
-case class InterleaveBits(children: Seq[Expression], bits: Int)
-    extends Expression with CodegenFallback {
+case class InterleaveBits(children: Seq[Expression], bits: Int) extends Expression {
   require(children.nonEmpty && children.size * bits <= 63,
     s"need dims·bits <= 63, got ${children.size}·$bits")
   override def dataType: DataType = LongType
@@ -135,17 +162,12 @@ case class InterleaveBits(children: Seq[Expression], bits: Int)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires integral buckets")
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val n = children.size
+  def interleave(vals: Array[Long]): Long = {
+    val n = vals.length
     var z = 0L
     var i = 0
     while (i < n) {
-      val raw = children(i).eval(input)
-      val v = if (raw == null) 0L else raw match {
-        case l: Long => l
-        case x: Int => x.toLong
-      }
-      val clamped = math.min(math.max(v, 0L), (1L << bits) - 1)
+      val clamped = math.min(math.max(vals(i), 0L), (1L << bits) - 1)
       var j = 0
       while (j < bits) {
         z |= ((clamped >> j) & 1L) << (j * n + i)
@@ -154,6 +176,37 @@ case class InterleaveBits(children: Seq[Expression], bits: Int)
       i += 1
     }
     z
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = children.size
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val raw = children(i).eval(input)
+      vals(i) = if (raw == null) 0L else raw match {
+        case l: Long => l
+        case x: Int => x.toLong
+      }
+      i += 1
+    }
+    interleave(vals)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("interleaver", this)
+    val gens = children.map(_.genCode(ctx))
+    val vals = ctx.freshName("vals")
+    val evalChildren = gens.map(_.code.toString).mkString("\n")
+    val assigns = gens.zipWithIndex.map { case (g, i) =>
+      s"$vals[$i] = ${g.isNull} ? 0L : (long) ${g.value};"
+    }.mkString("\n")
+    ev.copy(code = code"""
+      $evalChildren
+      long[] $vals = new long[${children.size}];
+      $assigns
+      final long ${ev.value} = $ref.interleave($vals);""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
@@ -170,7 +223,7 @@ case class InterleaveBits(children: Seq[Expression], bits: Int)
   * the same index order (bit-identical distances).
   */
 case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1 && n <= centroids.length, "need 1 <= n <= nlist")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_nearest_centroids"
@@ -183,8 +236,8 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: I
 
   private lazy val ctrs: Array[Array[Double]] = centroids.map(_.toArray).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(input: ArrayData): ArrayData = {
+    val v = input
     val dists = new Array[Double](ctrs.length)
     var c = 0
     while (c < ctrs.length) {
@@ -215,6 +268,13 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: I
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
 }
@@ -222,8 +282,7 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: I
 /** v / ‖v‖₂ (zero vector passes through unchanged) — computed once per row
   * so downstream cosine becomes plain inner product.
   */
-case class L2Normalize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class L2Normalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_l2_normalize"
 
@@ -233,8 +292,8 @@ case class L2Normalize(child: Expression)
       s"$prettyName requires array<double>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(input: ArrayData): ArrayData = {
+    val v = input
     val n = v.numElements()
     var s = 0.0
     var i = 0
@@ -247,6 +306,13 @@ case class L2Normalize(child: Expression)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2norm", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): L2Normalize =
     copy(child = newChild)
 }
@@ -257,8 +323,7 @@ case class L2Normalize(child: Expression)
   * `right` = int cell index.
   */
 case class CentroidResidual(left: Expression, right: Expression,
-                            centroids: Seq[Seq[Double]])
-    extends BinaryExpression with CodegenFallback {
+                            centroids: Seq[Seq[Double]]) extends BinaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_centroid_residual"
 
@@ -272,14 +337,21 @@ case class CentroidResidual(left: Expression, right: Expression,
 
   private lazy val ctrs: Array[Array[Double]] = centroids.map(_.toArray).toArray
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val v = l.asInstanceOf[ArrayData]
-    val ctr = ctrs(r.asInstanceOf[Int])
+  def compute(v: ArrayData, cell: Int): ArrayData = {
+    val ctr = ctrs(cell)
     val n = math.min(v.numElements(), ctr.length)
     val out = new Array[Any](n)
     var i = 0
     while (i < n) { out(i) = v.getDouble(i) - ctr(i); i += 1 }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidResidual", this)
+    defineCodeGen(ctx, ev, (v, c) => s"$ref.compute($v, $c)")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -291,7 +363,7 @@ case class CentroidResidual(left: Expression, right: Expression,
   * of residual-PQ scoring (⟨q, b⟩ = ⟨q, coarse_cell⟩ + ⟨q, residual⟩).
   */
 case class CentroidDots(child: Expression, centroids: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_centroid_dots"
 
@@ -303,8 +375,8 @@ case class CentroidDots(child: Expression, centroids: Seq[Seq[Double]])
 
   private lazy val ctrs: Array[Array[Double]] = centroids.map(_.toArray).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(input: ArrayData): ArrayData = {
+    val v = input
     val out = new Array[Any](ctrs.length)
     var c = 0
     while (c < ctrs.length) {
@@ -319,6 +391,13 @@ case class CentroidDots(child: Expression, centroids: Seq[Seq[Double]])
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidDots", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): CentroidDots =
     copy(child = newChild)
 }
@@ -331,8 +410,7 @@ case class CentroidDots(child: Expression, centroids: Seq[Seq[Double]])
   * fit executor memory.
   */
 case class PQEncode(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
-                    dsub: Int)
-    extends UnaryExpression with CodegenFallback {
+                    dsub: Int) extends UnaryExpression {
   require(codebooks.length == m * ksub * dsub, "codebook shape mismatch")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_pq_encode"
@@ -343,8 +421,8 @@ case class PQEncode(child: Expression, codebooks: Array[Double], m: Int, ksub: I
       s"$prettyName requires array<double>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(input: ArrayData): ArrayData = {
+    val v = input
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -370,6 +448,13 @@ case class PQEncode(child: Expression, codebooks: Array[Double], m: Int, ksub: I
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PQEncode =
     copy(child = newChild)
 }
@@ -379,8 +464,7 @@ case class PQEncode(child: Expression, codebooks: Array[Double], m: Int, ksub: I
   * ([[PQADC]]) — no vector math per candidate at probe time.
   */
 case class PQLut(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
-                 dsub: Int)
-    extends UnaryExpression with CodegenFallback {
+                 dsub: Int) extends UnaryExpression {
   require(codebooks.length == m * ksub * dsub, "codebook shape mismatch")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_pq_lut"
@@ -391,8 +475,8 @@ case class PQLut(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
       s"$prettyName requires array<double>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(input: ArrayData): ArrayData = {
+    val v = input
     val out = new Array[Any](m * ksub)
     var s = 0
     while (s < m) {
@@ -411,13 +495,20 @@ case class PQLut(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PQLut =
     copy(child = newChild)
 }
 
 /** Asymmetric-distance score: Σ_s lut[s·ksub + codes[s]] ≈ ⟨query, vec⟩. */
 case class PQADC(left: Expression, right: Expression, ksub: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_pq_adc"
 
@@ -430,14 +521,20 @@ case class PQADC(left: Expression, right: Expression, ksub: Int)
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val codes = l.asInstanceOf[ArrayData]
-    val lut = r.asInstanceOf[ArrayData]
+  def compute(codes: ArrayData, lut: ArrayData): Double = {
     val m = codes.numElements()
     var s = 0
     var sum = 0.0
     while (s < m) { sum += lut.getDouble(s * ksub + codes.getInt(s)); s += 1 }
     sum
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this)
+    defineCodeGen(ctx, ev, (c, l) => s"$ref.compute($c, $l)")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

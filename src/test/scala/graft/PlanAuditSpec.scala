@@ -81,6 +81,28 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("native expressions stay inside whole-stage codegen (no fallback barrier)") {
+    import graft.plans.GraftFunctions
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val shingled = docs.select(GraftFunctions.wordShingles(docs, $"text", 3).as("sh"))
+    val cosined = emb.select(GraftFunctions.cosine(emb, $"v", $"v").as("sim"))
+    val bucketed = emb.select(
+      GraftFunctions.hyperplaneBuckets(emb, $"v", 64, 8, 10, 42L).as("bks"))
+    for ((df, fn) <- Seq((shingled, "graft_shingles"), (cosined, "graft_cosine"),
+                         (bucketed, "graft_hyperplane_buckets"))) {
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      // the projection carrying the native expression must be fused (starred
+      // `*(n) Project`) — a CodegenFallback expression would demote its whole
+      // stage to interpreted row-at-a-time execution
+      val exprLine = p.linesIterator.find(_.contains(fn)).getOrElse("")
+      assert(exprLine.contains("*("), s"$fn runs outside codegen:\n$exprLine\n" + p.take(600))
+    }
+  }
+
   test("driver contract: every oracle has a query; the flagship entry returns rows") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
