@@ -162,6 +162,16 @@ object SparkEntry {
       Normalize.flattenNested(nested, "lines")
     }),
 
+    // O-8 — lineage metadata projection: pure literal columns, fused into
+    // the scan (no shuffle, no action).
+    "q51_metadata" -> ((s, dir) => {
+      Normalize.withMetadata(t(s, dir, "nation"), "run-0001",
+          java.time.Instant.parse("2024-01-15T00:00:00Z"),
+          java.time.Instant.parse("2024-01-10T00:00:00Z"))
+        .select(col("n_nationkey"), col("_run_id"), col("_extracted_at"),
+          col("_watermark_effective"))
+    }),
+
     // O-7 — required-field validation counts (plan-only form).
     "q16_validation" -> ((s, dir) => {
       t(s, dir, "events").agg(
@@ -271,8 +281,13 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // MinHash+LSH near-dup candidates (no SQL oracle: rows-only check;
-    // exactness covered by NearDupSpec against brute-force Jaccard).
+    // MinHash+LSH banding near-dup candidates + exact-Jaccard verify.
+    // Oracle-checked against the exact all-pairs form: banding recall at the
+    // pinned (k=32, bands=8) is 100% on the gate corpora (every qualifying
+    // pair is a high-Jaccard twin, far above the b/r collision threshold;
+    // equality asserted per scale factor in TrainingOpsSpec), and precision
+    // is exact by construction — candidates are verified with exact
+    // shingle-set Jaccard.
     "q24_minhash_neardup" -> ((s, dir) => {
       graft.functions.NearDup.minhashNearDup(t(s, dir, "documents"),
         "text", "doc_id", n = 3, k = 32, bands = 8, minJaccard = 0.1)
@@ -287,12 +302,15 @@ object SparkEntry {
           graft.functions.TextAnalysis.tokens(col("text"))).as("simhash"))
     }),
 
-    // Approximate ANN via random-hyperplane LSH (rows-only; recall vs exact
-    // top-k asserted in SimilaritySpec).
+    // Approximate ANN via random-hyperplane LSH. Oracle-checked against the
+    // exact top-k SQL (q23's): at the pinned (tables=48, bits=4) the bucket
+    // candidates cover the true top-5 of every query on all testdata scales
+    // (TrainingOpsSpec pins the equality), and the final ranking is the same
+    // exact cosine + neighbor_id tiebreak as the brute-force path.
     "q26_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.functions.Similarity.lshTopK(
-          emb.filter(col("vec_id") < 8), emb, k = 5, dim = 64, tables = 16, bits = 6)
+          emb.filter(col("vec_id") < 8), emb, k = 5, dim = 64, tables = 48, bits = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -370,6 +388,17 @@ object SparkEntry {
     "q34_cosine_neardup" -> ((s, dir) => {
       graft.functions.Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings"), minCosine = 0.4)
+    }),
+
+    // The SCALE form of q34: hyperplane-LSH bucketed candidate generation +
+    // the same exact cosine-threshold verify — no full-corpus broadcast, no
+    // O(n²) compare. Oracle-checked against the exact all-pairs SQL: recall
+    // at the pinned (tables, bits) is 100% on the gate data (asserted per
+    // scale factor in TrainingOpsSpec; the per-pair miss probability at
+    // τ=0.4 is < 10⁻⁴).
+    "q50_cosine_neardup_lsh" -> ((s, dir) => {
+      graft.functions.Similarity.cosineNearDupPairsLsh(
+        t(s, dir, "embeddings"), minCosine = 0.4, dim = 64)
     }),
 
     // HLL-sketch distinct count per group (approx_count_distinct) next to
@@ -741,6 +770,57 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2""",
 
+    // exact all-pairs Jaccard at the q24 threshold — the minhash banding
+    // path must reproduce it exactly (100% recall pinned in TrainingOpsSpec;
+    // precision exact by construction). No hot-shingle prune here: a pair
+    // with jaccard > 0 shares a shingle by definition, so the unpruned
+    // inverted index IS the exact form.
+    "q24_minhash_neardup" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         pairs AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.1""",
+
+    // the LSH ANN must reproduce the exact top-k (bucket candidates cover
+    // the true top-5 at the pinned params; same ranking expression) — the
+    // oracle is exactly q23's SQL
+    "q26_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+           FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 5""",
+
+    "q51_metadata" ->
+      """SELECT n_nationkey, 'run-0001' AS _run_id,
+                TIMESTAMP '2024-01-15 00:00:00' AS _extracted_at,
+                TIMESTAMP '2024-01-10 00:00:00' AS _watermark_effective
+         FROM nation""",
+
     "q23_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 8),
@@ -786,6 +866,16 @@ object SparkEntry {
     // DECIMAL(1,1) in DuckDB, and decimal-space comparison drops pairs whose
     // rounded sim is exactly 0.400000 (the nearest double to 0.4 is below it)
     "q34_cosine_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.ev, b.ev), 6) AS sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= CAST(0.4 AS DOUBLE)""",
+
+    // the LSH path must reproduce the exact form's result set (100% recall
+    // at the pinned parameters on gate data; precision is exact by
+    // construction — candidates are verified with the exact cosine)
+    "q50_cosine_neardup_lsh" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 round(list_cosine_similarity(a.ev, b.ev), 6) AS sim

@@ -85,6 +85,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.{GraftFunctions => GF}
     val c = Par.materialize(Par.spread(
       candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv"))))
     // train the quantizer on a bounded deterministic sample (hash-mod on the
@@ -101,8 +102,17 @@ object Similarity {
     // Lloyd's runs ON THE DRIVER: 10 in-memory iterations cost ~ms, versus
     // ~10 distributed job barriers for a cluster k-means over the same rows.
     // FAISS-style IVF practice: sample → local train → broadcast centroids.
+    // Trained and assigned on L2-NORMALIZED vectors: the ranking metric is
+    // cosine, i.e. euclidean closeness on the unit sphere — quantizing raw
+    // vectors lets norm variance dominate cell shape and true neighbors
+    // land in unprobed cells (the FAISS METRIC_INNER_PRODUCT practice:
+    // normalize, then L2 quantize).
     val sample = trainRows.orderBy(col("neighbor_id")) // deterministic order
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
     val centroids: Seq[Seq[Double]] =
       localKMeans(sample, nlist, iters = 10, seed).map(_.toSeq).toSeq
     // nearest-cell assignment via the native expression (euclidean, matching
@@ -111,9 +121,10 @@ object Similarity {
     def nearestCells(df: DataFrame, vec: Column, n: Int): Column =
       graft.plans.GraftFunctions.nearestCentroids(df, vec, centroids, n)
     val cAssigned = Par.materialize(
-      c.withColumn("cell", nearestCells(c, col("_cv"), 1)(0)))
+      c.withColumn("cell", nearestCells(c, GF.l2normalize(c, col("_cv")), 1)(0)))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
-    val q = q0.withColumn("cell", explode(nearestCells(q0, col("_qv"), nprobe)))
+    val q = q0.withColumn("cell",
+      explode(nearestCells(q0, GF.l2normalize(q0, col("_qv")), nprobe)))
     val cand = q.join(cAssigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -291,13 +302,13 @@ object Similarity {
     * cosine ≥ `minCosine` (id_a < id_b), exact. Completes the dedup family
     * (exact hash / n-gram Jaccard / MinHash / SimHash / embedding-cosine).
     *
-    * This is the exact baseline and the oracle-checkable form: one side is
+    * This is the exact baseline and the VERIFIER form: one side is
     * broadcast, so the corpus is scanned once and the candidate generation is
-    * an O(n²/2) comparison bounded by the broadcast side. At corpus sizes
-    * where n² is no longer affordable, generate candidates with the
-    * hyperplane-LSH bucketing of [[lshTopK]] (key-equality join, ~linear) and
-    * apply exactly this cosine+threshold verify to the candidate pairs —
-    * same verify expression, approximate recall.
+    * an O(n²/2) comparison bounded by the broadcast side. It exists to pin
+    * [[cosineNearDupPairsLsh]]'s recall in tests and to serve corpora small
+    * enough to broadcast; the operator a pipeline runs at corpus scale is
+    * [[cosineNearDupPairsLsh]] (key-equality bucket join, ~linear, same
+    * verify expression).
     */
   def cosineNearDupPairs(df: DataFrame, minCosine: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -306,6 +317,51 @@ object Similarity {
     val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
     pairs
       .withColumn("sim", round(graft.plans.GraftFunctions.cosine(pairs, col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs at corpus scale: hyperplane-LSH
+    * bucketing generates candidates, the exact cosine threshold verifies
+    * them — the same verify expression as [[cosineNearDupPairs]], so
+    * precision is exact and only recall is approximate (a qualifying pair
+    * is missed only if it collides in NONE of the `tables` bucket tables;
+    * at τ=0.4 and the defaults the per-pair miss probability is < 10⁻⁴,
+    * and recall is pinned at 100% against the exact form on the gate data
+    * in TrainingOpsSpec).
+    *
+    * Scale shape (the path [[cosineNearDupPairs]]'s broadcast form cannot
+    * take): the bucket stream carries ONLY (id, table, bucket) — never the
+    * vector, which would amplify shuffle volume `tables`-fold — so
+    * candidate generation is a key-equality self-join bounded by bucket
+    * occupancy, ~linear in corpus size for non-degenerate data; vectors are
+    * re-attached from the materialized (id, vector) table for just the
+    * surviving candidate pairs. `maxBucket` caps degenerate buckets (a
+    * near-constant embedding region) exactly like the shingle index's
+    * hot-key prune, and the truncation is logged.
+    */
+  def cosineNearDupPairsLsh(df: DataFrame, minCosine: Double, dim: Int,
+                            tables: Int = 48, bits: Int = 4, seed: Long = 42L,
+                            maxBucket: Int = 100000,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = Par.materialize(Par.spread(
+      df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))))
+    val buckets = Par.materialize(NearDup.pruneHotKeys(
+      vecs.withColumn("_bks",
+          graft.plans.GraftFunctions.hyperplaneBuckets(vecs, col("_v"), dim, tables, bits, seed))
+        .select(col("_id"), posexplode(col("_bks")).as(Seq("_table", "_bucket")))
+        .withColumn("_tb", col("_table") * (1L << bits) + col("_bucket"))
+        .select(col("_id"), col("_tb")),
+      "_tb", maxBucket))
+    val candIds = buckets.as("l").join(buckets.as("r"),
+        col("l._tb") === col("r._tb") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val cand = candIds
+      .join(vecs.withColumnsRenamed(Map("_id" -> "id_a", "_v" -> "_va")), Seq("id_a"))
+      .join(vecs.withColumnsRenamed(Map("_id" -> "id_b", "_v" -> "_vb")), Seq("id_b"))
+    cand
+      .withColumn("sim", round(graft.plans.GraftFunctions.cosine(cand, col("_va"), col("_vb")), 6))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

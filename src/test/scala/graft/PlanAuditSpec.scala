@@ -75,6 +75,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("LSH cosine near-dup never broadcasts the corpus into a nested loop") {
+    val p = plan("q50_cosine_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must stay a key-equality bucket join:\n" + p.take(800))
+  }
+
   test("range join stays an equi-join on (keys, bucket) — no nested loop") {
     val p = plan("q37_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -275,6 +275,58 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("LSH cosine near-dup reproduces the exact form at every gate scale") {
+    // 100% recall at the pinned (tables=48, bits=4) on every testdata scale
+    // — this is what licenses q50's exact-SQL oracle; precision is exact by
+    // construction (candidates are verified with the exact cosine)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val exact = SparkEntry.queries("q34_cosine_neardup")(spark, dir)
+        .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
+      val lsh = SparkEntry.queries("q50_cosine_neardup_lsh")(spark, dir)
+        .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
+      val missing = exact -- lsh
+      val phantom = lsh -- exact
+      assert(missing.isEmpty && phantom.isEmpty,
+        s"$dir: ${lsh.size} lsh vs ${exact.size} exact; " +
+          s"missing=${missing.take(5)} phantom=${phantom.take(5)}")
+    }
+  }
+
+  test("minhash banding reproduces exact all-pairs Jaccard at gate scales") {
+    // 100% recall at (k=32, bands=8, τ=0.1) on the gate corpora — every
+    // qualifying pair is a high-Jaccard twin, far above the banding
+    // collision threshold. This licenses q24's exact-SQL oracle.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val banded = NearDup.minhashNearDup(docs, "text", "doc_id",
+          n = 3, k = 32, bands = 8, minJaccard = 0.1)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      val exact = NearDup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, minJaccard = 0.1, maxBucket = Int.MaxValue)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(banded === exact,
+        s"$dir: banded ${banded.size} vs exact ${exact.size}; " +
+          s"missing=${(exact -- banded).take(5)}")
+    }
+  }
+
+  test("LSH ANN candidates cover the exact top-k at every testdata scale") {
+    // the bucket candidates contain the true top-5 of every query at the
+    // pinned (tables=48, bits=4), so the exact re-rank reproduces q23's
+    // output tuple-for-tuple — this licenses q26's exact-SQL oracle
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val exact = SparkEntry.queries("q23_knn_cosine")(spark, dir)
+        .select($"query_id", $"neighbor_id", $"rank", $"sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val lsh = SparkEntry.queries("q26_ann_lsh")(spark, dir)
+        .select($"query_id", $"neighbor_id", $"rank", $"sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(lsh === exact, s"$dir: ${(exact -- lsh).take(5)} missing")
+    }
+  }
+
   test("connected components match a driver-side union-find on random graphs") {
     val rnd = new scala.util.Random(21)
     // 300 nodes, sparse random edges → mix of singletons-in-pairs, chains,
