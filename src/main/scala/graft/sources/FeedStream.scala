@@ -29,6 +29,14 @@ case class FeedOffset(micros: Long) extends Offset {
   *  - `planInputPartitions(start, end)` plans page ranges against the
   *    `start` cursor (the feed's native `updated_after` parameter), so
   *    executors pull pages concurrently exactly as in a batch backfill.
+  *    Adjacent partitions OVERLAP by one page: a row that mutates
+  *    mid-batch moves to the tail of the ordering and every row behind it
+  *    shifts one offset down, so a row sitting at a partition boundary
+  *    could slide into a range an earlier partition already read and be
+  *    delivered by neither. The one-page lookback re-reads the boundary
+  *    (covering up to `pageSize` mid-batch mutations); rows double-read in
+  *    the overlap are the at-least-once duplicates the idempotent sinks
+  *    already absorb.
   *  - Readers re-filter rows to `(start, end]` by `updated_at`: rows that
   *    mutate (and so re-order) AFTER `latestOffset` probed are excluded
   *    from this batch and picked up by the next one — at-least-once from
@@ -91,8 +99,12 @@ class FeedMicroBatchStream(transport: FeedTransport, schema: StructType,
     val total = PagedFeed.withRetry()(() => transport.fetch(startCur, 1, 0)).totalCount
     if (total == 0) return Array.empty
     val span = pageSize.toLong * pagesPerPartition
+    // one-page lookback per partition (see class doc): rows shifted down by
+    // mid-batch mutations re-appear in the overlap instead of being skipped;
+    // the (start, end] row filter plus idempotent sinks absorb the re-reads
     (0L until total by span)
-      .map(s => FeedStreamPartition(s, math.min(s + span, total),
+      .map(s => FeedStreamPartition(math.max(0L, s - pageSize),
+        math.min(s + span, total),
         start.asInstanceOf[FeedOffset].micros, endMicros))
       .toArray
   }

@@ -177,16 +177,42 @@ object ManifestStore {
   /** Atomically claim `vNNNNNNNN.json` with create-exclusive (`O_EXCL`) —
     * NOT rename: POSIX rename silently overwrites an existing destination,
     * so renaming into the slot lets a race clobber a committed manifest.
-    * Create-exclusive is the true test-and-set on local FS/HDFS; on S3 the
-    * same claim is a conditional `PUT If-None-Match:*` — this method is the
-    * single point to swap. Returns false on a lost race (caller re-bases).
+    * Returns false on a lost race (caller re-bases); any OTHER I/O failure
+    * (permissions, disk full) propagates — misclassifying it as a lost race
+    * would burn the retry budget against a dead filesystem.
+    *
+    * Backend dispatch: Hadoop's `RawLocalFileSystem.create(path, overwrite
+    * = false)` is exists-check-then-create, NOT atomic — two local writers
+    * can both pass the check and one manifest silently clobbers the other.
+    * For `file:` URIs the claim therefore goes through
+    * `java.nio.Files.createFile`, a true `O_EXCL` open; the body lands
+    * right after the claim (readers already tolerate a mid-write top
+    * manifest — see [[currentSnapshot]]). On HDFS `create(overwrite =
+    * false)` IS an atomic namespace operation and is used as-is; on S3 the
+    * same claim is a conditional `PUT If-None-Match:*` — this method is
+    * the single point to swap.
     */
   private def publish(f: FileSystem, dir: String, version: Long, body: String): Boolean = {
     val target = manifestPath(dir, version)
-    val out = try f.create(target, false)
-              catch { case _: java.io.IOException => return false }
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    true
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    if ("file" == Option(f.getUri.getScheme).getOrElse("")) {
+      val local = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try java.nio.file.Files.createFile(local)
+      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+      java.nio.file.Files.write(local, bytes)
+      true
+    } else {
+      val out = try f.create(target, false)
+                catch {
+                  case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+                  case e: java.io.IOException
+                    if Option(e.getMessage).exists(_.contains("already exists")) =>
+                    return false
+                }
+      try out.write(bytes) finally out.close()
+      true
+    }
   }
 
   /** Rewrite the current contents as one fresh version with `numFiles`
@@ -204,15 +230,27 @@ object ManifestStore {
   }
 
   /** Drop versions older than the latest `keepVersions`, then delete every
-    * data file no surviving manifest references. Returns (manifests, data
-    * files) deleted. Readers of vacuumed versions lose time travel — the
-    * retention contract, same as any table format.
+    * data file no surviving manifest references AND older than
+    * `retainMillis`. Returns (manifests, data files) deleted.
+    *
+    * The retention window is what makes vacuum safe against IN-FLIGHT
+    * commits: [[commit]] writes data files BEFORE publishing the manifest
+    * that references them, so a freshly-written part file under `d-<nonce>`
+    * is unreferenced for a moment — a concurrent vacuum without the window
+    * would delete it and the commit would then publish a manifest pointing
+    * at missing files (the Delta/Iceberg retention rule; their default is
+    * 7 days, ours 24 h — state tables commit far more often than they're
+    * vacuumed). Pass `retainMillis = 0` only when no writer can be active.
+    * Readers of vacuumed versions lose time travel — the retention
+    * contract, same as any table format.
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): (Int, Int) = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
+             retainMillis: Long = 24L * 3600 * 1000): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, dir)
     val md = manifestDir(dir)
     if (!f.exists(md)) return (0, 0)
+    val cutoff = System.currentTimeMillis() - retainMillis
     val versions = f.listStatus(md).toSeq.flatMap(s => s.getPath.getName match {
       case manifestName(v) => Some(v.toLong)
       case _ => None
@@ -226,7 +264,9 @@ object ManifestStore {
         f.listStatus(d.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
           .foreach { file =>
             val rel = s"${d.getPath.getName}/${file.getPath.getName}"
-            if (!live.contains(rel)) { f.delete(file.getPath, false); dataDeleted += 1 }
+            if (!live.contains(rel) && file.getModificationTime < cutoff) {
+              f.delete(file.getPath, false); dataDeleted += 1
+            }
           }
         if (f.listStatus(d.getPath).forall(!_.getPath.getName.endsWith(".parquet")))
           f.delete(d.getPath, true) // only bookkeeping files left

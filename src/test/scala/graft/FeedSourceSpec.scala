@@ -121,6 +121,30 @@ class FeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("micro-batch partitions overlap by one page (boundary-shift lookback)") {
+    // a row mutating mid-batch shifts every later row one offset down; a row
+    // at a partition boundary would slide into the range an earlier partition
+    // already consumed and be delivered by neither. Each partition therefore
+    // starts one page early; the (start, end] filter + idempotent sinks
+    // absorb the double-read of the overlap.
+    mkFeed("overlap")
+    val stream = new graft.sources.FeedMicroBatchStream(
+      graft.sources.RegistryTransport("overlap"), schema, None,
+      pageSize = 100, pagesPerPartition = 5)
+    val end = stream.latestOffset()
+    val parts = stream.planInputPartitions(stream.initialOffset(), end)
+      .map(_.asInstanceOf[graft.sources.FeedStreamPartition])
+    assert(parts.length === 5, parts.mkString("; ")) // 2400 rows / 500 span
+    assert(parts.head.firstOffset === 0L)
+    parts.sliding(2).foreach { case Array(a, b) =>
+      assert(b.firstOffset === a.lastOffsetExclusive - 500 + 400,
+        s"partition must start one page before its span: $a -> $b")
+      assert(b.firstOffset < a.lastOffsetExclusive, s"no overlap between $a and $b")
+    }
+    // full coverage: the union of ranges covers [0, total)
+    assert(parts.map(_.lastOffsetExclusive).max === 2400L)
+  }
+
   test("feed source composes with the extractor pipeline operators") {
     mkFeed("compose")
     val raw = spark.read.format("graft-feed").option("feed", "compose").load()

@@ -73,7 +73,9 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.append(df(1L -> "a"), dir)         // v1: files A
     ManifestStore.overwrite(df(2L -> "b"), dir)      // v2: files B (A now dead)
     ManifestStore.append(df(3L -> "c"), dir)         // v3: files B+C
-    val (manifestsDropped, filesDropped) = ManifestStore.vacuum(spark, dir, keepVersions = 2)
+    // retainMillis = 0: no concurrent writer in this test (see retention test)
+    val (manifestsDropped, filesDropped) =
+      ManifestStore.vacuum(spark, dir, keepVersions = 2, retainMillis = 0)
     assert(manifestsDropped === 1) // v1 gone
     assert(filesDropped >= 1)      // v1's data files unreferenced by v2/v3
     assert(contents(dir) === Set(2L -> "b", 3L -> "c")) // latest untouched
@@ -96,9 +98,24 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir) === (1 to 6).map(i => i.toLong -> s"r$i").toSet)
     // pre-compaction version still time-travels until vacuumed
     assert(ManifestStore.readVersion(spark, dir, 6L, schema).count() === 6)
-    val (_, dropped) = ManifestStore.vacuum(spark, dir, keepVersions = 1)
+    val (_, dropped) = ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
     assert(dropped >= 6) // the small files are reclaimed
     assert(contents(dir).size === 6)
+  }
+
+  test("vacuum retention window shields fresh unreferenced files (in-flight commits)") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a"), dir)
+    ManifestStore.overwrite(df(2L -> "b"), dir) // v1's files now unreferenced, but fresh
+    // default retention: files younger than the window survive even though no
+    // manifest references them — this is what keeps a concurrent commit's
+    // just-written (not yet published) data files from being deleted
+    val (_, freshDeleted) = ManifestStore.vacuum(spark, dir, keepVersions = 1)
+    assert(freshDeleted === 0, "fresh unreferenced files must survive retention")
+    assert(contents(dir) === Set(2L -> "b"))
+    val (_, oldDeleted) = ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(oldDeleted >= 1) // past the window the same files are reclaimed
+    assert(contents(dir) === Set(2L -> "b"))
   }
 
   test("many interleaved commits keep every append (optimistic retries hold)") {
