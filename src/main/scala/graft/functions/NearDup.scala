@@ -52,16 +52,24 @@ object NearDup {
     * shingle: explode distinct shingles → self-join on shingle (inverted
     * index) → count common → |A∩B| / (|A|+|B|−|A∩B|). Returns
     * (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
+    *
+    * The index carries 64-bit shingle FINGERPRINTS (Broder's construction),
+    * not shingle strings: the self-join — the operator's dominant shuffle —
+    * exchanges 8-byte longs and compares longs, and set sizes/intersections
+    * over fingerprints equal those over shingles up to 2⁻⁶⁴ collisions
+    * (none on the gate data; the oracle computes string Jaccard, so a
+    * collision would surface as a gate mismatch).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
                         minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
     // spread the raw rows BEFORE the shingle projection: a Project above the
     // round-robin Exchange runs at full width; below it, on one scan split.
     val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
-    // native single-pass shingling (text → distinct n-grams); the HOF chain
-    // equivalent is interpreted per element and dominates materialization
+    // native single-pass shingle fingerprinting (text → distinct n-gram
+    // hashes); the HOF chain equivalent is interpreted per element and
+    // dominates materialization
     val sh = Par.materialize(base.select(col("_id"),
-      graft.plans.GraftFunctions.wordShingles(base, col("_text"), n).as("_sh")))
+      graft.plans.GraftFunctions.wordShingleHashes(base, col("_text"), n).as("_sh")))
     val sizes = sh.select(col("_id"), size(col("_sh")).as("_size"))
     // NOT materialized, unlike the band index in minhashNearDup: the full
     // inverted index is |docs|·|shingles| rows — recomputing the explode per

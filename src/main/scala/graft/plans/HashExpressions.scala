@@ -189,6 +189,69 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingle FINGERPRINTS (array<long>) straight from the
+  * text, one imperative pass: whitespace-split, drop empties, xxhash64 each
+  * n-window (hashed over the space-joined shingle string, seed 42 — the same
+  * value `xxhash64(shingle)` would produce), first-occurrence distinct on
+  * the hash. The Broder-fingerprint form of [[WordShingles]]: the inverted
+  * shingle index then shuffles and self-joins on 8-byte longs instead of
+  * ~25-byte strings — less exchange volume, long-compare joins — while
+  * Jaccard over fingerprints equals Jaccard over shingles up to 2⁻⁶⁴
+  * collisions (none on the gate data; the oracle gate would surface one).
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+  }
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = input.toString.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long](math.max(16, toks.length))
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+        StringType, 42L))
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 /** Registration: both the `SparkSessionExtensions` route (cluster-wide via
   * `spark.sql.extensions=graft.plans.GraftExtensions`) and an idempotent
   * per-session helper for sessions built without extensions.
@@ -224,6 +287,16 @@ object GraftFunctions {
     val name = s"graft_shingles_${n}_$distinct"
     df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => WordShingles(exprs.head, n, distinct), "built-in")
+    call_function(name, text)
+  }
+
+  /** Distinct word n-gram shingle fingerprints (array<long>), single native
+    * pass — Jaccard-equivalent to `wordShingles` up to 2⁻⁶⁴ collisions.
+    */
+  def wordShingleHashes(df: org.apache.spark.sql.DataFrame, text: Column, n: Int): Column = {
+    val name = s"graft_shingle_hashes_$n"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => WordShingleHashes(exprs.head, n), "built-in")
     call_function(name, text)
   }
 
