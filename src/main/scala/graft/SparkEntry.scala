@@ -574,6 +574,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Deterministic salted train/val/test split (~90/5/5): assignment by
+    // md5(id:salt) prefix — stable under repartitioning and re-runs, and
+    // recomputable by any engine with md5 (unlike randomSplit, whose
+    // assignment depends on partition layout and sampler state).
+    "q52_train_split" -> ((s, dir) => {
+      graft.functions.Corpus.splitAssign(t(s, dir, "documents"), "doc_id", "42")
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // Token-budget sequence packing: greedy contiguous packing of documents
+    // into ~2048-token training sequences per language — one window pass,
+    // exact integer arithmetic, the shard-assembly step of a training-data
+    // writer.
+    "q53_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Corpus.packSequences(docs, "n_tokens", budget = 2048L,
+        partitionCols = Seq("lang"), orderCol = "doc_id")
+    }),
+
+    // Per-language vocabulary document frequency, top-10 tokens: distinct
+    // per doc before the explode (a repeated-token document counts once),
+    // total-ordered by (df desc, token).
+    "q54_vocab_df" -> ((s, dir) => {
+      graft.functions.Corpus.vocabTopDf(t(s, dir, "documents"), "text", "lang", k = 10)
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1047,6 +1074,40 @@ object SparkEntry {
          JOIN (SELECT user_id, count(*) AS user_total
                FROM events GROUP BY user_id) d
            ON e.user_id = d.user_id""",
+
+    // split thresholds are cumulative 1/256 shares compared on the md5 hex
+    // prefix: train < 0xe6 (230/256), val < 0xf3 (+13/256), else test
+    "q52_train_split" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 2) < 'e6'
+                       THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 2) < 'f3'
+                       THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+
+    "q53_seq_pack" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+           FROM documents)
+         SELECT doc_id, lang, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            - n_tokens) / 2048) AS BIGINT) AS seq_id
+         FROM tok""",
+
+    "q54_vocab_df" ->
+      """WITH tok AS (
+           SELECT lang, unnest(list_distinct(
+             list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+           FROM documents),
+         counts AS (SELECT lang, token, count(*) AS df FROM tok GROUP BY 1, 2),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY lang
+                                        ORDER BY df DESC, token) AS rnk
+           FROM counts)
+         SELECT lang, token, df, rnk FROM ranked WHERE rnk <= 10""",
 
     "q31_distinct_agg" ->
       """SELECT event_type,

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * train/val/test splitting, token-budget sequence packing, vocabulary
+  * document-frequency statistics.
+  *
+  * All three are single-pass declarative plans (a projection, one window,
+  * one explode+groupBy respectively) with exact integer/string arithmetic —
+  * no RNG state, no sampling nondeterminism — so the same corpus always
+  * yields the same split/packing on any cluster size, and every operator is
+  * DuckDB-oracle-checkable.
+  */
+object Corpus {
+
+  /** Deterministic salted split assignment. Each row lands in a named split
+    * by the first byte of `md5(id || ':' || salt)`: thresholds are cumulative
+    * 1/256 shares of the weights, compared on the hex prefix — stable under
+    * repartitioning, insertion, and re-runs (adding a document never moves
+    * another document's split, unlike `randomSplit`, whose assignment
+    * depends on partition layout and sampling state).
+    *
+    * `splits` maps name → weight (fractions of 256, e.g. 230/13/13 ≈
+    * 90/5/5). md5 rather than xxhash64 keeps the assignment reproducible by
+    * ANY engine or language with an md5 implementation — the split must be
+    * recomputable years later by whoever audits the training set.
+    */
+  def splitAssign(df: DataFrame, idCol: String, salt: String,
+                  splits: Seq[(String, Int)] = Seq("train" -> 230, "val" -> 13, "test" -> 13))
+      : DataFrame = {
+    require(splits.map(_._2).sum == 256, "split weights must sum to 256 (1/256 shares)")
+    val prefix = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 2)
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val assign = splits.zip(bounds).foldRight(lit(splits.last._1)) {
+      case (((name, _), bound), rest) =>
+        when(prefix < lit(f"${bound}%02x"), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Greedy contiguous sequence packing: rows ordered by `orderCol` within
+    * each `partitionCols` group are packed into sequences of ~`budget`
+    * tokens; a row's sequence id is `floor(prefix_token_sum / budget)` —
+    * the running sum of all EARLIER rows' tokens. One window pass, exact
+    * integer arithmetic, deterministic under the (partition, order) total
+    * order. A document larger than the budget occupies its sequence(s)
+    * alone — the offset form never splits a document, matching
+    * fill-then-spill packing of training-shard writers.
+    *
+    * Scale: one shuffle on `partitionCols` (the same exchange any
+    * per-group window needs); the output feeds `groupBy(partition, seq)`
+    * shard writes that reuse the partitioning.
+    */
+  def packSequences(df: DataFrame, tokenCol: String, budget: Long,
+                    partitionCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("seq_id",
+        floor((col("_cum") - col(tokenCol).cast("long")) / lit(budget)).cast("long"))
+      .drop("_cum")
+  }
+
+  /** Per-group vocabulary document frequency: how many documents of each
+    * group contain each token at least once, with the group's document
+    * count for normalization. Distinct-per-document BEFORE the explode —
+    * the map-side `array_distinct` bounds each document's contribution to
+    * its vocabulary size, so a degenerate repeated-token document cannot
+    * skew df. Top-`k` per group by (df desc, token asc) — total order.
+    */
+  def vocabTopDf(df: DataFrame, textCol: String, groupCol: String, k: Int): DataFrame = {
+    val toks = array_distinct(TextAnalysis.tokens(col(textCol)))
+    val exploded = df.select(col(groupCol), explode(toks).as("token"))
+    val counts = exploded.groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("df").desc, col("token").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

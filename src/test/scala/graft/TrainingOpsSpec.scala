@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Multimodal, NearDup, Similarity, TextAnalysis}
+import graft.functions.{Corpus, Multimodal, NearDup, Similarity, TextAnalysis}
 
 /** Training-data ops: text analysis, near-dup family, similarity search,
   * multimodal plumbing. The approximate paths (MinHash, SimHash, LSH-ANN)
@@ -376,6 +376,61 @@ class TrainingOpsSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().sorted
     assert(oneShot.toSeq === Seq(0L, 3L, 4L, 5L, 6L, 8L, 9L))
     assert(shared.toSeq === oneShot.toSeq)
+  }
+
+  test("split assignment is stable, salted, and near the target fractions") {
+    val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val assigned = Corpus.splitAssign(docs, "doc_id", "42")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // fractions near 230/13/13 of 256 (binomial tolerance on 2000 draws)
+    val frac = assigned.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("train") - 230.0 / 256) < 0.03, frac.toMap)
+    assert(math.abs(frac("val") - 13.0 / 256) < 0.02, frac.toMap)
+    assert(math.abs(frac("test") - 13.0 / 256) < 0.02, frac.toMap)
+    // stable under repartitioning AND under corpus growth: the first 2000
+    // docs keep their split when 500 more arrive (randomSplit breaks both)
+    val again = Corpus.splitAssign(docs.repartition(7), "doc_id", "42")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(again === assigned)
+    val grown = Corpus.splitAssign(
+        (0L until 2500L).map(i => (i, s"text $i")).toDF("doc_id", "text"), "doc_id", "42")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert((0L until 2000L).forall(i => grown(i) === assigned(i)))
+    // a different salt reshuffles assignments
+    val resalted = Corpus.splitAssign(docs, "doc_id", "43")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(resalted !== assigned)
+  }
+
+  test("sequence packing fills each sequence to the budget, never beyond +last doc") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 400L).map(i => (i, s"g${i % 3}", 50L + rnd.nextInt(400)))
+      .toDF("doc_id", "grp", "n_tokens")
+    val packed = Corpus.packSequences(docs, "n_tokens", budget = 1024L,
+        partitionCols = Seq("grp"), orderCol = "doc_id")
+      .select($"grp", $"seq_id", $"n_tokens").as[(String, Long, Long)].collect()
+    val bySeq = packed.groupBy(p => (p._1, p._2)).view.mapValues(_.map(_._3))
+    bySeq.foreach { case ((g, s), toks) =>
+      assert(s >= 0)
+      // offset-form packing: a sequence holds its docs entirely, so its sum
+      // may overshoot the budget only by (part of) its final document
+      assert(toks.sum < 1024L + toks.max, s"($g,$s): ${toks.sum} tokens")
+    }
+    // every doc packed exactly once
+    assert(packed.length === 400)
+  }
+
+  test("vocab df counts documents, not occurrences, with a total top-k order") {
+    val docs = Seq(
+      (1L, "en", "alpha alpha alpha beta"), // alpha counts once for doc 1
+      (2L, "en", "alpha beta beta"),
+      (3L, "en", "beta gamma"),
+      (4L, "de", "delta")).toDF("doc_id", "lang", "text")
+    val got = Corpus.vocabTopDf(docs, "text", "lang", k = 10)
+      .select($"lang", $"token", $"df", $"rnk").as[(String, String, Long, Long)]
+      .collect().toSet
+    assert(got === Set(("en", "beta", 3L, 1L), ("en", "alpha", 2L, 2L),
+      ("en", "gamma", 1L, 3L), ("de", "delta", 1L, 1L)))
   }
 
   test("quantile sketch rank error is within accuracy bound vs exact order stats") {
