@@ -207,15 +207,17 @@ object Similarity {
       for (j <- 0 until effKsub; d <- 0 until dsub)
         codebooks((s * effKsub + j) * dsub + d) = cb(j)(d)
     }
-    // corpus: normalized once, then only (cell, residual codes) travel; the
-    // full vector is kept solely for the optional exact re-rank
+    // corpus index: normalized once, then ONLY (cell, residual codes)
+    // travel through candidate generation — never the full vector, which
+    // would defeat the ~32× compression exactly where it matters (the
+    // probe join replicates candidates per matching query)
     val cNorm = c.withColumn("_nv", GF.l2normalize(c, col("_cv")))
       .withColumn("cell", GF.nearestCentroids(c, col("_nv"), coarse, 1)(0))
     val cIndexed = Par.materialize(cNorm
       .withColumn("codes", GF.pqEncode(cNorm,
         GF.centroidResidual(cNorm, col("_nv"), col("cell"), coarse),
         codebooks, m, effKsub, dsub))
-      .select(col("neighbor_id"), col("cell"), col("codes"), col("_cv")))
+      .select(col("neighbor_id"), col("cell"), col("codes")))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("_qv"))
     val qn = q0.withColumn("_nqv", GF.l2normalize(q0, col("_qv")))
       .withColumn("_lut", GF.pqLut(q0, col("_nqv"), codebooks, m, effKsub, dsub))
@@ -233,10 +235,16 @@ object Similarity {
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val survivors = scored.withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= math.max(k, k * rerankFactor))
+      .select(col("query_id"), col("_qv"), col("neighbor_id"))
+    // exact re-rank (IVFADC+R): fetch the few surviving full vectors by id —
+    // a key-equality join against the (materialized) vector table touching
+    // rerankFactor·k rows per query, instead of carrying dim doubles on
+    // every ADC candidate
+    val rerank = survivors.join(c, Seq("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    survivors
-      .withColumn("sim", graft.plans.GraftFunctions.cosine(survivors, col("_qv"), col("_cv")))
+    rerank
+      .withColumn("sim", graft.plans.GraftFunctions.cosine(rerank, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
