@@ -147,19 +147,34 @@ object ManifestStore {
     //    only the manifest publish repeats, never the data write
     var attempt = 0
     while (attempt < maxAttempts) {
-      // files re-base on the latest PARSEABLE snapshot, but the version must
-      // advance past every claimed slot — including a crashed writer's
-      // corrupt manifest — or commits would retry a dead version forever
+      // Read the claimed high-water mark BEFORE resolving the snapshot: in
+      // the other order a slot claimed between the two reads would make
+      // this writer base its file list on the older snapshot while
+      // versioning past the newer one — silently dropping the newer
+      // commit's files from the lineage.
+      val claimed = maxClaimedVersion(f, dir)
       val prev = currentSnapshot(spark, dir)
-      val version = math.max(maxClaimedVersion(f, dir), prev.map(_.version).getOrElse(0L)) + 1
-      val files = combine(prev.map(_.files).getOrElse(Nil), fresh)
-      val body = mapper.createObjectNode()
-      body.put("version", version)
-      body.put("op", op)
-      val arr = body.putArray("files")
-      files.foreach(arr.add)
-      if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
-      attempt += 1
+      val prevV = prev.map(_.version).getOrElse(0L)
+      if (claimed > prevV && attempt < maxAttempts - 2) {
+        // a slot exists above the newest parseable snapshot. With atomic
+        // publish (local FS / conditional PUT) that cannot happen; on a
+        // backend with a claim-then-write window it is an in-flight
+        // publish — wait briefly for the body rather than re-base on the
+        // stale snapshot. Only the final attempts advance past it (crashed
+        // writer's corpse), so a corpse delays commits, never loses them.
+        Thread.sleep(20L << math.min(attempt, 4))
+        attempt += 1
+      } else {
+        val version = math.max(claimed, prevV) + 1
+        val files = combine(prev.map(_.files).getOrElse(Nil), fresh)
+        val body = mapper.createObjectNode()
+        body.put("version", version)
+        body.put("op", op)
+        val arr = body.putArray("files")
+        files.foreach(arr.add)
+        if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
+        attempt += 1
+      }
     }
     throw new java.io.IOException(
       s"manifest commit on $dir lost $maxAttempts straight races — aborting")
@@ -174,23 +189,32 @@ object ManifestStore {
     }).foldLeft(0L)(math.max)
   }
 
-  /** Atomically claim `vNNNNNNNN.json` with create-exclusive (`O_EXCL`) —
-    * NOT rename: POSIX rename silently overwrites an existing destination,
-    * so renaming into the slot lets a race clobber a committed manifest.
-    * Returns false on a lost race (caller re-bases); any OTHER I/O failure
-    * (permissions, disk full) propagates — misclassifying it as a lost race
-    * would burn the retry budget against a dead filesystem.
+  /** Atomically publish `vNNNNNNNN.json`: the slot claim and the manifest
+    * BODY must land in one indivisible step. Claim-then-write (create the
+    * file, then write the bytes) has a mid-write window in which a
+    * concurrently RE-BASING writer reads the claimed-but-empty manifest,
+    * skips it as unparseable, bases its append on the previous snapshot —
+    * and the in-flight commit's files silently vanish from the new lineage
+    * (readers skipping a corpse is safe; writers skipping one is lost
+    * data; caught by the racing-threads spec).
     *
-    * Backend dispatch: Hadoop's `RawLocalFileSystem.create(path, overwrite
-    * = false)` is exists-check-then-create, NOT atomic — two local writers
-    * can both pass the check and one manifest silently clobbers the other.
-    * For `file:` URIs the claim therefore goes through
-    * `java.nio.Files.createFile`, a true `O_EXCL` open; the body lands
-    * right after the claim (readers already tolerate a mid-write top
-    * manifest — see [[currentSnapshot]]). On HDFS `create(overwrite =
-    * false)` IS an atomic namespace operation and is used as-is; on S3 the
-    * same claim is a conditional `PUT If-None-Match:*` — this method is
-    * the single point to swap.
+    * On `file:` URIs: write the full body to a hidden temp file, then
+    * claim the slot with `Files.createLink` — hard-link creation is an
+    * atomic all-or-nothing publish that fails with
+    * `FileAlreadyExistsException` if the slot is taken (POSIX `rename`
+    * would silently OVERWRITE an existing slot, so it cannot claim). A
+    * crashed writer can no longer leave a partial manifest: crash before
+    * the link → no manifest; after → a complete one. On S3 the equivalent
+    * is a conditional `PUT If-None-Match:*`, which also carries body +
+    * claim atomically — this method is the single point to swap. The
+    * generic-Hadoop branch (`create(overwrite = false)`, an atomic
+    * namespace claim on HDFS) retains the mid-write window for re-basing
+    * writers; HDFS deployments should route through an
+    * object-store-conditional or HDFS-rename-based implementation here.
+    *
+    * Returns false on a lost race (caller re-bases); any OTHER I/O failure
+    * (permissions, disk full) propagates — misclassifying it as a lost
+    * race would burn the retry budget against a dead filesystem.
     */
   private def publish(f: FileSystem, dir: String, version: Long, body: String): Boolean = {
     val target = manifestPath(dir, version)
@@ -198,10 +222,17 @@ object ManifestStore {
     if ("file" == Option(f.getUri.getScheme).getOrElse("")) {
       val local = java.nio.file.Paths.get(target.toUri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
-      try java.nio.file.Files.createFile(local)
-      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
-      java.nio.file.Files.write(local, bytes)
-      true
+      val tmp = local.resolveSibling(
+        s".${local.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.createLink(local, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
     } else {
       val out = try f.create(target, false)
                 catch {

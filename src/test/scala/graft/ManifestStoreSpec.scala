@@ -103,6 +103,28 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir).size === 6)
   }
 
+  test("genuinely concurrent appends all land (O_EXCL slot claim under racing threads)") {
+    // 8 threads commit simultaneously: every append must survive, every
+    // version slot must be claimed exactly once. Hadoop's local
+    // create(overwrite=false) is exists-check-then-create and loses rows
+    // under this schedule; the java.nio O_EXCL claim does not.
+    val dir = tmpDir()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val versions = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = { gate.await(); ManifestStore.append(df(i.toLong -> s"r$i"), dir) }
+        })
+      }
+      gate.countDown()
+      val claimed = versions.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(claimed.toSet.size === 8, s"slot claimed twice: $claimed")
+      assert(contents(dir) === (1 to 8).map(i => i.toLong -> s"r$i").toSet)
+      assert(ManifestStore.currentSnapshot(spark, dir).get.version === claimed.max)
+    } finally pool.shutdownNow()
+  }
+
   test("vacuum retention window shields fresh unreferenced files (in-flight commits)") {
     val dir = tmpDir()
     ManifestStore.append(df(1L -> "a"), dir)

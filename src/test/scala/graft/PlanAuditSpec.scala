@@ -115,6 +115,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("sequence packing is a single shuffle; split assignment has none") {
+    val pack = plan("q53_seq_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(pack).size == 1, pack.take(800))
+    // the split is a pure projection — it must fuse with the scan
+    val split = plan("q52_train_split")
+    assert(!split.contains("Exchange"), "split must not shuffle:\n" + split.take(800))
+  }
+
   test("trailing RANGE window is a single shuffle (no extra sort exchange)") {
     val p = plan("q46_trailing_window")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
