@@ -409,17 +409,54 @@ object GraftFunctions {
 
 /** Session extension: `SparkSession.builder.withExtensions(new GraftExtensions)`
   * or `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Injects the full native-function family for SQL users (a cluster user
+  * configuring only the extensions conf gets the same surface the Scala
+  * API uses). Shape parameters (shingle width, k, seed, dim/tables/bits)
+  * arrive as TRAILING LITERAL arguments and are folded into the expression
+  * at resolution time — e.g. `graft_shingles(text, 3)`,
+  * `graft_minhash_sig(shingles, 32, 42)`,
+  * `graft_hyperplane_buckets(vec, 64, 8, 10, 42)` — so one registered name
+  * serves every parameterization (the Scala helpers in [[GraftFunctions]]
+  * instead mint one temp function per parameter tuple).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import GraftExtensions.litInt
+
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanosCursorPushdown)
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig_32_42"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig_32_42"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head, 32, 42L)))
+    def inject(name: String, clazz: Class[_], b: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), b))
+    inject("graft_simhash64", classOf[SimHash64], exprs => SimHash64(exprs.head))
+    // legacy fixed-parameter name, kept for plans/SQL written against it
+    inject("graft_minhash_sig_32_42", classOf[MinHashSig],
+      exprs => MinHashSig(exprs.head, 32, 42L))
+    inject("graft_minhash_sig", classOf[MinHashSig],
+      exprs => MinHashSig(exprs.head, litInt(exprs, 1, "k"), litInt(exprs, 2, "seed").toLong))
+    inject("graft_shingles", classOf[WordShingles],
+      exprs => WordShingles(exprs.head, litInt(exprs, 1, "n"), distinct = true))
+    inject("graft_shingle_hashes", classOf[WordShingleHashes],
+      exprs => WordShingleHashes(exprs.head, litInt(exprs, 1, "n")))
+    inject("graft_cosine", classOf[CosineSim], exprs => CosineSim(exprs(0), exprs(1)))
+    inject("graft_l2_normalize", classOf[L2Normalize], exprs => L2Normalize(exprs.head))
+    inject("graft_hyperplane_buckets", classOf[HyperplaneBuckets],
+      exprs => HyperplaneBuckets(exprs.head, litInt(exprs, 1, "dim"),
+        litInt(exprs, 2, "tables"), litInt(exprs, 3, "bits"),
+        litInt(exprs, 4, "seed").toLong))
+  }
+}
+
+object GraftExtensions {
+  /** Extract a fold-time integer shape parameter from a literal argument. */
+  private def litInt(exprs: Seq[Expression], i: Int, what: String): Int = {
+    require(exprs.length > i, s"missing literal argument #$i ($what)")
+    exprs(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument #$i ($what) must be an integer literal, got $other")
+    }
   }
 }

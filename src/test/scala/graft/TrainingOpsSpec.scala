@@ -433,6 +433,42 @@ class TrainingOpsSpec extends SparkSpec {
       ("en", "gamma", 1L, 3L), ("de", "delta", 1L, 1L)))
   }
 
+  test("extensions route exposes the native family to plain SQL") {
+    // the session is built withExtensions(GraftExtensions): a SQL user gets
+    // the same surface the Scala helpers use, with shape parameters as
+    // trailing literals folded at resolution time
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT doc_id,
+                graft_simhash64(split(text, ' ')) AS sh,
+                graft_shingles(text, 3) AS grams,
+                graft_shingle_hashes(text, 3) AS gram_hashes,
+                graft_minhash_sig(graft_shingles(text, 3), 32, 42) AS sig
+         FROM ext_docs""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2),
+        r.getSeq[Long](3), r.getSeq[Long](4)))
+    assert(sql.length === 3)
+    val byId = sql.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === byId(2L)._2) // identical docs: same simhash
+    assert(byId(1L)._5 === byId(2L)._5) // ... and same minhash signature
+    assert(byId(1L)._3 === Seq("a b c", "b c d"))
+    assert(byId(1L)._4.length === 2)
+    assert(byId(1L)._4 !== byId(3L)._4)
+    val cos = spark.sql(
+      """SELECT graft_cosine(CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>),
+                             CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)) AS c""")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // non-literal shape parameter fails resolution with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, doc_id) FROM ext_docs").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("quantile sketch rank error is within accuracy bound vs exact order stats") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.01"
