@@ -52,7 +52,12 @@ object Corpus {
     *
     * Scale: one shuffle on `partitionCols` (the same exchange any
     * per-group window needs); the output feeds `groupBy(partition, seq)`
-    * shard writes that reuse the partitioning.
+    * shard writes that reuse the partitioning. A running-sum window is
+    * inherently sequential WITHIN a group — when one group outgrows an
+    * executor's sort budget, add a hash-shard column to `partitionCols`
+    * (e.g. `pmod(xxhash64(id), 256)`): shards pack independently and
+    * packing quality is unaffected, since sequences never span shards by
+    * construction.
     */
   def packSequences(df: DataFrame, tokenCol: String, budget: Long,
                     partitionCols: Seq[String], orderCol: String): DataFrame = {

@@ -21,11 +21,16 @@ trait TableStore {
   *
   * Writes follow the reference's write-to-tmp + atomic-rename discipline
   * (`services/extractor/app/writer_landing.py:11-13,42-52`) lifted to
-  * directory level: write `<dir>.tmp-<nonce>`, then swap. Readers see either
-  * the old or the new complete dataset, never a partial one. On HDFS the
-  * rename is atomic; on object stores swap the pointer via a manifest/table
-  * format instead — the API boundary here is what you'd back with Delta/
-  * Iceberg on a real cluster (not available in this offline build).
+  * directory level: write `<dir>.tmp-<nonce>`, then swap. Readers never see
+  * a PARTIAL dataset — but the swap is two renames (out, then in), so a
+  * reader racing the writer can hit the gap where the directory is absent
+  * and would otherwise read an EMPTY table (for a watermark that means a
+  * silent cursor reset and a full re-extract). [[read]] therefore detects
+  * an in-flight swap (an `.old-`/`.tmp-` sibling) and briefly retries
+  * before concluding the table is genuinely empty. That closes the
+  * single-writer/concurrent-reader race; for concurrent WRITERS or object
+  * stores use [[ManifestStore.asTableStore]], whose manifest commit has no
+  * such gap.
   *
   * These tables are intentionally tiny (control metadata) or append-mostly
   * (history); reads of control tables are driver-cheap and never in a hot
@@ -36,8 +41,25 @@ object StateStore extends TableStore {
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (!fs.exists(path) && swapInFlight(fs, path) && attempt < 20) {
+      Thread.sleep(50)
+      attempt += 1
+    }
     if (fs.exists(path)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** A sibling `.old-`/`.tmp-` directory means an [[overwrite]] swap is
+    * mid-flight (or a crashed writer left its rollback source — in which
+    * case the bounded retry lapses and the caller sees the table as it is).
+    */
+  private def swapInFlight(fs: org.apache.hadoop.fs.FileSystem, path: Path): Boolean = {
+    val parent = path.getParent
+    parent != null && fs.exists(parent) && fs.listStatus(parent).exists { s =>
+      val n = s.getPath.getName
+      n.startsWith(path.getName + ".old-") || n.startsWith(path.getName + ".tmp-")
+    }
   }
 
   /** Atomically replace `dir` with the contents of `df`. */

@@ -48,6 +48,26 @@ class StateSpec extends SparkSpec {
     assert(wm.table.count() == 2)
   }
 
+  test("a reader racing the directory swap sees data, never a phantom-empty table") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("swap-race")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.sources.StateStore.overwrite(df, dir)
+    // simulate the mid-swap gap: dir renamed out (as overwrite does), a
+    // writer thread completing the swap 150 ms later. Without the
+    // in-flight-swap retry, read() returns an EMPTY table in the gap — for
+    // a watermark that is a silent cursor reset and a full re-extract.
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + ".old-racetest")
+    assert(fs.rename(path, old))
+    val writer = new Thread(() => { Thread.sleep(150); fs.rename(old, path): Unit })
+    writer.start()
+    val got = graft.sources.StateStore.read(spark, dir, df.schema)
+    writer.join()
+    assert(got.count() === 2, "reader hit the swap gap and saw a phantom-empty table")
+  }
+
   test("run log lifecycle: running → success with counts (test_staging_repo.py:77-86)") {
     val rl = new RunLog(spark, tmpDir("rl"))
     rl.start("r1", "pipe", "e", startedAt = t0)
