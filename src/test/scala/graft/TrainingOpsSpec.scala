@@ -433,6 +433,41 @@ class TrainingOpsSpec extends SparkSpec {
       ("en", "gamma", 1L, 3L), ("de", "delta", 1L, 1L)))
   }
 
+  test("corpus pipeline end-to-end: filter → dedup → split → pack composes and conserves") {
+    // the full training-data path as one composed flow over real testdata:
+    // quality filter → near-dup canonical corpus → split assignment →
+    // sequence packing. Asserts conservation (no doc lost or duplicated at
+    // any stage), stage containment, and rerun determinism.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def run(): (Set[Long], Set[Long], Map[Long, String], Map[Long, (String, Long)]) = {
+      val filtered = docs.filter(TextAnalysis.tokenCount($"text") >= 5)
+      val pairs = NearDup.ngramJaccardPairs(filtered, "text", "doc_id",
+        n = 3, minJaccard = 0.2)
+      val deduped = NearDup.canonicalCorpus(filtered, pairs, "doc_id")
+      val split = Corpus.splitAssign(deduped, "doc_id", "e2e")
+      val packed = Corpus.packSequences(
+        split.select($"doc_id", $"lang", $"split",
+          TextAnalysis.tokenCount($"text").cast("long").as("n_tokens")),
+        "n_tokens", budget = 2048L, partitionCols = Seq("split", "lang"),
+        orderCol = "doc_id")
+      (filtered.select($"doc_id").as[Long].collect().toSet,
+        deduped.select($"doc_id").as[Long].collect().toSet,
+        split.select($"doc_id", $"split").as[(Long, String)].collect().toMap,
+        packed.select($"doc_id", $"lang", $"seq_id").as[(Long, String, Long)]
+          .collect().map(r => r._1 -> (r._2, r._3)).toMap)
+    }
+    val (filtered, deduped, split, packed) = run()
+    assert(filtered.nonEmpty && deduped.nonEmpty)
+    assert(deduped.subsetOf(filtered), "dedup must only drop documents")
+    assert(deduped.size < filtered.size, "the sf0.01 corpus has near-dups to drop")
+    assert(split.keySet === deduped, "split assigns every surviving doc exactly once")
+    assert(packed.keySet === deduped, "packing covers every surviving doc exactly once")
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    // rerun: identical end-to-end (no RNG, no partition-order dependence)
+    val (f2, d2, s2, p2) = run()
+    assert(f2 === filtered && d2 === deduped && s2 === split && p2 === packed)
+  }
+
   test("extensions route exposes the native family to plain SQL") {
     // the session is built withExtensions(GraftExtensions): a SQL user gets
     // the same surface the Scala helpers use, with shape parameters as
