@@ -574,6 +574,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Incremental near-dup admission: a new batch dedups against the
+    // maintained corpus (batch work ∝ |batch| × bucket occupancy — never a
+    // corpus self-join) plus its own internal pairs; a batch doc is
+    // admitted iff it near-dups no existing doc and no smaller-id batch
+    // doc. The production shape of daily corpus maintenance.
+    "q55_incremental_admit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val existing = docs.filter(col("doc_id") % 7 =!= 0)
+      graft.functions.NearDup.admitBatch(existing, batch, "text", "doc_id",
+          n = 3, minJaccard = 0.2)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Deterministic salted train/val/test split (~90/5/5): assignment by
     // md5(id:salt) prefix — stable under repartitioning and re-runs, and
     // recomputable by any engine with md5 (unlike randomSplit, whose
@@ -1074,6 +1088,34 @@ object SparkEntry {
          JOIN (SELECT user_id, count(*) AS user_total
                FROM events GROUP BY user_id) d
            ON e.user_id = d.user_id""",
+
+    // batch doc admitted iff no jaccard>=0.2 pair with an existing doc or a
+    // smaller-id batch doc (the Spark side's corpus-side hot-key prune has
+    // no effect at gate scale: no shingle reaches 1000 corpus postings)
+    "q55_incremental_admit" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         cand AS (
+           SELECT x.doc_id AS id_x, b.doc_id AS id_b, count(*) AS common
+           FROM inv x JOIN inv b ON x.shingle = b.shingle
+            AND b.doc_id % 7 = 0
+            AND (x.doc_id % 7 <> 0 OR x.doc_id < b.doc_id)
+           GROUP BY 1, 2),
+         dropped AS (
+           SELECT DISTINCT id_b FROM cand
+           JOIN sizes sx ON sx.doc_id = id_x
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE round(common * 1.0 / (sx.sz + sb.sz - common), 4) >= 0.2)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT id_b FROM dropped)""",
 
     // split thresholds are cumulative 1/256 shares compared on the md5 hex
     // prefix: train < 0xe6 (230/256), val < 0xf3 (+13/256), else test

@@ -182,6 +182,81 @@ object NearDup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dup: pairs between an incoming batch and the
+    * existing corpus PLUS batch-internal pairs — never existing×existing,
+    * which a maintained corpus has already resolved. This is the
+    * production shape of dedup maintenance: per-batch work is
+    * |batch| × bucket occupancy (the batch's exploded fingerprints join
+    * the corpus's inverted index on 8-byte keys), so a daily batch costs
+    * the same whether the corpus holds a million or a billion documents —
+    * re-running [[ngramJaccardPairs]] over the union would re-pay the
+    * full corpus self-join every batch.
+    *
+    * Returns (id_a, id_b, jaccard) where id_b is always the batch doc of
+    * the pair (for existing↔batch pairs) or the larger id (batch-internal),
+    * exact-verified like the full form. At 100 TB the existing index
+    * (id, fingerprint) is a maintained table the pipeline appends to —
+    * here it is derived from `existing` on the fly.
+    */
+  def incrementalJaccardPairs(existing: DataFrame, batch: DataFrame,
+                              textCol: String, idCol: String, n: Int,
+                              minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = {
+      val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
+      Par.materialize(base.select(col("_id"),
+        graft.plans.GraftFunctions.wordShingleHashes(base, col("_text"), n).as("_sh")))
+    }
+    val ex = shingled(existing)
+    val ba = shingled(batch)
+    // hot-key prune applies to the CORPUS index (its posting lists are what
+    // amplify the cross join); the batch index needs none — batch-internal
+    // fan-out is bounded by the batch size
+    val exInv = pruneHotKeys(
+      ex.select(col("_id"), explode(col("_sh")).as("_h")), "_h", maxBucket)
+    val baInv = ba.select(col("_id"), explode(col("_sh")).as("_h"))
+    // existing↔batch candidates: batch index joins the corpus index by key
+    val crossIds = baInv.as("b").join(exInv.as("e"), col("b._h") === col("e._h"))
+      .select(col("e._id").as("id_a"), col("b._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // batch-internal candidates: the batch's own (small) self-join
+    val selfIds = baInv.as("l").join(baInv.as("r"),
+        col("l._h") === col("r._h") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sh = ex.unionByName(ba)
+    val cand = crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b")
+      .join(sh.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
+      .join(sh.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
+    cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Batch admission under incremental dedup: the batch documents that
+    * survive against the existing corpus and their own batch. A batch doc
+    * drops iff it pairs with ANY existing doc (the corpus member always
+    * wins — its id is already canonical) or with a smaller-id batch doc —
+    * the pair-local rule every incremental dedup pipeline applies (no
+    * cluster closure needed: admission is per-document, and conservatively
+    * dropping both members of a transitive chain is the safe direction for
+    * training data).
+    */
+  def admitBatch(existing: DataFrame, batch: DataFrame, textCol: String,
+                 idCol: String, n: Int, minJaccard: Double,
+                 maxBucket: Int = 1000): DataFrame = {
+    val exIds = existing.select(col(idCol).as("_exid"))
+    val pairs = Par.materialize(
+      incrementalJaccardPairs(existing, batch, textCol, idCol, n, minJaccard, maxBucket))
+    // a pair's batch-side loser: id_b for existing↔batch (id_b is the batch
+    // doc) and for batch-internal (id_b is the larger id)
+    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
+    batch.join(dropped, Seq(idCol), "left_anti")
+      .join(exIds, col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
+  }
+
   /** Deterministic universal-hash family over xxhash64(shingle):
     * h_i(s) = (a_i·x + b_i) mod p, with fixed odd multipliers derived from
     * the seed — the standard MinHash construction.

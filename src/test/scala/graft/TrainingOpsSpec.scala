@@ -433,6 +433,40 @@ class TrainingOpsSpec extends SparkSpec {
       ("en", "gamma", 1L, 3L), ("de", "delta", 1L, 1L)))
   }
 
+  test("incremental near-dup equals the full form restricted to batch-touching pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val batch = docs.filter($"doc_id" % 7 === 0)
+    val existing = docs.filter($"doc_id" % 7 =!= 0)
+    val inc = NearDup.incrementalJaccardPairs(existing, batch, "text", "doc_id",
+        n = 3, minJaccard = 0.2)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    // the full-corpus form over the union, restricted to pairs touching the
+    // batch — the incremental path must find exactly these (same fingerprint
+    // family, same verify, same threshold)
+    val full = NearDup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.2, maxBucket = Int.MaxValue)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .filter(p => p._1 % 7 == 0 || p._2 % 7 == 0).toSet
+    assert(inc === full, s"missing=${(full -- inc).take(5)} phantom=${(inc -- full).take(5)}")
+    assert(inc.nonEmpty, "sf0.01 has batch-touching near-dup pairs")
+    // admission: every admitted doc is from the batch; dropped docs are
+    // exactly the batch side of some pair
+    val admitted = NearDup.admitBatch(existing, batch, "text", "doc_id",
+        n = 3, minJaccard = 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    assert(admitted.subsetOf(batchIds))
+    val droppedByPairs = inc.flatMap { case (a, b, _) =>
+      Seq(a, b).filter(batchIds.contains) match {
+        case Seq(x) => Seq(x)                    // existing↔batch: batch side drops
+        case Seq(x, y) => Seq(math.max(x, y))    // batch-internal: larger id drops
+        case _ => Nil
+      }
+    }
+    assert(admitted === batchIds -- droppedByPairs)
+  }
+
   test("corpus pipeline end-to-end: filter → dedup → split → pack composes and conserves") {
     // the full training-data path as one composed flow over real testdata:
     // quality filter → near-dup canonical corpus → split assignment →
