@@ -159,6 +159,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming corpus maintenance: foreachBatch incremental admission into a manifest table") {
+    // the streaming form of q55: each micro-batch of documents dedups
+    // against the manifest-committed corpus (batch-vs-corpus fingerprint
+    // join, never corpus×corpus) and appends only the admitted docs — the
+    // anti-join/idempotent-sink discipline applied to corpus building
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ManifestStore
+    val dir = Files.createTempDirectory("corpus-stream").resolve("corpus").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val existing = ManifestStore.read(batch.sparkSession, dir, schema)
+        val admitted = graft.functions.NearDup.admitBatch(existing, batch,
+          "text", "doc_id", n = 3, minJaccard = 0.5)
+        if (!admitted.isEmpty) ManifestStore.append(admitted, dir): Unit
+      }
+      .start()
+    try {
+      // batch 1: two distinct docs + an intra-batch near-dup of doc 1
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "an entirely different document about spark engines and joins"),
+        (3L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+      val after1 = ManifestStore.read(spark, dir, schema)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(after1 === Set(1L, 2L), s"batch 1 admitted $after1")
+      // batch 2: a near-dup of the STORED doc 1 (must be rejected against
+      // the corpus, not just within its own batch) + one genuinely new doc
+      mem.addData(
+        (4L, "the quick brown fox jumps over the lazy dog yesterday"),
+        (5L, "completely unrelated text with no overlap whatsoever here"))
+      q.processAllAvailable()
+      val after2 = ManifestStore.read(spark, dir, schema)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(after2 === Set(1L, 2L, 5L), s"batch 2 left $after2")
+    } finally q.stop()
+  }
+
   test("simulator tick: deterministic, advances statuses legally, bumps updated_at") {
     val base = (1 to 200).map(i => (s"id$i", "NEW", ts("2024-01-01 00:00:00"), "loader"))
       .toDF("id", "status", "updated_at", "updated_by")
