@@ -236,6 +236,15 @@ object SparkEntry {
         graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
 
+    // Token counting under the BPE-ish pre-tokenization (word runs and
+    // punctuation runs as separate tokens) next to the whitespace count —
+    // the context-window budget count vs the word count.
+    "q56_token_count_bpe" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+        graft.functions.TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
+    }),
+
     // Quality scoring: length/punctuation/stopword metrics.
     "q18_text_quality" -> ((s, dir) => {
       val m = graft.functions.TextAnalysis.qualityMetrics(col("text"))
@@ -747,6 +756,12 @@ object SparkEntry {
 
     "q17_token_count" ->
       """SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+         FROM documents""",
+
+    "q56_token_count_bpe" ->
+      """SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+                len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe
          FROM documents""",
 
     "q18_text_quality" ->

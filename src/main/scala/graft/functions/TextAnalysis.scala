@@ -19,13 +19,27 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Regex tokenizer: splits on any whitespace run; a BPE-ish superset that
-    * also splits off punctuation clusters.
+  /** Regex tokenizer: splits on any whitespace run (tabs/newlines included);
+    * same token boundaries as [[tokens]] on single-spaced text.
     */
   def tokensRegex(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
 
+  /** BPE-ish pre-tokenizer: alphanumeric runs and punctuation runs are
+    * separate tokens ("don't stop." → don, ', t, stop, .) — the word/punct
+    * boundary split every byte-pair tokenizer applies before merging, so
+    * counting these approximates an LLM token budget far better than
+    * whitespace words (which glue trailing punctuation onto words).
+    */
+  def tokensBpe(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Token count under the BPE-ish pre-tokenization — the budget-planning
+    * count for sequence packing against an LLM context window.
+    */
+  def tokenCountBpe(text: Column): Column = size(tokensBpe(text))
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =

@@ -16,6 +16,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("BPE-ish pre-tokenizer splits word and punctuation runs") {
+    val df = Seq(
+      ("don't stop.", Seq("don", "'", "t", "stop", ".")),
+      ("a  b", Seq("a", "b")),
+      ("!!?", Seq("!!?")),
+      ("", Seq.empty[String])).toDF("text", "expected")
+    val bad = df.filter(TextAnalysis.tokensBpe($"text") =!= $"expected")
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+    // the BPE count is never below the word count on punctuation-bearing text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = docs.select(TextAnalysis.tokenCount($"text").as("w"),
+        TextAnalysis.tokenCountBpe($"text").as("b"))
+      .filter($"b" < $"w").count()
+    assert(cmp === 0)
+  }
+
   test("quality metrics: counts and stop ratio") {
     val r = Seq("the cat, and the dog!").toDF("text")
       .select(TextAnalysis.qualityMetrics($"text").toSeq.map { case (n, c) => c.as(n) }: _*)
