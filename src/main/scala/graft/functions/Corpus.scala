@@ -33,8 +33,11 @@ object Corpus {
       : DataFrame = {
     require(splits.map(_._2).sum == 256, "split weights must sum to 256 (1/256 shares)")
     val prefix = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 2)
+    // upper bounds for all but the last split (whose bound would be 256 —
+    // not a byte, and as 3-char hex it would compare lexicographically
+    // wrong); the last split is purely the fallback branch
     val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
-    val assign = splits.zip(bounds).foldRight(lit(splits.last._1)) {
+    val assign = splits.init.zip(bounds).foldRight(lit(splits.last._1)) {
       case (((name, _), bound), rest) =>
         when(prefix < lit(f"${bound}%02x"), lit(name)).otherwise(rest)
     }

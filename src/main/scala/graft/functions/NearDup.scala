@@ -35,7 +35,10 @@ object NearDup {
     * corpus whose candidate recall is being truncated is visible in the
     * driver log. The hot-key set is materialized once (it is a handful of
     * stop-shingle keys) and served to both the count and the anti-join, so
-    * the visibility costs no extra aggregation pass.
+    * the visibility costs no extra aggregation pass. Note this makes the
+    * call EAGER (the posting-list aggregation runs at DataFrame-build
+    * time) — consistent with the rest of the near-dup family, whose
+    * signature tables are eagerly materialized for multi-reference reuse.
     */
   def pruneHotKeys(exploded: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
     val hot = Par.materialize(
@@ -154,7 +157,7 @@ object NearDup {
       iter += 1
     }
     require(converged, s"components did not converge in $maxIter rounds " +
-      "(diameter beyond 2^$maxIter — not reachable by a physical pair list)")
+      s"(diameter beyond 2^$maxIter — not reachable by a physical pair list)")
     labels
   }
 
@@ -223,10 +226,21 @@ object NearDup {
         col("l._h") === col("r._h") && col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sh = ex.unionByName(ba)
-    val cand = crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b")
-      .join(sh.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
+    verifyJaccard(crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b"),
+      ex.unionByName(ba), minJaccard)
+  }
+
+  /** Exact shingle-set Jaccard verify of candidate id pairs: re-attach the
+    * (materialized) shingle arrays per side, intersect, threshold. The ONE
+    * verification expression every banding/bucketing candidate generator
+    * shares — rounding or formula changes here propagate to all of them and
+    * to their oracles together.
+    */
+  private def verifyJaccard(candIds: DataFrame, shingles: DataFrame,
+                            minJaccard: Double): DataFrame = {
+    val cand = candIds
+      .join(shingles.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
+      .join(shingles.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
     cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("common").cast("double") /
@@ -319,16 +333,7 @@ object NearDup {
           col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shingles = sig.select(col("_id"), col("_sh"))
-    val cand = candIds
-      .join(shingles.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
-      .join(shingles.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
-    cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(candIds, sig.select(col("_id"), col("_sh")), minJaccard)
   }
 
   /** 64-bit SimHash of the token stream: per bit position, sum +1/−1 weighted

@@ -21,10 +21,15 @@ object Par {
     // estimate the scan's split count from logical-plan size stats — NOT
     // df.rdd.getNumPartitions, which compiles the whole physical plan and
     // materializes an RDD lineage that is then thrown away (one extra plan
-    // compile per operator invocation)
+    // compile per operator invocation). Plans without real statistics
+    // (LogicalRDD: foreachBatch batches, createDataFrame inputs) report the
+    // defaultSizeInBytes sentinel (Long.MaxValue) — treating that as "big
+    // enough" would silently skip the spread exactly where it matters, so
+    // only a size measured BELOW the sentinel can waive the repartition.
     val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes / splitBytes >= n) df else df.repartition(n)
+    val known = estBytes < BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    if (known && estBytes / splitBytes >= n) df else df.repartition(n)
   }
 
   /** Materialize an expensive, multiply-referenced intermediate (shingle

@@ -29,6 +29,12 @@ import org.apache.spark.sql.types._
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // nullable even over non-null children: length mismatch yields null. The
+  // default child-derived nullability would (a) let UnsafeProjection treat
+  // the slot as never-null and (b) make nullSafeCodeGen pin isNull to the
+  // FalseLiteral, so the mismatch branch's `isNull = true` assignment
+  // generates uncompilable Java and the stage silently falls back.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -299,7 +299,13 @@ object ManifestStore {
               f.delete(file.getPath, false); dataDeleted += 1
             }
           }
-        if (f.listStatus(d.getPath).forall(!_.getPath.getName.endsWith(".parquet")))
+        // delete an emptied d-* dir only past the retention cutoff: a dir
+        // holding just _temporary/ IS an in-flight write whose top-level
+        // parquet files don't exist yet — recursive delete here would rip
+        // the staging area out from under the committing writer, which the
+        // per-file mod-time guard above cannot see
+        if (d.getModificationTime < cutoff &&
+            f.listStatus(d.getPath).forall(!_.getPath.getName.endsWith(".parquet")))
           f.delete(d.getPath, true) // only bookkeeping files left
       }
     drop.foreach(v => f.delete(manifestPath(dir, v), false))

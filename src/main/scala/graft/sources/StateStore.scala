@@ -27,10 +27,13 @@ trait TableStore {
   * and would otherwise read an EMPTY table (for a watermark that means a
   * silent cursor reset and a full re-extract). [[read]] therefore detects
   * an in-flight swap (an `.old-`/`.tmp-` sibling) and briefly retries
-  * before concluding the table is genuinely empty. That closes the
-  * single-writer/concurrent-reader race; for concurrent WRITERS or object
-  * stores use [[ManifestStore.asTableStore]], whose manifest commit has no
-  * such gap.
+  * before concluding the table is genuinely empty. That NARROWS the
+  * single-writer/concurrent-reader race to the instants between the final
+  * existence check and Spark's own file listing (where a racing swap
+  * surfaces as a loud missing-path error, not a silent empty read); a
+  * reader that must never observe the swap at all — and any concurrent
+  * WRITERS or object stores — should use [[ManifestStore.asTableStore]],
+  * whose manifest commit has no such gap.
   *
   * These tables are intentionally tiny (control metadata) or append-mostly
   * (history); reads of control tables are driver-cheap and never in a hot

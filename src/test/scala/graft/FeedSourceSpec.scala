@@ -143,6 +143,20 @@ class FeedSourceSpec extends SparkSpec {
     }
     // full coverage: the union of ranges covers [0, total)
     assert(parts.map(_.lastOffsetExclusive).max === 2400L)
+    // delivered multiplicity on a STABLE feed: every row at least once, and
+    // duplicates are exactly the one-page overlap rows (the bounded
+    // at-least-once cost the idempotent sinks absorb) — no row is lost, no
+    // row is read more than twice
+    val factory = stream.createReaderFactory()
+    val delivered = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      Iterator.continually(r).takeWhile(_.next())
+        .map(_.get().getString(0)).toArray
+    }
+    val counts = delivered.groupBy(identity).view.mapValues(_.length)
+    assert(counts.size === 2400, "every feed row must be delivered")
+    assert(counts.values.forall(c => c == 1 || c == 2))
+    assert(counts.values.count(_ == 2) === 4 * 100, "dups = one page per boundary")
   }
 
   test("feed source composes with the extractor pipeline operators") {
