@@ -97,16 +97,29 @@ class PlanAuditSpec extends SparkSpec {
     val cosined = emb.select(GraftFunctions.cosine(emb, $"v", $"v").as("sim"))
     val bucketed = emb.select(
       GraftFunctions.hyperplaneBuckets(emb, $"v", 64, 8, 10, 42L).as("bks"))
-    for ((df, fn) <- Seq((shingled, "graft_shingles"), (cosined, "graft_cosine"),
-                         (bucketed, "graft_hyperplane_buckets"))) {
-      df.count()
-      val p = df.queryExecution.executedPlan.toString
-      // the projection carrying the native expression must be fused (starred
-      // `*(n) Project`) — a CodegenFallback expression would demote its whole
-      // stage to interpreted row-at-a-time execution
-      val exprLine = p.linesIterator.find(_.contains(fn)).getOrElse("")
-      assert(exprLine.contains("*("), s"$fn runs outside codegen:\n$exprLine\n" + p.take(600))
-    }
+    // fallback=false: a janino compile error in the generated code (e.g. an
+    // assignment to a pinned isNull literal under non-nullable children)
+    // fails the test loudly instead of silently executing interpreted
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for ((df, fn) <- Seq((shingled, "graft_shingles"), (cosined, "graft_cosine"),
+                           (bucketed, "graft_hyperplane_buckets"))) {
+        df.count()
+        val p = df.queryExecution.executedPlan.toString
+        // the projection carrying the native expression must be fused (starred
+        // `*(n) Project`) — a CodegenFallback expression would demote its whole
+        // stage to interpreted row-at-a-time execution
+        val exprLine = p.linesIterator.find(_.contains(fn)).getOrElse("")
+        assert(exprLine.contains("*("), s"$fn runs outside codegen:\n$exprLine\n" + p.take(600))
+      }
+      // cosine over NON-NULLABLE children (range-derived arrays): the
+      // mismatch-null branch must still generate compilable code — this is
+      // the shape that broke when CosineSim inherited child nullability
+      val r = spark.range(100).toDF("id")
+      val nonNull = r.select(graft.plans.GraftFunctions.cosine(r,
+        array($"id".cast("double"), lit(1.0)), array($"id".cast("double"), lit(1.0))).as("c"))
+      assert(nonNull.filter($"c" > 0.999999).count() === 100)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("driver contract: every oracle has a query; the flagship entry returns rows") {
