@@ -506,6 +506,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Semi-structured extraction: JSON-path pull from the props payload
+    // column + typed aggregation — the schema-on-read step every
+    // event-stream pipeline applies before analytics.
+    "q58_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_large"),
+          count(when(col("k").isNull, 1)).as("n_null"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Equi-depth (decile) bucketing per group via ntile over a total order —
+    // the exact form of quantile binning (training-data stratification /
+    // outlier trimming); complements q41's fixed-width histogram and q39's
+    // order statistics.
+    "q57_equidepth_hist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"), ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+    }),
+
     // Skew-resistant salted join, oracle-checked against the PLAIN join's
     // semantics: salting must be invisible in the result. The fact side is
     // the event stream (user_id is the natural hot key at scale), the
@@ -1100,6 +1128,24 @@ object SparkEntry {
                 count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS o_orderpriority_nulls,
                 count(DISTINCT o_orderpriority) AS o_orderpriority_distinct
          FROM orders""",
+
+    // sum of BIGINT is HUGEINT in DuckDB (the q38 lesson) — cast to BIGINT
+    "q58_json_extract" ->
+      """SELECT event_type,
+                CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                count(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 END) AS n_large,
+                count(CASE WHEN props->>'k' IS NULL THEN 1 END) AS n_null,
+                count(*) AS n
+         FROM events GROUP BY event_type""",
+
+    "q57_equidepth_hist" ->
+      """SELECT event_type, decile, min(value) AS lo, max(value) AS hi, count(*) AS n
+         FROM (
+           SELECT event_type, value,
+                  ntile(10) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS decile
+           FROM events)
+         GROUP BY event_type, decile""",
 
     "q43_salted_join" ->
       """SELECT event_id, e.user_id, event_type, d.user_total
