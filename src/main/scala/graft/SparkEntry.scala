@@ -1129,12 +1129,16 @@ object SparkEntry {
                 count(DISTINCT o_orderpriority) AS o_orderpriority_distinct
          FROM orders""",
 
-    // sum of BIGINT is HUGEINT in DuckDB (the q38 lesson) — cast to BIGINT
+    // sum of BIGINT is HUGEINT in DuckDB (the q38 lesson) — cast to BIGINT.
+    // TRY_CAST mirrors Spark's non-ANSI cast (null on non-integral input),
+    // and n_null counts null-AFTER-cast on both engines — a plain CAST
+    // would abort the oracle on a malformed k, and a pre-cast IS NULL
+    // would disagree with Spark's accounting.
     "q58_json_extract" ->
       """SELECT event_type,
-                CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-                count(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 END) AS n_large,
-                count(CASE WHEN props->>'k' IS NULL THEN 1 END) AS n_null,
+                CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                count(CASE WHEN TRY_CAST(props->>'k' AS BIGINT) > 50 THEN 1 END) AS n_large,
+                count(CASE WHEN TRY_CAST(props->>'k' AS BIGINT) IS NULL THEN 1 END) AS n_null,
                 count(*) AS n
          FROM events GROUP BY event_type""",
 

@@ -21,15 +21,19 @@ object Par {
     // estimate the scan's split count from logical-plan size stats — NOT
     // df.rdd.getNumPartitions, which compiles the whole physical plan and
     // materializes an RDD lineage that is then thrown away (one extra plan
-    // compile per operator invocation). Plans without real statistics
-    // (LogicalRDD: foreachBatch batches, createDataFrame inputs) report the
-    // defaultSizeInBytes sentinel (Long.MaxValue) — treating that as "big
-    // enough" would silently skip the spread exactly where it matters, so
-    // only a size measured BELOW the sentinel can waive the repartition.
+    // compile per operator invocation). Stats are trusted only when every
+    // LEAF has real ones: a stats-less leaf (LogicalRDD — foreachBatch
+    // batches, createDataFrame inputs) reports the defaultSizeInBytes
+    // sentinel, and comparing the PLAN-level size against the sentinel is
+    // not enough — the size visitor scales the leaf sentinel by the
+    // projection's row-width ratio, landing below the sentinel while still
+    // meaning "unknown". Unknown ⇒ repartition (the operator exists for
+    // exactly those small dynamic inputs).
     val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val known = estBytes < BigInt(spark.sessionState.conf.defaultSizeInBytes)
-    if (known && estBytes / splitBytes >= n) df else df.repartition(n)
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val plan = df.queryExecution.optimizedPlan
+    val known = plan.collectLeaves().forall(_.stats.sizeInBytes < sentinel)
+    if (known && plan.stats.sizeInBytes / splitBytes >= n) df else df.repartition(n)
   }
 
   /** Materialize an expensive, multiply-referenced intermediate (shingle

@@ -122,6 +122,24 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("spread widens stats-less (LogicalRDD) inputs to full shuffle width") {
+    import spark.implicits._
+    // an RDD-backed frame (the foreachBatch shape) has only the sentinel
+    // size stat; the projection scales the sentinel below Long.MaxValue, so
+    // a plan-level sentinel compare wrongly trusts it — spread must detect
+    // the stats-less LEAF and repartition anyway
+    val rdd = spark.sparkContext.parallelize(
+      (1L to 100L).map(i => (i, s"text $i")), numSlices = 1)
+    val df = spark.createDataFrame(rdd).toDF("_id", "_text")
+      .select($"_id", $"_text") // the projection every operator applies
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(graft.functions.Par.spread(df).rdd.getNumPartitions === n,
+      "stats-less input must be spread to full width")
+    // a real parquet scan with known small stats still gets spread
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    assert(graft.functions.Par.spread(docs).rdd.getNumPartitions === n)
+  }
+
   test("driver contract: every oracle has a query; the flagship entry returns rows") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
