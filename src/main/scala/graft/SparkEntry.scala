@@ -395,12 +395,19 @@ object SparkEntry {
     }),
 
     // Embedding-cosine near-dup pairs — fifth member of the dedup family
-    // (exact hash / n-gram Jaccard / MinHash / SimHash / cosine). Exact
-    // broadcast form; the LSH-bucketed candidate path is the scale variant.
-    // τ=0.4 sits inside the synthetic corpus's similarity range (max ≈0.6).
+    // (exact hash / n-gram Jaccard / MinHash / SimHash / cosine). The
+    // delegating operator: its default routing is the LSH-bucketed candidate
+    // path (no corpus broadcast, no O(n²) compare — the only plan that
+    // survives 100 TB); the all-pairs broadcast form is opt-in via
+    // maxBroadcastBytes and lives on as the test-side verifier
+    // (cosineNearDupPairsExact). Oracle is the exact all-pairs SQL — valid
+    // because recall at the pinned (tables, bits) is 100% on the gate data
+    // and precision is exact by construction (candidates are verified with
+    // the exact cosine). τ=0.4 sits inside the synthetic corpus's
+    // similarity range (max ≈0.6).
     "q34_cosine_neardup" -> ((s, dir) => {
       graft.functions.Similarity.cosineNearDupPairs(
-        t(s, dir, "embeddings"), minCosine = 0.4)
+        t(s, dir, "embeddings"), minCosine = 0.4, dim = 64)
     }),
 
     // The SCALE form of q34: hyperplane-LSH bucketed candidate generation +

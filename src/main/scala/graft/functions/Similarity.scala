@@ -307,19 +307,47 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: every unordered pair with
-    * cosine ≥ `minCosine` (id_a < id_b), exact. Completes the dedup family
+    * cosine ≥ `minCosine` (id_a < id_b). Completes the dedup family
     * (exact hash / n-gram Jaccard / MinHash / SimHash / embedding-cosine).
     *
-    * This is the exact baseline and the VERIFIER form: one side is
-    * broadcast, so the corpus is scanned once and the candidate generation is
-    * an O(n²/2) comparison bounded by the broadcast side. It exists to pin
-    * [[cosineNearDupPairsLsh]]'s recall in tests and to serve corpora small
-    * enough to broadcast; the operator a pipeline runs at corpus scale is
-    * [[cosineNearDupPairsLsh]] (key-equality bucket join, ~linear, same
-    * verify expression).
+    * Delegating operator — the default is the scale path. The all-pairs
+    * broadcast form ([[cosineNearDupPairsExact]]) is opt-in: it runs only
+    * when the caller passes a positive `maxBroadcastBytes` AND the corpus is
+    * PROVABLY that small (every logical-plan leaf has real stats — no
+    * stats-less LogicalRDD sentinel — and the plan-level size estimate fits
+    * under the cap; same leaf-stat discipline as [[Par.spread]], so the
+    * routing decision costs no Spark job). Anything unknown or larger takes
+    * [[cosineNearDupPairsLsh]]: key-equality bucket join, ~linear, the same
+    * exact verify expression, recall pinned at 100% against the exact form
+    * on the gate data. An operator that quietly planned an O(n²/2)
+    * BroadcastNestedLoopJoin on a 100 TB corpus would be the single worst
+    * plan in the library — so the unsafe form is never the default.
     */
-  def cosineNearDupPairs(df: DataFrame, minCosine: Double,
+  def cosineNearDupPairs(df: DataFrame, minCosine: Double, dim: Int,
+                         maxBroadcastBytes: Long = 0L,
+                         tables: Int = 48, bits: Int = 4, seed: Long = 42L,
+                         maxBucket: Int = 100000,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val provablyTiny = maxBroadcastBytes > 0L && {
+      val plan = df.queryExecution.optimizedPlan
+      val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+      plan.collectLeaves().forall(_.stats.sizeInBytes < sentinel) &&
+        plan.stats.sizeInBytes <= maxBroadcastBytes
+    }
+    if (provablyTiny) cosineNearDupPairsExact(df, minCosine, idCol, vecCol)
+    else cosineNearDupPairsLsh(df, minCosine, dim, tables, bits, seed, maxBucket, idCol, vecCol)
+  }
+
+  /** The exact all-pairs baseline and VERIFIER form of [[cosineNearDupPairs]]:
+    * one side is broadcast, so the corpus is scanned once and candidate
+    * generation is an O(n²/2) comparison bounded by the broadcast side. It
+    * exists to pin the LSH path's recall in tests and to serve corpora the
+    * caller has proven broadcast-sized — it is NOT a canonical query shape
+    * (PlanAuditSpec bans its BroadcastNestedLoopJoin from every shipped
+    * query); the operator a pipeline runs is [[cosineNearDupPairs]].
+    */
+  def cosineNearDupPairsExact(df: DataFrame, minCosine: Double,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = Par.spread(df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("_va")))
     val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("_vb"))
     val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))

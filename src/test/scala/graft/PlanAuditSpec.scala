@@ -40,10 +40,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("no query plans a CartesianProduct") {
+  test("no query plans a CartesianProduct or a non-tiny BroadcastNestedLoopJoin") {
+    // BNLJ is O(|stream| · |build|): acceptable ONLY when the build side is
+    // bounded by construction, never when it is the corpus. Each allowlisted
+    // query must name the bounded build side here; everything else fails the
+    // audit if a non-equi broadcast join sneaks into its plan (this is what
+    // caught q34's all-pairs broadcast form and keeps it from coming back).
+    val boundedBnljBuild = Map(
+      // exact kNN verifier: the broadcast side is the ≤8-row literal QUERY
+      // set, not the corpus — the corpus streams through exactly once
+      "q23_knn_cosine" -> "8-row query set")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))
+      if (!boundedBnljBuild.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop broadcast join (all-pairs scale killer):\n" + p.take(800))
     }
   }
 

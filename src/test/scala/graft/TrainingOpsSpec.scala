@@ -263,7 +263,7 @@ class TrainingOpsSpec extends SparkSpec {
       (2L, Array(0.0f, 1.0f)),    // orthogonal to 0
       (3L, Array(0.1f, 0.995f)))  // cos(2,3) ≈ 0.995
       .toDF("vec_id", "embedding")
-    val pairs = Similarity.cosineNearDupPairs(df, minCosine = 0.9)
+    val pairs = Similarity.cosineNearDupPairsExact(df, minCosine = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
@@ -271,7 +271,7 @@ class TrainingOpsSpec extends SparkSpec {
   test("cosine near-dup on real embeddings matches a driver-collected brute force") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val got = Similarity.cosineNearDupPairs(emb, minCosine = 0.4)
+    val got = Similarity.cosineNearDupPairsExact(emb, minCosine = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // Seq, not Map: a for-comprehension over a Map yields a Map and silently
     // collapses multiple (id_a, *) pairs to the last one
@@ -295,9 +295,11 @@ class TrainingOpsSpec extends SparkSpec {
     // 100% recall at the pinned (tables=48, bits=4) on every testdata scale
     // — this is what licenses q50's exact-SQL oracle; precision is exact by
     // construction (candidates are verified with the exact cosine)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                     "/root/testdata/sf0.1")) {
-      val exact = SparkEntry.queries("q34_cosine_neardup")(spark, dir)
+      val exact = Similarity.cosineNearDupPairsExact(
+          spark.read.parquet(s"$dir/embeddings.parquet"), minCosine = 0.4)
         .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
       val lsh = SparkEntry.queries("q50_cosine_neardup_lsh")(spark, dir)
         .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
@@ -307,6 +309,38 @@ class TrainingOpsSpec extends SparkSpec {
         s"$dir: ${lsh.size} lsh vs ${exact.size} exact; " +
           s"missing=${missing.take(5)} phantom=${phantom.take(5)}")
     }
+  }
+
+  test("cosine near-dup delegation: LSH by default, broadcast only when provably tiny") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // default (maxBroadcastBytes = 0): always the scale path — no corpus
+    // broadcast into a nested loop, ever
+    val scalePlan = Similarity.cosineNearDupPairs(emb, minCosine = 0.4, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!scalePlan.contains("BroadcastNestedLoopJoin"), scalePlan.take(600))
+    // explicit opt-in on a parquet corpus with known stats under the cap:
+    // the exact broadcast form is allowed to run
+    val exactPlan = Similarity.cosineNearDupPairs(emb, minCosine = 0.4, dim = 64,
+        maxBroadcastBytes = 1L << 30)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("BroadcastNestedLoopJoin"), exactPlan.take(600))
+    // a stats-less input (LogicalRDD — the foreachBatch shape) must take the
+    // scale path even under a generous cap: "unknown size" is not "tiny"
+    val rdd = spark.sparkContext.parallelize(
+      (0L until 20L).map(i => (i, Array.fill(64)(i.toFloat / 64))), numSlices = 1)
+    val dynamic = spark.createDataFrame(rdd).toDF("vec_id", "embedding")
+    val dynPlan = Similarity.cosineNearDupPairs(dynamic, minCosine = 0.4, dim = 64,
+        maxBroadcastBytes = 1L << 30)
+      .queryExecution.executedPlan.toString
+    assert(!dynPlan.contains("BroadcastNestedLoopJoin"), dynPlan.take(600))
+    // both routes agree with each other on the gate corpus
+    val viaLsh = Similarity.cosineNearDupPairs(emb, minCosine = 0.4, dim = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val viaExact = Similarity.cosineNearDupPairs(emb, minCosine = 0.4, dim = 64,
+        maxBroadcastBytes = 1L << 30)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(viaLsh === viaExact)
   }
 
   test("minhash banding reproduces exact all-pairs Jaccard at gate scales") {
