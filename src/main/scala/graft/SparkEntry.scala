@@ -527,6 +527,38 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Benchmark decontamination: drop every corpus document with a
+    // qualifying n-gram Jaccard overlap against a held-out eval set (here
+    // derived deterministically: doc_id % 13 == 0 plays the benchmark) —
+    // the check every production training pipeline runs before shipping
+    // data. Asymmetric eval×corpus index join only (never a corpus
+    // self-join: per-eval-doc cost is bounded by bucket occupancy, so the
+    // check is ~free next to the dedup passes even at 100 TB). Exact →
+    // full DuckDB oracle.
+    "q59_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 13 === 0)
+      val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+      graft.functions.NearDup.decontaminate(corpus, evalSet, "text", "doc_id",
+          n = 3, minJaccard = 0.2)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Gopher-style repetition filters: duplicate-line fraction (built-ins)
+    // and top-2-gram / duplicate-2-gram character shares (single-pass
+    // native expression) — the metrics that dominate real corpus quality
+    // filtering (generated text and scraped boilerplate repeat lines and
+    // word n-grams). All map-side at scan speed; no shuffle.
+    "q60_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.functions.TextAnalysis.repetitionMetrics(docs, col("text"), n = 2)
+      docs.select(col("doc_id"),
+        m("n_lines").as("n_lines"),
+        m("dup_line_frac").as("dup_line_frac"),
+        m("top_2gram_share").as("top_2gram_share"),
+        m("dup_2gram_frac").as("dup_2gram_frac"))
+    }),
+
     // Equi-depth (decile) bucketing per group via ntile over a total order —
     // the exact form of quantile binning (training-data stratification /
     // outlier trimming); complements q41's fixed-width histogram and q39's
@@ -1192,6 +1224,69 @@ object SparkEntry {
            WHERE round(common * 1.0 / (sx.sz + sb.sz - common), 4) >= 0.2)
          SELECT doc_id, lang FROM documents
          WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT id_b FROM dropped)""",
+
+    // corpus doc survives iff no jaccard>=0.2 overlap with any eval doc
+    // (doc_id % 13 == 0 plays the held-out benchmark); eval×corpus pairs
+    // only — corpus-internal similarity is dedup's business, not
+    // decontamination's. Corpus-side hot-key prune has no effect at gate
+    // scale (no shingle reaches 1000 corpus postings).
+    "q59_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         cand AS (
+           SELECT e.doc_id AS id_a, c.doc_id AS id_b, count(*) AS common
+           FROM inv e JOIN inv c ON e.shingle = c.shingle
+            AND e.doc_id % 13 = 0 AND c.doc_id % 13 <> 0
+           GROUP BY 1, 2),
+         contaminated AS (
+           SELECT DISTINCT id_b FROM cand
+           JOIN sizes se ON se.doc_id = id_a
+           JOIN sizes sc ON sc.doc_id = id_b
+           WHERE round(common * 1.0 / (se.sz + sc.sz - common), 4) >= 0.2)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 13 <> 0 AND doc_id NOT IN (SELECT id_b FROM contaminated)""",
+
+    // repetition metrics: 2-grams NOT deduplicated (repetition is the
+    // signal); top share = max over grams of count·chars / text chars —
+    // engine-neutral tie-break (max of the product, not chars of the
+    // max-count gram); dup share counts occurrences beyond each gram's
+    // first. Docs with < 2 tokens or no text → both 0.
+    "q60_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+                  list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] || ' ' || ts[i+1])) AS gram
+           FROM tok),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+         ga AS (
+           SELECT doc_id, max(c * length(gram)) AS topchars,
+                  coalesce(sum(CASE WHEN c > 1 THEN (c - 1) * length(gram) END), 0)
+                    AS dupchars
+           FROM gc GROUP BY doc_id)
+         SELECT t.doc_id,
+                len(ls) AS n_lines,
+                CASE WHEN len(ls) > 0
+                     THEN round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 4)
+                     ELSE 0.0 END AS dup_line_frac,
+                CASE WHEN length(t.text) > 0
+                     THEN round(coalesce(ga.topchars, 0) * 1.0 / length(t.text), 4)
+                     ELSE 0.0 END AS top_2gram_share,
+                CASE WHEN length(t.text) > 0
+                     THEN round(coalesce(ga.dupchars, 0) * 1.0 / length(t.text), 4)
+                     ELSE 0.0 END AS dup_2gram_frac
+         FROM tok t LEFT JOIN ga ON t.doc_id = ga.doc_id""",
 
     // split thresholds are cumulative 1/256 shares compared on the md5 hex
     // prefix: train < 0xe6 (230/256), val < 0xf3 (+13/256), else test

@@ -230,6 +230,54 @@ object NearDup {
       ex.unionByName(ba), minJaccard)
   }
 
+  /** Benchmark decontamination pairs: every (eval doc, corpus doc) pair
+    * whose n-gram Jaccard overlap reaches `minJaccard` — the check every
+    * production training pipeline runs before shipping data, so a benchmark
+    * answer leaking into the corpus is caught instead of trained on. The
+    * asymmetric shape of [[incrementalJaccardPairs]] with the roles
+    * reassigned: the (small) eval set's exploded fingerprints join the
+    * corpus's inverted index by 8-byte key — eval×corpus only, NEVER a
+    * corpus self-join, so a 100 TB corpus pays one index build and a join
+    * bounded by |eval| × bucket occupancy. Hot-key pruning applies to the
+    * corpus index (its posting lists are what amplify the join; the eval
+    * side is small by definition).
+    *
+    * Returns (id_a = eval doc, id_b = corpus doc, jaccard), exact-verified
+    * by the family's shared [[verifyJaccard]] expression.
+    */
+  def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+                         textCol: String, idCol: String, n: Int,
+                         minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = {
+      val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
+      Par.materialize(base.select(col("_id"),
+        graft.plans.GraftFunctions.wordShingleHashes(base, col("_text"), n).as("_sh")))
+    }
+    val co = shingled(corpus)
+    val ev = shingled(evalSet)
+    val coInv = pruneHotKeys(
+      co.select(col("_id"), explode(col("_sh")).as("_h")), "_h", maxBucket)
+    val evInv = ev.select(col("_id"), explode(col("_sh")).as("_h"))
+    val candIds = evInv.as("e").join(coInv.as("c"), col("e._h") === col("c._h"))
+      .select(col("e._id").as("id_a"), col("c._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candIds, co.unionByName(ev), minJaccard)
+  }
+
+  /** The decontaminated corpus: every corpus document with no qualifying
+    * n-gram overlap against the eval set — what actually ships to training.
+    * One [[contaminationPairs]] pass + an anti-join on the (tiny) flagged
+    * id set.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    textCol: String, idCol: String, n: Int,
+                    minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
+    val flagged = contaminationPairs(corpus, evalSet, textCol, idCol, n,
+        minJaccard, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Exact shingle-set Jaccard verify of candidate id pairs: re-attach the
     * (materialized) shingle arrays per side, intersect, threshold. The ONE
     * verification expression every banding/bucketing candidate generator

@@ -68,6 +68,45 @@ object TextAnalysis {
       "stop_ratio" -> round(nStop.cast("double") / nTokens.cast("double"), 4))
   }
 
+  /** Non-empty lines of a text column (blank / whitespace-only lines
+    * dropped — they carry no repetition signal and would dominate the
+    * duplicate count of any normally-formatted document).
+    */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => trim(l) =!= lit(""))
+
+  /** Duplicate-line fraction — the fraction of a document's non-empty lines
+    * that are repeats of an earlier line (Gopher's duplicate-line repetition
+    * filter: boilerplate, navigation chrome, and generated text repeat
+    * whole lines). 0 for documents with no non-empty lines. Pure built-ins:
+    * map-side, codegen'd, no shuffle.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    val nl = size(ls)
+    when(nl > 0,
+      (nl - size(array_distinct(ls))).cast("double") / nl.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Gopher-style repetition metrics: line-level duplication (built-ins)
+    * plus n-gram character-share stats (single-pass native expression —
+    * see [[graft.plans.GramRepetitionStats]] for the exact definitions).
+    * The dominant signals real corpus filtering cuts on: documents whose
+    * text is mostly repeated lines or repeated word n-grams are generated /
+    * scraped-boilerplate, not prose. Ratios rounded to 4 places for
+    * engine-stable comparison, like [[qualityMetrics]].
+    */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame, text: Column,
+                        n: Int = 2): Map[String, Column] = {
+    val st = graft.plans.GraftFunctions.gramRepetitionStats(df, text, n)
+    Map(
+      "n_lines" -> size(lines(text)).cast("long"),
+      "dup_line_frac" -> round(dupLineFraction(text), 4),
+      s"top_${n}gram_share" -> round(st.getField("top_share"), 4),
+      s"dup_${n}gram_frac" -> round(st.getField("dup_frac"), 4))
+  }
+
   /** Language-ID heuristic: count stopword hits per candidate language and
     * take the argmax with a fixed priority order (en > de > es > fr; `other`
     * when nothing hits). Deterministic by construction; n-gram-free so it

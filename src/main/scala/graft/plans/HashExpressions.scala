@@ -300,6 +300,16 @@ object GraftFunctions {
     call_function(name, text)
   }
 
+  /** Gopher-style n-gram repetition stats of a text column — a
+    * struct<top_share: double, dup_frac: double>, single native pass.
+    */
+  def gramRepetitionStats(df: org.apache.spark.sql.DataFrame, text: Column, n: Int): Column = {
+    val name = s"graft_gram_repetition_$n"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => GramRepetitionStats(exprs.head, n), "built-in")
+    call_function(name, text)
+  }
+
   def cosine(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
     register(df.sparkSession)
     call_function("graft_cosine", a, b)
@@ -439,6 +449,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => WordShingles(exprs.head, litInt(exprs, 1, "n"), distinct = true))
     inject("graft_shingle_hashes", classOf[WordShingleHashes],
       exprs => WordShingleHashes(exprs.head, litInt(exprs, 1, "n")))
+    inject("graft_gram_repetition", classOf[GramRepetitionStats],
+      exprs => GramRepetitionStats(exprs.head, litInt(exprs, 1, "n")))
     inject("graft_cosine", classOf[CosineSim], exprs => CosineSim(exprs(0), exprs(1)))
     inject("graft_l2_normalize", classOf[L2Normalize], exprs => L2Normalize(exprs.head))
     inject("graft_hyperplane_buckets", classOf[HyperplaneBuckets],

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Gopher-style n-gram repetition statistics of a text column, one
+  * imperative pass: whitespace tokens → word n-grams (space-joined, like
+  * [[WordShingles]] but NOT distinct — repetition is the signal here) →
+  * per-gram occurrence counts → two character-share metrics over the raw
+  * text length:
+  *
+  *  - `top_share`  = max over grams of (count · gram_chars) / text_chars —
+  *    the character share of the heaviest repeated n-gram ("fraction of
+  *    characters in the most common n-gram", the top-2/3/4-gram family of
+  *    Gopher's repetition filters; taking the max of count·chars rather
+  *    than chars-of-the-max-count gram makes the tie-break engine-neutral).
+  *  - `dup_frac`   = Σ over grams with count > 1 of ((count−1) · gram_chars)
+  *    / text_chars — the character share of REPEATED occurrences (each
+  *    gram's first occurrence is legitimate text; everything after is
+  *    repetition), the duplicate-n-gram-fraction family.
+  *
+  * Both are 0 for empty text or texts shorter than n tokens. A per-doc
+  * hash-map pass — O(tokens), map-side, no shuffle; the explode + groupBy
+  * formulation would shuffle |docs|·|grams| rows to compute a per-document
+  * scalar.
+  */
+case class GramRepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram width must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_share", DoubleType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_gram_repetition"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+  }
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    val nChars = input.numChars()
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.setDouble(0, 0.0); row.setDouble(1, 0.0)
+    if (nChars == 0) return row
+    val toks = input.toString.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) return row
+    val counts = new java.util.HashMap[String, Int](math.max(16, toks.length))
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, Integer.sum _)
+      i += 1
+    }
+    var topChars = 0L
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.toLong
+      val len = e.getKey.length.toLong
+      if (c * len > topChars) topChars = c * len
+      if (c > 1) dupChars += (c - 1) * len
+    }
+    row.setDouble(0, topChars.toDouble / nChars)
+    row.setDouble(1, dupChars.toDouble / nChars)
+    row
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramRepetition", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramRepetitionStats =
+    copy(child = newChild)
+}

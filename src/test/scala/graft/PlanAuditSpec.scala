@@ -109,13 +109,16 @@ class PlanAuditSpec extends SparkSpec {
     val cosined = emb.select(GraftFunctions.cosine(emb, $"v", $"v").as("sim"))
     val bucketed = emb.select(
       GraftFunctions.hyperplaneBuckets(emb, $"v", 64, 8, 10, 42L).as("bks"))
+    val repstats = docs.select(
+      GraftFunctions.gramRepetitionStats(docs, $"text", 2).as("rs"))
     // fallback=false: a janino compile error in the generated code (e.g. an
     // assignment to a pinned isNull literal under non-nullable children)
     // fails the test loudly instead of silently executing interpreted
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       for ((df, fn) <- Seq((shingled, "graft_shingles"), (cosined, "graft_cosine"),
-                           (bucketed, "graft_hyperplane_buckets"))) {
+                           (bucketed, "graft_hyperplane_buckets"),
+                           (repstats, "graft_gram_repetition"))) {
         df.count()
         val p = df.queryExecution.executedPlan.toString
         // the projection carrying the native expression must be fused (starred

@@ -343,6 +343,87 @@ class TrainingOpsSpec extends SparkSpec {
     assert(viaLsh === viaExact)
   }
 
+  test("repetition metrics: hand-checked line and 2-gram shares") {
+    val df = Seq(
+      // "a b a b c": 2-grams a-b ×2, b-a, b-c; 9 chars → top 2*3/9, dup 1*3/9
+      (1L, "a b a b c"),
+      // repeated lines: 4 non-empty lines, "x" twice → dup_line_frac 0.25
+      (2L, "x\ny\nx\n\nz"),
+      // degenerate: empty text and a 1-token text → all zeros
+      (3L, ""),
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, $"text", n = 2)
+    val got = df.select($"doc_id", m("n_lines"), m("dup_line_frac"),
+        m("top_2gram_share"), m("dup_2gram_frac"))
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 1L, 0.0, math.rint(2 * 3.0 / 9 * 1e4) / 1e4,
+      math.rint(3.0 / 9 * 1e4) / 1e4))
+    // doc 2 has no spaces, so the whole text is ONE whitespace token → no
+    // 2-grams; the line metrics are what carry its signal
+    assert(got(2L) == (2L, 4L, 0.25, 0.0, 0.0))
+    assert(got(3L) == (3L, 0L, 0.0, 0.0, 0.0))
+    assert(got(4L) == (4L, 1L, 0.0, 0.0, 0.0))
+  }
+
+  test("repetition metrics match a driver-side recount on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = TextAnalysis.repetitionMetrics(docs, $"text", n = 2)
+    val got = docs.select($"doc_id", m("top_2gram_share"), m("dup_2gram_frac"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    for ((id, text) <- texts) {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val top = if (counts.isEmpty || text.isEmpty) 0.0
+        else counts.map { case (g, c) => c.toLong * g.length }.max.toDouble / text.length
+      val dup = if (counts.isEmpty || text.isEmpty) 0.0
+        else counts.collect { case (g, c) if c > 1 => (c - 1).toLong * g.length }
+          .sum.toDouble / text.length
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == (r4(top), r4(dup)), s"doc $id")
+    }
+  }
+
+  test("decontamination flags eval-overlapping docs and only those") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (113L, "entirely unrelated benchmark question about quantum flux capacitors"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // leak of 100
+      (2L, "completely different document about cooking pasta with garlic and oil"),
+      (3L, "another clean document describing mountain hiking trails in summer"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.contaminationPairs(corpus, evalSet, "text", "doc_id",
+      n = 3, minJaccard = 0.2)
+    assert(pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ==
+      Set((100L, 1L)))
+    val clean = NearDup.decontaminate(corpus, evalSet, "text", "doc_id",
+      n = 3, minJaccard = 0.2).select($"doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("decontamination pairs equal the full pair list restricted to eval×corpus") {
+    // the asymmetric index join must find exactly the cross pairs the
+    // all-pairs form finds — no corpus-internal pairs, nothing missed
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = docs.filter($"doc_id" % 13 === 0)
+    val corpus = docs.filter($"doc_id" % 13 =!= 0)
+    val got = NearDup.contaminationPairs(corpus, evalSet, "text", "doc_id",
+        n = 3, minJaccard = 0.2)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map { case (e, c, j) => (math.min(e, c), math.max(e, c), j) }.toSet
+    val want = NearDup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.2, maxBucket = Int.MaxValue)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 13 == 0) != (b % 13 == 0) }.toSet
+    assert(got == want, s"got ${got.size} vs want ${want.size}; " +
+      s"missing=${(want -- got).take(5)} phantom=${(got -- want).take(5)}")
+  }
+
   test("minhash banding reproduces exact all-pairs Jaccard at gate scales") {
     // 100% recall at (k=32, bands=8, τ=0.1) on the gate corpora — every
     // qualifying pair is a high-Jaccard twin, far above the banding
