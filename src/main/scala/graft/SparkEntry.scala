@@ -101,16 +101,22 @@ object SparkEntry {
 
     // O-9 — keyed dedup keep-last: latest (ts, event_id) row per
     // (user_id, event_type).
+    // keepLastAgg, not the window form: max_by(struct(*), ord) map-side
+    // combines to one candidate row per key per partition, so the exchange
+    // carries ~|keys| rows instead of every row — the 100 TB-decisive
+    // difference for latest-state queries. Identical result under the
+    // (ts, event_id) total order (property-tested in NormalizeSpec; plan
+    // shape pinned in PlanAuditSpec).
     "q08_dedup_keeplast" -> ((s, dir) => {
-      Dedup.keepLast(t(s, dir, "events"), Seq("user_id", "event_type"),
-          ordering = Seq(col("ts"), col("event_id")))
+      Dedup.keepLastAgg(t(s, dir, "events"), Seq("user_id", "event_type"),
+          ord = struct(col("ts"), col("event_id")))
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
     }),
 
-    // O-12 as a derived view — latest state per key via window dedup.
+    // O-12 as a derived view — latest state per key, same partial-agg form.
     "q04_latest_state" -> ((s, dir) => {
-      Dedup.keepLast(t(s, dir, "events"), Seq("user_id"),
-          ordering = Seq(col("ts"), col("event_id")))
+      Dedup.keepLastAgg(t(s, dir, "events"), Seq("user_id"),
+          ord = struct(col("ts"), col("event_id")))
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"),
           col("ts").as("last_ts"))

@@ -74,6 +74,18 @@ class PlanAuditSpec extends SparkSpec {
       "merge must map-side combine:\n" + p.take(800))
   }
 
+  test("latest-state dedup map-side combines: no window, partial max_by only") {
+    // the window form shuffles EVERY row; keepLastAgg's partial aggregate
+    // sends ~one candidate per key per partition across the exchange
+    for (q <- Seq("q04_latest_state", "q08_dedup_keeplast")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q fell back to the full-shuffle window form:\n" + p.take(800))
+      assert(p.contains("max_by"), s"$q:\n" + p.take(800))
+      assert(p.contains("partial_max_by") || "HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost the map-side combine:\n" + p.take(800))
+    }
+  }
+
   test("as-of join is a single shuffle (union + one window exchange, no join)") {
     val p = plan("q36_asof_join")
     assert(!p.contains("Join"), "as-of must not plan a join:\n" + p.take(800))
