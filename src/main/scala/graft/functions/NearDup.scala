@@ -39,16 +39,35 @@ object NearDup {
     * call EAGER (the posting-list aggregation runs at DataFrame-build
     * time) — consistent with the rest of the near-dup family, whose
     * signature tables are eagerly materialized for multi-reference reuse.
+    *
+    * Set `spark.graft.lazyHotKeys=true` to defer instead: the prune becomes
+    * a plain anti-join against the hot-key subquery inside the plan, so
+    * building a near-dup DataFrame launches no Spark job (callers composing
+    * plans lazily — notebooks, plan audits, multi-query optimizers — get
+    * the declarative behavior they expect). The cap itself is identical;
+    * what lazy mode gives up is the up-front dropped-key WARN (the count
+    * isn't known until an action runs) and single-computation of the hot
+    * set when the pruned stream is referenced from multiple join sides.
+    * Combine with `spark.graft.materialize=persist` (also lazy) for fully
+    * job-free construction.
     */
   def pruneHotKeys(exploded: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
-    val hot = Par.materialize(
-      exploded.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
-        .filter(col("_df") > maxBucket).select(col(keyCol)))
-    val nHot = hot.count()
-    if (nHot > 0)
-      log.warn(s"pruneHotKeys: dropping $nHot hot '$keyCol' key(s) with posting " +
-        s"lists > $maxBucket — candidate recall is truncated on those keys")
-    exploded.join(hot, Seq(keyCol), "left_anti")
+    val hotAgg = exploded.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxBucket).select(col(keyCol))
+    val lazyMode =
+      exploded.sparkSession.conf.get("spark.graft.lazyHotKeys", "false").toBoolean
+    if (lazyMode) {
+      log.debug(s"pruneHotKeys: lazy mode — '$keyCol' keys with posting lists > " +
+        s"$maxBucket prune inline; dropped-key count is not precomputed")
+      exploded.join(hotAgg, Seq(keyCol), "left_anti")
+    } else {
+      val hot = Par.materialize(hotAgg)
+      val nHot = hot.count()
+      if (nHot > 0)
+        log.warn(s"pruneHotKeys: dropping $nHot hot '$keyCol' key(s) with posting " +
+          s"lists > $maxBucket — candidate recall is truncated on those keys")
+      exploded.join(hot, Seq(keyCol), "left_anti")
+    }
   }
 
   /** Word n-gram Jaccard similarity over all candidate pairs sharing ≥1

@@ -39,13 +39,26 @@ object Par {
   /** Materialize an expensive, multiply-referenced intermediate (shingle
     * index, MinHash signatures, LSH buckets) exactly once. A self-join over a
     * derived table otherwise recomputes the derivation per join side — at
-    * 100 TB that triples the most expensive map stage. Local checkpoint cuts
-    * the lineage and serves both sides from materialized blocks; in a
-    * production cluster the same role is played by persisting the signature
-    * table to storage (or `persist(MEMORY_AND_DISK)`), which is also what
-    * survives executor loss — swap here if dynamic allocation is on.
+    * 100 TB that triples the most expensive map stage.
+    *
+    * The strategy is a session switch, `spark.graft.materialize`:
+    *  - `localCheckpoint` (default): EAGER; cuts lineage and serves both
+    *    references from materialized blocks. Fastest, but the blocks do not
+    *    survive executor loss — the single-node / static-allocation choice.
+    *  - `persist`: `MEMORY_AND_DISK` cache, LAZY (first action populates it;
+    *    every reference shares the one computation). Recomputable from
+    *    lineage after executor loss — the production choice under dynamic
+    *    allocation — at the cost of retaining lineage (iterative callers
+    *    replan a growing logical tree each round, execution still reads the
+    *    cache).
     */
-  def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+  def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialize", "localCheckpoint") match {
+      case "localCheckpoint" => df.localCheckpoint()
+      case "persist" => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.materialize must be localCheckpoint|persist, got '$other'")
+    }
 
   /** Skew-resistant equi-join: a hot join key concentrates all its rows on
     * one reducer in a hash-partitioned join; salting splits each key's rows
