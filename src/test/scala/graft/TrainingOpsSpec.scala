@@ -186,7 +186,11 @@ class TrainingOpsSpec extends SparkSpec {
     val approx = Similarity.lshTopK(queries, emb, k = 5, dim = 64, tables = 16, bits = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH recall $recall too low (found ${approx.size} pairs)")
+    info(s"measured LSH recall: $recall")
+    // measured 0.96 at the pinned (tables=16, bits=4, seed fixed) — the
+    // floor sits just below so a real regression (parameter drift, bucket
+    // bug) fails while leaving no room for a silent 30-point slide
+    assert(recall >= 0.9, s"LSH recall $recall below the pinned 0.96 band")
   }
 
   test("IVF ANN recall vs exact top-k on real embeddings (sf0.001)") {
@@ -198,7 +202,11 @@ class TrainingOpsSpec extends SparkSpec {
     val approx = Similarity.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall too low (${approx.size} pairs)")
+    info(s"measured IVF recall: $recall")
+    // measured 0.68 at (nlist=8, nprobe=4, seeded k-means): genuinely
+    // partial — cosine neighbors scatter across cells on this
+    // weak-similarity corpus — but deterministic, so pin just below
+    assert(recall >= 0.65, s"IVF recall $recall below the pinned 0.68 band")
   }
 
   test("IVF-PQ ANN recall vs exact top-k on real embeddings (sf0.001)") {
@@ -223,7 +231,9 @@ class TrainingOpsSpec extends SparkSpec {
     val approxPairs = approx.select("query_id", "neighbor_id")
       .as[(Long, Long)].collect().toSet
     val recall = (exact intersect approxPairs).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF-PQ recall $recall too low (${approxPairs.size} pairs)")
+    info(s"measured IVF-PQ recall: $recall")
+    // measured 0.64 at (nlist=8, nprobe=4, m=8, rerank=10), deterministic
+    assert(recall >= 0.6, s"IVF-PQ recall $recall below the pinned 0.64 band")
   }
 
   test("multimodal batched decode: mapPartitions batches, deterministic, full coverage") {
