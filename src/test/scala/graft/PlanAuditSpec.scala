@@ -173,6 +173,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every query has a frozen bench budget (tools/bench_budgets.json)") {
+    // the bench gate is only non-circular if budgets are frozen ahead of the
+    // run — a query added without a budget would silently escape the gate
+    val budgets = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/bench_budgets.json")))
+    val missing = SparkEntry.queries.keySet.filterNot(q => budgets.contains(s""""$q""""))
+    assert(missing.isEmpty, s"queries without a frozen bench budget: $missing")
+  }
+
   test("sequence packing is a single shuffle; split assignment has none") {
     val pack = plan("q53_seq_pack")
     assert("Exchange hashpartitioning".r.findAllIn(pack).size == 1, pack.take(800))

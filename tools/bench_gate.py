@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Compare a graft.Bench JSON line against the FROZEN per-query budgets in
+tools/bench_budgets.json (see BASELINE.md "frozen bench budgets").
+
+Usage: bench_gate.py <bench.json|-> [budgets.json]
+
+The bench file may be either the raw one-line {"metric":...} JSON printed by
+graft.Bench or a driver BENCH_r*.json wrapper whose "tail" embeds it.
+
+Exit 0 = every query within budget; exit 1 = violations (listed) or queries
+missing from the budget table (a new query must get a frozen budget in the
+same commit that adds it).
+"""
+import json
+import re
+import sys
+
+
+def load_bench(path):
+    text = sys.stdin.read() if path == "-" else open(path).read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d:
+        return d["queries"]
+    if isinstance(d, dict) and "tail" in d:
+        text = d["tail"]
+    m = None
+    for m in re.finditer(r'\{"metric".*?\}\}', text):
+        pass
+    if m is None:
+        raise SystemExit(f"no bench JSON line found in {path}")
+    return json.loads(m.group(0))["queries"]
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "-"
+    budget_path = sys.argv[2] if len(sys.argv) > 2 else \
+        __file__.rsplit("/", 1)[0] + "/bench_budgets.json"
+    queries = load_bench(bench_path)
+    budgets = json.load(open(budget_path))["budgets"]
+
+    bad = []
+    for q, sec in sorted(queries.items()):
+        if q not in budgets:
+            bad.append(f"UNBUDGETED {q}: {sec:.2f}s — freeze a budget for it")
+            continue
+        b = budgets[q]["budget_sec"]
+        status = "OK" if sec <= b else "OVER"
+        print(f"{status:4} {q:28} {sec:6.2f}s / budget {b:.2f}s")
+        if sec > b:
+            bad.append(f"OVER {q}: {sec:.2f}s > {b:.2f}s "
+                       f"(basis {budgets[q]['basis_sec']}s, {budgets[q]['basis']})")
+    for q in sorted(set(budgets) - set(queries)):
+        print(f"MISS {q:28} budgeted but not in this bench run")
+
+    if bad:
+        print("\n" + "\n".join(bad))
+        sys.exit(1)
+    print(f"\n{len(queries)} queries within budget")
+
+
+if __name__ == "__main__":
+    main()
