@@ -565,6 +565,24 @@ object SparkEntry {
         m("dup_2gram_frac").as("dup_2gram_frac"))
     }),
 
+    // Deterministic stratified sample: ≤5 docs per (lang, source) stratum,
+    // ranked by salted md5 of the id — the hash-ordered draw any engine can
+    // recompute (the split discipline of q52 applied to quota sampling).
+    "q61_stratified_sample" -> ((s, dir) => {
+      graft.functions.Corpus.stratifiedSample(t(s, dir, "documents"),
+          Seq("lang", "source"), "doc_id", k = 5, salt = "42")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Mixture rebalancing weights: per-language token shares and the
+    // uniform-target sampling weight — the knob that reshapes a corpus's
+    // language (or source/domain) mixture before training-set assembly.
+    "q62_mixture_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Corpus.mixtureWeights(docs, Seq("lang"),
+        graft.functions.TextAnalysis.tokenCount(col("text")))
+    }),
+
     // Equi-depth (decile) bucketing per group via ntile over a total order —
     // the exact form of quantile binning (training-data stratification /
     // outlier trimming); complements q41's fixed-width histogram and q39's
@@ -1293,6 +1311,24 @@ object SparkEntry {
                      THEN round(coalesce(ga.dupchars, 0) * 1.0 / length(t.text), 4)
                      ELSE 0.0 END AS dup_2gram_frac
          FROM tok t LEFT JOIN ga ON t.doc_id = ga.doc_id""",
+
+    "q61_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         QUALIFY row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) <= 5""",
+
+    "q62_mixture_weights" ->
+      """WITH s AS (
+           SELECT lang, count(*) AS n_docs,
+                  sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                    AS n_tokens
+           FROM documents GROUP BY lang)
+         SELECT lang, n_docs, n_tokens,
+                round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share,
+                round((1.0 / count(*) OVER ())
+                      / (n_tokens * 1.0 / sum(n_tokens) OVER ()), 6) AS weight
+         FROM s""",
 
     // split thresholds are cumulative 1/256 shares compared on the md5 hex
     // prefix: train < 0xe6 (230/256), val < 0xf3 (+13/256), else test

@@ -73,6 +73,54 @@ object Corpus {
       .drop("_cum")
   }
 
+  /** Deterministic stratified sample: at most `k` rows per stratum, chosen
+    * by ranking on `md5(id || ':' || salt)` — the same engine-portable,
+    * repartition-stable discipline as [[splitAssign]], so the sample is an
+    * unbiased (hash-ordered) draw that any auditor can recompute. Secondary
+    * order on the id itself makes the rank a total order even under a
+    * (practically impossible) md5 collision.
+    *
+    * Scale: one shuffle on the strata columns — the exchange any exact
+    * per-stratum quota needs. When quotas are large and strata skewed,
+    * pre-filter with a hash THRESHOLD first (`md5 < bound` keeps ~share of
+    * each stratum map-side, no shuffle) and quota-rank only the survivors;
+    * at gate scale the direct window is the measured-faster plan.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], idCol: String,
+                       k: Int, salt: String): DataFrame = {
+    val rank = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(rank.asc, col(idCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Per-stratum sampling weights that reshape a corpus toward a target
+    * mixture — the rebalancing step before training-set assembly (upweight
+    * under-represented languages/sources, downweight dominant ones).
+    * Observed share is the stratum's token share; the default target is the
+    * uniform mixture (1/strata). `weight = target_share / observed_share`,
+    * so sampling each stratum's documents with probability ∝ weight yields
+    * the target mixture in tokens.
+    *
+    * One partial-aggregable groupBy to |strata| rows, then window totals
+    * over that tiny aggregate — the 100 TB cost is one map-side-combined
+    * shuffle; everything after runs on a handful of rows.
+    */
+  def mixtureWeights(df: DataFrame, strataCols: Seq[String],
+                     tokensCol: Column): DataFrame = {
+    val agg = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol.cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+    agg
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all), 6))
+      .withColumn("weight",
+        round((lit(1.0) / count(lit(1)).over(all)) /
+          (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)), 6))
+  }
+
   /** Per-group vocabulary document frequency: how many documents of each
     * group contain each token at least once, with the group's document
     * count for normalization. Distinct-per-document BEFORE the explode —

@@ -397,6 +397,50 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: quota per stratum, repartition-stable, subset") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sample = Corpus.stratifiedSample(docs, Seq("lang", "source"), "doc_id",
+      k = 5, salt = "42")
+    // quota respected; small strata keep everything they have
+    val perStratum = sample.groupBy($"lang", $"source").count()
+      .as[(String, String, Long)].collect()
+    assert(perStratum.forall(_._3 <= 5))
+    val have = docs.groupBy($"lang", $"source").count()
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    perStratum.foreach { case (l, s, n) => assert(n == math.min(5L, have((l, s)))) }
+    // deterministic under repartitioning: the draw depends only on ids
+    val reshuffled = Corpus.stratifiedSample(docs.repartition(13),
+      Seq("lang", "source"), "doc_id", k = 5, salt = "42")
+    assert(sample.select("doc_id").as[Long].collect().toSet ==
+      reshuffled.select("doc_id").as[Long].collect().toSet)
+    // a different salt draws a different sample (it is a hash draw, not a
+    // head-of-table draw)
+    val other = Corpus.stratifiedSample(docs, Seq("lang", "source"), "doc_id",
+      k = 5, salt = "other")
+    assert(sample.select("doc_id").as[Long].collect().toSet !=
+      other.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("mixture weights: shares sum to 1, weight x share = uniform target") {
+    val docs = Seq(
+      ("en", "one two three four"),    // 4 tokens
+      ("en", "five six"),              // 2
+      ("de", "eins zwei"),             // 2
+      ("fr", "un deux trois four five six seven eight")) // 8
+      .toDF("lang", "text")
+    val w = Corpus.mixtureWeights(docs, Seq("lang"),
+        TextAnalysis.tokenCount($"text"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(w("en") == ("en", 2L, 6L, 0.375, math.rint(1.0 / 3 / 0.375 * 1e6) / 1e6))
+    assert(w("de")._4 == 0.125 && w("fr")._4 == 0.5)
+    assert(math.abs(w.values.map(_._4).sum - 1.0) < 1e-6)
+    // weight × observed share ≈ uniform target for every stratum
+    w.values.foreach { r =>
+      assert(math.abs(r._5 * r._4 - 1.0 / 3) < 1e-4, s"${r._1}")
+    }
+  }
+
   test("decontamination flags eval-overlapping docs and only those") {
     val evalSet = Seq(
       (100L, "the quick brown fox jumps over the lazy dog near the river"),
