@@ -1285,8 +1285,10 @@ object SparkEntry {
     // first. Docs with < 2 tokens or no text → both 0.
     "q60_repetition" ->
       """WITH tok AS (
-           SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS ts,
-                  list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+           SELECT doc_id, coalesce(text, '') AS text,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts,
+                  list_filter(string_split(coalesce(text, ''), chr(10)),
+                              x -> trim(x) <> '') AS ls
            FROM documents),
          grams AS (
            SELECT doc_id, unnest(list_transform(

@@ -280,7 +280,11 @@ object NearDup {
     val candIds = evInv.as("e").join(coInv.as("c"), col("e._h") === col("c._h"))
       .select(col("e._id").as("id_a"), col("c._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candIds, co.unionByName(ev), minJaccard)
+    // two-sided verify: id_a resolves against the EVAL shingle table and
+    // id_b against the CORPUS one — the eval set is external, so its id
+    // space may legitimately collide with the corpus's, and a unioned
+    // lookup would fan out the join on any shared id
+    verifyJaccardSides(candIds, ev, co, minJaccard)
   }
 
   /** The decontaminated corpus: every corpus document with no qualifying
@@ -304,10 +308,18 @@ object NearDup {
     * to their oracles together.
     */
   private def verifyJaccard(candIds: DataFrame, shingles: DataFrame,
-                            minJaccard: Double): DataFrame = {
+                            minJaccard: Double): DataFrame =
+    verifyJaccardSides(candIds, shingles, shingles, minJaccard)
+
+  /** [[verifyJaccard]] with per-side shingle tables, for asymmetric
+    * candidate generators whose two id columns come from different id
+    * spaces (decontamination: id_a ∈ eval set, id_b ∈ corpus).
+    */
+  private def verifyJaccardSides(candIds: DataFrame, aShingles: DataFrame,
+                                 bShingles: DataFrame, minJaccard: Double): DataFrame = {
     val cand = candIds
-      .join(shingles.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
-      .join(shingles.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
+      .join(aShingles.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
+      .join(bShingles.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
     cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("common").cast("double") /

@@ -60,6 +60,17 @@ object Par {
         s"spark.graft.materialize must be localCheckpoint|persist, got '$other'")
     }
 
+  /** Drop every cached RDD in the session — the cleanup hook for `persist`
+    * mode, whose cache entries otherwise outlive their operator call (each
+    * near-dup/similarity invocation pins its signature tables; a long-lived
+    * session accumulates them). Call between operator invocations or rounds,
+    * as `Bench` does. NOTE: this clears ALL persisted RDDs in the
+    * SparkContext, including the caller's own — it is a session-sweep, not
+    * a per-operator release.
+    */
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
   /** Skew-resistant equi-join: a hot join key concentrates all its rows on
     * one reducer in a hash-partitioned join; salting splits each key's rows
     * across `n` reducers and replicates the OTHER side `n` ways so every

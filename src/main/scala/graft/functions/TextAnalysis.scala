@@ -99,10 +99,14 @@ object TextAnalysis {
     */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, text: Column,
                         n: Int = 2): Map[String, Column] = {
-    val st = graft.plans.GraftFunctions.gramRepetitionStats(df, text, n)
+    // null text ≡ empty text: every metric is 0, never null — a null-text
+    // row must not diverge between the null-propagating native expression
+    // and the line metrics (or between engines)
+    val txt = coalesce(text, lit(""))
+    val st = graft.plans.GraftFunctions.gramRepetitionStats(df, txt, n)
     Map(
-      "n_lines" -> size(lines(text)).cast("long"),
-      "dup_line_frac" -> round(dupLineFraction(text), 4),
+      "n_lines" -> size(lines(txt)).cast("long"),
+      "dup_line_frac" -> round(dupLineFraction(txt), 4),
       s"top_${n}gram_share" -> round(st.getField("top_share"), 4),
       s"dup_${n}gram_frac" -> round(st.getField("dup_frac"), 4))
   }

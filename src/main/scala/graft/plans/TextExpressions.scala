@@ -69,7 +69,10 @@ case class GramRepetitionStats(child: Expression, n: Int) extends UnaryExpressio
     while (it.hasNext) {
       val e = it.next()
       val c = e.getValue.toLong
-      val len = e.getKey.length.toLong
+      // code POINTS, matching the code-point denominator (numChars) and the
+      // oracle's length() — String.length counts UTF-16 units and would
+      // inflate shares (past 1.0) on supplementary-plane text
+      val len = e.getKey.codePointCount(0, e.getKey.length).toLong
       if (c * len > topChars) topChars = c * len
       if (c > 1) dupChars += (c - 1) * len
     }

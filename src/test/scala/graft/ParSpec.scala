@@ -41,22 +41,27 @@ class ParSpec extends SparkSpec {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
     }
     spark.sparkContext.addSparkListener(listener)
+    // the contrast this test pins: construction under the EAGER defaults
+    // launches jobs (localCheckpoint + hot-key count)...
+    NearDup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, minJaccard = 0.2)
+    Thread.sleep(1000)
+    val eagerJobs = jobs
+    assert(eagerJobs > 0, "eager default should materialize during construction")
     spark.conf.set("spark.graft.lazyHotKeys", "true")
     spark.conf.set("spark.graft.materialize", "persist")
     try {
-      // eager default (checked first, while the confs are set back): plain
-      // construction with the default confs DOES run jobs — that contrast is
-      // what this test pins
+      // ...and the same construction under the lazy confs launches none
       val built = NearDup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.2)
       // job submission inside construction is synchronous (localCheckpoint /
       // count block); the listener bus lags by at most ms
       Thread.sleep(1000)
-      assert(jobs == 0, s"plan construction launched $jobs job(s) in lazy mode")
+      assert(jobs == eagerJobs,
+        s"plan construction launched ${jobs - eagerJobs} job(s) in lazy mode")
       // the deferred plan still computes the same answer
       val got = built.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(got.nonEmpty)
-      assert(jobs > 0) // the action, not the construction, ran the jobs
+      assert(jobs > eagerJobs) // the action, not the construction, ran the jobs
     } finally {
       spark.conf.unset("spark.graft.lazyHotKeys")
       spark.conf.unset("spark.graft.materialize")

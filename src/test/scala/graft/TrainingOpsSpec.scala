@@ -460,6 +460,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(clean == Set(2L, 3L))
   }
 
+  test("decontamination tolerates eval ids colliding with corpus ids") {
+    // the eval set is EXTERNAL — its id space may overlap the corpus's; the
+    // verify must resolve id_a against eval shingles and id_b against corpus
+    // shingles, never a unioned lookup (which would fan out on shared ids)
+    val evalSet = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "totally different corpus text about pasta and garlic bread"), // id collides
+      (2L, "the quick brown fox jumps over the lazy dog today"))          // real leak
+      .toDF("doc_id", "text")
+    val pairs = NearDup.contaminationPairs(corpus, evalSet, "text", "doc_id",
+      n = 3, minJaccard = 0.2).collect()
+    assert(pairs.length == 1) // exactly one row, no fan-out duplicates
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+    val clean = NearDup.decontaminate(corpus, evalSet, "text", "doc_id",
+      n = 3, minJaccard = 0.2).select($"doc_id").as[Long].collect().toSet
+    assert(clean == Set(1L)) // corpus doc 1 survives despite sharing the eval id
+  }
+
   test("decontamination pairs equal the full pair list restricted to eval×corpus") {
     // the asymmetric index join must find exactly the cross pairs the
     // all-pairs form finds — no corpus-internal pairs, nothing missed

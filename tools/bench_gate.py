@@ -26,12 +26,16 @@ def load_bench(path):
         return d["queries"]
     if isinstance(d, dict) and "tail" in d:
         text = d["tail"]
-    m = None
-    for m in re.finditer(r'\{"metric".*?\}\}', text):
-        pass
-    if m is None:
+    # the bench line is one-per-line JSON possibly embedded in log noise:
+    # take the LAST line carrying it, sliced from its first '{"metric"' to
+    # that line's final '}' (a lazy cross-line regex truncates mid-object)
+    line = None
+    for cand in text.splitlines():
+        if '{"metric"' in cand:
+            line = cand
+    if line is None:
         raise SystemExit(f"no bench JSON line found in {path}")
-    return json.loads(m.group(0))["queries"]
+    return json.loads(line[line.index('{"metric"'):line.rindex("}") + 1])["queries"]
 
 
 def main():
@@ -52,8 +56,11 @@ def main():
         if sec > b:
             bad.append(f"OVER {q}: {sec:.2f}s > {b:.2f}s "
                        f"(basis {budgets[q]['basis_sec']}s, {budgets[q]['basis']})")
+    # an incomplete bench run (query crashed mid-bench, stale file from an
+    # older tree) must FAIL — missing coverage is how regressions hide
     for q in sorted(set(budgets) - set(queries)):
         print(f"MISS {q:28} budgeted but not in this bench run")
+        bad.append(f"MISS {q}: budgeted but absent from the bench run")
 
     if bad:
         print("\n" + "\n".join(bad))
