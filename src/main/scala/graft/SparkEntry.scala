@@ -583,6 +583,21 @@ object SparkEntry {
         graft.functions.TextAnalysis.tokenCount(col("text")))
     }),
 
+    // Exact per-group top-k via the bounded-heap typed aggregate — the
+    // shuffle-lean form of q03's sort/limit and q54's window rank: each
+    // input partition sends at most k pairs per group across the exchange
+    // (partial heaps, ObjectHashAggregate) instead of every row through a
+    // window sort. Total (value, event_id) order → exact, full oracle.
+    "q63_topk_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(graft.plans.GraftFunctions.topkPairs(ev, col("value"), col("event_id"), 3)
+          .as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("p.ord").as("value"), col("p.id").as("event_id"))
+    }),
+
     // Equi-depth (decile) bucketing per group via ntile over a total order —
     // the exact form of quantile binning (training-data stratification /
     // outlier trimming); complements q41's fixed-width histogram and q39's
@@ -1313,6 +1328,16 @@ object SparkEntry {
                      THEN round(coalesce(ga.dupchars, 0) * 1.0 / length(t.text), 4)
                      ELSE 0.0 END AS dup_2gram_frac
          FROM tok t LEFT JOIN ga ON t.doc_id = ga.doc_id""",
+
+    // the aggregate skips NULL ord values by construction; the oracle
+    // filters them so the window never ranks a null row into the top-k
+    "q63_topk_agg" ->
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rank, value, event_id
+         FROM (SELECT event_type, value, event_id,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value DESC, event_id DESC) AS rnk
+               FROM events WHERE value IS NOT NULL)
+         WHERE rnk <= 3""",
 
     "q61_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

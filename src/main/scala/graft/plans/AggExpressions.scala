@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded min-heap buffer for [[TopKPairs]]: the k largest (ord, id) pairs
+  * under lexicographic order, kept as primitive parallel arrays (no boxing
+  * on the update path; serialization is a flat ByteBuffer).
+  */
+final class TopKBuffer(val k: Int) {
+  val ords = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  // heap root (index 0) = the SMALLEST kept pair: replace-root when a new
+  // pair beats it, sift to restore
+  private def less(o1: Double, i1: Long, o2: Double, i2: Long): Boolean =
+    o1 < o2 || (o1 == o2 && i1 < i2)
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val p = (i - 1) / 2
+      if (less(ords(i), ids(i), ords(p), ids(p))) {
+        val to = ords(i); val ti = ids(i)
+        ords(i) = ords(p); ids(i) = ids(p)
+        ords(p) = to; ids(p) = ti
+        i = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      val r = 2 * i + 2
+      var m = i
+      if (l < size && less(ords(l), ids(l), ords(m), ids(m))) m = l
+      if (r < size && less(ords(r), ids(r), ords(m), ids(m))) m = r
+      if (m == i) return
+      val to = ords(i); val ti = ids(i)
+      ords(i) = ords(m); ids(i) = ids(m)
+      ords(m) = to; ids(m) = ti
+      i = m
+    }
+  }
+
+  def add(ord: Double, id: Long): Unit = {
+    if (size < k) {
+      ords(size) = ord; ids(size) = id
+      size += 1
+      siftUp(size - 1)
+    } else if (less(ords(0), ids(0), ord, id)) {
+      ords(0) = ord; ids(0) = id
+      siftDown()
+    }
+  }
+}
+
+/** Exact top-k per group WITHOUT sorting the group: a
+  * `TypedImperativeAggregate` keeping a bounded min-heap of the k largest
+  * (ord, id) pairs — ties broken by id, so the result is a total order and
+  * exactly equals `row_number() OVER (ORDER BY ord DESC, id DESC) <= k`.
+  *
+  * The scale story is the shuffle volume: the window form exchanges EVERY
+  * row of every group to sort it; this aggregate partially aggregates —
+  * each input partition sends at most k pairs per group across the
+  * exchange, and merges are heap-unions. At 100 TB, per-group top-k via
+  * window is |rows| shuffled; via this aggregate it is ≤ k·partitions.
+  * This is also the library's custom-AGGREGATE extension-point exemplar
+  * (the scalar natives live in HashExpressions/VectorExpressions).
+  *
+  * Returns array<struct<ord double, id long>> sorted (ord, id) descending.
+  */
+case class TopKPairs(ordExpr: Expression, idExpr: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+  require(k >= 1, "k must be >= 1")
+
+  override def children: Seq[Expression] = Seq(ordExpr, idExpr)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (ordExpr.dataType, idExpr.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (o, i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint), got (${o.catalogString}, ${i.catalogString})")
+    }
+  }
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val o = ordExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (o != null && i != null)
+      buf.add(o.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var j = 0
+    while (j < other.size) { buf.add(other.ords(j), other.ids(j)); j += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val idx = (0 until buf.size).sortBy(j => (-buf.ords(j), -buf.ids(j)))
+    new GenericArrayData(idx.map { j =>
+      InternalRow(buf.ords(j), buf.ids(j))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var j = 0
+    while (j < buf.size) { bb.putDouble(buf.ords(j)); bb.putLong(buf.ids(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var j = 0
+    while (j < n) { buf.add(bb.getDouble, bb.getLong); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(ordExpr = newChildren(0), idExpr = newChildren(1))
+}

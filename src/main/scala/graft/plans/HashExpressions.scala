@@ -310,6 +310,18 @@ object GraftFunctions {
     call_function(name, text)
   }
 
+  /** Exact top-k (ord, id) pairs per group via a bounded-heap typed
+    * aggregate — map-side partial heaps instead of a window sort; equals
+    * the `row_number <= k` window form row-for-row.
+    */
+  def topkPairs(df: org.apache.spark.sql.DataFrame, ord: Column, id: Column,
+                k: Int): Column = {
+    val name = s"graft_topk_$k"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => TopKPairs(exprs.head, exprs(1), k), "built-in")
+    call_function(name, ord, id)
+  }
+
   def cosine(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
     register(df.sparkSession)
     call_function("graft_cosine", a, b)
@@ -451,6 +463,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => WordShingleHashes(exprs.head, litInt(exprs, 1, "n")))
     inject("graft_gram_repetition", classOf[GramRepetitionStats],
       exprs => GramRepetitionStats(exprs.head, litInt(exprs, 1, "n")))
+    inject("graft_topk", classOf[TopKPairs],
+      exprs => TopKPairs(exprs(0), exprs(1), litInt(exprs, 2, "k")))
     inject("graft_cosine", classOf[CosineSim], exprs => CosineSim(exprs(0), exprs(1)))
     inject("graft_l2_normalize", classOf[L2Normalize], exprs => L2Normalize(exprs.head))
     inject("graft_hyperplane_buckets", classOf[HyperplaneBuckets],

@@ -86,6 +86,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("top-k aggregate is partial (bounded heaps cross the exchange, no window)") {
+    val p = plan("q63_topk_agg")
+    assert(!p.contains("Window"), "top-k agg fell back to a window sort:\n" + p.take(800))
+    assert(p.contains("graft_topk"), p.take(800))
+    assert(p.contains("partial_graft_topk") ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "top-k must map-side combine:\n" + p.take(800))
+  }
+
   test("as-of join is a single shuffle (union + one window exchange, no join)") {
     val p = plan("q36_asof_join")
     assert(!p.contains("Join"), "as-of must not plan a join:\n" + p.take(800))

@@ -397,6 +397,38 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("top-k typed aggregate equals the window form on real events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_type", $"value", $"event_id")
+    for (k <- Seq(1, 3, 10)) {
+      val agg = ev.groupBy($"event_type")
+        .agg(graft.plans.GraftFunctions.topkPairs(ev, $"value", $"event_id", k).as("top"))
+        .select($"event_type", explode($"top").as("p"))
+        .select($"event_type", $"p.ord".as("value"), $"p.id".as("event_id"))
+        .as[(String, Double, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"value".desc, $"event_id".desc)
+      val win = ev.filter($"value".isNotNull)
+        .withColumn("_r", row_number().over(w)).filter($"_r" <= k)
+        .select($"event_type", $"value", $"event_id")
+        .as[(String, Double, Long)].collect().toSet
+      assert(agg == win, s"k=$k: agg ${agg.size} vs window ${win.size}")
+    }
+    // tiny group (< k rows) returns all of it, ordered
+    val tiny = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("g", "v", "id")
+    val got = tiny.groupBy($"g")
+      .agg(graft.plans.GraftFunctions.topkPairs(tiny, $"v", $"id", 5).as("top"))
+      .select(explode($"top").as("p")).select($"p.ord").as[Double].collect().toSeq
+    assert(got == Seq(2.0, 1.0))
+    // ties on ord break by id — deterministic total order
+    val ties = Seq(("a", 1.0, 1L), ("a", 1.0, 3L), ("a", 1.0, 2L)).toDF("g", "v", "id")
+    val top2 = ties.groupBy($"g")
+      .agg(graft.plans.GraftFunctions.topkPairs(ties, $"v", $"id", 2).as("top"))
+      .select(explode($"top").as("p")).select($"p.id").as[Long].collect().toSeq
+    assert(top2 == Seq(3L, 2L))
+  }
+
   test("stratified sample: quota per stratum, repartition-stable, subset") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sample = Corpus.stratifiedSample(docs, Seq("lang", "source"), "doc_id",
