@@ -32,6 +32,28 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Per-query top-k ranking of a scored candidate stream via the
+    * bounded-heap typed aggregate (see [[graft.plans.TopKPairs]]): each
+    * input partition sends at most k (sim, id) pairs per query across the
+    * exchange — the window-rank form this replaces shuffles EVERY scored
+    * candidate into a per-query sort, which at millions of queries × large
+    * candidate sets is the ANN family's dominant exchange. Tie order
+    * matches the window form exactly: sim DESC, neighbor_id ASC (the heap
+    * keeps the larger (ord, id) pair, so the id rides in negated).
+    * Expects `scored` to carry (query_id, neighbor_id, sim); emits
+    * (query_id, neighbor_id, rank, sim) with sim rounded to 6dp at the
+    * output, ranks 1..k.
+    */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val agg = scored.groupBy(col("query_id"))
+      .agg(graft.plans.GraftFunctions.topkPairs(scored, col("sim"),
+        -col("neighbor_id"), k).as("_top"))
+    agg.select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_p")))
+      .select(col("query_id"), (-col("_p.id")).as("neighbor_id"),
+        (col("_pos") + 1).cast("int").as("rank"),
+        round(col("_p.ord"), 6).as("sim"))
+  }
+
   /** Exact cosine top-k: for every row of `queries`, the `k` nearest rows of
     * `candidates` (self-matches excluded). The query side is broadcast — the
     * corpus is scanned once regardless of query count; per-candidate work is
@@ -44,11 +66,7 @@ object Similarity {
       candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("_cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", graft.plans.GraftFunctions.cosine(c, col("_qv"), col("_cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    topkPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component h[i][d] derived from
@@ -128,12 +146,9 @@ object Similarity {
     val cand = q.join(cAssigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("sim", graft.plans.GraftFunctions.cosine(cand, col("_qv"), col("_cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    topkPerQuery(
+      cand.withColumn("sim", graft.plans.GraftFunctions.cosine(cand, col("_qv"), col("_cv"))),
+      k)
   }
 
   /** IVF-PQ approximate top-k — the billion-vector memory path. On top of
@@ -231,23 +246,28 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand.withColumn("adc",
       col("_qdotc") + GF.pqAdc(cand, col("codes"), col("_lut"), effKsub))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val survivors = scored.withColumn("_r", row_number().over(wAdc))
-      .filter(col("_r") <= math.max(k, k * rerankFactor))
-      .select(col("query_id"), col("_qv"), col("neighbor_id"))
+    // ADC pre-selection through the same bounded-heap aggregate (ord = adc
+    // score, tie on id ASC like the final rank): the ADC candidate stream
+    // is the operator's widest point, and the heap sends ≤ rerankFactor·k
+    // pairs per query per partition instead of window-sorting every
+    // candidate; the query vector is re-attached from the tiny per-query
+    // table afterwards
+    val kAdc = math.max(k, k * rerankFactor)
+    val survivors = scored.groupBy(col("query_id"))
+      .agg(graft.plans.GraftFunctions.topkPairs(scored, col("adc"),
+        -col("neighbor_id"), kAdc).as("_top"))
+      .select(col("query_id"), explode(col("_top")).as("_p"))
+      .select(col("query_id"), (-col("_p.id")).as("neighbor_id"))
+      .join(qn.select(col("query_id"), col("_qv")), Seq("query_id"))
     // exact re-rank (IVFADC+R): fetch the few surviving full vectors by id —
     // a key-equality join against the (materialized) vector table touching
     // rerankFactor·k rows per query, instead of carrying dim doubles on
     // every ADC candidate
     val rerank = survivors.join(c, Seq("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    rerank
-      .withColumn("sim", graft.plans.GraftFunctions.cosine(rerank, col("_qv"), col("_cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    topkPerQuery(
+      rerank.withColumn("sim",
+        graft.plans.GraftFunctions.cosine(rerank, col("_qv"), col("_cv"))),
+      k)
   }
 
   /** Seeded Lloyd's k-means over an in-memory sample (the IVF coarse
@@ -422,11 +442,8 @@ object Similarity {
     val cand = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("sim", graft.plans.GraftFunctions.cosine(cand, col("_qv"), col("_cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    topkPerQuery(
+      cand.withColumn("sim", graft.plans.GraftFunctions.cosine(cand, col("_qv"), col("_cv"))),
+      k)
   }
 }

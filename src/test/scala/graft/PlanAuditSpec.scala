@@ -87,12 +87,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("top-k aggregate is partial (bounded heaps cross the exchange, no window)") {
-    val p = plan("q63_topk_agg")
-    assert(!p.contains("Window"), "top-k agg fell back to a window sort:\n" + p.take(800))
-    assert(p.contains("graft_topk"), p.take(800))
-    assert(p.contains("partial_graft_topk") ||
-      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
-      "top-k must map-side combine:\n" + p.take(800))
+    // q63 is the aggregate's own query; the ANN family ranks its candidate
+    // streams through the same bounded heap — none may fall back to a
+    // window sort of every scored candidate
+    for (q <- Seq("q63_topk_agg", "q23_knn_cosine", "q26_ann_lsh",
+                  "q32_ann_ivf", "q42_ann_ivfpq")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q fell back to a window sort:\n" + p.take(800))
+      assert(p.contains("graft_topk"), s"$q:\n" + p.take(800))
+      assert(p.contains("partial_graft_topk") ||
+        "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost the map-side combine:\n" + p.take(800))
+    }
   }
 
   test("as-of join is a single shuffle (union + one window exchange, no join)") {
