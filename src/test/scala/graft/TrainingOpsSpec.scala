@@ -772,6 +772,16 @@ class TrainingOpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("integer literal") ||
       Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+    // round-4 injections: repetition stats and the top-k typed aggregate
+    val rep = spark.sql(
+      """SELECT graft_gram_repetition('a b a b c', 2).dup_frac AS d""")
+      .head().getDouble(0)
+    assert(math.abs(rep - 3.0 / 9) < 1e-9)
+    val topk = spark.sql(
+      """SELECT graft_topk(CAST(v AS DOUBLE), CAST(id AS BIGINT), 2) AS t
+         FROM VALUES (1, 10), (3, 30), (2, 20) AS x(v, id)""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 30L), (2.0, 20L)))
   }
 
   test("quantile sketch rank error is within accuracy bound vs exact order stats") {
