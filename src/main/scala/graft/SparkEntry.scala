@@ -912,6 +912,8 @@ object SparkEntry {
       """SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
          FROM documents GROUP BY sha256(text)""",
 
+    // the pruned index only GENERATES candidates; common/jaccard come from
+    // the full shingle sets (prune truncates recall, never a pair's value)
     "q22_ngram_jaccard" ->
       """WITH tok AS (
            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
@@ -921,20 +923,23 @@ object SparkEntry {
              generate_series(1, greatest(len(ts) - 2, 0)),
              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
            FROM tok),
-         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
          inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
          inv AS (SELECT * FROM inv0 WHERE shingle IN (
                    SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
          pairs AS (
-           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
-           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
-                round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
-         FROM pairs
-         JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b
-         WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2""",
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+         scored AS (
+           SELECT id_a, id_b,
+                  len(list_intersect(sa.shs, sb.shs)) AS common,
+                  len(sa.shs) AS size_a, len(sb.shs) AS size_b
+           FROM pairs
+           JOIN sh sa ON sa.doc_id = id_a
+           JOIN sh sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, common, size_a, size_b,
+                round(common * 1.0 / (size_a + size_b - common), 4) AS jaccard
+         FROM scored
+         WHERE round(common * 1.0 / (size_a + size_b - common), 4) >= 0.2""",
 
     // exact all-pairs Jaccard at the q24 threshold — the minhash banding
     // path must reproduce it exactly (100% recall pinned in TrainingOpsSpec;

@@ -72,8 +72,9 @@ object NearDup {
 
   /** Word n-gram Jaccard similarity over all candidate pairs sharing ≥1
     * shingle: explode distinct shingles → self-join on shingle (inverted
-    * index) → count common → |A∩B| / (|A|+|B|−|A∩B|). Returns
-    * (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b.
+    * index) for candidates → exact |A∩B| / (|A|+|B|−|A∩B|) from the full
+    * shingle arrays. Returns (id_a, id_b, common, size_a, size_b, jaccard)
+    * with id_a < id_b.
     *
     * The index carries 64-bit shingle FINGERPRINTS (Broder's construction),
     * not shingle strings: the self-join — the operator's dominant shuffle —
@@ -92,19 +93,27 @@ object NearDup {
     // dominates materialization
     val sh = Par.materialize(base.select(col("_id"),
       graft.plans.GraftFunctions.wordShingleHashes(base, col("_text"), n).as("_sh")))
-    val sizes = sh.select(col("_id"), size(col("_sh")).as("_size"))
     // NOT materialized, unlike the band index in minhashNearDup: the full
     // inverted index is |docs|·|shingles| rows — recomputing the explode per
     // join side beats checkpointing that volume (measured 2-3× faster)
     val inv = pruneHotKeys(
       sh.select(col("_id"), explode(col("_sh")).as("_shingle")), "_shingle", maxBucket)
-    val pairs = inv.as("l").join(inv.as("r"),
+    // the pruned index generates CANDIDATES only; common/jaccard are then
+    // computed exactly from the full shingle arrays — pruning truncates
+    // candidate recall (documented, logged) but must never deflate the
+    // reported value of a pair it did surface, matching the verify
+    // discipline of every other family member
+    val candIds = inv.as("l").join(inv.as("r"),
         col("l._shingle") === col("r._shingle") && col("l._id") < col("r._id"))
-      .groupBy(col("l._id").as("id_a"), col("r._id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnsRenamed(Map("_id" -> "id_a", "_size" -> "size_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("_id" -> "id_b", "_size" -> "size_b")), Seq("id_b"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val cand = candIds
+      .join(sh.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
+      .join(sh.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
+    cand
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("size_a", size(col("sh_a")))
+      .withColumn("size_b", size(col("sh_b")))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
@@ -440,15 +449,21 @@ object NearDup {
         .select(col("_id"),
           graft.plans.GraftFunctions.simhash64(df, TextAnalysis.tokens(col("_text")))
             .as("_sim")))
+    // the prune key must BE the join key: (chunk, value) composed into one
+    // long — pruning on the value alone would sum posting lists across the
+    // 4 chunks and drop a value from every chunk whose per-chunk buckets
+    // are individually within the cap (the composite-key discipline of
+    // cosineNearDupPairsLsh's _tb)
     val chunked = sigs.select(col("_id"), col("_sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("_sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunkval"))
       }: _*)).as("_ck"))
-      .select(col("_id"), col("_sim"), col("_ck.chunk"), col("_ck.chunkval"))
-    val pruned = Par.materialize(pruneHotKeys(chunked, "chunkval", maxBucket))
+      .select(col("_id"), col("_sim"),
+        (col("_ck.chunk").cast("long") * (1L << 16) + col("_ck.chunkval")).as("_cc"))
+    val pruned = Par.materialize(pruneHotKeys(chunked, "_cc", maxBucket))
     pruned.as("l").join(pruned.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.chunkval") === col("r.chunkval") &&
+        col("l._cc") === col("r._cc") &&
           col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
         hammingDistance(col("l._sim"), col("r._sim")).as("hamming"))

@@ -31,6 +31,13 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Zero-pad or truncate a driver-side sample vector to the trained dim —
+    * one ragged corpus row must not crash quantizer training (the native
+    * assignment kernels clamp reads the same way).
+    */
+  private def fitDim(v: Array[Double], dim: Int): Array[Double] =
+    if (v.length == dim) v else java.util.Arrays.copyOf(v, dim)
+
   /** Per-query top-k ranking of a scored candidate stream via the
     * bounded-heap typed aggregate (see [[graft.plans.TopKPairs]]): each
     * input partition sends at most k (sim, id) pairs per query across the
@@ -44,9 +51,13 @@ object Similarity {
     * output, ranks 1..k.
     */
   private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    // the id rides through the heap as a long (cast keeps byte/short/int id
+    // columns working, as the window form did; non-integral id types are
+    // not supported by this family's contract). Negation flips the tie to
+    // id ASC; ids are non-negative in this corpus model, so -id is safe.
     val agg = scored.groupBy(col("query_id"))
       .agg(graft.plans.GraftFunctions.topkPairs(scored, col("sim"),
-        -col("neighbor_id"), k).as("_top"))
+        -col("neighbor_id").cast("long"), k).as("_top"))
     agg.select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_p")))
       .select(col("query_id"), (-col("_p.id")).as("neighbor_id"),
         (col("_pos") + 1).cast("int").as("rank"),
@@ -124,8 +135,11 @@ object Similarity {
     // vectors lets norm variance dominate cell shape and true neighbors
     // land in unprobed cells (the FAISS METRIC_INNER_PRODUCT practice:
     // normalize, then L2 quantize).
-    val sample = trainRows.orderBy(col("neighbor_id")) // deterministic order
+    val raw = trainRows.orderBy(col("neighbor_id")) // deterministic order
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
+    require(raw.nonEmpty, "empty candidate corpus")
+    val sample = raw
+      .map(fitDim(_, raw(0).length)) // ragged rows zero-pad/truncate (kernels clamp the same way)
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
@@ -181,9 +195,10 @@ object Similarity {
     val trainRows =
       if (total <= maxTrain) c
       else c.filter(pmod(xxhash64(col("neighbor_id")), lit(total / maxTrain + 1)) === 0)
-    val sample = trainRows.orderBy(col("neighbor_id"))
+    val raw = trainRows.orderBy(col("neighbor_id"))
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty candidate corpus")
+    require(raw.nonEmpty, "empty candidate corpus")
+    val sample = raw.map(fitDim(_, raw(0).length)) // ragged rows zero-pad/truncate
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
@@ -236,9 +251,12 @@ object Similarity {
     val qn = q0.withColumn("_nqv", GF.l2normalize(q0, col("_qv")))
       .withColumn("_lut", GF.pqLut(q0, col("_nqv"), codebooks, m, effKsub, dsub))
       .withColumn("_cdots", GF.centroidDots(q0, col("_nqv"), coarse))
+    // _qv is NOT carried into the probe join — the ADC stream is the
+    // operator's widest point and the query vector is re-attached from the
+    // tiny per-query table only for the heap survivors below
     val q = qn.withColumn("cell",
         explode(GF.nearestCentroids(qn, col("_nqv"), coarse, nprobe)))
-      .select(col("query_id"), col("_qv"), col("_lut"),
+      .select(col("query_id"), col("_lut"),
         element_at(col("_cdots"), col("cell") + 1).as("_qdotc"), col("cell"))
     val cand = q.join(cIndexed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -428,19 +446,27 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int,
               tables: Int = 8, bits: Int = 10, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val base = Par.spread(df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs)))
-      // native single-pass bucketing; lshBuckets is the composable form
-      base
+    // the bucket stream carries ONLY (id, table, bucket) — attaching the
+    // vector to the explode would store and shuffle `tables` copies of every
+    // vector (the amplification cosineNearDupPairsLsh documents avoiding);
+    // vectors are re-attached by id join for just the surviving candidate
+    // pairs
+    def prepared(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      Par.materialize(Par.spread(
+        df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))))
+    def bucketed(vecs: DataFrame, idAs: String, vecAs: String): DataFrame =
+      vecs
         .withColumn("_bks",
-          graft.plans.GraftFunctions.hyperplaneBuckets(base, col(vecAs), dim, tables, bits, seed))
-        .select(col(idAs), col(vecAs), posexplode(col("_bks")).as(Seq("table", "bucket")))
-    }
-    val q = bucketed(queries, "query_id", "_qv")
-    val c = Par.materialize(bucketed(candidates, "neighbor_id", "_cv"))
-    val cand = q.join(c, Seq("table", "bucket"))
+          graft.plans.GraftFunctions.hyperplaneBuckets(vecs, col(vecAs), dim, tables, bits, seed))
+        .select(col(idAs), posexplode(col("_bks")).as(Seq("table", "bucket")))
+    val qv = prepared(queries, "query_id", "_qv")
+    val cv = prepared(candidates, "neighbor_id", "_cv")
+    val candIds = bucketed(qv, "query_id", "_qv")
+      .join(bucketed(cv, "neighbor_id", "_cv"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val cand = candIds.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
     topkPerQuery(
       cand.withColumn("sim", graft.plans.GraftFunctions.cosine(cand, col("_qv"), col("_cv"))),
       k)

@@ -16,9 +16,16 @@ final class TopKBuffer(val k: Int) {
   var size = 0
 
   // heap root (index 0) = the SMALLEST kept pair: replace-root when a new
-  // pair beats it, sift to restore
-  private def less(o1: Double, i1: Long, o2: Double, i2: Long): Boolean =
-    o1 < o2 || (o1 == o2 && i1 < i2)
+  // pair beats it, sift to restore. Double.compare, not primitive <: a
+  // primitive comparison is always false for NaN, so an early NaN pair
+  // would squat in the heap un-evictable and un-sifted; Double.compare
+  // gives NaN the same "greater than everything" total order Spark's own
+  // window sort uses, keeping the window-equivalence exact even on NaN
+  // scores (a zero vector's cosine is 0/0).
+  private def less(o1: Double, i1: Long, o2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(o1, o2)
+    c < 0 || (c == 0 && i1 < i2)
+  }
 
   private def siftUp(start: Int): Unit = {
     var i = start
@@ -115,7 +122,12 @@ case class TopKPairs(ordExpr: Expression, idExpr: Expression, k: Int,
   }
 
   override def eval(buf: TopKBuffer): Any = {
-    val idx = (0 until buf.size).sortBy(j => (-buf.ords(j), -buf.ids(j)))
+    // descending under the heap's own total order (Double.compare) — a
+    // tuple sortBy on negated doubles would misplace NaN
+    val idx = (0 until buf.size).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(buf.ords(b), buf.ords(a))
+      c < 0 || (c == 0 && buf.ids(b) < buf.ids(a))
+    }
     new GenericArrayData(idx.map { j =>
       InternalRow(buf.ords(j), buf.ids(j))
     }.toArray[Any])

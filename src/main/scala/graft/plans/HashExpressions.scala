@@ -443,7 +443,7 @@ object GraftFunctions {
   * instead mint one temp function per parameter tuple).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  import GraftExtensions.litInt
+  import GraftExtensions.{litInt, litLong}
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanosCursorPushdown)
@@ -456,7 +456,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("graft_minhash_sig_32_42", classOf[MinHashSig],
       exprs => MinHashSig(exprs.head, 32, 42L))
     inject("graft_minhash_sig", classOf[MinHashSig],
-      exprs => MinHashSig(exprs.head, litInt(exprs, 1, "k"), litInt(exprs, 2, "seed").toLong))
+      exprs => MinHashSig(exprs.head, litInt(exprs, 1, "k"), litLong(exprs, 2, "seed")))
     inject("graft_shingles", classOf[WordShingles],
       exprs => WordShingles(exprs.head, litInt(exprs, 1, "n"), distinct = true))
     inject("graft_shingle_hashes", classOf[WordShingleHashes],
@@ -470,17 +470,32 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("graft_hyperplane_buckets", classOf[HyperplaneBuckets],
       exprs => HyperplaneBuckets(exprs.head, litInt(exprs, 1, "dim"),
         litInt(exprs, 2, "tables"), litInt(exprs, 3, "bits"),
-        litInt(exprs, 4, "seed").toLong))
+        litLong(exprs, 4, "seed")))
   }
 }
 
 object GraftExtensions {
-  /** Extract a fold-time integer shape parameter from a literal argument. */
+  /** Extract a fold-time integer shape parameter from a literal argument.
+    * A long literal outside Int range is an ERROR, not a truncation — a
+    * silently wrapped shingle width or table count would build a different
+    * operator than the SQL asked for.
+    */
   private def litInt(exprs: Seq[Expression], i: Int, what: String): Int = {
+    val v = litLong(exprs, i, what)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"argument #$i ($what) out of int range: $v")
+    v.toInt
+  }
+
+  /** Long-valued fold-time parameter (seeds): SQL integer literals above
+    * 2^31 must reach the expression intact, or SQL-built signatures would
+    * silently disagree with Scala-built ones for the same seed.
+    */
+  private def litLong(exprs: Seq[Expression], i: Int, what: String): Long = {
     require(exprs.length > i, s"missing literal argument #$i ($what)")
     exprs(i) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
       case other => throw new IllegalArgumentException(
         s"argument #$i ($what) must be an integer literal, got $other")
     }

@@ -57,17 +57,38 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // the composable form (zip_with + aggregate) propagates a null ELEMENT to
+  // a null result; getDouble would silently read a null slot as 0.0 and
+  // break the bit-identical parity contract. The scan is statically skipped
+  // when neither child's array type admits null elements (the hot paths —
+  // our own expressions emit containsNull = false).
+  private lazy val mayHoldNullElems = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => false
+  }
+
+  def anyNullElem(a: ArrayData, b: ArrayData): Boolean = {
+    if (!mayHoldNullElems) return false
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) null
+    if (a.numElements() != b.numElements() || anyNullElem(a, b)) null
     else compute(a, b)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cosineSim", this)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      if ($a.numElements() != $b.numElements()) {
+      if ($a.numElements() != $b.numElements() || $ref.anyNullElem($a, $b)) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = $ref.compute($a, $b);
@@ -260,11 +281,17 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: I
     val taken = new Array[Boolean](ctrs.length)
     var slot = 0
     while (slot < n) {
+      // first untaken cell seeds the selection: a strict `< Double.MaxValue`
+      // probe would leave best = -1 (and crash the taken() write) when every
+      // remaining distance is NaN or Infinity — one corrupt embedding must
+      // degrade to an arbitrary-but-valid cell, not kill the assignment stage
       var best = -1
-      var bestD = Double.MaxValue
+      var bestD = 0.0
       var i = 0
       while (i < ctrs.length) {
-        if (!taken(i) && dists(i) < bestD) { best = i; bestD = dists(i) }
+        if (!taken(i) && (best == -1 || dists(i) < bestD)) {
+          best = i; bestD = dists(i)
+        }
         i += 1
       }
       taken(best) = true
@@ -429,6 +456,11 @@ case class PQEncode(child: Expression, codebooks: Array[Double], m: Int, ksub: I
 
   def compute(input: ArrayData): ArrayData = {
     val v = input
+    // clamp reads to the actual vector length (ragged rows shorter than the
+    // trained dim read as zero-padded, like CentroidResidual) — an unguarded
+    // getDouble past the end throws on GenericArrayData and silently reads
+    // garbage on UnsafeArrayData
+    val len = v.numElements()
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -441,7 +473,8 @@ case class PQEncode(child: Expression, codebooks: Array[Double], m: Int, ksub: I
         var d2 = 0.0
         var d = 0
         while (d < dsub) {
-          val t = v.getDouble(off + d) - codebooks(cOff + d)
+          val x = if (off + d < len) v.getDouble(off + d) else 0.0
+          val t = x - codebooks(cOff + d)
           d2 += t * t
           d += 1
         }
@@ -483,6 +516,7 @@ case class PQLut(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
 
   def compute(input: ArrayData): ArrayData = {
     val v = input
+    val len = v.numElements() // clamp like PQEncode: short rows zero-pad
     val out = new Array[Any](m * ksub)
     var s = 0
     while (s < m) {
@@ -492,7 +526,10 @@ case class PQLut(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
         val cOff = (s * ksub + j) * dsub
         var dot = 0.0
         var d = 0
-        while (d < dsub) { dot += v.getDouble(off + d) * codebooks(cOff + d); d += 1 }
+        while (d < dsub) {
+          if (off + d < len) dot += v.getDouble(off + d) * codebooks(cOff + d)
+          d += 1
+        }
         out(s * ksub + j) = dot
         j += 1
       }

@@ -429,6 +429,39 @@ class TrainingOpsSpec extends SparkSpec {
     assert(top2 == Seq(3L, 2L))
   }
 
+  test("top-k heap orders NaN like the window sort and never wedges on it") {
+    // a NaN ord (zero-vector cosine) must rank GREATEST — Spark's window
+    // order for NaN — and must stay evictable, not squat in an under-full
+    // heap blocking later finite scores
+    val df = Seq(("g", Double.NaN, 1L), ("g", 5.0, 2L), ("g", 7.0, 3L),
+      ("g", Double.NaN, 4L), ("g", 6.0, 5L)).toDF("g", "v", "id")
+    val top3 = df.groupBy($"g")
+      .agg(graft.plans.GraftFunctions.topkPairs(df, $"v", $"id", 3).as("t"))
+      .select(explode($"t").as("p")).select($"p.id").as[Long].collect().toSeq
+    assert(top3 == Seq(4L, 1L, 3L), s"got $top3") // NaN ids 4,1 first, then 7.0's id 3
+  }
+
+  test("cosine native expression nulls out on null elements like the HOF form") {
+    val df = Seq(1).toDF("x").select(
+      array(lit(1.0), lit(null).cast("double"), lit(2.0)).as("a"),
+      array(lit(1.0), lit(1.0), lit(2.0)).as("b"))
+    val hof = df.select(Similarity.cosine($"a", $"b").as("c")).head()
+    val native = df.select(graft.plans.GraftFunctions.cosine(df, $"a", $"b").as("c")).head()
+    assert(hof.isNullAt(0) && native.isNullAt(0))
+  }
+
+  test("PQ encode/lut clamp ragged vectors instead of reading out of bounds") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // one 32-dim row in a corpus whose quantizer trains at 64 dims
+    val ragged = emb.limit(20)
+      .withColumn("embedding",
+        when($"vec_id" === 3L, slice($"embedding", 1, 32)).otherwise($"embedding"))
+    val out = Similarity.ivfpqTopK(ragged.filter($"vec_id" < 2), ragged, k = 3,
+      nlist = 4, nprobe = 4, m = 8, ksub = 8, rerankFactor = 3)
+    assert(out.count() > 0) // no ArrayIndexOutOfBounds from the short row
+  }
+
   test("stratified sample: quota per stratum, repartition-stable, subset") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sample = Corpus.stratifiedSample(docs, Seq("lang", "source"), "doc_id",
