@@ -51,7 +51,16 @@ object NearDup {
     * Combine with `spark.graft.materialize=persist` (also lazy) for fully
     * job-free construction.
     */
-  def pruneHotKeys(exploded: DataFrame, keyCol: String, maxBucket: Int): DataFrame = {
+  def pruneHotKeys(exploded: DataFrame, keyCol: String, maxBucket: Int): DataFrame =
+    pruneHotKeysCounted(exploded, keyCol, maxBucket)._1
+
+  /** [[pruneHotKeys]] that also reports how many keys were dropped:
+    * `Some(n)` in eager mode, `None` in lazy mode (unknown until an action
+    * runs). Callers can specialize their plan on `Some(0)` — "nothing was
+    * pruned" means pruned-index counts are still exact.
+    */
+  private[functions] def pruneHotKeysCounted(exploded: DataFrame, keyCol: String,
+                                             maxBucket: Int): (DataFrame, Option[Long]) = {
     val hotAgg = exploded.groupBy(col(keyCol)).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxBucket).select(col(keyCol))
     val lazyMode =
@@ -59,14 +68,14 @@ object NearDup {
     if (lazyMode) {
       log.debug(s"pruneHotKeys: lazy mode — '$keyCol' keys with posting lists > " +
         s"$maxBucket prune inline; dropped-key count is not precomputed")
-      exploded.join(hotAgg, Seq(keyCol), "left_anti")
+      (exploded.join(hotAgg, Seq(keyCol), "left_anti"), None)
     } else {
       val hot = Par.materialize(hotAgg)
       val nHot = hot.count()
       if (nHot > 0)
         log.warn(s"pruneHotKeys: dropping $nHot hot '$keyCol' key(s) with posting " +
           s"lists > $maxBucket — candidate recall is truncated on those keys")
-      exploded.join(hot, Seq(keyCol), "left_anti")
+      (exploded.join(hot, Seq(keyCol), "left_anti"), Some(nHot))
     }
   }
 
@@ -96,30 +105,52 @@ object NearDup {
     // NOT materialized, unlike the band index in minhashNearDup: the full
     // inverted index is |docs|·|shingles| rows — recomputing the explode per
     // join side beats checkpointing that volume (measured 2-3× faster)
-    val inv = pruneHotKeys(
+    val (inv, nHot) = pruneHotKeysCounted(
       sh.select(col("_id"), explode(col("_sh")).as("_shingle")), "_shingle", maxBucket)
-    // the pruned index generates CANDIDATES only; common/jaccard are then
-    // computed exactly from the full shingle arrays — pruning truncates
-    // candidate recall (documented, logged) but must never deflate the
-    // reported value of a pair it did surface, matching the verify
-    // discipline of every other family member
-    val candIds = inv.as("l").join(inv.as("r"),
-        col("l._shingle") === col("r._shingle") && col("l._id") < col("r._id"))
-      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val cand = candIds
-      .join(sh.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
-    cand
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("size_a", size(col("sh_a")))
-      .withColumn("size_b", size(col("sh_b")))
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
-        col("jaccard"))
+    // common/jaccard must come from the FULL shingle sets: pruning may
+    // truncate candidate recall (documented, logged) but must never deflate
+    // the reported value of a pair it did surface. Two plans deliver that:
+    //  - nothing pruned (the common case, known only in eager mode): the
+    //    index join's match count per pair IS the exact intersection —
+    //    count it map-side (partial agg) and join the two size columns;
+    //    no array re-attachment, no per-pair intersect.
+    //  - keys pruned (or lazy mode, where the count is unknown): generate
+    //    candidate ids from the pruned index, then exact-verify with
+    //    array_intersect over the full arrays, like the rest of the family.
+    if (nHot.contains(0L)) {
+      val sizes = sh.select(col("_id"), size(col("_sh")).as("_size"))
+      val pairs = inv.as("l").join(inv.as("r"),
+          col("l._shingle") === col("r._shingle") && col("l._id") < col("r._id"))
+        .groupBy(col("l._id").as("id_a"), col("r._id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sizes.withColumnsRenamed(Map("_id" -> "id_a", "_size" -> "size_a")), Seq("id_a"))
+        .join(sizes.withColumnsRenamed(Map("_id" -> "id_b", "_size" -> "size_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+          col("jaccard"))
+    } else {
+      val candIds = inv.as("l").join(inv.as("r"),
+          col("l._shingle") === col("r._shingle") && col("l._id") < col("r._id"))
+        .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val cand = candIds
+        .join(sh.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
+        .join(sh.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
+      cand
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("size_a", size(col("sh_a")))
+        .withColumn("size_b", size(col("sh_b")))
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+          col("jaccard"))
+    }
   }
 
   /** Connected components over an undirected pair list — the step that

@@ -429,6 +429,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(top2 == Seq(3L, 2L))
   }
 
+  test("hot-key pruning never deflates a surfaced pair's jaccard value") {
+    // 12 filler docs make the shingle "the common stop phrase" hot (cap 10);
+    // the twin pair shares it AND a private shingle, so the pair still
+    // surfaces through the private key — its jaccard must be the FULL-set
+    // value, not one computed from pruned posting lists
+    val filler = (100L to 111L).map(i => (i, s"the common stop phrase filler$i"))
+    val twins = Seq(
+      (1L, "the common stop phrase unique twin tail"),
+      (2L, "the common stop phrase unique twin tail extra"))
+    val docs = (filler ++ twins).toDF("doc_id", "text")
+    val pruned = NearDup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.1, maxBucket = 10)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select($"common", $"jaccard").as[(Long, Double)].collect()
+    val full = NearDup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.1, maxBucket = Int.MaxValue)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select($"common", $"jaccard").as[(Long, Double)].collect()
+    assert(pruned.nonEmpty && full.nonEmpty)
+    assert(pruned.head == full.head,
+      s"pruned ${pruned.head} vs full ${full.head}")
+  }
+
   test("top-k heap orders NaN like the window sort and never wedges on it") {
     // a NaN ord (zero-vector cosine) must rank GREATEST — Spark's window
     // order for NaN — and must stay evictable, not squat in an under-full
