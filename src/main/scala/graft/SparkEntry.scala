@@ -132,6 +132,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     }),
 
+    // q09's anti-join with a bloom semi-join reduction of the history side:
+    // a sketch of the (small) batch's keys pre-filters the (huge) history
+    // scan map-side before the exact anti-join — false positives resolve in
+    // the join, so the result is row-identical (same oracle as q09's shape).
+    // At 100 TB this shuffles ~|batch| history rows instead of the full
+    // history key set.
+    "q64_bloom_delta" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val history = events.filter(col("event_id") % 3 === 0)
+      val batch = events.filter(col("ts") > tsLit("2024-01-25 00:00:00"))
+      Merge.historyDeltaBloom(history, batch, keys = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    }),
+
     // O-12 — newer-wins upsert merge of an incoming batch into an existing
     // keyed table; ties keep the existing row (strict `>` guard).
     "q10_latest_upsert" -> ((s, dir) => {
@@ -779,6 +793,12 @@ object SparkEntry {
                                     ORDER BY ts DESC, event_id DESC) = 1""",
 
     "q09_history_delta" ->
+      """SELECT event_id, user_id, ts, event_type FROM events
+         WHERE ts > TIMESTAMP '2024-01-25 00:00:00' AND event_id % 3 <> 0""",
+
+    // bloom is a pre-filter only — the exact anti-join semantics (and so
+    // the oracle) are identical to q09's
+    "q64_bloom_delta" ->
       """SELECT event_id, user_id, ts, event_type FROM events
          WHERE ts > TIMESTAMP '2024-01-25 00:00:00' AND event_id % 3 <> 0""",
 

@@ -36,6 +36,34 @@ object Merge {
     batchDeduped.join(history.select(keys.map(col): _*), keys, "left_anti")
   }
 
+  /** [[historyDelta]] with a bloom semi-join reduction of the HISTORY side.
+    * The anti-join only needs history rows whose key might match the
+    * incoming batch — every other history row cannot affect the result —
+    * so a bloom filter built from the (small) batch's keys pre-filters the
+    * (huge) history scan map-side before the exact anti-join. False
+    * positives just pass through to the join; false negatives cannot occur,
+    * so the result is row-identical to [[historyDelta]].
+    *
+    * At 100 TB this is the difference between shuffling the full history
+    * key set and shuffling ~|batch| history rows: the bloom is built from
+    * the batch (one aggregate job, sized by `expectedItems`/`fpp` — ~1.1 MB
+    * per million keys at 3%), rides to executors inside the filter
+    * expression, and prunes at scan speed inside whole-stage codegen. Build
+    * the sketch from whichever side is small; for daily-batch-vs-history
+    * that is always the batch.
+    */
+  def historyDeltaBloom(history: DataFrame, batch: DataFrame,
+                        keys: Seq[String] = Seq("id", "updated_at", "payload_hash"),
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.03): DataFrame = {
+    val batchDeduped = Dedup.keepLast(batch, keys)
+    val keyHash: Column = xxhash64(keys.map(col): _*)
+    val bf = batchDeduped.stat.bloomFilter(keyHash, expectedItems, fpp)
+    val prunedHistory = history.select(keys.map(col): _*)
+      .filter(graft.plans.GraftFunctions.bloomMightContain(history, keyHash, bf))
+    batchDeduped.join(prunedHistory, keys, "left_anti")
+  }
+
   /** O-12 — latest-state upsert, newer-wins type-1 merge
     * (`staging_repo.py:62-99`; guard `WHERE excluded.updated_at >
     * current.updated_at` at line 89). Strict `>`: on an `updated_at` tie the

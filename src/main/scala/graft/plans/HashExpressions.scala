@@ -322,6 +322,18 @@ object GraftFunctions {
     call_function(name, ord, id)
   }
 
+  /** Bloom-filter membership probe of a long key column — the native probe
+    * side of a bloom semi-join reduction; name keyed by the filter identity
+    * so several sketches coexist in one session.
+    */
+  def bloomMightContain(df: org.apache.spark.sql.DataFrame, key: Column,
+                        filter: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val name = s"graft_bloom_${System.identityHashCode(filter).toHexString}"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BloomMightContain(exprs.head, filter), "built-in")
+    call_function(name, key)
+  }
+
   def cosine(df: org.apache.spark.sql.DataFrame, a: Column, b: Column): Column = {
     register(df.sparkSession)
     call_function("graft_cosine", a, b)

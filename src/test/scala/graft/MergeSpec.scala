@@ -40,6 +40,24 @@ class MergeSpec extends SparkSpec {
     assert(Merge.historyDelta(batch.limit(0), batch).count() == 1)
   }
 
+  test("bloom-accelerated history delta equals the plain anti-join and prunes the scan") {
+    // 500 history rows, a 60-row batch of which 40 keys already exist: the
+    // bloom pre-filter must keep every truly-matching history row (no false
+    // negatives) so the delta is row-identical to the plain form
+    val history = (1L to 500L).map(i => (s"k$i", ts("2024-01-01 00:00:00"), s"h$i"))
+      .toDF("id", "updated_at", "payload_hash")
+    val batch = ((461L to 500L) ++ (1001L to 1020L))
+      .map(i => (s"k$i", ts("2024-01-01 00:00:00"), s"h$i"))
+      .toDF("id", "updated_at", "payload_hash")
+    val plain = Merge.historyDelta(history, batch).select($"id").as[String].collect().toSet
+    val bloom = Merge.historyDeltaBloom(history, batch, expectedItems = 1000L)
+      .select($"id").as[String].collect().toSet
+    assert(bloom == plain)
+    assert(bloom == (1001L to 1020L).map(i => s"k$i").toSet)
+    // (plan-shape pin lives in PlanAuditSpec on the parquet-backed q64 —
+    // over a LocalRelation the optimizer folds the probe into the scan)
+  }
+
   test("latest upsert: newer wins, older never clobbers, ties keep existing (test_staging_repo.py:29-73)") {
     val existing = Seq(
       ("a", ts("2024-01-02 00:00:00"), "old-a"),

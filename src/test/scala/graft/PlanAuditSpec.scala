@@ -101,6 +101,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bloom delta probes the sketch on the history side before the anti-join") {
+    val p = plan("q64_bloom_delta")
+    assert(p.contains("graft_bloom_might_contain"),
+      "history side must be bloom-pruned before the exact anti-join:\n" + p.take(800))
+  }
+
   test("as-of join is a single shuffle (union + one window exchange, no join)") {
     val p = plan("q36_asof_join")
     assert(!p.contains("Join"), "as-of must not plan a join:\n" + p.take(800))
