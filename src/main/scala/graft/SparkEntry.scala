@@ -697,6 +697,24 @@ object SparkEntry {
         .withColumnsRenamed(Map("node" -> "doc_id", "component" -> "cluster_id"))
     }),
 
+    // Semantic dedup (SemDeDup shape): embedding-cosine near-dup pairs via
+    // the LSH candidate path → connected components → canonical corpus —
+    // drops every vector that lost its semantic-cluster election. The
+    // embedding-space sibling of q49's lexical dedup corpus: catches
+    // paraphrases and translations that share no n-grams. Oracle = exact
+    // all-pairs cosine pairs + recursive-CTE closure (valid because the LSH
+    // path's recall is 100% on the gate data at the pinned parameters).
+    "q65_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = graft.functions.Similarity.cosineNearDupPairsLsh(
+        emb, minCosine = 0.4, dim = 64)
+      graft.functions.NearDup.canonicalCorpusFromClusters(
+          emb.select(col("vec_id"), col("label")),
+          graft.functions.NearDup.connectedComponents(pairs, "id_a", "id_b"),
+          "vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+    }),
+
     // The deduplicated corpus: drop every doc that lost its near-dup
     // cluster election — the shippable end product of the dedup family.
     "q49_dedup_corpus" -> ((s, dir) => {
@@ -1184,6 +1202,28 @@ object SparkEntry {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a""",
+
+    // exact all-pairs cosine edges + recursive-CTE closure; survivors are
+    // vectors that are their own component minimum (or untouched by pairs)
+    "q65_semantic_dedup" ->
+      """WITH RECURSIVE v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings),
+         jp AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM v a JOIN v b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= CAST(0.4 AS DOUBLE)),
+         edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (
+           SELECT a AS vec_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a),
+         dropped AS (SELECT vec_id FROM comp WHERE vec_id <> component)
+         SELECT vec_id, CAST(label AS BIGINT) AS label FROM v
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
 
     "q49_dedup_corpus" ->
       """WITH RECURSIVE tok AS (
