@@ -25,9 +25,16 @@ object Payload {
   def payloadCols(df: DataFrame): Seq[String] =
     df.columns.filterNot(_.startsWith("_")).sorted.toSeq
 
-  /** Canonical JSON text of the non-meta columns of each row. */
+  /** Canonical JSON text of the non-meta columns of each row.
+    * `ignoreNullFields=false`: the reference's `json.dumps` emits
+    * `"field":null` for null values, and Spark's default would DROP the
+    * field — same row, different payload text, different sha256, and the
+    * (id, updated_at, payload_hash) conflict key would never match
+    * reference-written history for any null-bearing row.
+    */
   def canonicalJson(df: DataFrame): Column =
-    to_json(struct(payloadCols(df).map(col): _*))
+    to_json(struct(payloadCols(df).map(col): _*),
+      Map("ignoreNullFields" -> "false"))
 
   /** O-10 — append `payload` (canonical JSON) and `payload_hash`
     * (sha256 hex) columns. Pure projection: map-side, codegen, no shuffle.

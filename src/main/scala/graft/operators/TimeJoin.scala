@@ -88,13 +88,22 @@ object TimeJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet) -- keys
     require(overlap.isEmpty, s"non-key columns collide: $overlap")
     val wMicros = windowSeconds * 1000000L
-    val lb = left.withColumn("_b0", expr(s"unix_micros($leftTs) div $wMicros"))
+    // pure Column arithmetic, no SQL-string interpolation (a column name
+    // needing backticks would break expr() parsing): floor division via
+    // (a - pmod(a, w)) / w — the subtraction makes the division exact, and
+    // floor bucketing keeps the ±1-bucket adjacency the candidate join
+    // relies on for any epoch sign
+    def bucket(ts: String): org.apache.spark.sql.Column = {
+      val m = unix_micros(col(ts))
+      ((m - pmod(m, lit(wMicros))) / lit(wMicros)).cast("long")
+    }
+    val lb = left.withColumn("_b0", bucket(leftTs))
       .withColumn("_bucket", explode(array(col("_b0"), col("_b0") + 1)))
       .drop("_b0")
-    val rb = right.withColumn("_bucket", expr(s"unix_micros($rightTs) div $wMicros"))
+    val rb = right.withColumn("_bucket", bucket(rightTs))
     lb.join(rb, keys :+ "_bucket")
-      .filter(col(rightTs) > col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .filter(unix_micros(col(rightTs)) > unix_micros(col(leftTs)) &&
+        unix_micros(col(rightTs)) <= unix_micros(col(leftTs)) + lit(wMicros))
       .drop("_bucket")
   }
 }

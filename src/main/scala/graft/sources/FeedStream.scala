@@ -60,7 +60,7 @@ class FeedMicroBatchStream(transport: FeedTransport, schema: StructType,
     else Some(Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L))
   }
 
-  private def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def micros(i: Instant): Long = FeedMicroBatchStream.micros(i)
 
   override def initialOffset(): Offset =
     FeedOffset(startCursor.map(micros).getOrElse(Long.MinValue))
@@ -169,4 +169,12 @@ class FeedStreamReaderFactory(transport: FeedTransport, schema: StructType,
       override def close(): Unit = ()
     }
   }
+}
+
+object FeedMicroBatchStream {
+  /** Epoch micros of an instant — the feed cursor unit, shared with the
+    * batch scan's end-bound filter.
+    */
+  def micros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
 }

@@ -87,9 +87,12 @@ class FeedTableProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
+    // inferSchema saw a CaseInsensitiveStringMap; the raw properties here
+    // are not — a mixed-case option key must resolve the same transport
+    val opts = new CaseInsensitiveStringMap(properties)
     val transport =
-      if (properties.containsKey("url")) HttpTransport(properties.get("url"), schema)
-      else RegistryTransport(properties.get("feed"))
+      if (opts.containsKey("url")) HttpTransport(opts.get("url"), schema)
+      else RegistryTransport(opts.get("feed"))
     new FeedTable(transport, schema)
   }
 }
@@ -158,6 +161,21 @@ class FeedScan(transport: FeedTransport, val schema: StructType, cursor: Option[
   override def description(): String =
     s"graft-feed:${transport.label} cursor=${cursor.getOrElse("none")}"
 
+  /** Plans one partition per page range from the M-4 envelope count, plus a
+    * planning-time END BOUND: the tail row's `updated_at` is probed once and
+    * every reader drops rows beyond it. A row that mutates DURING the scan
+    * moves to the tail of the (updated_at, id) order with a new timestamp
+    * past the bound — so a torn read can never deliver two versions of one
+    * row in one result, and the mutation is picked up by the next
+    * incremental run's cursor instead. What the bound cannot recover is a
+    * row that SHIFTS into an already-read offset range when an earlier row
+    * mutates out from under it — inherent to one-shot offset pagination
+    * over a mutable feed (the reference's batch extract has the same
+    * in-run property; its mitigation is the next run's lookback window).
+    * Pipelines needing at-least-once under live mutation use the streaming
+    * form, whose per-batch one-page overlap plus idempotent sinks absorb
+    * exactly that case.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     // one cheap envelope probe for the total filtered count (M-4 semantics)
     val total = PagedFeed.withRetry()(() => transport.fetch(cursor, 1, 0)).totalCount
@@ -168,21 +186,43 @@ class FeedScan(transport: FeedTransport, val schema: StructType, cursor: Option[
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(transport, schema, cursor, pageSize)
+  private lazy val endBoundMicros: Option[Long] = {
+    val total = PagedFeed.withRetry()(() => transport.fetch(cursor, 1, 0)).totalCount
+    if (total == 0) None
+    else {
+      val tsIdx = schema.fieldIndex("updated_at")
+      PagedFeed.withRetry()(() => transport.fetch(cursor, 1, total - 1)).rows.lastOption
+        .map(r => FeedMicroBatchStream.micros(r.getTimestamp(tsIdx).toInstant))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val bound =
+      if (schema.fieldNames.contains("updated_at")) endBoundMicros else None
+    new FeedReaderFactory(transport, schema, cursor, pageSize, bound)
+  }
 }
 
 class FeedReaderFactory(transport: FeedTransport, schema: StructType,
-                        cursor: Option[Instant], pageSize: Int)
+                        cursor: Option[Instant], pageSize: Int,
+                        endBoundMicros: Option[Long] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeedInputPartition]
     new PartitionReader[InternalRow] {
       private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+      private val tsIdx =
+        if (endBoundMicros.isDefined) schema.fieldIndex("updated_at") else -1
       private var offset = p.firstOffset
       private var page: Iterator[Row] = Iterator.empty
       private var exhausted = false
       private var current: InternalRow = _
+
+      private def inBound(r: Row): Boolean = endBoundMicros match {
+        case Some(end) => !r.isNullAt(tsIdx) &&
+          FeedMicroBatchStream.micros(r.getTimestamp(tsIdx).toInstant) <= end
+        case None => true
+      }
 
       override def next(): Boolean = {
         while (!page.hasNext && !exhausted && offset < p.lastOffsetExclusive) {
@@ -190,7 +230,7 @@ class FeedReaderFactory(transport: FeedTransport, schema: StructType,
           val fetched = PagedFeed.withRetry()(() => transport.fetch(cursor, limit, offset))
           offset += fetched.rows.size
           if (fetched.rows.size < limit) exhausted = true
-          page = fetched.rows.iterator
+          page = fetched.rows.iterator.filter(inBound)
         }
         if (page.hasNext) {
           current = toCatalyst(page.next()).asInstanceOf[InternalRow]

@@ -74,36 +74,50 @@ object HttpFeedJson {
 
   private val mapper = new ObjectMapper()
 
-  /** `{"items": [...], "total": N}` → Page. A missing `total` falls back to
-    * the item count (a short final page then still terminates `fetchAll`).
+  /** `{"items": [...], "total": N}` → Page. A missing or non-numeric `total`
+    * is an ERROR: scan planning probes with `limit=1` and partitions the
+    * whole backfill by the reported total, so a silent items-count fallback
+    * would plan a single 1-row partition and lose the rest of the feed
+    * without any symptom (and the streaming offset probe would crawl one
+    * timestamp per trigger). A feed without the M-4 envelope is not this
+    * source's contract.
     */
   def parsePage(body: String, schema: StructType): PagedFeed.Page = {
     val root = mapper.readTree(body)
     val items = root.path("items")
     require(items.isArray, s"feed envelope missing 'items' array: ${body.take(200)}")
     val rows = (0 until items.size()).map(i => decodeRow(items.get(i), schema))
-    val total = if (root.path("total").isNumber) root.path("total").asLong() else rows.size.toLong
-    PagedFeed.Page(rows, total)
+    val totalNode = root.path("total")
+    require(totalNode.isNumber,
+      s"feed envelope missing numeric 'total' (M-4 contract): ${body.take(200)}")
+    PagedFeed.Page(rows, totalNode.asLong())
   }
 
-  /** Schema-driven decode: absent/null JSON fields become SQL nulls; the
-    * supported types are the feed data model's (SURVEY.md §1.2) — strings,
+  /** Schema-driven decode: absent/null JSON fields become SQL nulls; a
+    * PRESENT value of the wrong JSON type is an error — Jackson's lenient
+    * `asLong`/`asBoolean` would silently coerce `"abc"`/objects to 0/false
+    * and corrupt downstream aggregates and payload hashes. The supported
+    * types are the feed data model's (SURVEY.md §1.2) — strings,
     * integral/floating numbers, booleans, ISO-8601 instants, dates.
     */
   def decodeRow(node: JsonNode, schema: StructType): Row =
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
       schema.fields.map { f =>
       val v = node.path(f.name)
+      def mismatch(): Nothing = throw new IllegalStateException(
+        s"feed column '${f.name}': expected ${f.dataType.simpleString}, got ${v.getNodeType} $v")
       if (v.isMissingNode || v.isNull) null
       else f.dataType match {
-        case StringType => v.asText()
-        case LongType => v.asLong()
-        case IntegerType => v.asInt()
-        case DoubleType => v.asDouble()
-        case FloatType => v.asDouble().toFloat
-        case BooleanType => v.asBoolean()
-        case TimestampType => java.sql.Timestamp.from(Instant.parse(v.asText()))
-        case DateType => java.sql.Date.valueOf(v.asText())
+        case StringType => if (v.isTextual) v.asText() else mismatch()
+        case LongType => if (v.isIntegralNumber) v.asLong() else mismatch()
+        case IntegerType => if (v.isIntegralNumber) v.asInt() else mismatch()
+        case DoubleType => if (v.isNumber) v.asDouble() else mismatch()
+        case FloatType => if (v.isNumber) v.asDouble().toFloat else mismatch()
+        case BooleanType => if (v.isBoolean) v.asBoolean() else mismatch()
+        case TimestampType =>
+          if (v.isTextual) java.sql.Timestamp.from(Instant.parse(v.asText())) else mismatch()
+        case DateType =>
+          if (v.isTextual) java.sql.Date.valueOf(v.asText()) else mismatch()
         case other =>
           throw new IllegalArgumentException(
             s"feed column '${f.name}': unsupported type $other")

@@ -59,10 +59,16 @@ object Landing {
   def zorderValue(df: DataFrame, cols: Seq[String], bits: Int = 12): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col => c}
     val nBuckets = 1 << bits
-    val fences = cols.map { name =>
-      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-      df.stat.approxQuantile(name, probs, 0.001)
-    }
+    // ONE quantile pass for all dimensions (the per-column overload scans
+    // the table once per column), over double-cast projections so
+    // timestamp/date dimensions — the natural time+key clustering — work
+    // like the bucket expression below, which compares in double space too
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val castNames = cols.indices.map(i => s"_zq$i")
+    val casted = df.select(cols.zip(castNames).map { case (n, a) =>
+      c(n).cast("double").as(a)
+    }: _*)
+    val fences = casted.stat.approxQuantile(castNames.toArray, probs, 0.001).toSeq
     val buckets = cols.zip(fences).map { case (name, f) =>
       // binary-search-equivalent as a literal fence array: count of fences
       // <= value = bucket index. aggregate over a literal array is tiny

@@ -287,7 +287,12 @@ object ManifestStore {
       case _ => None
     }).sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    val live = keep.flatMap(v => readManifest(spark, dir, v).files).toSet
+    // Try per manifest, like currentSnapshot's read path: a crashed writer's
+    // half-written manifest (generic-Hadoop branch) must not kill vacuum
+    // until later commits push it out of the keep window — its data files
+    // are protected by the retention cutoff regardless
+    val live = keep.flatMap(v =>
+      scala.util.Try(readManifest(spark, dir, v).files).getOrElse(Seq.empty)).toSet
     var dataDeleted = 0
     f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))

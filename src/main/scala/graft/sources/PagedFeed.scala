@@ -24,10 +24,15 @@ object PagedFeed {
 
   /** Retryable fetch with exponential backoff + jitter
     * (`http_client.py:19-58`: base 0.5·2^i, jitter 50-100%, ≤3 retries).
-    * `sleeper` is injectable so tests don't wait.
+    * `sleeper` is injectable so tests don't wait; `jitter` is injectable
+    * for deterministic tests and defaults to the thread-local RNG — a
+    * per-call seeded Random would give every task on every executor the
+    * IDENTICAL backoff sequence, re-synchronizing the very retry storm
+    * jitter exists to break up (1000 partitions all hitting a 429 would
+    * re-hammer the endpoint in lockstep).
     */
   def withRetry[T](maxRetries: Int = 3, baseDelayMs: Long = 500,
-                   jitter: util.Random = new util.Random(42),
+                   jitter: util.Random = null,
                    sleeper: Long => Unit = Thread.sleep)(f: () => T): T = {
     var attempt = 0
     while (true) {
@@ -35,7 +40,10 @@ object PagedFeed {
       catch {
         case e: RetryableFeedError =>
           if (attempt >= maxRetries) throw e
-          val delay = (baseDelayMs * (1L << attempt) * (0.5 + 0.5 * jitter.nextDouble())).toLong
+          val rng: util.Random =
+            if (jitter == null) java.util.concurrent.ThreadLocalRandom.current()
+            else jitter
+          val delay = (baseDelayMs * (1L << attempt) * (0.5 + 0.5 * rng.nextDouble())).toLong
           sleeper(delay)
           attempt += 1
       }

@@ -22,6 +22,15 @@ class MergeSpec extends SparkSpec {
     assert(r.getAs[String]("payload_hash") == expected)
   }
 
+  test("payload keeps null fields as \"field\":null like the reference's json.dumps") {
+    val df = Seq(("a", null.asInstanceOf[String], "r1")).toDF("id", "status", "_run_id")
+    val r = Payload.withPayloadAndHash(df).head()
+    // Spark's to_json default DROPS null fields — the reference emits them;
+    // a dropped field changes the sha256 and breaks the O-11 conflict key
+    // against reference-written history
+    assert(r.getAs[String]("payload") == """{"id":"a","status":null}""")
+  }
+
   test("history append is idempotent: rerunning the same batch inserts 0 (test_staging_repo.py:7-27)") {
     val batch = Seq(
       ("a", ts("2024-01-01 00:00:00"), "h1"),
