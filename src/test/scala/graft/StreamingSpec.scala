@@ -200,6 +200,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: eval-overlapping docs never reach the corpus") {
+    // the full ingest guard: each micro-batch is decontaminated against the
+    // held-out eval set FIRST, then dedup-admitted against the corpus —
+    // the order every production pipeline uses (a contaminated doc must
+    // not be admitted even if it is novel w.r.t. the corpus)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ManifestStore
+    val dir = Files.createTempDirectory("decon-stream").resolve("corpus").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    val evalSet = Seq(
+      (9001L, "what is the capital of france paris is the capital"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val clean = graft.functions.NearDup.decontaminate(batch, evalSet,
+          "text", "doc_id", n = 3, minJaccard = 0.3)
+        val existing = ManifestStore.read(batch.sparkSession, dir, schema)
+        val admitted = graft.functions.NearDup.admitBatch(existing, clean,
+          "text", "doc_id", n = 3, minJaccard = 0.5)
+        if (!admitted.isEmpty) ManifestStore.append(admitted, dir): Unit
+      }
+      .start()
+    try {
+      mem.addData(
+        (1L, "what is the capital of france paris is the capital city"), // leak
+        (2L, "an entirely different document about spark engines and joins"))
+      q.processAllAvailable()
+      val after = ManifestStore.read(spark, dir, schema)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(after === Set(2L), s"corpus holds $after — the benchmark leak got in")
+    } finally q.stop()
+  }
+
   test("simulator tick: deterministic, advances statuses legally, bumps updated_at") {
     val base = (1 to 200).map(i => (s"id$i", "NEW", ts("2024-01-01 00:00:00"), "loader"))
       .toDF("id", "status", "updated_at", "updated_by")
