@@ -715,6 +715,34 @@ object SparkEntry {
         .select(col("vec_id"), col("label").cast("long").as("label"))
     }),
 
+    // PII scrubbing: redact emails / IPv4 / phone numbers with typed
+    // placeholders + per-type match counts — the redaction pass every
+    // shippable training corpus takes. The corpus text carries no PII, so
+    // the query plants deterministic synthetic PII (derived from doc_id,
+    // identically in both engines) and the oracle checks the scrub
+    // byte-for-byte. Pure regexp_replace chain: map-side, codegen'd, scan
+    // speed — no shuffle at any scale.
+    "q66_pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pii = when(col("doc_id") % 4 === 0,
+          concat(lit("user"), col("doc_id").cast("string"), lit("@mail.example.com")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("+1-202-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .when(col("doc_id") % 4 === 2,
+          concat((col("doc_id") % 200 + 10).cast("string"), lit("."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (expr("doc_id div 7") % 256).cast("string"), lit(".9")))
+        .otherwise(lit("nothing to scrub"))
+      val raw = concat(substring(coalesce(col("text"), lit("")), 1, 80),
+        lit(" contact "), pii, lit(" end"))
+      val counts = graft.functions.TextAnalysis.piiCounts(raw)
+      docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.redactPii(raw).as("redacted"),
+        counts("email").as("n_email"),
+        counts("ipv4").as("n_ipv4"),
+        counts("phone").as("n_phone"))
+    }),
+
     // The deduplicated corpus: drop every doc that lost its near-dup
     // cluster election — the shippable end product of the dedup family.
     "q49_dedup_corpus" -> ((s, dir) => {
@@ -764,6 +792,58 @@ object SparkEntry {
     // total-ordered by (df desc, token).
     "q54_vocab_df" -> ((s, dir) => {
       graft.functions.Corpus.vocabTopDf(t(s, dir, "documents"), "text", "lang", k = 10)
+    }),
+
+    // Sliding-window document chunking: 50-token chunks every 40 tokens
+    // (10-token overlap) — the context-window splitting step for training
+    // shards and retrieval indexes. Entirely map-side per document row
+    // (sequence/explode/slice built-ins): chunking rides the scan at any
+    // scale; (doc_id, chunk_id) is an exact integer provenance key.
+    "q67_chunk_docs" -> ((s, dir) => {
+      graft.functions.Corpus.chunkDocuments(t(s, dir, "documents"),
+        "text", "doc_id", chunkTokens = 50, stride = 40)
+    }),
+
+    // Deterministic corpus shuffle: md5-derived shard (mod 8) + hash-rank
+    // position within the shard — the reproducible training-order shuffle
+    // (an auditor can reconstruct exactly which documents a training step
+    // saw; rand()-based shuffles cannot). One shuffle on shard — the
+    // exchange the shard write needs anyway.
+    "q68_shuffle_shards" -> ((s, dir) => {
+      graft.functions.Corpus.shuffleShards(t(s, dir, "documents"),
+          "doc_id", salt = "42", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+    }),
+
+    // Character-unigram entropy + counts per document (single native pass,
+    // scan speed) — the cheap quality signal that catches degenerate
+    // filler / padding (low entropy) and minified/binary-ish text (high
+    // entropy) before any tokenizer runs. Oracle recomputes via DuckDB's
+    // entropy() aggregate over exploded characters.
+    "q69_char_entropy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.functions.TextAnalysis.charEntropyMetrics(docs, col("text"))
+      docs.select(col("doc_id"),
+        m("char_entropy").as("char_entropy"),
+        m("n_chars").as("n_chars"),
+        m("n_distinct_chars").as("n_distinct_chars"))
+    }),
+
+    // Int8 scalar-quantization audit over the embedding corpus: per-vector
+    // scale, code checksum, and reconstruction MSE — the fidelity numbers
+    // that decide whether the ANN/serving index stores int8 (4× smaller,
+    // the standard choice) or keeps fp32. Single native pass at scan
+    // speed; arithmetic is an index-ordered fold with an engine-portable
+    // floor(+0.5) rounding rule, so the oracle reproduces it bit-for-bit.
+    "q70_int8_quant" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val st = graft.plans.GraftFunctions.int8QuantStats(emb,
+        col("embedding").cast("array<double>"))
+      emb.select(col("vec_id"), st.as("_st"))
+        .select(col("vec_id"),
+          col("_st.scale").as("scale"),
+          col("_st.code_sum").as("code_sum"),
+          round(col("_st.mse") * 1e6, 4).as("mse_e6"))
     }),
 
     // Distinct aggregation + conditional counts per group.
@@ -1358,6 +1438,37 @@ object SparkEntry {
          SELECT doc_id, lang FROM documents
          WHERE doc_id % 13 <> 0 AND doc_id NOT IN (SELECT id_b FROM contaminated)""",
 
+    // synthetic PII planted from doc_id identically on both sides; the
+    // redaction chain and its order (email → ipv4 → phone) are part of the
+    // operator contract — patterns are the RE2∩Java portable subset, so
+    // the same scrub is recomputable by either stack
+    "q66_pii_redact" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  substr(coalesce(text, ''), 1, 80) || ' contact ' ||
+                  CASE doc_id % 4
+                    WHEN 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                    WHEN 1 THEN '+1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    WHEN 2 THEN CAST(doc_id % 200 + 10 AS VARCHAR) || '.' ||
+                                CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                                CAST((doc_id // 7) % 256 AS VARCHAR) || '.9'
+                    ELSE 'nothing to scrub'
+                  END || ' end' AS raw
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}(\.\d{1,3}){3}\b', '<IPV4>', 'g'),
+                  '(\+?\d{1,3}[-. ()]{0,2})?\d{3}[-. ()]{0,2}\d{3}[-. ]?\d{4}', '<PHONE>', 'g')
+                  AS redacted,
+                len(regexp_extract_all(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                len(regexp_extract_all(raw,
+                  '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ipv4,
+                len(regexp_extract_all(raw,
+                  '(\+?\d{1,3}[-. ()]{0,2})?\d{3}[-. ()]{0,2}\d{3}[-. ]?\d{4}')) AS n_phone
+         FROM m""",
+
     // repetition metrics: 2-grams NOT deduplicated (repetition is the
     // signal); top share = max over grams of count·chars / text chars —
     // engine-neutral tie-break (max of the product, not chars of the
@@ -1409,6 +1520,88 @@ object SparkEntry {
          QUALIFY row_number() OVER (
            PARTITION BY lang, source
            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) <= 5""",
+
+    // char entropy via DuckDB's base-2 entropy() aggregate over exploded
+    // characters (empty/null docs re-attach as 0 through the left join);
+    // both sides round to 4 places — the sums walk distinct chars in
+    // different orders, identical to ~1e-15
+    "q69_char_entropy" ->
+      """WITH c AS (
+           SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+           FROM documents),
+         a AS (
+           SELECT doc_id, round(entropy(ch), 4) AS char_entropy,
+                  count(*) AS n_chars, count(DISTINCT ch) AS n_distinct_chars
+           FROM c GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(a.char_entropy, 0.0) AS char_entropy,
+                CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+                CAST(coalesce(a.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars
+         FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+
+    // int8 quantization: floor(x·127/scale + 0.5) codes, reconstruction
+    // error folded in list order — float→double widening is exact and
+    // every op is the same IEEE sequence as the native expression, so
+    // scale/code_sum/mse match bit-for-bit (mse surfaced ×1e6: raw MSEs
+    // sit at ~1e-7, below the comparator's 6-decimal float rounding)
+    "q70_int8_quant" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, e,
+                  coalesce(list_max(list_transform(e, x -> abs(x))), 0.0) AS scale
+           FROM v),
+         q AS (
+           SELECT vec_id, scale,
+                  CASE WHEN scale > 0 THEN
+                    CAST(list_sum(list_transform(e,
+                      x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))) AS BIGINT)
+                  ELSE 0 END AS code_sum,
+                  CASE WHEN scale > 0 AND len(e) > 0 THEN
+                    list_reduce(list_transform(e,
+                      x -> (x - floor(x * 127.0 / scale + 0.5) * scale / 127.0)
+                         * (x - floor(x * 127.0 / scale + 0.5) * scale / 127.0)),
+                      (a, b) -> a + b) / len(e)
+                  ELSE 0.0 END AS mse
+           FROM s)
+         SELECT vec_id, scale, code_sum, round(mse * 1e6, 4) AS mse_e6 FROM q""",
+
+    // chunk windows start every 40 tokens while start < n_tokens; slice is
+    // 1-based inclusive in both engines' list semantics; empty docs chunk
+    // to nothing (generate_series over an empty range unnests no rows)
+    "q67_chunk_docs" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         st AS (
+           SELECT doc_id, ts,
+                  unnest(CASE WHEN len(ts) > 0
+                              THEN generate_series(0, len(ts) - 1, 40)
+                              ELSE [] END) AS start
+           FROM tok)
+         SELECT doc_id,
+                CAST(start // 40 AS BIGINT) AS chunk_id,
+                CAST(len(ts[start + 1 : start + 50]) AS BIGINT) AS n_tokens,
+                array_to_string(ts[start + 1 : start + 50], ' ') AS chunk_text
+         FROM st""",
+
+    // shard = first md5 byte mod 8 (two hex nibbles, engine-portable
+    // integer arithmetic); position = rank of the full hash within the
+    // shard, id tiebreak
+    "q68_shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS hh
+           FROM documents)
+         SELECT doc_id,
+                CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 +
+                      (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 8
+                  AS BIGINT) AS shard,
+                CAST(row_number() OVER (
+                  PARTITION BY ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 +
+                                (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 8
+                  ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
+         FROM h""",
 
     "q62_mixture_weights" ->
       """WITH s AS (

@@ -138,4 +138,65 @@ object Corpus {
     counts.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Sliding-window document chunking: each document's token stream becomes
+    * overlapping chunks of `chunkTokens` tokens starting every `stride`
+    * tokens — the long-document splitting step feeding context-window-bound
+    * training and retrieval-index builds (stride < chunkTokens gives the
+    * usual overlap so no boundary context is lost). A document with no
+    * tokens yields no chunks; the final chunk is the (possibly short) tail.
+    *
+    * `chunk_id` is the 0-based window index (`start = chunk_id · stride`),
+    * so (id, chunk_id) is a stable key and a chunk's provenance is exact
+    * integer arithmetic — re-chunking with the same parameters always
+    * reproduces the same rows, on any engine.
+    *
+    * Scale: tokenize → per-row `sequence`/`explode` → substring of the
+    * token slice. All map-side on the document's own row (codegen'd
+    * built-ins, no UDFs, no shuffle, no window) — chunking is free
+    * pipeline work next to the scan at 100 TB; output size is input
+    * tokens × (chunkTokens/stride) overlap factor, the inherent cost of
+    * overlap, and nothing is buffered beyond one document.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val starts = when(size(toks) > 0,
+        sequence(lit(0), size(toks) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), toks.as("_toks"), explode(starts).as("_start"))
+      .select(col(idCol),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("_toks"), col("_start") + 1, lit(chunkTokens))).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Deterministic corpus shuffle + shard assignment: shard by the first
+    * md5(id:salt) byte (mod `nShards`), position within the shard by the
+    * full hash — the training-order shuffle that kills any correlation
+    * between corpus storage order and batch order, yet is bit-reproducible
+    * by any engine (the property `randomSplit`/`rand()` shuffles lack: an
+    * auditor must be able to reconstruct exactly which examples step 12345
+    * trained on). Salt change ⇒ fresh independent order.
+    *
+    * Scale: the hash is map-side; positions need one shuffle on `shard`
+    * (the exchange the shard write needs anyway) and a per-shard sort —
+    * each shard is ~|corpus|/nShards, so size shards to the executor sort
+    * budget (nShards is the parallelism knob, 256-4096 in practice).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, salt: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 256, "nShards must be in [1, 256]")
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val hex = "0123456789abcdef"
+    val byte0 = (instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
+      (instr(lit(hex), substring(h, 2, 1)) - 1)
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h").asc, col(idCol).asc)
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(byte0, lit(nShards)).cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
 }

@@ -166,4 +166,60 @@ object TextAnalysis {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** PII patterns, in REDACTION ORDER. Engine-portable regex subset: no
+    * backreferences, no lookaround — valid and identical under both Java's
+    * regex (Spark codegen) and RE2 (DuckDB/Go scrubbers), so a redacted
+    * corpus is reproducible and auditable by either stack.
+    *
+    * Order matters and is part of the contract: emails first (an email
+    * exhausts its digits before the phone pattern can see them), IPv4
+    * before phone (a dotted quad like 10.123.245.7 contains digit runs a
+    * permissive phone pattern could half-match; once it is `<IP>` there are
+    * no digits left). Patterns are deliberately high-precision / moderate
+    * recall — a corpus scrubber must not mangle ordinary prose (version
+    * strings, dates), so the phone pattern demands the full 3-3-4 NANP
+    * shape (optional country prefix) with at most 2 separator chars
+    * between groups — dates and semver never form a 3-3-4 digit chain.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b",
+    "phone" -> "(\\+?\\d{1,3}[-. ()]{0,2})?\\d{3}[-. ()]{0,2}\\d{3}[-. ]?\\d{4}")
+
+  /** Redact every PII match with `<TYPE>` placeholders, applying
+    * [[piiPatterns]] in order. Pure `regexp_replace` chain: map-side,
+    * codegen'd, no shuffle — scrubbing runs at scan speed, the only
+    * admissible cost for a pass every document must take at 100 TB.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"<${name.toUpperCase}>")
+    }
+
+  /** Per-type PII match counts over the ORIGINAL text (independent counts;
+    * audit/monitoring signal for scrub-rate drift, not the redaction
+    * itself). Keys = pattern names from [[piiPatterns]].
+    */
+  def piiCounts(text: Column): Map[String, Column] =
+    piiPatterns.map { case (name, pat) =>
+      name -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    }.toMap
+
+  /** Character-unigram quality stats: Shannon entropy (base 2, rounded to 4
+    * places for engine-stable comparison), code-point count, distinct
+    * code-point count — low entropy flags filler/padding/degenerate text,
+    * high entropy flags minified/binary-ish content. Null text ≡ empty.
+    * Single native pass ([[graft.plans.CharEntropyStats]]) — map-side at
+    * scan speed; the explode-chars + groupBy formulation would shuffle
+    * |docs|·|chars| rows for a per-document scalar.
+    */
+  def charEntropyMetrics(df: org.apache.spark.sql.DataFrame, text: Column)
+      : Map[String, Column] = {
+    val st = graft.plans.GraftFunctions.charEntropyStats(df, coalesce(text, lit("")))
+    Map(
+      "char_entropy" -> round(st.getField("entropy"), 4),
+      "n_chars" -> st.getField("n_chars"),
+      "n_distinct_chars" -> st.getField("n_distinct"))
+  }
 }

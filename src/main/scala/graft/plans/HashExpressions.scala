@@ -310,6 +310,26 @@ object GraftFunctions {
     call_function(name, text)
   }
 
+  /** Character-unigram stats of a text column — a struct<entropy: double,
+    * n_chars: long, n_distinct: long>, single native pass.
+    */
+  def charEntropyStats(df: org.apache.spark.sql.DataFrame, text: Column): Column = {
+    val name = "graft_char_entropy"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => CharEntropyStats(exprs.head), "built-in")
+    call_function(name, text)
+  }
+
+  /** Int8 scalar-quantization stats of a vector column — a struct<scale:
+    * double, code_sum: long, mse: double>, single native pass.
+    */
+  def int8QuantStats(df: org.apache.spark.sql.DataFrame, vec: Column): Column = {
+    val name = "graft_int8_quant"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => Int8QuantStats(exprs.head), "built-in")
+    call_function(name, vec)
+  }
+
   /** Exact top-k (ord, id) pairs per group via a bounded-heap typed
     * aggregate — map-side partial heaps instead of a window sort; equals
     * the `row_number <= k` window form row-for-row.
@@ -475,6 +495,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => WordShingleHashes(exprs.head, litInt(exprs, 1, "n")))
     inject("graft_gram_repetition", classOf[GramRepetitionStats],
       exprs => GramRepetitionStats(exprs.head, litInt(exprs, 1, "n")))
+    inject("graft_char_entropy", classOf[CharEntropyStats],
+      exprs => CharEntropyStats(exprs.head))
+    inject("graft_int8_quant", classOf[Int8QuantStats],
+      exprs => Int8QuantStats(exprs.head))
     inject("graft_topk", classOf[TopKPairs],
       exprs => TopKPairs(exprs(0), exprs(1), litInt(exprs, 2, "k")))
     inject("graft_cosine", classOf[CosineSim], exprs => CosineSim(exprs(0), exprs(1)))

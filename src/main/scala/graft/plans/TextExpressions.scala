@@ -92,3 +92,73 @@ case class GramRepetitionStats(child: Expression, n: Int) extends UnaryExpressio
   override protected def withNewChildInternal(newChild: Expression): GramRepetitionStats =
     copy(child = newChild)
 }
+
+/** Character-unigram statistics of a text column, one imperative pass:
+  * per-code-point counts → Shannon entropy (base 2) + code-point count +
+  * distinct-code-point count. Low character entropy flags degenerate text
+  * (repeated fillers, padding, encoding junk) and high entropy flags
+  * binary-ish/minified content — a standard cheap quality signal next to
+  * the token-level metrics in `TextAnalysis.qualityMetrics`.
+  *
+  * Entropy is computed as `log2(n) − (Σ c·log2 c)/n` — one log per DISTINCT
+  * character rather than one per occurrence. Counts are over code points
+  * (so astral-plane characters count once, matching any engine that splits
+  * to characters rather than UTF-16 units). Empty text → (0.0, 0, 0).
+  *
+  * Map-side, codegen'd, no shuffle — the explode-chars + groupBy
+  * formulation would shuffle |docs|·|chars| rows for a per-document scalar.
+  */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("entropy", DoubleType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def prettyName: String = "graft_char_entropy"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+  }
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    val s = input.toString
+    val n = s.codePointCount(0, s.length).toLong
+    if (n == 0L) {
+      row.setDouble(0, 0.0); row.setLong(1, 0L); row.setLong(2, 0L)
+      return row
+    }
+    val counts = new java.util.HashMap[Integer, Long](64)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, java.lang.Long.sum _)
+      i += Character.charCount(cp)
+    }
+    var sumClogC = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      sumClogC += c * (math.log(c) / math.log(2.0))
+    }
+    row.setDouble(0, math.log(n.toDouble) / math.log(2.0) - sumClogC / n)
+    row.setLong(1, n)
+    row.setLong(2, counts.size().toLong)
+    row
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+}

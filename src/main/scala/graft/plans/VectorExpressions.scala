@@ -584,3 +584,74 @@ case class PQADC(left: Expression, right: Expression, ksub: Int)
                                                  newRight: Expression): PQADC =
     copy(left = newLeft, right = newRight)
 }
+
+/** Symmetric per-vector int8 scalar quantization stats, one pass:
+  * `scale = max|xᵢ|`, `codeᵢ = floor(xᵢ·127/scale + 0.5)` (round-half-up —
+  * spelled as floor(+0.5) so the rounding rule is engine-portable, not an
+  * implementation's round() tie convention), reconstruction
+  * `x̂ᵢ = codeᵢ·scale/127`. Returns struct<scale: double, code_sum: long,
+  * mse: double> — the storage-planning numbers for 4× embedding
+  * compression (int8 is the standard serving/storage dtype for ANN
+  * indexes; mse against the fp32 original is the quality gate).
+  *
+  * The codes themselves are deliberately NOT returned here: the stats pass
+  * is the audit/planning operator (what would quantization cost in
+  * fidelity?); an actual encode writes `binary` via a second expression to
+  * avoid paying an array<long> per row when only the decision is needed.
+  *
+  * All arithmetic is index-ascending double accumulation — bit-identical
+  * to any engine folding the list in order (the oracle's `list_reduce`).
+  * Empty or all-zero vectors: scale 0, codes 0, mse 0.
+  */
+case class Int8QuantStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("code_sum", LongType, nullable = false),
+    StructField("mse", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_int8_quant"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+
+  def compute(input: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    val n = input.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(input.getDouble(i))
+      if (a > scale) scale = a
+      i += 1
+    }
+    var codeSum = 0L
+    var sqErr = 0.0
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = input.getDouble(i)
+        val code = math.floor(x * 127.0 / scale + 0.5)
+        val err = x - code * scale / 127.0
+        codeSum += code.toLong
+        sqErr += err * err
+        i += 1
+      }
+    }
+    row.setDouble(0, scale)
+    row.setLong(1, codeSum)
+    row.setDouble(2, if (n > 0) sqErr / n else 0.0)
+    row
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("int8Quant", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}

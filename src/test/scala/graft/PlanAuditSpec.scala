@@ -144,6 +144,9 @@ class PlanAuditSpec extends SparkSpec {
       GraftFunctions.hyperplaneBuckets(emb, $"v", 64, 8, 10, 42L).as("bks"))
     val repstats = docs.select(
       GraftFunctions.gramRepetitionStats(docs, $"text", 2).as("rs"))
+    val entstats = docs.select(
+      GraftFunctions.charEntropyStats(docs, $"text").as("es"))
+    val quant = emb.select(GraftFunctions.int8QuantStats(emb, $"v").as("qs"))
     // fallback=false: a janino compile error in the generated code (e.g. an
     // assignment to a pinned isNull literal under non-nullable children)
     // fails the test loudly instead of silently executing interpreted
@@ -151,7 +154,9 @@ class PlanAuditSpec extends SparkSpec {
     try {
       for ((df, fn) <- Seq((shingled, "graft_shingles"), (cosined, "graft_cosine"),
                            (bucketed, "graft_hyperplane_buckets"),
-                           (repstats, "graft_gram_repetition"))) {
+                           (repstats, "graft_gram_repetition"),
+                           (entstats, "graft_char_entropy"),
+                           (quant, "graft_int8_quant"))) {
         df.count()
         val p = df.queryExecution.executedPlan.toString
         // the projection carrying the native expression must be fused (starred

@@ -874,4 +874,133 @@ class TrainingOpsSpec extends SparkSpec {
         s"approx $approx vs exact $exact drifts > 5%")
     }
   }
+
+  test("PII redaction scrubs each type, leaves prose alone, and counts match") {
+    val df = Seq(
+      ("write to jane.doe+x@sub.example.co.uk today", "write to <EMAIL> today", 1L, 0L, 0L),
+      ("server 10.123.245.9 answered", "server <IPV4> answered", 0L, 1L, 0L),
+      ("call +1-202-555-0173 or (202) 555 0174", "call <PHONE> or (<PHONE>", 0L, 0L, 2L),
+      ("version 1.2.3 on 2024-01-30 at 12:30", "version 1.2.3 on 2024-01-30 at 12:30", 0L, 0L, 0L),
+      ("a@b.io and 10.0.0.1 and 2025550199", "<EMAIL> and <IPV4> and <PHONE>", 1L, 1L, 1L))
+      .toDF("text", "want", "n_email", "n_ipv4", "n_phone")
+    val counts = TextAnalysis.piiCounts($"text")
+    val got = df.select($"want", TextAnalysis.redactPii($"text").as("got"),
+      $"n_email", counts("email").as("ce"),
+      $"n_ipv4", counts("ipv4").as("ci"),
+      $"n_phone", counts("phone").as("cp")).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("got") === r.getAs[String]("want"))
+      assert(r.getAs[Long]("ce") === r.getAs[Long]("n_email"))
+      assert(r.getAs[Long]("ci") === r.getAs[Long]("n_ipv4"))
+      assert(r.getAs[Long]("cp") === r.getAs[Long]("n_phone"))
+    }
+  }
+
+  test("PII redaction order: a dotted quad never half-matches as a phone") {
+    // ipv4 runs before phone; once the quad is <IPV4> no digits remain.
+    // 3-digit octets are exactly the shape a permissive phone regex bites.
+    val r = Seq("at 123.456.789.123 end").toDF("text")
+      .select(TextAnalysis.redactPii($"text")).head().getString(0)
+    assert(r === "at <IPV4> end")
+  }
+
+  test("document chunking: overlap, short tail, empty docs, exact provenance") {
+    val docs = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
+      (2L, "only three tokens"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, "text", "doc_id", chunkTokens = 5, stride = 3)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    // doc 1: starts 0,3,6,9 → sizes 5,5,5,2; doc 2: starts 0 → size 3
+    assert(out.map(c => (c._1, c._2, c._3)).toSeq === Seq(
+      (1L, 0L, 5L), (1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 2L), (2L, 0L, 3L)))
+    assert(out(1)._4 === "t4 t5 t6 t7 t8")  // start=3 → tokens 4..8
+    assert(out(3)._4 === "t10 t11")          // tail keeps the remainder
+    assert(out(4)._4 === "only three tokens")
+    // overlap invariant: consecutive chunks share chunkTokens - stride tokens
+    val c0 = out(0)._4.split(" "); val c1 = out(1)._4.split(" ")
+    assert(c0.takeRight(2).toSeq === c1.take(2).toSeq)
+  }
+
+  test("shard shuffle: partition of the corpus, dense ranks, salt-sensitive") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val out = Corpus.shuffleShards(docs, "doc_id", salt = "42", nShards = 8)
+      .select($"doc_id", $"shard", $"shard_pos").cache()
+    try {
+      assert(out.count() === n)                          // nothing dropped
+      assert(out.select($"doc_id").distinct().count() === n)
+      val shards = out.groupBy($"shard")
+        .agg(count(lit(1)).as("n"), max($"shard_pos").as("mx"), min($"shard_pos").as("mn"))
+        .as[(Long, Long, Long, Long)].collect()
+      assert(shards.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+      // positions are dense 1..n_shard (a total order per shard)
+      shards.foreach { case (s, cnt, mx, mn) =>
+        assert(mn === 1L && mx === cnt, s"shard $s ranks not dense")
+      }
+      // every shard populated and no shard grossly over the uniform share
+      assert(shards.length === 8)
+      shards.foreach { case (s, cnt, _, _) =>
+        assert(cnt < 2L * n / 8 + 8, s"shard $s skewed: $cnt of $n") }
+      // a different salt reorders (salt drives the permutation)
+      val other = Corpus.shuffleShards(docs, "doc_id", salt = "43", nShards = 8)
+        .select($"doc_id", $"shard".as("shard2"), $"shard_pos".as("pos2"))
+      val moved = out.join(other, "doc_id")
+        .filter($"shard" =!= $"shard2" || $"shard_pos" =!= $"pos2").count()
+      assert(moved > n / 2, s"salt change moved only $moved of $n")
+    } finally out.unpersist()
+  }
+
+  test("char entropy: hand-checked values and equivalence to explode+groupBy") {
+    val m = TextAnalysis.charEntropyMetrics(
+      Seq("aabb", "abcd", "aaaa", "").toDF("text"), $"text")
+    val r = Seq("aabb", "abcd", "aaaa", "").toDF("text")
+      .select($"text", m("char_entropy").as("e"), m("n_chars").as("n"),
+        m("n_distinct_chars").as("d"))
+      .as[(String, Double, Long, Long)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r("aabb") === ((1.0, 4L, 2L)))   // two equiprobable symbols
+    assert(r("abcd") === ((2.0, 4L, 4L)))   // four equiprobable symbols
+    assert(r("aaaa") === ((0.0, 4L, 1L)))   // degenerate
+    assert(r("") === ((0.0, 0L, 0L)))
+    // equivalence on real documents vs the (shuffling) explode formulation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val native = docs.select($"doc_id",
+      TextAnalysis.charEntropyMetrics(docs, $"text")("char_entropy").as("e"))
+    val exploded = docs
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg((log2(sum($"c")) -
+        sum($"c" * log2($"c")) / sum($"c")).as("e2"))
+    val drift = native.join(exploded, "doc_id")
+      .filter(abs($"e" - round($"e2", 4)) > 1e-9).count()
+    assert(drift === 0)
+  }
+
+  test("int8 quant: hand-checked codes, zero/empty vectors, mse bound") {
+    val df = Seq(
+      (1L, Seq(1.0, -0.5, 0.25)),
+      (2L, Seq(0.0, 0.0)),
+      (3L, Seq.empty[Double]))
+      .toDF("vec_id", "v")
+    val st = graft.plans.GraftFunctions.int8QuantStats(df, $"v")
+    val out = df.select($"vec_id", st.getField("scale").as("s"),
+        st.getField("code_sum").as("cs"), st.getField("mse").as("m"))
+      .as[(Long, Double, Long, Double)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // codes: 1.0→127, -0.5→floor(-63.5+0.5)=-63, 0.25→floor(31.75+0.5)=32
+    assert(out(1L)._1 === 1.0)
+    assert(out(1L)._2 === (127L - 63L + 32L))
+    assert(out(2L) === ((0.0, 0L, 0.0)))
+    assert(out(3L) === ((0.0, 0L, 0.0)))
+    // reconstruction on real embeddings: step = scale/127, so per-dim error
+    // <= step/2 and mse <= step²/4 — the bound int8 storage is sold on
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = graft.plans.GraftFunctions.int8QuantStats(emb,
+      $"embedding".cast("array<double>"))
+    val bad = emb.select(q.getField("scale").as("s"), q.getField("mse").as("m"))
+      .filter($"m" > ($"s" / 127.0) * ($"s" / 127.0) / 4.0 + lit(1e-12)).count()
+    assert(bad === 0)
+  }
 }
