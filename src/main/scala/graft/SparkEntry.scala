@@ -829,6 +829,29 @@ object SparkEntry {
         m("n_distinct_chars").as("n_distinct_chars"))
     }),
 
+    // Per-language TF-IDF top terms — corpus-level term salience (what
+    // vocabulary distinguishes each slice), the report behind mixture and
+    // tokenizer-vocab decisions. Ranking on the rounded weight with a
+    // token tiebreak keeps the top-k order engine-exact. Aggregates are
+    // partial everywhere; the window runs over |langs|·|vocab| aggregated
+    // rows, never raw tokens.
+    "q71_tfidf_terms" -> ((s, dir) => {
+      graft.functions.Corpus.tfIdfTopTerms(t(s, dir, "documents"),
+        "text", "doc_id", "lang", k = 10)
+    }),
+
+    // Composite quality gate: every doc gets a verdict — the FIRST failing
+    // filter names the rejection (too_short / repetitive_2gram / dup_2gram
+    // / low_entropy) or `keep` — so per-reason drop rates are monitorable,
+    // not just the survivor set. Thresholds sit at this corpus's p90-95
+    // tails so the gate actually discriminates. Entirely map-side: a
+    // row-local decision over single-pass metrics.
+    "q72_quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"),
+        graft.functions.TextAnalysis.qualityVerdict(docs, col("text")).as("verdict"))
+    }),
+
     // Int8 scalar-quantization audit over the embedding corpus: per-vector
     // scale, code checksum, and reconstruction MSE — the fidelity numbers
     // that decide whether the ANN/serving index stores int8 (4× smaller,
@@ -1538,6 +1561,72 @@ object SparkEntry {
                 CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
                 CAST(coalesce(a.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars
          FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+
+    // tf-idf: smoothed idf ln((N+1)/(df+1)) on identical integer-derived
+    // doubles; rank on the ROUNDED weight + token tiebreak so the top-k
+    // boundary can't flip on 1-ulp ln() differences between engines
+    "q71_tfidf_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         oc AS (
+           SELECT lang, unnest(ts) AS token FROM tok),
+         occ AS (SELECT lang, token, count(*) AS cnt FROM oc GROUP BY 1, 2),
+         dt AS (SELECT doc_id, unnest(list_distinct(ts)) AS token FROM tok),
+         dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         w AS (
+           SELECT lang, occ.token, cnt, df,
+                  round(cnt * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+           FROM occ JOIN dfq ON occ.token = dfq.token CROSS JOIN n)
+         SELECT lang, token, cnt, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY lang ORDER BY tfidf DESC, token) AS rnk FROM w)
+         WHERE rnk <= 10""",
+
+    // quality gate: first failing check names the verdict, in the
+    // operator's contract order; all compared metrics are the same rounded
+    // values the q60/q69 oracles pin, compared in DOUBLE space
+    "q72_quality_gate" ->
+      """WITH tok AS (
+           SELECT doc_id, coalesce(text, '') AS text,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] || ' ' || ts[i+1])) AS gram
+           FROM tok),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+         ga AS (
+           SELECT doc_id, max(c * length(gram)) AS topchars,
+                  coalesce(sum(CASE WHEN c > 1 THEN (c - 1) * length(gram) END), 0)
+                    AS dupchars
+           FROM gc GROUP BY doc_id),
+         ch AS (
+           SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+           FROM documents),
+         ce AS (SELECT doc_id, round(entropy(c), 4) AS ent FROM ch GROUP BY doc_id),
+         m AS (
+           SELECT t.doc_id, len(t.ts) AS n_tokens,
+                  CASE WHEN length(t.text) > 0
+                       THEN round(coalesce(ga.topchars, 0) * 1.0 / length(t.text), 4)
+                       ELSE 0.0 END AS top_share,
+                  CASE WHEN length(t.text) > 0
+                       THEN round(coalesce(ga.dupchars, 0) * 1.0 / length(t.text), 4)
+                       ELSE 0.0 END AS dup_share,
+                  coalesce(ce.ent, 0.0) AS ent
+           FROM tok t
+           LEFT JOIN ga ON t.doc_id = ga.doc_id
+           LEFT JOIN ce ON t.doc_id = ce.doc_id)
+         SELECT d.doc_id, d.lang,
+                CASE WHEN m.n_tokens < 12 THEN 'too_short'
+                     WHEN m.top_share > CAST(0.15 AS DOUBLE) THEN 'repetitive_2gram'
+                     WHEN m.dup_share > CAST(0.12 AS DOUBLE) THEN 'dup_2gram'
+                     WHEN m.ent < CAST(3.9 AS DOUBLE) THEN 'low_entropy'
+                     ELSE 'keep' END AS verdict
+         FROM documents d JOIN m ON d.doc_id = m.doc_id""",
 
     // int8 quantization: floor(x·127/scale + 0.5) codes, reconstruction
     // error folded in list order — float→double widening is exact and

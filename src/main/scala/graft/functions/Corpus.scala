@@ -139,6 +139,40 @@ object Corpus {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-group TF-IDF top terms: for each `groupCol` value (language,
+    * source, domain…), the `k` tokens with the highest
+    * `cnt · ln((N+1)/(df+1))` — corpus-level term salience (what vocabulary
+    * distinguishes this slice), the routine report before mixture decisions
+    * and tokenizer-vocab audits. Smoothed idf stays ≥ 0 and defined at
+    * df = N. Ranking is on the ROUNDED weight (6 places) with a token
+    * tiebreak — a total order both engines reproduce exactly (raw-double
+    * ordering could flip near-ties across engines' 1-ulp `ln` differences).
+    *
+    * Scale: two partially-aggregated explodes (occurrence counts per group,
+    * document frequency per token — distinct-per-doc BEFORE the explode
+    * bounds a degenerate document's contribution), one key join on token,
+    * one broadcast of the 1-row corpus count, and a top-k window over
+    * |groups|·|vocab| aggregated rows — never over raw tokens.
+    */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    groupCol: String, k: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val occ = df.select(col(groupCol), explode(toks).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("cnt"))
+    val dfreq = df.select(col(idCol), explode(array_distinct(toks)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    occ.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("cnt") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("token"), col("cnt"), col("df"), col("tfidf"), col("rnk"))
+  }
+
   /** Sliding-window document chunking: each document's token stream becomes
     * overlapping chunks of `chunkTokens` tokens starting every `stride`
     * tokens — the long-document splitting step feeding context-window-bound

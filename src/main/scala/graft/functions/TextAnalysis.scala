@@ -206,6 +206,28 @@ object TextAnalysis {
       name -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
     }.toMap
 
+  /** Composite quality-gate verdict: the FIRST failing check names the
+    * rejection (`too_short`, `repetitive_2gram`, `dup_2gram`,
+    * `low_entropy`), else `keep` — the audit-friendly form of a corpus
+    * filter (per-reason drop rates are the monitoring signal; a bare
+    * boolean hides which filter fired). Check order is part of the
+    * contract. All inputs are the engine-stable rounded metrics
+    * ([[repetitionMetrics]], [[charEntropyMetrics]]), compared in double
+    * space, so the verdict is reproducible by any engine. Map-side, no
+    * shuffle — a row-local decision over single-pass metrics.
+    */
+  def qualityVerdict(df: org.apache.spark.sql.DataFrame, text: Column,
+                     minTokens: Int = 12, maxTopShare: Double = 0.15,
+                     maxDupShare: Double = 0.12, minEntropy: Double = 3.9): Column = {
+    val rep = repetitionMetrics(df, text, n = 2)
+    val ent = charEntropyMetrics(df, text)
+    when(tokenCount(coalesce(text, lit(""))) < minTokens, lit("too_short"))
+      .when(rep("top_2gram_share") > lit(maxTopShare), lit("repetitive_2gram"))
+      .when(rep("dup_2gram_frac") > lit(maxDupShare), lit("dup_2gram"))
+      .when(ent("char_entropy") < lit(minEntropy), lit("low_entropy"))
+      .otherwise(lit("keep"))
+  }
+
   /** Character-unigram quality stats: Shannon entropy (base 2, rounded to 4
     * places for engine-stable comparison), code-point count, distinct
     * code-point count — low entropy flags filler/padding/degenerate text,

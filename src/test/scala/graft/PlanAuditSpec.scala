@@ -49,7 +49,10 @@ class PlanAuditSpec extends SparkSpec {
     val boundedBnljBuild = Map(
       // exact kNN verifier: the broadcast side is the ≤8-row literal QUERY
       // set, not the corpus — the corpus streams through exactly once
-      "q23_knn_cosine" -> "8-row query set")
+      "q23_knn_cosine" -> "8-row query set",
+      // idf needs the corpus document count on every (group, token) row:
+      // the broadcast side is that 1-row aggregate, never the corpus
+      "q71_tfidf_terms" -> "1-row corpus-count aggregate")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))

@@ -979,6 +979,50 @@ class TrainingOpsSpec extends SparkSpec {
     assert(drift === 0)
   }
 
+  test("tf-idf top terms: smoothed idf, ubiquitous tokens sink, total order") {
+    val docs = Seq(
+      (1L, "en", "alpha alpha common"),
+      (2L, "en", "beta common"),
+      (3L, "de", "gamma common")).toDF("doc_id", "lang", "text")
+    val out = Corpus.tfIdfTopTerms(docs, "text", "doc_id", "lang", k = 10)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // alpha: cnt 2, df 1 → 2·ln(4/2); common: df 3 → ln(4/4) = 0 weight
+    assert(out(("en", "alpha")) ===
+      ((2L, 1L, math.round(2 * math.log(2.0) * 1e6) / 1e6, 1L)))
+    assert(out(("en", "common"))._3 === 0.0)
+    assert(out(("de", "gamma"))._2 === 1L)
+    // within a lang, ranks are dense and ordered by (weight desc, token)
+    val en = Corpus.tfIdfTopTerms(docs, "text", "doc_id", "lang", k = 10)
+      .filter($"lang" === "en").orderBy($"rnk")
+      .as[(String, String, Long, Long, Double, Long)].collect()
+    assert(en.map(_._6).toSeq === (1L to en.length))
+    assert(en.sliding(2).forall { case Array(a, b) =>
+      a._5 > b._5 || (a._5 == b._5 && a._2 < b._2); case _ => true })
+  }
+
+  test("quality gate: each verdict branch fires, first-failure order holds") {
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")  // healthy tail
+    val docs = Seq(
+      (1L, s"good document $filler extra words to stay clear of thresholds"),
+      (2L, "tiny doc"),                                     // too_short
+      (3L, ("spam ham " * 40) + filler),                    // top-2-gram heavy
+      (4L, null.asInstanceOf[String]))                      // null ≡ empty → too_short
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        TextAnalysis.qualityVerdict(docs, $"text").as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "keep")
+    assert(got(2L) === "too_short")
+    assert(got(3L) === "repetitive_2gram")
+    assert(got(4L) === "too_short")
+    // first-failure order: a doc that is BOTH short and repetitive reports
+    // too_short (check order is the contract)
+    val both = Seq((9L, "x x x x")).toDF("doc_id", "text")
+    val r = both.select(TextAnalysis.qualityVerdict(both, $"text")).head().getString(0)
+    assert(r === "too_short")
+  }
+
   test("int8 quant: hand-checked codes, zero/empty vectors, mse bound") {
     val df = Seq(
       (1L, Seq(1.0, -0.5, 0.25)),
