@@ -869,6 +869,64 @@ object SparkEntry {
           round(col("_st.mse") * 1e6, 4).as("mse_e6"))
     }),
 
+    // Ordered conversion funnel view → click → purchase: per user, each
+    // stage's first qualifying time must strictly follow the previous
+    // stage's — the product-analytics sequence query. Three partially-
+    // aggregated min-aggregations chained by per-user joins (AQE
+    // broadcasts the shrinking stage frames); per-user sequencing
+    // shuffles by user once per stage, the inherent cost.
+    "q73_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+    }),
+
+    // Cohort retention: users grouped by first-activity day, counted on
+    // each later activity day offset — the retention matrix. Two
+    // partially-aggregated passes (first-day per user, then distinct
+    // users per (cohort, offset)); the user-keyed join broadcasts the
+    // compact first-day frame under AQE.
+    "q74_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort_day").cast("string").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"), col("n_users"))
+    }),
+
+    // Per-language heavy hitters via the Misra-Gries mergeable sketch —
+    // frequent-items in one pass with a hard memory bound (third sketch
+    // next to HLL distinct and GK quantiles). Each partition ships ≤ 64
+    // counters per language instead of the (lang, token) universe — at a
+    // web-scale vocabulary the full token groupBy shuffles |vocab| rows
+    // per group for a top-10 answer; the sketch is vocabulary-independent.
+    // Oracle = exact counts: capacity 64 covers this corpus's 31-token
+    // vocabulary, so no MG decrement ever fires on gate data (the sketch
+    // regime is spec-asserted on an adversarial stream).
+    "q75_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(graft.plans.GraftFunctions.heavyHitters(docs,
+          graft.functions.TextAnalysis.tokens(col("text")), 64).as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "p")))
+        .filter(col("pos") < 10)
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("p.token").as("token"), col("p.cnt").as("cnt"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1561,6 +1619,53 @@ object SparkEntry {
                 CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
                 CAST(coalesce(a.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars
          FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+
+    // funnel stages chain on strictly-later first times; counts of
+    // non-null stage times = users reaching each stage
+    "q73_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t_view
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+           GROUP BY e.user_id)
+         SELECT count(v.t_view) AS n_view, count(c.t_click) AS n_click,
+                count(p.t_purchase) AS n_purchase
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id""",
+
+    // cohort day rendered as VARCHAR on both sides (date columns surface
+    // differently through the two engines' pandas paths)
+    "q74_cohort_retention" ->
+      """WITH f AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id)
+         SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+                date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+                count(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN f ON e.user_id = f.user_id
+         GROUP BY f.cohort_day, date_diff('day', f.cohort_day, CAST(e.ts AS DATE))""",
+
+    // exact counts stand in for the MG summary: capacity ≥ vocabulary on
+    // gate data means no decrement ever fires (same graduated-oracle
+    // discipline as q24/q26/q50); total order (cnt desc, token asc)
+    "q75_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+         SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, cnt
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, token) AS rnk FROM c)
+         WHERE rnk <= 10""",
 
     // tf-idf: smoothed idf ln((N+1)/(df+1)) on identical integer-derived
     // doubles; rank on the ROUNDED weight + token tiebreak so the top-k

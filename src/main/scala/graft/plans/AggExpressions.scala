@@ -158,3 +158,177 @@ case class TopKPairs(ordExpr: Expression, idExpr: Expression, k: Int,
       newChildren: IndexedSeq[Expression]): TopKPairs =
     copy(ordExpr = newChildren(0), idExpr = newChildren(1))
 }
+
+/** Misra-Gries summary buffer for [[HeavyHitters]]: at most `capacity`
+  * (token, count) counters. Keys are JVM Strings (copied out of Spark's
+  * reusable UTF8String row buffers — holding the raw reference would alias
+  * every key to the last row read).
+  */
+final class MGBuffer(val capacity: Int) {
+  val counts = new java.util.HashMap[String, Long](capacity * 2)
+
+  def add(token: String, by: Long): Unit = {
+    val cur = counts.get(token)
+    if (cur != 0L || counts.containsKey(token)) counts.put(token, cur + by)
+    else if (counts.size < capacity) counts.put(token, by)
+    else {
+      // no room: decrement every counter by 1 (the arriving item's count
+      // is absorbed by the decrement), dropping zeros — classic MG step;
+      // `by` > 1 only arrives via merge, which handles overflow itself
+      var dec = by
+      while (dec > 0) { decrementAll(1L); dec -= 1 }
+    }
+  }
+
+  private def decrementAll(by: Long): Unit = {
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - by
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  /** Agarwal et al. merge: sum counters pairwise, then if over capacity
+    * subtract the (capacity+1)-th largest count from all and drop ≤ 0 —
+    * the summary stays a valid MG sketch of the union stream.
+    */
+  def mergeFrom(other: MGBuffer): Unit = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = counts.get(e.getKey)
+      if (cur != 0L || counts.containsKey(e.getKey)) counts.put(e.getKey, cur + e.getValue)
+      else counts.put(e.getKey, e.getValue)
+    }
+    if (counts.size > capacity) {
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val vit = counts.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+      decrementAll(cut)
+      // ties at the cut can leave > capacity survivors only if all survivors
+      // share the cut value; MG tolerates a transient size > capacity —
+      // subsequent adds re-apply pressure — but keep the bound tight:
+      while (counts.size > capacity) decrementAll(1L)
+    }
+  }
+}
+
+/** Per-group heavy hitters via a Misra-Gries summary — frequent-items in
+  * ONE pass with a hard memory bound, the third member of the mergeable-
+  * sketch family (HLL distinct, GK quantiles, MG frequencies). Each input
+  * partition keeps ≤ `capacity` counters per group and the exchange
+  * carries summaries, not the (group, token) universe — at 100 TB with a
+  * web-scale vocabulary, the full groupBy(token) aggregate shuffles
+  * |vocab|·|groups| rows to answer a top-10 question; this carries
+  * ≤ capacity·partitions per group, independent of vocabulary size.
+  *
+  * Guarantee: any token with true frequency > n/(capacity+1) survives, and
+  * kept counts undercount by at most the total decrement. When `capacity`
+  * ≥ the group's distinct-token count, no decrement ever fires and every
+  * count is EXACT (the regime the driver oracle pins on gate data, whose
+  * vocabulary is 31 tokens; the sketch regime is spec-asserted on an
+  * adversarial stream).
+  *
+  * Input is the per-row token ARRAY (elements fold into the summary one by
+  * one) — no explode, so the only exchange in a heavy-hitters query is the
+  * group-by itself. Returns array<struct<token string, cnt long>> sorted
+  * (cnt desc, token asc) — a total order.
+  */
+case class HeavyHitters(child: Expression, capacity: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MGBuffer] {
+  require(capacity >= 1, "capacity must be >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_heavy_hitters"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+  }
+
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer(capacity)
+
+  override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {
+    val arr = child.eval(input)
+    if (arr != null) {
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) buf.add(a.getUTF8String(i).toString, 1L)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: MGBuffer, other: MGBuffer): MGBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: MGBuffer): Any = {
+    val entries = new Array[(String, Long)](buf.counts.size)
+    var i = 0
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    val sorted = entries.sortWith { (a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    }
+    new GenericArrayData(sorted.map { case (t, c) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(t), c)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: MGBuffer): Array[Byte] = {
+    val entries = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)](buf.counts.size)
+    var total = 4
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      entries += ((b, e.getValue))
+      total += 4 + b.length + 8
+    }
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(entries.size)
+    entries.foreach { case (b, c) => bb.putInt(b.length); bb.put(b); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new MGBuffer(capacity)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHitters =
+    copy(child = newChildren(0))
+}

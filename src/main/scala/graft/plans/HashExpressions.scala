@@ -342,6 +342,19 @@ object GraftFunctions {
     call_function(name, ord, id)
   }
 
+  /** Per-group heavy hitters via a Misra-Gries summary over a token-array
+    * column — array<struct<token, cnt>> sorted (cnt desc, token asc).
+    * Exact when `capacity` covers the group's distinct tokens; a bounded-
+    * memory mergeable sketch otherwise.
+    */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, toks: Column,
+                   capacity: Int): Column = {
+    val name = s"graft_heavy_hitters_$capacity"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => HeavyHitters(exprs.head, capacity), "built-in")
+    call_function(name, toks)
+  }
+
   /** Bloom-filter membership probe of a long key column — the native probe
     * side of a bloom semi-join reduction; name keyed by the filter identity
     * so several sketches coexist in one session.
@@ -501,6 +514,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => Int8QuantStats(exprs.head))
     inject("graft_topk", classOf[TopKPairs],
       exprs => TopKPairs(exprs(0), exprs(1), litInt(exprs, 2, "k")))
+    inject("graft_heavy_hitters", classOf[HeavyHitters],
+      exprs => HeavyHitters(exprs.head, litInt(exprs, 1, "capacity")))
     inject("graft_cosine", classOf[CosineSim], exprs => CosineSim(exprs(0), exprs(1)))
     inject("graft_l2_normalize", classOf[L2Normalize], exprs => L2Normalize(exprs.head))
     inject("graft_hyperplane_buckets", classOf[HyperplaneBuckets],

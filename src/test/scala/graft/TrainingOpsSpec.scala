@@ -979,6 +979,61 @@ class TrainingOpsSpec extends SparkSpec {
     assert(drift === 0)
   }
 
+  test("heavy hitters: exact regime equals groupBy counts; sketch regime holds MG bounds") {
+    import graft.plans.GraftFunctions
+    // exact regime: capacity ≥ distinct tokens → counts identical to the
+    // full aggregate, same (cnt desc, token) order
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaSketch = docs.groupBy($"lang")
+      .agg(GraftFunctions.heavyHitters(docs, TextAnalysis.tokens($"text"), 64).as("hh"))
+      .select($"lang", explode($"hh").as("p"))
+      .select($"lang", $"p.token".as("token"), $"p.cnt".as("cnt"))
+    val exact = docs.select($"lang", explode(TextAnalysis.tokens($"text")).as("token"))
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
+    assert(viaSketch.exceptAll(exact).isEmpty && exact.exceptAll(viaSketch).isEmpty)
+
+    // sketch regime: capacity 4 over an adversarial stream — 50 of 'hot'
+    // plus 25 singletons across many partitions. MG guarantees the true
+    // heavy hitter (freq > n/(cap+1) = 15) survives every decrement and
+    // merge, with count undercounting by at most the total decrement.
+    val rows = (Seq.fill(50)("hot") ++ (1 to 25).map(i => s"cold$i"))
+    val stream = spark.sparkContext.parallelize(rows, 8).toDF("tok")
+      .select(lit("g").as("g"), array($"tok").as("toks"))
+    val hh = stream.groupBy($"g")
+      .agg(GraftFunctions.heavyHitters(stream, $"toks", 4).as("hh"))
+      .select(explode($"hh").as("p")).select($"p.token", $"p.cnt")
+      .as[(String, Long)].collect().toMap
+    assert(hh.contains("hot"), s"true heavy hitter evicted: $hh")
+    assert(hh("hot") <= 50L, "MG must never overcount")
+    assert(hh("hot") >= 50L - 75L / 5L, s"undercount beyond MG bound: ${hh("hot")}")
+    assert(hh.size <= 4, s"capacity overflow: $hh")
+  }
+
+  test("funnel: stages require strictly increasing first times") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      // u2: purchase BEFORE click — reaches click only
+      (2L, "view", "2024-01-02 10:00:00"), (2L, "purchase", "2024-01-02 10:30:00"),
+      (2L, "click", "2024-01-02 11:00:00"),
+      // u3: view only; u4: click with no view — never enters
+      (3L, "view", "2024-01-03 10:00:00"), (4L, "click", "2024-01-03 10:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .select($"user_id", $"event_type", to_timestamp($"ts_s").as("ts"))
+    val v = ev.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"t_view").groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t_click").groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    val r = v.join(c.select($"user_id", $"t_click"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"t_purchase"), Seq("user_id"), "left")
+      .agg(count($"t_view").as("nv"), count($"t_click").as("nc"),
+        count($"t_purchase").as("np"))
+      .as[(Long, Long, Long)].head()
+    assert(r === ((3L, 2L, 1L)))
+  }
+
   test("tf-idf top terms: smoothed idf, ubiquitous tokens sink, total order") {
     val docs = Seq(
       (1L, "en", "alpha alpha common"),
