@@ -927,6 +927,39 @@ object SparkEntry {
           col("p.token").as("token"), col("p.cnt").as("cnt"))
     }),
 
+    // PMI collocations: top multi-word expressions by pointwise mutual
+    // information over adjacent bigrams — phrase mining ahead of
+    // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
+    // rows; the PMI double expression and the rounded-rank order are
+    // engine-exact.
+    "q76_pmi_collocations" -> ((s, dir) => {
+      graft.functions.Corpus.pmiCollocations(t(s, dir, "documents"),
+        "text", k = 20, minCount = 5L)
+    }),
+
+    // Hourly event-rate anomalies: per (type, hour) counts z-scored
+    // against the type's own hourly distribution — the volume-drift
+    // monitor over the feed. Variance from integer sums (S1, S2, C), so
+    // both engines derive identical doubles; |z| > 2 flags. Two
+    // partially-aggregated passes plus a broadcast of |types| stats rows.
+    "q77_rate_anomaly" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+          count(lit(1)).as("c"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("s1").cast("double") / col("c").cast("double"))
+        .withColumn("variance",
+          col("s2").cast("double") / col("c").cast("double") - col("mean") * col("mean"))
+        .filter(col("variance") > 0)
+        .withColumn("z", round((col("n").cast("double") - col("mean")) /
+          sqrt(col("variance")), 4))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("event_type"), col("hour_ts"), col("n"), col("z"))
+    }),
+
     // Distinct aggregation + conditional counts per group.
     "q31_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1619,6 +1652,55 @@ object SparkEntry {
                 CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
                 CAST(coalesce(a.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars
          FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+
+    // pmi evaluated in the same double expression shape as the Spark
+    // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value
+    "q76_pmi_collocations" ->
+      """WITH tok AS (
+           SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         uni AS (
+           SELECT unnest(ts) AS w FROM tok),
+         uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+         big AS (
+           SELECT unnest(list_transform(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] || ' ' || ts[i+1])) AS gram
+           FROM tok),
+         bc AS (SELECT gram, count(*) AS c_ab FROM big GROUP BY gram),
+         tot AS (
+           SELECT (SELECT sum(c_w) FROM uc) AS t_tokens,
+                  (SELECT sum(c_ab) FROM bc) AS t_bigrams),
+         scored AS (
+           SELECT gram, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+                  round(ln((c_ab * 1.0 / t_bigrams) /
+                    ((a.c_w * 1.0 / t_tokens) * (b.c_w * 1.0 / t_tokens))), 6) AS pmi
+           FROM bc CROSS JOIN tot
+           JOIN uc a ON a.w = string_split(gram, ' ')[1]
+           JOIN uc b ON b.w = string_split(gram, ' ')[2]
+           WHERE c_ab >= 5)
+         SELECT gram, c_ab, c_a, c_b, pmi, CAST(rnk AS BIGINT) AS rnk
+         FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, gram) AS rnk
+               FROM scored)
+         WHERE rnk <= 20""",
+
+    // variance from integer sums (S1, S2, C) so both engines compute the
+    // identical doubles; z compared in DOUBLE space
+    "q77_rate_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, sum(n) AS s1, sum(n * n) AS s2, count(*) AS c
+           FROM hourly GROUP BY event_type),
+         z AS (
+           SELECT h.event_type, h.hour_ts, h.n,
+                  round((h.n * 1.0 - s1 * 1.0 / c) /
+                    sqrt(s2 * 1.0 / c - (s1 * 1.0 / c) * (s1 * 1.0 / c)), 4) AS z,
+                  s2 * 1.0 / c - (s1 * 1.0 / c) * (s1 * 1.0 / c) AS variance
+           FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+         SELECT event_type, hour_ts, n, z FROM z
+         WHERE variance > 0 AND abs(z) > CAST(2.0 AS DOUBLE)""",
 
     // funnel stages chain on strictly-later first times; counts of
     // non-null stage times = users reaching each stage

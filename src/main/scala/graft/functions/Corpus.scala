@@ -173,6 +173,63 @@ object Corpus {
       .select(col(groupCol), col("token"), col("cnt"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /** PMI collocations: the corpus's top-`k` adjacent-bigram collocations by
+    * pointwise mutual information — `ln((c_ab/P) / ((c_a/T)·(c_b/T)))`,
+    * where `c_ab` counts bigram POSITIONS (P total) and `c_a` token
+    * occurrences (T total). High-PMI bigrams are multi-word expressions
+    * ("new york", "machine learning") — the phrase-mining step before
+    * tokenizer-vocab and boilerplate decisions. `minCount` suppresses the
+    * unstable low-support tail (a 2-occurrence bigram of two rare tokens
+    * dominates raw PMI). Ranking is on the ROUNDED pmi (6 places) with a
+    * bigram tiebreak — total order, engine-exact (same discipline as
+    * [[tfIdfTopTerms]]); the PMI ratio itself is evaluated in one fixed
+    * double expression shape so both engines walk identical IEEE ops.
+    *
+    * Scale: two partially-aggregated explodes (bigram and unigram counts),
+    * two broadcast-sized joins keyed on the words, one 1-row totals
+    * broadcast, and a global top-k over the filtered collocation table —
+    * every exchange carries aggregated vocabulary rows, never raw tokens.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int,
+                      minCount: Long): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // totals need no explode: Σ size(tokens) = unigram occurrences and
+    // Σ max(n−1, 0) = bigram positions, one map-side aggregate over the
+    // raw scan (null text contributes nothing on either path)
+    val nTok = size(toks)
+    val totals = broadcast(df.agg(
+      sum(nTok.cast("long")).as("t_tokens"),
+      sum(greatest(nTok - 1, lit(0)).cast("long")).as("t_bigrams")))
+    // the unigram table joins the collocation table TWICE (left and right
+    // word); materialize once or the corpus is re-tokenized per reference
+    // (same discipline as the near-dup signature tables). The bigram table
+    // is referenced once — plain lineage
+    val uni = Par.materialize(df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
+    // native non-distinct shingles: the composable transform/slice form
+    // re-evaluates the token array inside every slice lambda (no CSE
+    // inside lambdas — O(tokens²) per document); the native expression
+    // tokenizes once per row
+    val bi = df.select(explode(graft.plans.GraftFunctions.wordShingles(
+        df, col(textCol), 2, distinct = false)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val parts = split(col("gram"), " ")
+    val scored = bi
+      .withColumn("w_a", parts.getItem(0)).withColumn("w_b", parts.getItem(1))
+      .join(uni.withColumnsRenamed(Map("w" -> "w_a", "c_w" -> "c_a")), "w_a")
+      .join(uni.withColumnsRenamed(Map("w" -> "w_b", "c_w" -> "c_b")), "w_b")
+      .crossJoin(totals)
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") / col("t_bigrams").cast("double")) /
+          ((col("c_a").cast("double") / col("t_tokens").cast("double")) *
+           (col("c_b").cast("double") / col("t_tokens").cast("double")))), 6))
+    val w = Window.partitionBy().orderBy(col("pmi").desc, col("gram").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("gram"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"), col("rnk"))
+  }
+
   /** Sliding-window document chunking: each document's token stream becomes
     * overlapping chunks of `chunkTokens` tokens starting every `stride`
     * tokens — the long-document splitting step feeding context-window-bound

@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
       "q23_knn_cosine" -> "8-row query set",
       // idf needs the corpus document count on every (group, token) row:
       // the broadcast side is that 1-row aggregate, never the corpus
-      "q71_tfidf_terms" -> "1-row corpus-count aggregate")
+      "q71_tfidf_terms" -> "1-row corpus-count aggregate",
+      // pmi needs the corpus token/bigram totals on every collocation row:
+      // the broadcast side is that 1-row totals aggregate
+      "q76_pmi_collocations" -> "1-row totals aggregate")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))

@@ -979,6 +979,49 @@ class TrainingOpsSpec extends SparkSpec {
     assert(drift === 0)
   }
 
+  test("pmi collocations: bound phrases outrank frequent-but-independent pairs") {
+    // "san francisco" always co-occurs; "the" pairs with everything.
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"the city of san francisco is the hub and the t$i spot")).toDF("doc_id", "text")
+    val out = Corpus.pmiCollocations(docs, "text", k = 50, minCount = 5L)
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+    val byGram = out.map(r => r._1 -> r).toMap
+    assert(byGram.contains("san francisco"))
+    // perfect collocation beats any bigram involving the promiscuous "the"
+    val sf = byGram("san francisco")
+    out.filter(_._1.split(" ").contains("the")).foreach { g =>
+      assert(sf._5 > g._5, s"'san francisco' (${sf._5}) must outrank '${g._1}' (${g._5})")
+    }
+    // low-support bigrams are suppressed: every "the tN" appears once only
+    assert(!byGram.keys.exists(_.matches("the t\\d+")))
+    // rank is the rounded-pmi total order
+    assert(out.sortBy(_._6).map(_._6).toSeq === (1L to out.length))
+  }
+
+  test("rate anomaly: spike hour flagged, steady series quiet, zero-variance dropped") {
+    val base = for (h <- 0 until 24) yield ("steady", h, 1)     // constant → variance 0
+    val spiky = (for (h <- 0 until 24) yield ("spiky", h, if (h == 12) 40 else 2))
+    val rows = (base ++ spiky).flatMap { case (t, h, n) =>
+      (1 to n).map(i => (t, f"2024-01-05 $h%02d:${i % 60}%02d:00")) }
+    val ev = rows.toDF("event_type", "ts_s")
+      .select($"event_type", to_timestamp($"ts_s").as("ts"))
+    val hourly = ev.groupBy($"event_type", date_trunc("hour", $"ts").as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy($"event_type")
+      .agg(sum($"n").as("s1"), sum($"n" * $"n").as("s2"), count(lit(1)).as("c"))
+    val z = hourly.join(broadcast(stats), "event_type")
+      .withColumn("mean", $"s1".cast("double") / $"c".cast("double"))
+      .withColumn("variance", $"s2".cast("double") / $"c".cast("double") - $"mean" * $"mean")
+      .filter($"variance" > 0)
+      .withColumn("z", ($"n".cast("double") - $"mean") / sqrt($"variance"))
+      .filter(abs($"z") > 2.0)
+      .select($"event_type", hour(col("hour_ts")).as("h"), $"z")
+      .as[(String, Int, Double)].collect()
+    assert(z.map(_._1).toSet === Set("spiky"))          // zero-variance series dropped
+    assert(z.exists(r => r._2 == 12 && r._3 > 2.0))     // the spike itself
+    assert(z.count(_._3 > 2.0) === 1)                   // and only the spike
+  }
+
   test("heavy hitters: exact regime equals groupBy counts; sketch regime holds MG bounds") {
     import graft.plans.GraftFunctions
     // exact regime: capacity ≥ distinct tokens → counts identical to the
