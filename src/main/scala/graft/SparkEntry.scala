@@ -927,6 +927,18 @@ object SparkEntry {
           col("p.token").as("token"), col("p.cnt").as("cnt"))
     }),
 
+    // Mixture rebalancing APPLIED: q62's weights as a deterministic
+    // md5-threshold downsample — dominant languages shed mass toward the
+    // uniform token mixture, under-represented ones keep everything; a
+    // document's fate depends only on (id, salt). Weights broadcast
+    // (|strata| rows); the keep decision is map-side.
+    "q78_rebalance_sample" -> ((s, dir) => {
+      graft.functions.Corpus.applyMixtureWeights(t(s, dir, "documents"),
+          Seq("lang"), graft.functions.TextAnalysis.tokenCount(col("text")),
+          "doc_id", salt = "42")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -1652,6 +1664,26 @@ object SparkEntry {
                 CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
                 CAST(coalesce(a.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars
          FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+
+    // weights exactly as q62 (rounded 6), keep rule = first md5 byte <
+    // floor(min(weight,1)·256); identical doubles → identical thresholds
+    "q78_rebalance_sample" ->
+      """WITH s AS (
+           SELECT lang, sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                    AS n_tokens
+           FROM documents GROUP BY lang),
+         w AS (
+           SELECT lang,
+                  round((1.0 / count(*) OVER ())
+                        / (n_tokens * 1.0 / sum(n_tokens) OVER ()), 6) AS weight
+           FROM s)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN w ON d.lang = w.lang
+         WHERE ((strpos('0123456789abcdef',
+                   substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 2, 1)) - 1))
+               < floor(least(w.weight, 1.0) * 256)""",
 
     // pmi evaluated in the same double expression shape as the Spark
     // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value

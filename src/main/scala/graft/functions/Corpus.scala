@@ -121,6 +121,34 @@ object Corpus {
           (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)), 6))
   }
 
+  /** Apply [[mixtureWeights]] as a deterministic downsample: each stratum
+    * keeps documents with probability `min(weight, 1)` — under-represented
+    * strata (weight ≥ 1) keep everything, dominant strata shed mass — so
+    * the surviving corpus's token mixture approaches the uniform target.
+    * The draw is the md5 discipline of [[splitAssign]]: a document's fate
+    * depends only on (id, salt), so the sample is reproducible, stable
+    * under repartitioning, and auditable. The threshold compares the first
+    * hash byte against `floor(min(weight,1)·256)` — 1/256 probability
+    * granularity, exact-rule-reproducible by any engine (finer granularity
+    * = more hash bytes, same construction).
+    *
+    * Scale: the weights table is |strata| rows (broadcast); the keep
+    * decision is map-side per row. One partially-aggregated pass for the
+    * weights, one scan to filter — nothing else.
+    */
+  def applyMixtureWeights(df: DataFrame, strataCols: Seq[String],
+                          tokensCol: Column, idCol: String, salt: String): DataFrame = {
+    val weights = mixtureWeights(df, strataCols, tokensCol)
+      .select((strataCols.map(col) :+ col("weight")): _*)
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val hex = "0123456789abcdef"
+    val byte0 = (instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
+      (instr(lit(hex), substring(h, 2, 1)) - 1)
+    df.join(broadcast(weights), strataCols)
+      .filter(byte0 < floor(least(col("weight"), lit(1.0)) * 256))
+      .drop("weight")
+  }
+
   /** Per-group vocabulary document frequency: how many documents of each
     * group contain each token at least once, with the group's document
     * count for normalization. Distinct-per-document BEFORE the explode —

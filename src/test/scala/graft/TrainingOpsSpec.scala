@@ -979,6 +979,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(drift === 0)
   }
 
+  test("mixture rebalancing sample: dominant strata shed toward target, deterministic subset") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Corpus.applyMixtureWeights(docs, Seq("lang"),
+      TextAnalysis.tokenCount($"text"), "doc_id", salt = "42")
+    // survivors are a subset; full-weight strata keep every document
+    assert(out.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+    val before = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val after = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val w = Corpus.mixtureWeights(docs, Seq("lang"), TextAnalysis.tokenCount($"text"))
+      .select($"lang", $"weight").as[(String, Double)].collect().toMap
+    for ((lang, n) <- before) {
+      if (w(lang) >= 1.0) assert(after(lang) === n, s"$lang lost docs at weight >= 1")
+      else {
+        val p = math.floor(math.min(w(lang), 1.0) * 256) / 256
+        // md5 bytes are uniform: expect np within a generous binomial band
+        val exp = n * p
+        assert(math.abs(after(lang) - exp) <= 4 * math.sqrt(exp) + 3,
+          s"$lang kept ${after(lang)} vs expected ~$exp at p=$p")
+      }
+    }
+    // same (id, salt) → same fate regardless of partitioning
+    val again = Corpus.applyMixtureWeights(docs.repartition(13), Seq("lang"),
+      TextAnalysis.tokenCount($"text"), "doc_id", salt = "42")
+    assert(out.select($"doc_id").exceptAll(again.select($"doc_id")).isEmpty)
+    assert(again.select($"doc_id").exceptAll(out.select($"doc_id")).isEmpty)
+  }
+
   test("pmi collocations: bound phrases outrank frequent-but-independent pairs") {
     // "san francisco" always co-occurs; "the" pairs with everything.
     val docs = (1 to 10).map(i =>
