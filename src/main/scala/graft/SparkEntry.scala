@@ -939,6 +939,75 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Boilerplate detection: top-10 bigrams per source by DOCUMENT
+    // frequency (distinct-per-doc, ties on gram text) — the domain-chrome
+    // signal stripped before training. Explode map-side; (source, gram)
+    // partial agg; minDf prunes the singleton tail before the rank window.
+    "q79_boilerplate" -> ((s, dir) =>
+      graft.functions.Corpus.boilerplateNgrams(t(s, dir, "documents"),
+        "text", "source", n = 2, k = 10, minDf = 2)),
+
+    // Token-distribution drift: KL(source ‖ corpus) over unigram
+    // frequencies — catches scraper drift / encoding breakage / spam
+    // injection per source before it trains. Decimal term-sum ⇒
+    // order-independent, engine-exact at 6 places.
+    "q80_token_drift" -> ((s, dir) =>
+      graft.functions.Corpus.tokenKlDrift(t(s, dir, "documents"),
+        "text", "source")),
+
+    // Source-reputation gate: per-doc quality verdict + per-source keep
+    // rate; documents from sources below 0.75 keep rate are blocked
+    // outright (domain blocklist) regardless of their own verdict.
+    "q81_reputation_gate" -> ((s, dir) =>
+      graft.functions.Corpus.reputationGate(t(s, dir, "documents"),
+        "text", "doc_id", "source", minKeepRate = 0.75)),
+
+    // PageRank over the bipartite customer↔supplier trade graph (edges
+    // both ways; nodes parity-encoded cust=2k, supp=2k+1), 3 unrolled
+    // iterations, d=0.85 — the link-analysis authority signal (domain
+    // ranking in a web-corpus pipeline). Decimal-summed contributions ⇒
+    // ranks engine-identical; output = top-20 suppliers by rank.
+    "q82_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.functions.Graph.pageRank(edges, "src", "dst", iters = 3, d = 0.85)
+        .filter(col("node") % 2 === 1)
+        .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"), col("rank"))
+        .orderBy(col("rank").desc, col("s_suppkey").asc)
+        .limit(20)
+    }),
+
+    // Exact edit-distance verification of the q22 shingle-index
+    // candidates — the precision pass of two-phase near-dup. Levenshtein
+    // runs on candidate pairs only; texts arrive via id equi-joins.
+    "q83_editdist_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = graft.functions.NearDup.ngramJaccardPairs(docs,
+        "text", "doc_id", n = 3, minJaccard = 0.2, maxBucket = 1000)
+      graft.functions.NearDup.editDistanceVerify(docs, "text", "doc_id",
+        cand, minSim = 0.95)
+    }),
+
+    // Weighted sample without replacement (A-ES, md5-derived uniforms):
+    // token-count-weighted top-50 — the deterministic "sample long
+    // documents preferentially" assembly step.
+    "q84_weighted_sample" -> ((s, dir) =>
+      graft.functions.Corpus.weightedSample(t(s, dir, "documents"),
+        "doc_id", graft.functions.TextAnalysis.tokenCount(col("text")),
+        k = 50, salt = "7")),
+
+    // Cluster-cohesion audit: per label, mean member→centroid cosine and
+    // max centroid→other-centroid cosine — the "tight and well-separated?"
+    // check before cluster-level dedup/curation decisions (SemDeDup shape).
+    "q85_cluster_cohesion" -> ((s, dir) =>
+      graft.functions.Similarity.clusterCohesion(t(s, dir, "embeddings"),
+        "embedding", "label")),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -1684,6 +1753,245 @@ object SparkEntry {
                 (strpos('0123456789abcdef',
                    substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 2, 1)) - 1))
                < floor(least(w.weight, 1.0) * 256)""",
+
+    // distinct-per-doc bigrams (list_distinct before unnest), df >= 2,
+    // ties on gram text — mirrors boilerplateNgrams' total order
+    "q79_boilerplate" ->
+      """WITH t AS (
+           SELECT source,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT source, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] || ' ' || ts[i+1]))) AS gram
+           FROM t),
+         c AS (SELECT source, gram, count(*) AS n_docs FROM g
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         r AS (SELECT source, gram, n_docs,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n_docs DESC, gram ASC) AS rnk
+               FROM c)
+         SELECT source, gram, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(rnk AS BIGINT) AS rank
+         FROM r WHERE rnk <= 10""",
+
+    // KL terms evaluated in the identical double expression shape as the
+    // Spark side ((c_gt/n_g)·ln((c_gt·n_total)/(n_g·c_t))), rounded to 10
+    // and summed as DECIMAL so addition order cannot matter
+    "q80_token_drift" ->
+      """WITH tok AS (
+           SELECT source, unnest(list_filter(
+             string_split(coalesce(text, ''), ' '), x -> x <> '')) AS token
+           FROM documents),
+         cgt AS (SELECT source, token, count(*) AS c_gt FROM tok GROUP BY 1, 2),
+         gt AS (SELECT source, sum(c_gt) AS n_g FROM cgt GROUP BY 1),
+         tt AS (SELECT token, sum(c_gt) AS c_t FROM cgt GROUP BY 1),
+         tot AS (SELECT sum(n_g) AS n_total FROM gt)
+         SELECT c.source, CAST(max(g.n_g) AS BIGINT) AS n_tokens,
+                round(CAST(sum(CAST(round(
+                  (c.c_gt * 1.0 / g.n_g) *
+                  ln((c.c_gt * 1.0 * x.n_total) / (g.n_g * 1.0 * t.c_t)),
+                  10) AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_div
+         FROM cgt c
+         JOIN gt g USING (source)
+         JOIN tt t USING (token)
+         CROSS JOIN tot x
+         GROUP BY c.source""",
+
+    // verdict CTEs identical to q72; keep rate = avg over exact 0/1
+    // doubles rounded to 6, threshold compared on the rounded value
+    "q81_reputation_gate" ->
+      """WITH tok AS (
+           SELECT doc_id, coalesce(text, '') AS text,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] || ' ' || ts[i+1])) AS gram
+           FROM tok),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+         ga AS (
+           SELECT doc_id, max(c * length(gram)) AS topchars,
+                  coalesce(sum(CASE WHEN c > 1 THEN (c - 1) * length(gram) END), 0)
+                    AS dupchars
+           FROM gc GROUP BY doc_id),
+         ch AS (
+           SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+           FROM documents),
+         ce AS (SELECT doc_id, round(entropy(c), 4) AS ent FROM ch GROUP BY doc_id),
+         m AS (
+           SELECT t.doc_id, len(t.ts) AS n_tokens,
+                  CASE WHEN length(t.text) > 0
+                       THEN round(coalesce(ga.topchars, 0) * 1.0 / length(t.text), 4)
+                       ELSE 0.0 END AS top_share,
+                  CASE WHEN length(t.text) > 0
+                       THEN round(coalesce(ga.dupchars, 0) * 1.0 / length(t.text), 4)
+                       ELSE 0.0 END AS dup_share,
+                  coalesce(ce.ent, 0.0) AS ent
+           FROM tok t
+           LEFT JOIN ga ON t.doc_id = ga.doc_id
+           LEFT JOIN ce ON t.doc_id = ce.doc_id),
+         v AS (
+           SELECT d.doc_id, d.source,
+                  CASE WHEN m.n_tokens < 12 THEN 'too_short'
+                       WHEN m.top_share > CAST(0.15 AS DOUBLE) THEN 'repetitive_2gram'
+                       WHEN m.dup_share > CAST(0.12 AS DOUBLE) THEN 'dup_2gram'
+                       WHEN m.ent < CAST(3.9 AS DOUBLE) THEN 'low_entropy'
+                       ELSE 'keep' END AS verdict
+           FROM documents d JOIN m ON d.doc_id = m.doc_id),
+         r AS (
+           SELECT source, round(avg(CASE WHEN verdict = 'keep'
+                                         THEN CAST(1 AS DOUBLE)
+                                         ELSE CAST(0 AS DOUBLE) END), 6) AS keep_rate
+           FROM v GROUP BY 1)
+         SELECT v.doc_id, v.source, v.verdict, r.keep_rate,
+                CASE WHEN r.keep_rate < CAST(0.75 AS DOUBLE) THEN 'blocked_source'
+                     ELSE v.verdict END AS final_verdict
+         FROM v JOIN r USING (source)""",
+
+    // one CTE per unrolled iteration; contributions round(·,14) summed as
+    // DECIMAL(38,18), new rank round(·,12) — the exact Graph.pageRank
+    // rule, so ranks are bit-identical; literals written as the same
+    // source decimals both sides
+    "q82_pagerank" ->
+      """WITH cs AS (
+           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         tp AS (SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS t FROM nn),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+                FROM nodes, nn),
+         s1 AS (SELECT e.dst AS node,
+                       CAST(sum(CAST(round(r.rank / CAST(d.outdeg AS DOUBLE), 14)
+                                     AS DECIMAL(38,18))) AS DOUBLE) AS s
+                FROM e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src
+                GROUP BY 1),
+         r1 AS (SELECT n2.node,
+                       CASE WHEN s1.s IS NULL THEN round(tp.t, 12)
+                            ELSE round(tp.t + CAST(0.85 AS DOUBLE) * s1.s, 12)
+                       END AS rank
+                FROM nodes n2 LEFT JOIN s1 ON s1.node = n2.node CROSS JOIN tp),
+         s2 AS (SELECT e.dst AS node,
+                       CAST(sum(CAST(round(r.rank / CAST(d.outdeg AS DOUBLE), 14)
+                                     AS DECIMAL(38,18))) AS DOUBLE) AS s
+                FROM e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src
+                GROUP BY 1),
+         r2 AS (SELECT n2.node,
+                       CASE WHEN s2.s IS NULL THEN round(tp.t, 12)
+                            ELSE round(tp.t + CAST(0.85 AS DOUBLE) * s2.s, 12)
+                       END AS rank
+                FROM nodes n2 LEFT JOIN s2 ON s2.node = n2.node CROSS JOIN tp),
+         s3 AS (SELECT e.dst AS node,
+                       CAST(sum(CAST(round(r.rank / CAST(d.outdeg AS DOUBLE), 14)
+                                     AS DECIMAL(38,18))) AS DOUBLE) AS s
+                FROM e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src
+                GROUP BY 1),
+         r3 AS (SELECT n2.node,
+                       CASE WHEN s3.s IS NULL THEN round(tp.t, 12)
+                            ELSE round(tp.t + CAST(0.85 AS DOUBLE) * s3.s, 12)
+                       END AS rank
+                FROM nodes n2 LEFT JOIN s3 ON s3.node = n2.node CROSS JOIN tp)
+         SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, rank
+         FROM r3 WHERE node % 2 = 1
+         ORDER BY rank DESC, s_suppkey ASC LIMIT 20""",
+
+    // candidate CTEs identical to q22; verification on candidate pairs
+    // only, threshold compared on the rounded similarity
+    "q83_editdist_verify" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         inv AS (SELECT * FROM inv0 WHERE shingle IN (
+                   SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+         scored AS (
+           SELECT id_a, id_b,
+                  len(list_intersect(sa.shs, sb.shs)) AS common,
+                  len(sa.shs) AS size_a, len(sb.shs) AS size_b
+           FROM pairs
+           JOIN sh sa ON sa.doc_id = id_a
+           JOIN sh sb ON sb.doc_id = id_b),
+         cand AS (
+           SELECT id_a, id_b FROM scored
+           WHERE round(common * 1.0 / (size_a + size_b - common), 4) >= 0.2),
+         v AS (
+           SELECT c.id_a, c.id_b,
+                  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+                  round(CAST(1.0 AS DOUBLE) -
+                        CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+                        CAST(greatest(length(a.text), length(b.text)) AS DOUBLE),
+                        6) AS edit_sim
+           FROM cand c
+           JOIN documents a ON a.doc_id = c.id_a
+           JOIN documents b ON b.doc_id = c.id_b)
+         SELECT id_a, id_b, edit_dist, edit_sim FROM v
+         WHERE edit_sim >= CAST(0.95 AS DOUBLE)""",
+
+    // A-ES keys from the same 24-bit md5 uniform ((nibbles·16^j + 0.5) /
+    // 16^6 — exact dyadic arithmetic), ln-key rounded to 10, rank
+    // (key desc, id asc) — the selected set is engine-identical
+    "q84_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS weight,
+                  md5(CAST(doc_id AS VARCHAR) || ':7') AS h
+           FROM documents),
+         k AS (
+           SELECT doc_id, weight,
+                  round(ln((
+                    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * CAST(1048576 AS DOUBLE) +
+                    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * CAST(65536 AS DOUBLE) +
+                    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * CAST(4096 AS DOUBLE) +
+                    (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * CAST(256 AS DOUBLE) +
+                    (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * CAST(16 AS DOUBLE) +
+                    (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * CAST(1 AS DOUBLE) +
+                    CAST(0.5 AS DOUBLE)) / CAST(16777216 AS DOUBLE))
+                    / CAST(weight AS DOUBLE), 10) AS sample_key
+           FROM d WHERE weight > 0)
+         SELECT doc_id, CAST(weight AS BIGINT) AS weight, sample_key
+         FROM k ORDER BY sample_key DESC, doc_id ASC LIMIT 50""",
+
+    // centroids: per-dim decimal-summed means (order-free, exact); member
+    // and centroid cosines via list_cosine_similarity (round-6 parity with
+    // the native fold — the q34/q50 contract); intra mean decimal-summed
+    "q85_cluster_cohesion" ->
+      """WITH flat AS (
+           SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                  unnest(embedding) AS v
+           FROM embeddings),
+         cent AS (
+           SELECT label, pos,
+                  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS c
+           FROM flat GROUP BY 1, 2),
+         carr AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+         intra AS (
+           SELECT e.label, count(*) AS n,
+                  round(CAST(sum(CAST(round(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+                        AS DECIMAL(18,10))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS mean_intra_cos
+           FROM embeddings e JOIN carr c USING (label) GROUP BY 1),
+         inter AS (
+           SELECT a.label,
+                  max(round(list_cosine_similarity(a.cvec, b.cvec), 6)) AS max_inter_cos
+           FROM carr a JOIN carr b ON a.label <> b.label GROUP BY 1)
+         SELECT i.label, CAST(i.n AS BIGINT) AS n, i.mean_intra_cos, x.max_inter_cos
+         FROM intra i JOIN inter x USING (label)""",
 
     // pmi evaluated in the same double expression shape as the Spark
     // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value

@@ -149,6 +149,134 @@ object Corpus {
       .drop("weight")
   }
 
+  /** Boilerplate n-gram detection: the top-`k` word n-grams per group
+    * (source/domain) ranked by DOCUMENT frequency — the CCNet/RefinedWeb
+    * signal for navigation chrome, disclaimers, and templated spans that
+    * repeat across a domain's pages and should be stripped before
+    * training. Distinct-per-document BEFORE the explode, so a gram
+    * spamming one page counts once; ties rank by gram text for a total
+    * order.
+    *
+    * Scale: the explode is map-side; the (group, gram) count partially
+    * aggregates (combiner sends one row per distinct pair per partition);
+    * the `minDf` filter prunes the long singleton tail BEFORE the ranking
+    * window, which then sorts only each group's surviving grams — the same
+    * aggregate-then-rank shape as [[tfIdfTopTerms]].
+    */
+  def boilerplateNgrams(df: DataFrame, textCol: String, groupCol: String,
+                        n: Int = 2, k: Int = 10, minDf: Long = 2): DataFrame = {
+    // project the token array FIRST: inlining tokens(text) into the
+    // shingle transform re-splits the text once per gram index (HOF
+    // lambdas are interpreted, not codegen'd — the common subexpression
+    // is not shared), which is an O(tokens²) hidden cost per document
+    val perDoc = df
+      .select(col(groupCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(groupCol),
+        explode(array_distinct(TextAnalysis.shingles(col("_toks"), n))).as("gram"))
+    val dfCounts = perDoc.groupBy(col(groupCol), col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_docs").desc, col("gram").asc)
+    dfCounts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-group token-distribution drift: KL(group ‖ corpus) over token
+    * unigram frequencies — the audit that catches a source/batch whose
+    * language suddenly diverges from the corpus (scraper drift, encoding
+    * breakage, injected spam) before it trains. A group's every token is by
+    * construction in the corpus, so no zero-probability guard is needed.
+    *
+    * Exactness: counts are integers (exact in double), each KL term is
+    * computed in one fixed double expression, rounded to 10 places, and
+    * summed as DECIMAL — addition is order-independent, so the result is
+    * identical regardless of partitioning or engine (ulp differences in
+    * `ln` sit below the rounding).
+    *
+    * Scale: one explode + one (group, token) partial-aggregated shuffle;
+    * corpus token totals come from a window over that AGGREGATED table
+    * (shuffles |groups·vocab| aggregate rows, never raw tokens), and group
+    * totals are a |groups|-row broadcast.
+    */
+  def tokenKlDrift(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val tok = df.select(col(groupCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val cgt = tok.groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("c_gt"))
+    val gTot = cgt.groupBy(col(groupCol)).agg(sum(col("c_gt")).as("n_g"))
+      .withColumn("n_total", sum(col("n_g")).over(Window.partitionBy()))
+    val withCorpus = cgt
+      .withColumn("c_t", sum(col("c_gt")).over(Window.partitionBy(col("token"))))
+      .join(broadcast(gTot), Seq(groupCol))
+    val p = col("c_gt").cast("double") / col("n_g").cast("double")
+    val ratio = (col("c_gt").cast("double") * col("n_total").cast("double")) /
+      (col("n_g").cast("double") * col("c_t").cast("double"))
+    val term = round(p * log(ratio), 10).cast("decimal(28,12)")
+    withCorpus.groupBy(col(groupCol))
+      .agg(max(col("n_g")).as("n_tokens"),
+        round(sum(term).cast("double"), 6).as("kl_div"))
+  }
+
+  /** Source-reputation quality gate: [[TextAnalysis.qualityVerdict]] per
+    * document, rolled up to a per-group keep rate, then propagated back —
+    * a document from a group whose keep rate falls below `minKeepRate` is
+    * blocked outright (`blocked_source`) even if it individually passes.
+    * This is the domain-blocklist step every web-corpus pipeline runs:
+    * individual-document filters miss spam farms whose pages each look
+    * merely mediocre, but whose aggregate failure rate marks the domain.
+    *
+    * The keep rate compares ROUNDED (6 places) against the threshold, so
+    * the decision is engine-reproducible. Scale: verdicts are map-side
+    * native expressions; the rollup is a |groups|-row partial agg
+    * broadcast back — two scans of the corpus (one aggregating, one
+    * emitting), and the corpus itself is never shuffled.
+    */
+  def reputationGate(df: DataFrame, textCol: String, idCol: String,
+                     groupCol: String, minKeepRate: Double = 0.75): DataFrame = {
+    val scored = df.withColumn("verdict",
+      TextAnalysis.qualityVerdict(df, col(textCol)))
+    val rep = scored.groupBy(col(groupCol))
+      .agg(round(avg(when(col("verdict") === "keep", 1.0).otherwise(0.0)), 6)
+        .as("keep_rate"))
+    scored.join(broadcast(rep), Seq(groupCol))
+      .withColumn("final_verdict",
+        when(col("keep_rate") < minKeepRate, lit("blocked_source"))
+          .otherwise(col("verdict")))
+      .select(col(idCol), col(groupCol), col("verdict"), col("keep_rate"),
+        col("final_verdict"))
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u ∈ (0,1) from `md5(id:salt)` (first
+    * six hex nibbles → a 24-bit uniform, offset +0.5 so u is never 0) and
+    * is keyed by `ln(u) / w`; the global top-`k` keys are an exact weighted
+    * sample without replacement — inclusion probability proportional to
+    * weight, no RNG state, reproducible by any engine from the same md5
+    * rule ([[splitAssign]] discipline). Keys are ROUNDED to 10 places and
+    * ranked (key desc, id asc), so the selected set is engine-identical
+    * even at ln() ulp boundaries. Rows with non-positive weight are
+    * excluded (they have inclusion probability 0).
+    *
+    * Scale: the key is map-side arithmetic on the row; global top-k
+    * compiles to TakeOrderedAndProject (per-partition bounded heaps merged
+    * once) — never a full sort, never a shuffle of the corpus.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column, k: Int,
+                     salt: String): DataFrame = {
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val hex = "0123456789abcdef"
+    def nib(i: Int): Column = (instr(lit(hex), substring(h, i, 1)) - 1).cast("double")
+    val x = (1 to 6).map(j => nib(j) * lit(math.pow(16, 6 - j))).reduce(_ + _)
+    val u = (x + lit(0.5)) / lit(16777216.0) // 16^6; exact dyadic division
+    df.withColumn("weight", weightCol.cast("long"))
+      .filter(col("weight") > 0)
+      .withColumn("sample_key",
+        round(log(u) / col("weight").cast("double"), 10))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("weight"), col("sample_key"))
+  }
+
   /** Per-group vocabulary document frequency: how many documents of each
     * group contain each token at least once, with the group's document
     * count for normalization. Distinct-per-document BEFORE the explode —

@@ -153,6 +153,35 @@ object NearDup {
     }
   }
 
+  /** Exact edit-distance verification of candidate near-dup pairs — the
+    * confirm step after any approximate candidate generator (shingle
+    * index, MinHash bands, SimHash chunks): Levenshtein distance over the
+    * FULL texts, normalized to `1 - dist / max(len)`, keeping pairs at or
+    * above `minSim` on the ROUNDED (6-place) similarity so the cut is
+    * engine-reproducible.
+    *
+    * Scale: the O(len²) dynamic program runs ONLY on candidate pairs —
+    * never all pairs — and texts are fetched by two id-equi-joins against
+    * the corpus (each candidate id pulls its text through a hash join;
+    * the corpus is never broadcast or crossed). This is the standard
+    * two-phase near-dup shape: cheap recall-oriented candidates, exact
+    * precision-oriented verify.
+    */
+  def editDistanceVerify(df: DataFrame, textCol: String, idCol: String,
+                         pairs: DataFrame, minSim: Double = 0.95): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("_ta")), length(col("_tb"))).cast("double"), 6))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"))
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (every doc labeled with the
     * min id of its component; the label is the canonical survivor).

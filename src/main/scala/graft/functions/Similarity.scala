@@ -471,4 +471,46 @@ object Similarity {
       cand.withColumn("sim", graft.plans.GraftFunctions.cosine(cand, col("_qv"), col("_cv"))),
       k)
   }
+
+  /** Cluster-cohesion audit over a labeled embedding corpus: per label, the
+    * member count, the mean cosine of members to their OWN centroid
+    * (cohesion), and the max cosine between this centroid and any OTHER
+    * label's centroid (confusability margin — SemDeDup-style curation reads
+    * "tight cluster, far from neighbors" as safe to dedup aggressively and
+    * "loose or confusable" as needing review).
+    *
+    * Exactness: per-dim centroid means are DECIMAL-summed (order-free)
+    * then divided once; member cosines use the native index-ordered fold
+    * and are rounded to 6 before the (again decimal) mean — every number
+    * is engine-reproducible. Scale: one posexplode shuffle keyed
+    * (label, pos) for centroids (partial agg), centroid table is |labels|
+    * rows broadcast back; members are scanned once; the centroid×centroid
+    * compare is |labels|² on a broadcast-sized table.
+    */
+  def clusterCohesion(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val flat = df.select(col(labelCol).as("label"),
+      posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+    val cent = flat.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    val membered = df.select(col(labelCol).as("label"), asDouble(col(vecCol)).as("_v"))
+      .join(broadcast(carr), Seq("label"))
+    val cos6 = round(
+      graft.plans.GraftFunctions.cosine(membered, col("_v"), col("cvec")), 6)
+    val intra = membered
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(cos6.cast("decimal(18,10)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_intra_cos"))
+    val b = carr.select(col("label").as("label_b"), col("cvec").as("cvec_b"))
+    val interPairs = carr.join(b, col("label") =!= col("label_b"))
+    val inter = interPairs
+      .groupBy(col("label"))
+      .agg(max(round(graft.plans.GraftFunctions.cosine(
+        interPairs, col("cvec"), col("cvec_b")), 6)).as("max_inter_cos"))
+    intra.join(inter, Seq("label"))
+  }
 }

@@ -1006,6 +1006,135 @@ class TrainingOpsSpec extends SparkSpec {
     assert(again.select($"doc_id").exceptAll(out.select($"doc_id")).isEmpty)
   }
 
+  test("boilerplate ngrams: domain chrome ranks first, counted once per doc") {
+    // every docA-page carries the footer "subscribe now"; doc 5 spams it.
+    val rows = (1 to 8).map(i =>
+      (i.toLong, "a", s"unique$i words here subscribe now" +
+        (if (i == 5) " subscribe now subscribe now" else ""))) ++
+      (1 to 8).map(i => (100L + i, "b", s"plain text body number$i"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out = Corpus.boilerplateNgrams(docs, "text", "source", n = 2, k = 3, minDf = 2)
+      .as[(String, String, Long, Long)].collect()
+    val a = out.filter(_._1 == "a")
+    // the three shared footer bigrams all hit df=8 (ties rank by gram
+    // text), and df counts documents, not occurrences: doc 5's spam adds
+    // nothing beyond its one appearance
+    assert(a.map(r => (r._2, r._3)).toSet ===
+      Set(("here subscribe", 8L), ("subscribe now", 8L), ("words here", 8L)))
+    // source b has no bigram reaching df 2 except its shared "plain text" etc.
+    val b = out.filter(_._1 == "b").map(_._2)
+    assert(b.contains("plain text") && b.contains("text body"))
+    assert(out.forall(_._4 <= 3))
+  }
+
+  test("token drift: matching group has near-zero KL, divergent group positive") {
+    // groups x and y share one uniform vocab; z is concentrated elsewhere
+    val rows =
+      (1 to 20).map(i => (i.toLong, "x", "alpha beta gamma delta")) ++
+      (1 to 20).map(i => (100L + i, "y", "alpha beta gamma delta")) ++
+      (1 to 20).map(i => (200L + i, "z", "omega omega omega omega"))
+    val out = Corpus.tokenKlDrift(rows.toDF("doc_id", "source", "text"),
+        "text", "source")
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    // KL is never negative, and the outlier dominates
+    assert(out.values.forall(_ >= 0.0))
+    assert(out("z") > out("x") && out("z") > 1.0)
+    // x and y ARE part of the corpus mixture, so their KL is small but > 0
+    assert(out("x") < 0.7 && (out("x") - out("y")).abs < 1e-9)
+  }
+
+  test("reputation gate: clean docs on a rotten source are blocked") {
+    val good = "the quick brown fox jumps over a lazy dog while seven wizards " +
+      "quietly mix bright blue potions near five old stone towers"
+    val bad = "spam spam spam spam spam spam spam spam spam spam spam spam"
+    val rows =
+      (1 to 10).map(i => (i.toLong, "clean", good + i)) ++
+      // rotten: 1 good page in 10 -> keep rate 0.1 < 0.75
+      (1 to 9).map(i => (100L + i, "rotten", bad)) :+ ((110L, "rotten", good + "x"))
+    val out = Corpus.reputationGate(rows.toDF("doc_id", "source", "text"),
+        "text", "doc_id", "source", minKeepRate = 0.75)
+      .as[(Long, String, String, Double, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // the rotten source's individually-clean page is still blocked
+    assert(byId(110L)._3 === "keep" && byId(110L)._5 === "blocked_source")
+    assert(out.filter(_._2 == "rotten").forall(_._5 === "blocked_source"))
+    // the clean source passes through with its per-doc verdicts intact
+    assert(out.filter(_._2 == "clean").forall(r => r._5 === r._3 && r._4 === 1.0))
+  }
+
+  test("pagerank: cycle stays uniform, star concentrates rank on the hub") {
+    import graft.functions.Graph
+    // 3-cycle: every node keeps exactly 1/3 at every iteration
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cr = Graph.pageRank(cycle, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val third = math.rint(1.0 / 3 * 1e12) / 1e12
+    assert(cr.values.forall(r => (r - third).abs < 1e-12), s"cycle ranks $cr")
+    // star: leaves 1..6 -> hub 0; hub -> 1 (so it has out-edges)
+    val star = ((1L to 6L).map(_ -> 0L) :+ (0L -> 1L)).toDF("src", "dst")
+    val sr = Graph.pageRank(star, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(sr(0L) > sr(2L) * 4, s"hub should dominate: $sr")
+    // node 1 receives the hub's whole rank; nodes 2..6 only teleport
+    assert(sr(1L) > sr(2L) && (2L to 6L).map(sr).distinct.size === 1)
+    // determinism: same ranks from a repartitioned edge list
+    val sr2 = Graph.pageRank(star.repartition(7), "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(sr === sr2)
+  }
+
+  test("edit-distance verify: known distances, threshold on rounded sim") {
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"),
+      (4L, "completely different words")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = NearDup.editDistanceVerify(docs, "text", "doc_id", pairs, minSim = 0.5)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2) -> r).toMap
+    // kitten->sitting is the textbook distance 3; sim = 1 - 3/7
+    assert(out((1L, 2L))._3 === 3L)
+    assert(math.abs(out((1L, 2L))._4 - (1.0 - 3.0 / 7)) < 1e-6)
+    // identical pair: distance 0, sim 1; the far pair is filtered out
+    assert(out((1L, 3L))._3 === 0L && out((1L, 3L))._4 === 1.0)
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("weighted sample: heavy weights dominate, zero excluded, deterministic") {
+    import graft.functions.Corpus
+    val rows = (1L to 50L).map(i => (i, 100L)) ++
+      (51L to 100L).map(i => (i, 1L)) :+ ((101L, 0L))
+    val df = rows.toDF("doc_id", "w")
+    val out = Corpus.weightedSample(df, "doc_id", $"w", k = 10, salt = "s")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 10)
+    // weight 0 can never be drawn; 100x weights should take nearly every slot
+    assert(!out.exists(_._1 === 101L))
+    assert(out.count(_._2 === 100L) >= 8, s"heavy docs took ${out.count(_._2 === 100L)}/10")
+    // same (id, salt, w) -> same sample on any partitioning
+    val again = Corpus.weightedSample(df.repartition(13), "doc_id", $"w", 10, "s")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet === again.map(_._1).toSet)
+  }
+
+  test("cluster cohesion: tight separated clusters read high intra, low inter") {
+    import graft.functions.Similarity
+    // cluster 0 hugs e_x, cluster 1 hugs e_y (slight jitter), orthogonal
+    val rows =
+      (1 to 5).map(i => (Array(1.0f, 0.02f * i, 0f), 0)) ++
+      (1 to 5).map(i => (Array(0.02f * i, 1.0f, 0f), 1))
+    val df = rows.toDF("embedding", "label")
+    val out = Similarity.clusterCohesion(df, "embedding", "label")
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0)._2 === 5L && out(1)._2 === 5L)
+    // members sit on their centroid; the two centroids are near-orthogonal
+    assert(out(0)._3 > 0.99 && out(1)._3 > 0.99, s"intra: $out")
+    assert(out(0)._4 < 0.15 && out(1)._4 < 0.15, s"inter: $out")
+    // a smeared third cluster is measurably less cohesive
+    val noisy = rows ++ Seq((Array(1f, 0f, 0f), 2), (Array(0f, 0f, 1f), 2))
+    val out2 = Similarity.clusterCohesion(noisy.toDF("embedding", "label"),
+      "embedding", "label").as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out2(2)._3 < 0.8, s"smeared cluster should be loose: ${out2(2)}")
+  }
+
   test("pmi collocations: bound phrases outrank frequent-but-independent pairs") {
     // "san francisco" always co-occurs; "the" pairs with everything.
     val docs = (1 to 10).map(i =>
