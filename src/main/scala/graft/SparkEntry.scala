@@ -1008,6 +1008,67 @@ object SparkEntry {
       graft.functions.Similarity.clusterCohesion(t(s, dir, "embeddings"),
         "embedding", "label")),
 
+    // Snapshot diff: crawl-over-crawl delta audit. Old/new snapshots are
+    // derived deterministically from documents (old mutates id%7==0 docs
+    // and lacks id%13==0; new lacks id%10==0) so added/removed/changed/
+    // unchanged all occur; the operator itself joins md5 digests, never
+    // bodies.
+    "q86_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Merge.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+    // Near-dup pressure per source: which domains are mirroring /
+    // re-crawling / template-spamming — the report that directs dedup
+    // budget. Pairs at the q24 parameters (oracle-equal to exact Jaccard).
+    "q87_neardup_pressure" -> ((s, dir) =>
+      graft.functions.NearDup.nearDupPressure(t(s, dir, "documents"),
+        "text", "doc_id", "source", n = 3, k = 32, bands = 8, minJaccard = 0.1)),
+
+    // N-gram novelty per document: share of its distinct 3-grams unique
+    // to it corpus-wide — the inverse lens of q79's boilerplate ranking.
+    "q88_ngram_novelty" -> ((s, dir) =>
+      graft.functions.Corpus.ngramNovelty(t(s, dir, "documents"),
+        "text", "doc_id", n = 3)),
+
+    // Deequ-style rule audit: a declarative constraint suite over events
+    // evaluated in ONE partially-aggregated scan; null predicate counts
+    // as violation unless the rule exempts nulls itself.
+    "q89_rule_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Audit.ruleAudit(ev, Seq(
+        "value_non_negative" -> (col("value") >= 0),
+        "value_within_cap" -> (col("value") <= 400.0),
+        "event_type_allowed" ->
+          col("event_type").isin("click", "view", "purchase", "signup"),
+        "ts_after_warmup" -> (col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp")),
+        "props_object_shaped" ->
+          (col("props").isNull || (col("props").like("{%") && col("props").like("%}")))))
+    }),
+
+    // Referential-integrity report across the star schema + the event
+    // stream: per FK edge, child rows / orphans / rate via distinct-parent
+    // anti-joins.
+    "q90_ref_integrity" -> ((s, dir) => {
+      graft.operators.Audit.refIntegrity(Seq(
+        ("orders_customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("lineitem_supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        ("events_user", t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey")))
+    }),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -1992,6 +2053,167 @@ object SparkEntry {
            FROM carr a JOIN carr b ON a.label <> b.label GROUP BY 1)
          SELECT i.label, CAST(i.n AS BIGINT) AS n, i.mean_intra_cos, x.max_inter_cos
          FROM intra i JOIN inter x USING (label)""",
+
+    // same snapshot derivation; status via null-safe digest compare
+    // (IS NOT DISTINCT FROM ≡ Spark's <=>)
+    "q86_snapshot_diff" ->
+      """WITH oldsnap AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id % 13 <> 0),
+         newsnap AS (
+           SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""",
+
+    // pair CTEs identical to q24's exact form; rollup = distinct pair ids
+    // left-joined to documents, integer-exact rate at 6 places
+    "q87_neardup_pressure" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         pairs AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         kept AS (
+           SELECT id_a, id_b FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.1),
+         ids AS (SELECT id_a AS did FROM kept UNION SELECT id_b FROM kept)
+         SELECT d.source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN i.did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_neardup,
+                round(CAST(sum(CASE WHEN i.did IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         FROM documents d LEFT JOIN ids i ON d.doc_id = i.did
+         GROUP BY 1""",
+
+    // distinct-per-doc 3-grams; df over the aggregated gram stream;
+    // short docs emit n_grams 0 / null novelty via the left join
+    "q88_ngram_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS gram
+           FROM t),
+         dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         st AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+                  sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS n_unique
+           FROM g JOIN dfc USING (gram) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(st.n_grams, 0) AS BIGINT) AS n_grams,
+                round(CAST(st.n_unique AS DOUBLE) / CAST(st.n_grams AS DOUBLE), 6)
+                  AS novelty
+         FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""",
+
+    // one UNION ALL branch per rule, violation = NOT coalesce(pred, FALSE)
+    // exactly as Audit.ruleAudit counts it
+    "q89_rule_audit" ->
+      """SELECT 'value_non_negative' AS rule, count(*) AS n_rows,
+                CAST(sum(CASE WHEN NOT coalesce(value >= 0, FALSE)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                round(CAST(sum(CASE WHEN NOT coalesce(value >= 0, FALSE)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS violation_rate
+         FROM events
+         UNION ALL
+         SELECT 'value_within_cap', count(*),
+                CAST(sum(CASE WHEN NOT coalesce(value <= 400.0, FALSE)
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN NOT coalesce(value <= 400.0, FALSE)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6)
+         FROM events
+         UNION ALL
+         SELECT 'event_type_allowed', count(*),
+                CAST(sum(CASE WHEN NOT coalesce(
+                       event_type IN ('click','view','purchase','signup'), FALSE)
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN NOT coalesce(
+                       event_type IN ('click','view','purchase','signup'), FALSE)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6)
+         FROM events
+         UNION ALL
+         SELECT 'ts_after_warmup', count(*),
+                CAST(sum(CASE WHEN NOT coalesce(
+                       ts >= TIMESTAMP '2024-01-05 00:00:00', FALSE)
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN NOT coalesce(
+                       ts >= TIMESTAMP '2024-01-05 00:00:00', FALSE)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6)
+         FROM events
+         UNION ALL
+         SELECT 'props_object_shaped', count(*),
+                CAST(sum(CASE WHEN NOT coalesce(
+                       props IS NULL OR (props LIKE '{%' AND props LIKE '%}'), FALSE)
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN NOT coalesce(
+                       props IS NULL OR (props LIKE '{%' AND props LIKE '%}'), FALSE)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6)
+         FROM events""",
+
+    // NOT EXISTS per edge ≡ the anti-join count (null child keys orphan
+    // under both)
+    "q90_ref_integrity" ->
+      """SELECT 'orders_customer' AS edge, count(*) AS n_rows,
+                CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_orphans,
+                round(CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS orphan_rate
+         FROM orders o
+         UNION ALL
+         SELECT 'lineitem_orders', count(*),
+                CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders oo
+                       WHERE oo.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders oo
+                       WHERE oo.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6)
+         FROM lineitem l
+         UNION ALL
+         SELECT 'lineitem_part', count(*),
+                CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM part p
+                       WHERE p.p_partkey = l.l_partkey) THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM part p
+                       WHERE p.p_partkey = l.l_partkey) THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6)
+         FROM lineitem l
+         UNION ALL
+         SELECT 'lineitem_supplier', count(*),
+                CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s
+                       WHERE s.s_suppkey = l.l_suppkey) THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s
+                       WHERE s.s_suppkey = l.l_suppkey) THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6)
+         FROM lineitem l
+         UNION ALL
+         SELECT 'events_user', count(*),
+                CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = e.user_id) THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = e.user_id) THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6)
+         FROM events e""",
 
     // pmi evaluated in the same double expression shape as the Spark
     // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value

@@ -277,6 +277,35 @@ object Corpus {
       .select(col(idCol), col("weight"), col("sample_key"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams that appear in no other document — templated/boilerplate
+    * docs score near 0, genuinely novel text near 1. The inverse lens of
+    * [[boilerplateNgrams]] (that ranks the shared grams; this scores each
+    * doc by how little it shares). Docs too short to form a single n-gram
+    * emit `n_grams = 0` with a null novelty.
+    *
+    * Scale: distinct-per-doc explode (map-side), document frequency via a
+    * window over the AGGREGATED gram stream keyed by gram, then one
+    * per-doc partial agg — the same two aggregated exchanges as
+    * [[vocabTopDf]], never a raw-token shuffle.
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("_toks"), n))).as("gram"))
+    val withDf = perDoc.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    val stats = withDf.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumnRenamed("_id", idCol)
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+  }
+
   /** Per-group vocabulary document frequency: how many documents of each
     * group contain each token at least once, with the group's document
     * count for normalization. Distinct-per-document BEFORE the explode —

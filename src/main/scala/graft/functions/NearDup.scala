@@ -182,6 +182,33 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"))
   }
 
+  /** Dedup observability: per group (source/domain), how much of its
+    * corpus is entangled in near-duplicate pairs — `n_docs`, the count of
+    * docs with at least one near-dup anywhere in the corpus, and the
+    * rounded rate. A source whose rate spikes is mirroring / being
+    * re-crawled / template-spamming; this is the report that decides
+    * where dedup budget goes.
+    *
+    * Built on [[minhashNearDup]] (same parameters as the canonical q24
+    * gate query, oracle-equal to exact Jaccard there); the rollup is an
+    * id-distinct union, a left semi-style flag join, and a per-group
+    * partial agg — nothing beyond the pair generation itself.
+    */
+  def nearDupPressure(df: DataFrame, textCol: String, idCol: String,
+                      groupCol: String, n: Int, k: Int, bands: Int,
+                      minJaccard: Double): DataFrame = {
+    val pairs = minhashNearDup(df, textCol, idCol, n, k, bands, minJaccard)
+    val dupIds = pairs.select(col("id_a").as("_did"))
+      .union(pairs.select(col("id_b").as("_did"))).distinct()
+    df.select(col(groupCol), col(idCol).as("_docid"))
+      .join(dupIds, col("_docid") === col("_did"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_did").isNotNull, 1L).otherwise(0L)).as("n_neardup"))
+      .withColumn("dup_rate",
+        round(col("n_neardup").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (every doc labeled with the
     * min id of its component; the label is the canonical survivor).

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality auditing (the Deequ/expectations shape): a
+  * rule suite evaluated in ONE pass, and referential-integrity checks as
+  * anti-join counts. These are the admission gates a 100 TB ingest runs
+  * before data is allowed near training: cheap, single-scan, and their
+  * output is a small report table rather than a verdict-per-row.
+  */
+object Audit {
+
+  /** Evaluate row-level rules in one aggregation pass: each rule is a
+    * boolean `Column` predicate; a row VIOLATES a rule when the predicate
+    * is not definitely true (`NOT coalesce(pred, false)` — a predicate
+    * that evaluates to null, e.g. a range check on a null column, counts
+    * as a violation; write `isNull || …` to exempt nulls explicitly).
+    *
+    * Scale: all rules fold into a single partially-aggregated scan —
+    * adding a rule adds one sum slot, not a pass. The report is
+    * |rules| rows.
+    */
+  def ruleAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = count(lit(1)).as("_n") +: rules.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as("_v_" + name)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col("_n").as("n_rows"),
+          col("_v_" + name).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"),
+        round(col("r.n_violations").cast("double") /
+          col("r.n_rows").cast("double"), 6).as("violation_rate"))
+  }
+
+  /** Referential-integrity report: for each named edge (childKey must
+    * exist in parentKey), the child row count, orphan count, and rate.
+    * Each edge is a distinct-parent anti-join — the exact form; at corpus
+    * scale the parent key set rides a broadcast when small and a shuffle
+    * otherwise, and a bloom pre-filter ([[graft.operators.Merge]]'s
+    * `historyDeltaBloom` pattern) can screen the child first when orphans
+    * are rare. Report is |edges| rows.
+    */
+  def refIntegrity(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "at least one edge")
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      // one scan per edge: outer-join the distinct parent keys and count
+      // rows + unmatched in a single aggregation (a separate anti-join
+      // count would re-scan the child and join two 1-row aggregates —
+      // which Catalyst folds into a nested-loop join)
+      child.select(col(childKey).as("_ck"))
+        .join(parent.select(col(parentKey).as("_pk")).distinct(),
+          col("_ck") === col("_pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_rows").cast("double"), 6)
+            .as("orphan_rate"))
+    }.reduce(_ unionByName _)
+  }
+}

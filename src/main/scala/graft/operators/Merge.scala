@@ -106,4 +106,30 @@ object Merge {
       .filter(col("_ex_ver").isNull || col(versionCol) > col("_ex_ver"))
       .drop("_ex_key", "_ex_ver")
   }
+
+  /** Snapshot-over-snapshot diff — the crawl-delta audit: every id labeled
+    * `added` / `removed` / `changed` / `unchanged` between two corpus
+    * snapshots. Content equality is null-safe (`<=>`; two null payloads
+    * are `unchanged`).
+    *
+    * Scale: content is reduced to its md5 BEFORE the join, so the
+    * id-keyed full-outer shuffle carries 32-byte digests instead of
+    * document bodies — at 100 TB that is the difference between shuffling
+    * the corpus twice and shuffling its fingerprint. md5(null) is null,
+    * so the null-safe compare still distinguishes "absent" from "null
+    * content present".
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("_id"), md5(col(contentCol)).as("_old"),
+      lit(true).as("_in_old"))
+    val n = newSnap.select(col(idCol).as("_id"), md5(col(contentCol)).as("_new"),
+      lit(true).as("_in_new"))
+    o.join(n, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(col("_old") <=> col("_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -55,7 +55,12 @@ class PlanAuditSpec extends SparkSpec {
       "q71_tfidf_terms" -> "1-row corpus-count aggregate",
       // pmi needs the corpus token/bigram totals on every collocation row:
       // the broadcast side is that 1-row totals aggregate
-      "q76_pmi_collocations" -> "1-row totals aggregate")
+      "q76_pmi_collocations" -> "1-row totals aggregate",
+      // centroid↔centroid confusability: both sides of the non-equi
+      // compare are the |labels|-row centroid table — bounded by cluster
+      // count, never the member corpus (members join their centroid by
+      // label equality)
+      "q85_cluster_cohesion" -> "|labels|-row centroid table")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))

@@ -1135,6 +1135,75 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out2(2)._3 < 0.8, s"smeared cluster should be loose: ${out2(2)}")
   }
 
+  test("snapshot diff: all four statuses, null-safe content compare") {
+    import graft.operators.Merge
+    val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("gone")),
+      (5L, None: Option[String])).toDF("id", "content")
+    val newSnap = Seq((1L, Some("a")), (2L, Some("B2")), (4L, Some("new")),
+      (5L, None: Option[String])).toDF("id", "content")
+    val out = Merge.snapshotDiff(oldSnap, newSnap, "id", "content")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
+  test("near-dup pressure: the mirroring source reads a positive rate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows =
+      // source m: two near-identical docs + one unique
+      Seq((1L, "m", base), (2L, "m", base + " extra"),
+        (3L, "m", "totally different words one two three four five six seven")) ++
+      // source u: all unique
+      Seq((4L, "u", "red orange yellow green blue indigo violet colors here now"),
+        (5L, "u", "solar lunar stellar orbit comet nebula quasar pulsar nova void"))
+    val out = NearDup.nearDupPressure(rows.toDF("doc_id", "source", "text"),
+      "text", "doc_id", "source", n = 3, k = 32, bands = 8, minJaccard = 0.1)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("m")._2 === 3L && out("m")._3 === 2L)
+    assert(math.abs(out("m")._4 - 2.0 / 3) < 1e-5)
+    assert(out("u")._3 === 0L && out("u")._4 === 0.0)
+  }
+
+  test("ngram novelty: copies score zero, unique text scores one, short is null") {
+    import graft.functions.Corpus
+    val shared = "one two three four five six"
+    val docs = Seq((1L, shared), (2L, shared),
+      (3L, "totally fresh words never repeated anywhere"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    // docs 1/2 share every 3-gram -> novelty 0; doc 3 is all-unique -> 1
+    assert(out(1L)._3.contains(0.0) && out(2L)._3.contains(0.0))
+    assert(out(3L)._3.contains(1.0))
+    // 2 tokens -> no 3-grams -> n_grams 0, null novelty
+    assert(out(4L)._2 === 0L && out(4L)._3.isEmpty)
+  }
+
+  test("rule audit: one-pass suite, null predicate counts as violation") {
+    import graft.operators.Audit
+    val df = Seq((1L, Some(5.0), "ok"), (2L, Some(-1.0), "ok"),
+      (3L, None: Option[Double], "bad"), (4L, Some(2.0), "ok"))
+      .toDF("id", "v", "tag")
+    val out = Audit.ruleAudit(df, Seq(
+      "v_non_negative" -> ($"v" >= 0),            // null v -> violation
+      "v_present_or_tagged" -> ($"v".isNotNull || $"tag" === "bad"),
+      "tag_ok" -> ($"tag" === "ok")))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("v_non_negative") === (("v_non_negative", 4L, 2L, 0.5)))
+    assert(out("v_present_or_tagged")._3 === 0L)
+    assert(out("tag_ok")._3 === 1L && out("tag_ok")._4 === 0.25)
+  }
+
+  test("ref integrity: orphans counted per edge, null child key orphans") {
+    import graft.operators.Audit
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val out = Audit.refIntegrity(Seq(("c_p", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(("c_p", 4L, 2L, 0.5)))
+  }
+
   test("pmi collocations: bound phrases outrank frequent-but-independent pairs") {
     // "san francisco" always co-occurs; "the" pairs with everything.
     val docs = (1 to 10).map(i =>
