@@ -235,6 +235,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: a vocabulary-shifted batch reads higher KL than an in-distribution one") {
+    // per-micro-batch ingest observability: tag the batch against a
+    // reference corpus and read KL(batch ‖ combined) — the scraper-drift /
+    // encoding-breakage alarm wired into the same foreachBatch seam as
+    // admission and decontamination
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq.tabulate(20)(i =>
+      (1000L + i, "spark join filter group window batch stream table row column"))
+      .toDF("doc_id", "text")
+    val drifts = scala.collection.concurrent.TrieMap[Long, Double]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val tagged = batch.select(lit("batch").as("part"), $"text")
+            .unionByName(reference.select(lit("ref").as("part"), $"text"))
+          val kl = graft.functions.Corpus.tokenKlDrift(tagged, "text", "part")
+            .filter($"part" === "batch").select($"kl_div").as[Double].head()
+          drifts.put(id, kl): Unit
+        }
+      }
+      .start()
+    try {
+      // batch 0 speaks the reference vocabulary exactly
+      mem.addData(
+        (1L, "spark join filter group window batch stream table row column"),
+        (2L, "filter group window spark join stream batch column row table"))
+      q.processAllAvailable()
+      // batch 1 speaks a disjoint vocabulary (scraper drifted)
+      mem.addData(
+        (3L, "llamas alpacas vicunas graze high andean plateaus every summer"),
+        (4L, "quinoa farmers harvest terraced fields before winter storms arrive"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // identical distribution -> KL exactly ~0; disjoint vocabulary -> large
+    assert(drifts(0L) < 0.05, s"in-distribution batch drifted: $drifts")
+    assert(drifts(1L) > 1.0, s"shifted batch should alarm: $drifts")
+  }
+
   test("simulator tick: deterministic, advances statuses legally, bumps updated_at") {
     val base = (1 to 200).map(i => (s"id$i", "NEW", ts("2024-01-01 00:00:00"), "loader"))
       .toDF("id", "status", "updated_at", "updated_by")
