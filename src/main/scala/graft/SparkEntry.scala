@@ -1069,6 +1069,32 @@ object SparkEntry {
           t(s, dir, "customer"), "c_custkey")))
     }),
 
+    // Markov transition audit: per-user event bigrams (lag over the
+    // (ts, event_id) total order) → transition counts + row-conditional
+    // probabilities — the behavioral-sequence sanity check (and the
+    // simulator's empirical transition matrix). One window shuffle on
+    // user_id, then an aggregated-table groupBy.
+    "q91_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"),
+          6))
+    }),
+
+    // Token-concentration curve: fewest docs (longest first) covering 50%
+    // and 90% of corpus tokens — exact via the length-histogram closed
+    // form, no corpus-wide sort.
+    "q92_token_concentration" -> ((s, dir) =>
+      graft.functions.Corpus.tokenConcentration(t(s, dir, "documents"),
+        "text", pcts = Seq(50, 90))),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -2214,6 +2240,51 @@ object SparkEntry {
                        WHERE c.c_custkey = e.user_id) THEN 1 ELSE 0 END) AS DOUBLE)
                       / CAST(count(*) AS DOUBLE), 6)
          FROM events e""",
+
+    // lag over the identical (ts, event_id) per-user total order;
+    // probabilities are exact integer divisions rounded at 6
+    "q91_event_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, event_type, count(*) AS n
+               FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n,
+                round(CAST(n AS DOUBLE) /
+                      CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+         FROM c""",
+
+    // length-histogram closed form, all-integer comparisons and ceil-div
+    // (// is BIGINT floor division), identical to tokenConcentration
+    "q92_token_concentration" ->
+      """WITH lens AS (
+           SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS l
+           FROM documents),
+         g AS (SELECT CAST(l AS BIGINT) AS len, count(*) AS n_docs_len
+               FROM lens WHERE l > 0 GROUP BY 1),
+         c AS (SELECT len, n_docs_len, len * n_docs_len AS class_tokens,
+                      sum(len * n_docs_len) OVER (ORDER BY len DESC) AS cum_tokens,
+                      sum(n_docs_len) OVER (ORDER BY len DESC) AS cum_docs,
+                      sum(len * n_docs_len) OVER () AS total_tokens
+               FROM g),
+         pick AS (
+           SELECT p.pct, c.*,
+                  c.cum_tokens - c.class_tokens AS before_tokens,
+                  row_number() OVER (PARTITION BY p.pct
+                                     ORDER BY c.cum_tokens ASC) AS rn
+           FROM (VALUES (50), (90)) p(pct)
+           JOIN c ON c.cum_tokens * 100 >= c.total_tokens * p.pct)
+         SELECT CAST(pct AS BIGINT) AS threshold_pct,
+                CAST(cum_docs - n_docs_len +
+                     (total_tokens * pct - before_tokens * 100 + len * 100 - 1)
+                       // (len * 100) AS BIGINT) AS n_docs,
+                CAST(before_tokens +
+                     ((total_tokens * pct - before_tokens * 100 + len * 100 - 1)
+                       // (len * 100)) * len AS BIGINT) AS covered_tokens,
+                CAST(total_tokens AS BIGINT) AS total_tokens
+         FROM pick WHERE rn = 1""",
 
     // pmi evaluated in the same double expression shape as the Spark
     // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value

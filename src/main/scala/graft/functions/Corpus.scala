@@ -306,6 +306,51 @@ object Corpus {
           .as("novelty"))
   }
 
+  /** Token-concentration curve: for each percentage threshold, the minimum
+    * number of documents (taking longest first) whose tokens cover at
+    * least that share of the corpus — "500k docs hold 90% of the tokens"
+    * is the number that decides dedup/packing/sampling strategy.
+    *
+    * EXACT without a corpus-wide sort: documents collapse to a LENGTH
+    * HISTOGRAM (one partially-aggregated groupBy to |distinct lengths|
+    * rows); the cumulative walk and threshold pick run entirely on that
+    * tiny table, and the answer inside the boundary length-class is
+    * closed-form integer arithmetic (`k = ⌈needed/len⌉` — every doc of a
+    * class contributes equally, so the rank-ordered answer equals the
+    * histogram answer). All comparisons are integer cross-products
+    * (`cum·100 ≥ total·pct`), so any engine reproduces the exact counts.
+    * Zero-length docs can never help reach a token threshold and are
+    * excluded up front.
+    */
+  def tokenConcentration(df: DataFrame, textCol: String,
+                         pcts: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100), "pcts in (0,100]")
+    val lens = df.select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .groupBy(col("len")).agg(count(lit(1)).as("n_docs_len"))
+    val w = Window.orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = lens
+      .withColumn("class_tokens", col("len") * col("n_docs_len"))
+      .withColumn("cum_tokens", sum(col("len") * col("n_docs_len")).over(w))
+      .withColumn("cum_docs", sum(col("n_docs_len")).over(w))
+      .withColumn("total_tokens",
+        sum(col("len") * col("n_docs_len")).over(Window.partitionBy()))
+    pcts.map { pct =>
+      // first qualifying class in length-desc order = min cum_tokens
+      cum.filter(col("cum_tokens") * 100 >= col("total_tokens") * pct)
+        .withColumn("_rn", row_number().over(Window.orderBy(col("cum_tokens").asc)))
+        .filter(col("_rn") === 1)
+        .withColumn("_before", col("cum_tokens") - col("class_tokens"))
+        .withColumn("_k", expr(
+          s"(total_tokens * $pct - _before * 100 + len * 100 - 1) div (len * 100)"))
+        .select(lit(pct.toLong).as("threshold_pct"),
+          (col("cum_docs") - col("n_docs_len") + col("_k")).as("n_docs"),
+          (col("_before") + col("_k") * col("len")).as("covered_tokens"),
+          col("total_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group vocabulary document frequency: how many documents of each
     * group contain each token at least once, with the group's document
     * count for normalization. Distinct-per-document BEFORE the explode —

@@ -1204,6 +1204,49 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("c_p", 4L, 2L, 0.5)))
   }
 
+  test("event transitions: counts and conditional probabilities from the lag order") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // user 1: a->b->a ; user 2: a->b ; user 3: a->c
+    val ev = Seq(
+      (1L, 10L, "a", at(1)), (2L, 10L, "b", at(2)), (3L, 10L, "a", at(3)),
+      (4L, 20L, "a", at(1)), (5L, 20L, "b", at(2)),
+      (6L, 30L, "a", at(1)), (7L, 30L, "c", at(2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val out = ev.withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"prev_type")).cast("double"), 6))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out(("a", "b")) === ((2L, 0.666667)))
+    assert(out(("a", "c")) === ((1L, 0.333333)))
+    assert(out(("b", "a")) === ((1L, 1.0)))
+    assert(out.size === 3)
+  }
+
+  test("token concentration: closed-form histogram answer matches hand computation") {
+    import graft.functions.Corpus
+    // lengths 10, 5, 5, 1 -> total 21 tokens
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, Seq.fill(5)("x").mkString(" ")),
+      (3L, Seq.fill(5)("y").mkString(" ")),
+      (4L, "z")).toDF("doc_id", "text")
+    val out = Corpus.tokenConcentration(docs, "text", pcts = Seq(50, 90, 100))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 50%: doc of 10 (1000 < 1050) + one len-5 doc -> 2 docs, 15 tokens
+    assert(out(50L) === ((50L, 2L, 15L, 21L)))
+    // 90%: need 18.9 -> 10 + both fives = 20 -> 3 docs
+    assert(out(90L) === ((90L, 3L, 20L, 21L)))
+    // 100%: every doc including the singleton
+    assert(out(100L) === ((100L, 4L, 21L, 21L)))
+  }
+
   test("pmi collocations: bound phrases outrank frequent-but-independent pairs") {
     // "san francisco" always co-occurs; "the" pairs with everything.
     val docs = (1 to 10).map(i =>
