@@ -1095,6 +1095,20 @@ object SparkEntry {
       graft.functions.Corpus.tokenConcentration(t(s, dir, "documents"),
         "text", pcts = Seq(50, 90))),
 
+    // Unigram-LM surprisal score per document — the statistical quality
+    // filter (CCNet shape, unigram standing in for KenLM): count-weighted
+    // mean of -ln(c_t/T); decimal term-sums keep it engine-exact.
+    "q93_unigram_surprisal" -> ((s, dir) =>
+      graft.functions.Corpus.unigramSurprisal(t(s, dir, "documents"),
+        "text", "doc_id")),
+
+    // Vocabulary coverage: fewest token types (most frequent first)
+    // covering 90% / 99% of token instances — the tokenizer vocab-size
+    // number, exact via the frequency-histogram closed form.
+    "q94_vocab_coverage" -> ((s, dir) =>
+      graft.functions.Corpus.vocabCoverage(t(s, dir, "documents"),
+        "text", pcts = Seq(90, 99))),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -2284,6 +2298,54 @@ object SparkEntry {
                      ((total_tokens * pct - before_tokens * 100 + len * 100 - 1)
                        // (len * 100)) * len AS BIGINT) AS covered_tokens,
                 CAST(total_tokens AS BIGINT) AS total_tokens
+         FROM pick WHERE rn = 1""",
+
+    // identical double expression per (doc, token) term, round-10 →
+    // DECIMAL sum → count-weighted mean at 6
+    "q93_unigram_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split(coalesce(text, ''), ' '), x -> x <> '')) AS token
+           FROM documents),
+         cdt AS (SELECT doc_id, token, count(*) AS c_dt FROM tok GROUP BY 1, 2),
+         ct AS (SELECT token, sum(c_dt) AS c_t FROM cdt GROUP BY 1),
+         tt AS (SELECT sum(c_dt) AS t_total FROM cdt)
+         SELECT c.doc_id, CAST(sum(c.c_dt) AS BIGINT) AS n_tokens,
+                round(CAST(sum(CAST(round(CAST(c.c_dt AS DOUBLE) *
+                        (-ln(CAST(t.c_t AS DOUBLE) / CAST(x.t_total AS DOUBLE))),
+                        10) AS DECIMAL(28,12))) AS DOUBLE)
+                      / CAST(sum(c.c_dt) AS DOUBLE), 6) AS mean_surprisal
+         FROM cdt c JOIN ct t USING (token) CROSS JOIN tt x
+         GROUP BY 1""",
+
+    // token-frequency histogram closed form — q92's arithmetic over
+    // frequency classes instead of length classes
+    "q94_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(
+             string_split(coalesce(text, ''), ' '), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT token, count(*) AS f FROM tok GROUP BY 1),
+         g AS (SELECT CAST(f AS BIGINT) AS len, count(*) AS n FROM tf GROUP BY 1),
+         c AS (SELECT len, n, len * n AS class_sz,
+                      sum(len * n) OVER (ORDER BY len DESC) AS cum_sz,
+                      sum(n) OVER (ORDER BY len DESC) AS cum_units,
+                      sum(len * n) OVER () AS total
+               FROM g),
+         pick AS (
+           SELECT p.pct, c.*, c.cum_sz - c.class_sz AS before_sz,
+                  row_number() OVER (PARTITION BY p.pct
+                                     ORDER BY c.cum_sz ASC) AS rn
+           FROM (VALUES (90), (99)) p(pct)
+           JOIN c ON c.cum_sz * 100 >= c.total * p.pct)
+         SELECT CAST(pct AS BIGINT) AS threshold_pct,
+                CAST(cum_units - n +
+                     (total * pct - before_sz * 100 + len * 100 - 1)
+                       // (len * 100) AS BIGINT) AS vocab_size,
+                CAST(before_sz +
+                     ((total * pct - before_sz * 100 + len * 100 - 1)
+                       // (len * 100)) * len AS BIGINT) AS covered_instances,
+                CAST(total AS BIGINT) AS total_instances
          FROM pick WHERE rn = 1""",
 
     // pmi evaluated in the same double expression shape as the Spark

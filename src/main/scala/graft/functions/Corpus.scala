@@ -324,30 +324,94 @@ object Corpus {
     */
   def tokenConcentration(df: DataFrame, textCol: String,
                          pcts: Seq[Int] = Seq(50, 90)): DataFrame = {
-    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100), "pcts in (0,100]")
     val lens = df.select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("len"))
       .filter(col("len") > 0)
-      .groupBy(col("len")).agg(count(lit(1)).as("n_docs_len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("n"))
+    coverageFromClasses(lens, pcts)
+      .withColumnsRenamed(Map("n_units" -> "n_docs",
+        "covered" -> "covered_tokens", "total" -> "total_tokens"))
+  }
+
+  /** Vocabulary coverage curve: the smallest vocabulary (most frequent
+    * tokens first) covering each percentage of corpus TOKEN INSTANCES —
+    * "8k types cover 99% of the stream" is the number a tokenizer's vocab
+    * size is chosen against. Same closed form as [[tokenConcentration]]
+    * over the token-FREQUENCY histogram: one explode + one (token) count
+    * (both partially aggregated), one tiny groupBy on the distinct
+    * frequency values — never a vocabulary-wide sort.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    pcts: Seq[Int] = Seq(90, 99)): DataFrame = {
+    val freqs = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f").as("len")).agg(count(lit(1)).as("n"))
+    coverageFromClasses(freqs, pcts)
+      .withColumnsRenamed(Map("n_units" -> "vocab_size",
+        "covered" -> "covered_instances", "total" -> "total_instances"))
+  }
+
+  /** Per-document mean token surprisal under the corpus unigram model —
+    * the statistical-LM quality score (the CCNet-style "does this read
+    * like the corpus?" filter, with the unigram model standing in for the
+    * external KenLM this container cannot host): surprisal of token t is
+    * `-ln(c_t / T)`; a document's score is the count-weighted mean over
+    * its tokens. High = out-of-distribution vocabulary (spam, wrong
+    * language, binary junk); low = made of the corpus's common words.
+    *
+    * Exactness: the [[tokenKlDrift]] discipline — each (doc, token) term
+    * is one fixed double expression rounded to 10, summed as DECIMAL, so
+    * the mean is partition-order-free and engine-identical. Scale: one
+    * explode into a partially-aggregated (doc, token) count, corpus token
+    * totals via a window over that aggregated table, and the 1-row grand
+    * total rides a broadcast.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cdt = df
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("_id"), col("token")).agg(count(lit(1)).as("c_dt"))
+    val withTot = cdt
+      .withColumn("c_t", sum(col("c_dt")).over(Window.partitionBy(col("token"))))
+    val tot = cdt.agg(sum(col("c_dt")).as("t_total"))
+    val term = round(col("c_dt").cast("double") *
+      -log(col("c_t").cast("double") / col("t_total").cast("double")), 10)
+      .cast("decimal(28,12)")
+    withTot.crossJoin(broadcast(tot))
+      .groupBy(col("_id"))
+      .agg(sum(col("c_dt")).as("n_tokens"),
+        round(sum(term).cast("double") / sum(col("c_dt")).cast("double"), 6)
+          .as("mean_surprisal"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Shared closed form over a (len, n) size-class histogram: for each
+    * pct, the fewest units (largest classes first) whose summed sizes
+    * reach pct% of the total — `k = ⌈needed/len⌉` inside the boundary
+    * class, all-integer comparisons throughout. Windows run over
+    * |distinct sizes| rows only.
+    */
+  private def coverageFromClasses(classes: DataFrame, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100), "pcts in (0,100]")
     val w = Window.orderBy(col("len").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = lens
-      .withColumn("class_tokens", col("len") * col("n_docs_len"))
-      .withColumn("cum_tokens", sum(col("len") * col("n_docs_len")).over(w))
-      .withColumn("cum_docs", sum(col("n_docs_len")).over(w))
-      .withColumn("total_tokens",
-        sum(col("len") * col("n_docs_len")).over(Window.partitionBy()))
+    val cum = classes
+      .withColumn("class_sz", col("len") * col("n"))
+      .withColumn("cum_sz", sum(col("len") * col("n")).over(w))
+      .withColumn("cum_units", sum(col("n")).over(w))
+      .withColumn("total", sum(col("len") * col("n")).over(Window.partitionBy()))
     pcts.map { pct =>
-      // first qualifying class in length-desc order = min cum_tokens
-      cum.filter(col("cum_tokens") * 100 >= col("total_tokens") * pct)
-        .withColumn("_rn", row_number().over(Window.orderBy(col("cum_tokens").asc)))
+      // first qualifying class in size-desc order = min cum_sz
+      cum.filter(col("cum_sz") * 100 >= col("total") * pct)
+        .withColumn("_rn", row_number().over(Window.orderBy(col("cum_sz").asc)))
         .filter(col("_rn") === 1)
-        .withColumn("_before", col("cum_tokens") - col("class_tokens"))
+        .withColumn("_before", col("cum_sz") - col("class_sz"))
         .withColumn("_k", expr(
-          s"(total_tokens * $pct - _before * 100 + len * 100 - 1) div (len * 100)"))
+          s"(total * $pct - _before * 100 + len * 100 - 1) div (len * 100)"))
         .select(lit(pct.toLong).as("threshold_pct"),
-          (col("cum_docs") - col("n_docs_len") + col("_k")).as("n_docs"),
-          (col("_before") + col("_k") * col("len")).as("covered_tokens"),
-          col("total_tokens"))
+          (col("cum_units") - col("n") + col("_k")).as("n_units"),
+          (col("_before") + col("_k") * col("len")).as("covered"),
+          col("total"))
     }.reduce(_ unionByName _)
   }
 

@@ -60,7 +60,10 @@ class PlanAuditSpec extends SparkSpec {
       // compare are the |labels|-row centroid table — bounded by cluster
       // count, never the member corpus (members join their centroid by
       // label equality)
-      "q85_cluster_cohesion" -> "|labels|-row centroid table")
+      "q85_cluster_cohesion" -> "|labels|-row centroid table",
+      // surprisal needs the corpus grand total on every (doc, token) row:
+      // the broadcast side is that 1-row aggregate
+      "q93_unigram_surprisal" -> "1-row corpus-total aggregate")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))

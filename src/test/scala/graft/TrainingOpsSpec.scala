@@ -1247,6 +1247,37 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(100L) === ((100L, 4L, 21L, 21L)))
   }
 
+  test("unigram surprisal: rare-vocabulary docs score high, formula exact") {
+    import graft.functions.Corpus
+    // corpus: c_a = 5, c_b = 2 over T = 7
+    val docs = Seq((1L, "a a b"), (2L, "a a a b")).toDF("doc_id", "text")
+    val out = Corpus.unigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val exp1 = ((r10(2.0 * -math.log(5.0 / 7)) + r10(1.0 * -math.log(2.0 / 7))) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 === 3L)
+    assert(math.abs(out(1L)._3 - exp1) < 2e-6, s"got ${out(1L)._3}, want $exp1")
+    // a doc made of hapaxes reads far more surprising than common text
+    val mix = (Seq.fill(10)((10L, "common words here again")) :+
+      ((99L, "xylophone quagmire zeppelin"))).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scored = Corpus.unigramSurprisal(mix, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(10L) > 2 * scored(0L), s"hapax doc should alarm: $scored")
+  }
+
+  test("vocab coverage: frequency-histogram closed form matches hand computation") {
+    import graft.functions.Corpus
+    // frequencies: x=6, y=3, z=1 -> 10 instances
+    val docs = Seq((1L, "x x x x x x y y y z")).toDF("doc_id", "text")
+    val out = Corpus.vocabCoverage(docs, "text", pcts = Seq(90, 100))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 90%: x (6) + y (9 >= 9) -> 2 types, 9 instances
+    assert(out(90L) === ((90L, 2L, 9L, 10L)))
+    assert(out(100L) === ((100L, 3L, 10L, 10L)))
+  }
+
   test("pmi collocations: bound phrases outrank frequent-but-independent pairs") {
     // "san francisco" always co-occurs; "the" pairs with everything.
     val docs = (1 to 10).map(i =>
