@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Corpus
+import graft.operators.Merge
+
+/** Property-style invariants for the deterministic corpus operators over
+  * seeded random fixtures: the md5 disciplines must be pure functions of
+  * (id, salt) — blind to partitioning, ordering, and unrelated rows — and
+  * the diff/sample operators must agree with brute-force references.
+  */
+class CorpusPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomDocs(seed: Int, n: Int = 40): Seq[(Long, String)] = {
+    val r = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val words = Seq.fill(3 + r.nextInt(8))(
+        Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")(r.nextInt(6)))
+      (r.nextInt(1000).toLong * 100 + i, words.mkString(" "))
+    }
+  }
+
+  test("snapshot diff statuses partition the id space and match a brute-force reference") {
+    (1 to 6).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val olds = randomDocs(seed).toMap
+      val news = randomDocs(seed + 1).filter(_ => r.nextBoolean()).toMap ++
+        olds.filter(_ => r.nextBoolean()).map { case (k, v) =>
+          k -> (if (r.nextBoolean()) v + " edited" else v)
+        }
+      val out = Merge.snapshotDiff(olds.toSeq.toDF("id", "content"),
+        news.toSeq.toDF("id", "content"), "id", "content")
+        .as[(Long, String)].collect().toMap
+      val expected = (olds.keySet ++ news.keySet).map { id =>
+        id -> ((olds.get(id), news.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      assert(out === expected, s"seed $seed")
+    }
+  }
+
+  test("weighted sample: raising a sampled row's weight never evicts it") {
+    (1 to 6).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val rows = (1L to 60L).map(i => (i, 1L + r.nextInt(50).toLong))
+      val df = rows.toDF("id", "w")
+      val picked = Corpus.weightedSample(df, "id", $"w", k = 12, salt = s"s$seed")
+        .as[(Long, Long, Double)].collect()
+      assert(picked.length === 12)
+      // bump one sampled row's weight: its ln(u)/w key only improves, all
+      // other keys are untouched, so it must survive the cut
+      val bumpId = picked(r.nextInt(picked.length))._1
+      val bumped = rows.map { case (i, w) => (i, if (i == bumpId) w * 3 else w) }
+      val again = Corpus.weightedSample(bumped.toDF("id", "w"), "id", $"w",
+        k = 12, salt = s"s$seed").as[(Long, Long, Double)].collect()
+      assert(again.map(_._1).contains(bumpId), s"seed $seed: $bumpId evicted by a raise")
+    }
+  }
+
+  test("split assignment is blind to unrelated rows: adding docs never moves a doc") {
+    (1 to 6).foreach { seed =>
+      val base = randomDocs(seed).toDF("id", "content")
+      val more = (randomDocs(seed) ++ randomDocs(seed + 7).map {
+        case (i, t) => (i + 1000000L, t)
+      }).toDF("id", "content")
+      val a = Corpus.splitAssign(base, "id", salt = "v1")
+        .select($"id", $"split").as[(Long, String)].collect().toMap
+      val b = Corpus.splitAssign(more, "id", salt = "v1")
+        .select($"id", $"split").as[(Long, String)].collect().toMap
+      a.foreach { case (id, s) => assert(b(id) === s, s"seed $seed: doc $id moved") }
+    }
+  }
+}

@@ -235,6 +235,51 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("rule audit folds every rule into one scan of the table") {
+    // adding a rule must add a sum slot, not a pass: exactly one FileScan
+    val p = plan("q89_rule_audit")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "rule audit re-scans the table:\n" + p.take(1200))
+  }
+
+  test("weighted sample compiles to TakeOrderedAndProject, never a global sort") {
+    val p = plan("q84_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort instead of bounded top-k:\n" + p.take(800))
+  }
+
+  test("snapshot diff shuffles md5 digests, not document bodies") {
+    val p = plan("q86_snapshot_diff")
+    // the digest must be computed BELOW the join: every Exchange row
+    // carries (id, 32-char hash), so no Exchange input includes `text`
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val scanIdx = p.indexOf("Scan parquet")
+    assert(joinIdx >= 0 && p.contains("md5"), p.take(800))
+    // projections above the scans drop text before the exchange: the
+    // Exchange nodes' column lists must not mention text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      "an exchange carries the document body:\n" + exchanges.mkString("\n"))
+    assert(scanIdx >= 0)
+  }
+
+  test("concentration curves window over histogram classes, not the corpus") {
+    // the only hashpartitioning exchanges belong to the tiny groupBys; the
+    // single-partition window runs AFTER aggregation (its input is the
+    // |distinct sizes| class table, asserted by the aggregate below it)
+    for (q <- Seq("q92_token_concentration", "q94_vocab_coverage")) {
+      val p = plan(q)
+      // plans print top-down: every Window must sit ABOVE (= print before)
+      // the class-building HashAggregate, which itself sits above the scan
+      val winIdx = p.indexOf("Window")
+      val aggIdx = p.indexOf("HashAggregate")
+      val scanIdx = p.indexOf("Scan parquet")
+      assert(winIdx >= 0 && aggIdx > winIdx && scanIdx > aggIdx,
+        s"$q should aggregate to classes before any window:\n" + p.take(1200))
+    }
+  }
+
   test("salted join equals the plain join on a skewed fixture and spreads the hot key") {
     import spark.implicits._
     // 10k rows of one hot key + a tail, joined to a 100-row dim
