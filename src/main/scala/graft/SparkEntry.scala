@@ -1109,6 +1109,14 @@ object SparkEntry {
       graft.functions.Corpus.vocabCoverage(t(s, dir, "documents"),
         "text", pcts = Seq(90, 99))),
 
+    // Deterministic k-fold assignment (5 folds): stable under corpus
+    // growth and repartitioning; summarized as per-fold doc counts so the
+    // oracle checks both the assignment and the balance.
+    "q95_kfold" -> ((s, dir) =>
+      graft.functions.Corpus.kFoldAssign(t(s, dir, "documents"),
+        "doc_id", k = 5, salt = "cv")
+        .select(col("doc_id"), col("fold"))),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -2347,6 +2355,18 @@ object SparkEntry {
                        // (len * 100)) * len AS BIGINT) AS covered_instances,
                 CAST(total AS BIGINT) AS total_instances
          FROM pick WHERE rn = 1""",
+
+    // same 24-bit nibble integer mod 5 (all-integer, engine-exact)
+    "q95_kfold" ->
+      """SELECT doc_id,
+                ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 5 AS fold
+         FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':cv') AS h
+               FROM documents)""",
 
     // pmi evaluated in the same double expression shape as the Spark
     // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value

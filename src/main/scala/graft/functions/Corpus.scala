@@ -261,12 +261,20 @@ object Corpus {
     * compiles to TakeOrderedAndProject (per-partition bounded heaps merged
     * once) — never a full sort, never a shuffle of the corpus.
     */
-  def weightedSample(df: DataFrame, idCol: String, weightCol: Column, k: Int,
-                     salt: String): DataFrame = {
-    val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+  /** 24-bit integer from the first six md5(id:salt) nibbles — the shared
+    * uniform underlying [[weightedSample]] and [[kFoldAssign]]; exact
+    * integer arithmetic any engine reproduces from the same md5.
+    */
+  private def hash24(id: Column, salt: String): Column = {
+    val h = md5(concat(id.cast("string"), lit(":" + salt)))
     val hex = "0123456789abcdef"
     def nib(i: Int): Column = (instr(lit(hex), substring(h, i, 1)) - 1).cast("double")
-    val x = (1 to 6).map(j => nib(j) * lit(math.pow(16, 6 - j))).reduce(_ + _)
+    (1 to 6).map(j => nib(j) * lit(math.pow(16, 6 - j))).reduce(_ + _)
+  }
+
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column, k: Int,
+                     salt: String): DataFrame = {
+    val x = hash24(col(idCol), salt)
     val u = (x + lit(0.5)) / lit(16777216.0) // 16^6; exact dyadic division
     df.withColumn("weight", weightCol.cast("long"))
       .filter(col("weight") > 0)
@@ -413,6 +421,18 @@ object Corpus {
           (col("_before") + col("_k") * col("len")).as("covered"),
           col("total"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * `hash24(id:salt) mod k` — every document gets a stable fold in
+    * [0, k); folds are disjoint, near-equal (24-bit uniform modulo bias
+    * ≤ 2⁻²⁴·k, negligible for any practical k), and a document's fold
+    * never changes as the corpus grows — the [[splitAssign]] guarantees,
+    * with folds instead of named splits. Map-side projection, no shuffle.
+    */
+  def kFoldAssign(df: DataFrame, idCol: String, k: Int, salt: String): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.withColumn("fold", pmod(hash24(col(idCol), salt).cast("long"), lit(k.toLong)))
   }
 
   /** Per-group vocabulary document frequency: how many documents of each

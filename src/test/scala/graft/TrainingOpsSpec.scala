@@ -1278,6 +1278,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(100L) === ((100L, 3L, 10L, 10L)))
   }
 
+  test("k-fold assignment: folds in range, all populated, stable under growth") {
+    import graft.functions.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val folds = Corpus.kFoldAssign(docs, "doc_id", k = 5, salt = "cv")
+      .select($"doc_id", $"fold").as[(Long, Long)].collect().toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    val byFold = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(byFold.size === 5, s"empty folds: $byFold")
+    // ~100 docs per fold on 500; any fold further than 40% off uniform
+    // would indicate a broken hash, not randomness
+    assert(byFold.values.forall(n => n > 60 && n < 140), byFold.toMap.toString)
+    // adding documents never moves an existing document's fold
+    val grown = docs.union(docs.withColumn("doc_id", $"doc_id" + 1000000L))
+    val regrown = Corpus.kFoldAssign(grown, "doc_id", k = 5, salt = "cv")
+      .select($"doc_id", $"fold").as[(Long, Long)].collect().toMap
+    folds.foreach { case (id, f) => assert(regrown(id) === f, s"doc $id moved") }
+  }
+
   test("pmi collocations: bound phrases outrank frequent-but-independent pairs") {
     // "san francisco" always co-occurs; "the" pairs with everything.
     val docs = (1 to 10).map(i =>
