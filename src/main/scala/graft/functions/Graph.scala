@@ -60,6 +60,11 @@ object Graph {
     // reproduce from the same integers and source-decimal literals
     val n = nodes.count()
     val teleport = (1.0 - d) / n
+    // if every node receives mass (no sources-only nodes), the per-
+    // iteration teleport-fallback join against `nodes` is dead code —
+    // one count here buys `iters` fewer joins (true for any undirected/
+    // bidirectional edge list, e.g. the bipartite trade graph)
+    val sinkFree = e.select(col("dst")).distinct().count() == n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (it <- 1 to iters) {
       val contrib = withDeg.join(ranks, col("src") === col("node"))
@@ -70,9 +75,11 @@ object Graph {
         .agg(sum(col("c")).cast("double").as("s"))
         .select(col("dst").as("node"),
           round(lit(teleport) + lit(d) * col("s"), 12).as("rank"))
-      val next = nodes.join(summed, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("rank"), round(lit(teleport), 12)).as("rank"))
+      val next =
+        if (sinkFree) summed
+        else nodes.join(summed, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("rank"), round(lit(teleport), 12)).as("rank"))
       // short unrolls run as ONE plan (each eager checkpoint costs a
       // full job; at 3 iterations that tripled wall-clock on the gate
       // graph); long runs truncate lineage periodically like
