@@ -1056,17 +1056,16 @@ object SparkEntry {
     // stream: per FK edge, child rows / orphans / rate via distinct-parent
     // anti-joins.
     "q90_ref_integrity" -> ((s, dir) => {
-      graft.operators.Audit.refIntegrity(Seq(
-        ("orders_customer", t(s, dir, "orders"), "o_custkey",
-          t(s, dir, "customer"), "c_custkey"),
-        ("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
-          t(s, dir, "orders"), "o_orderkey"),
-        ("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
-          t(s, dir, "part"), "p_partkey"),
-        ("lineitem_supplier", t(s, dir, "lineitem"), "l_suppkey",
-          t(s, dir, "supplier"), "s_suppkey"),
-        ("events_user", t(s, dir, "events"), "user_id",
-          t(s, dir, "customer"), "c_custkey")))
+      // lineitem's three FK edges share one scan (refIntegrityShared)
+      graft.operators.Audit.refIntegrityShared(t(s, dir, "lineitem"), Seq(
+        ("lineitem_orders", "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem_part", "l_partkey", t(s, dir, "part"), "p_partkey"),
+        ("lineitem_supplier", "l_suppkey", t(s, dir, "supplier"), "s_suppkey")))
+        .unionByName(graft.operators.Audit.refIntegrity(Seq(
+          ("orders_customer", t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey"),
+          ("events_user", t(s, dir, "events"), "user_id",
+            t(s, dir, "customer"), "c_custkey"))))
     }),
 
     // Markov transition audit: per-user event bigrams (lag over the
@@ -1861,7 +1860,7 @@ object SparkEntry {
                    substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 1)) - 1) * 16 +
                 (strpos('0123456789abcdef',
                    substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 2, 1)) - 1))
-               < floor(least(w.weight, 1.0) * 256)""",
+               < floor(coalesce(least(w.weight, 1.0), 1.0) * 256)""",
 
     // distinct-per-doc bigrams (list_distinct before unnest), df >= 2,
     // ties on gram text — mirrors boilerplateNgrams' total order

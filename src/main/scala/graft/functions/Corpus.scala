@@ -144,8 +144,12 @@ object Corpus {
     val hex = "0123456789abcdef"
     val byte0 = (instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
       (instr(lit(hex), substring(h, 2, 1)) - 1)
+    // a stratum with ZERO tokens has weight NULL (x/0): it is the limit of
+    // "under-represented", so it keeps everything — without the coalesce
+    // the NULL comparison would silently drop the whole stratum. (Rows
+    // with a NULL strata key still drop at the equi-join, as documented.)
     df.join(broadcast(weights), strataCols)
-      .filter(byte0 < floor(least(col("weight"), lit(1.0)) * 256))
+      .filter(byte0 < floor(coalesce(least(col("weight"), lit(1.0)), lit(1.0)) * 256))
       .drop("weight")
   }
 
@@ -292,19 +296,22 @@ object Corpus {
     * doc by how little it shares). Docs too short to form a single n-gram
     * emit `n_grams = 0` with a null novelty.
     *
-    * Scale: distinct-per-doc explode (map-side), document frequency via a
-    * window over the AGGREGATED gram stream keyed by gram, then one
-    * per-doc partial agg — the same two aggregated exchanges as
-    * [[vocabTopDf]], never a raw-token shuffle.
+    * Scale: distinct-per-doc explode (map-side); document frequencies come
+    * from a PARTIALLY-AGGREGATED groupBy on gram (map-side combine, so the
+    * df table exchange carries one row per distinct gram per partition)
+    * joined back to the exploded stream, then one per-doc partial agg —
+    * two shuffles of the exploded stream, no per-partition sort (the
+    * window-over-gram formulation would sort the full exploded stream
+    * inside each gram partition with no combine step).
     */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val perDoc = df
       .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col("_id"),
         explode(array_distinct(TextAnalysis.shingles(col("_toks"), n))).as("gram"))
-    val withDf = perDoc.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("gram"))))
-    val stats = withDf.groupBy(col("_id"))
+    val dfc = perDoc.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val stats = perDoc.join(dfc, Seq("gram"))
+      .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
       .withColumnRenamed("_id", idCol)

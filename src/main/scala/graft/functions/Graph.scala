@@ -60,11 +60,12 @@ object Graph {
     // reproduce from the same integers and source-decimal literals
     val n = nodes.count()
     val teleport = (1.0 - d) / n
-    // if every node receives mass (no sources-only nodes), the per-
-    // iteration teleport-fallback join against `nodes` is dead code —
-    // one count here buys `iters` fewer joins (true for any undirected/
-    // bidirectional edge list, e.g. the bipartite trade graph)
-    val sinkFree = e.select(col("dst")).distinct().count() == n
+    // if every node receives mass (no SOURCE-only nodes — nodes with no
+    // in-edges; sinks are fine either way), the per-iteration teleport-
+    // fallback join against `nodes` is dead code — one count here buys
+    // `iters` fewer joins (true for any undirected/bidirectional edge
+    // list, e.g. the bipartite trade graph)
+    val allNodesReceive = e.select(col("dst")).distinct().count() == n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (it <- 1 to iters) {
       val contrib = withDeg.join(ranks, col("src") === col("node"))
@@ -76,7 +77,7 @@ object Graph {
         .select(col("dst").as("node"),
           round(lit(teleport) + lit(d) * col("s"), 12).as("rank"))
       val next =
-        if (sinkFree) summed
+        if (allNodesReceive) summed
         else nodes.join(summed, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("rank"), round(lit(teleport), 12)).as("rank"))

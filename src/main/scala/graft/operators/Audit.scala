@@ -23,13 +23,17 @@ object Audit {
     */
   def ruleAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
-    val aggs = count(lit(1)).as("_n") +: rules.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as("_v_" + name)
+    // slots are indexed by POSITION, not name: a dotted rule name inside
+    // col() would parse as a struct-field access, and duplicate names
+    // would alias ambiguously — the name appears only as an output literal
+    val aggs = count(lit(1)).as("_n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v_$i")
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(rules.map { case (name, _) =>
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
         struct(lit(name).as("rule"), col("_n").as("n_rows"),
-          col("_v_" + name).as("n_violations"))
+          col(s"_v_$i").as("n_violations"))
       }: _*)).as("r"))
       .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"),
         round(col("r.n_violations").cast("double") /
@@ -44,6 +48,37 @@ object Audit {
     * `historyDeltaBloom` pattern) can screen the child first when orphans
     * are rare. Report is |edges| rows.
     */
+  /** [[refIntegrity]] for several edges sharing ONE child table: the
+    * child is scanned ONCE, each parent's distinct key set left-joins in
+    * (distinct ⇒ at most one match ⇒ row count preserved), and a single
+    * aggregation counts every edge's orphans — for a fact table with k
+    * FKs this is 1 scan instead of k (q90's lineitem carries three).
+    * Small parents broadcast under AQE, making the whole report one
+    * map-side pass over the child.
+    */
+  def refIntegrityShared(child: DataFrame,
+                         edges: Seq[(String, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "at least one edge")
+    val childKeys = edges.map(_._2).distinct
+    val keyed = edges.zipWithIndex.foldLeft(child.select(childKeys.map(col): _*)) {
+      case (acc, ((_, childKey, parent, parentKey), i)) =>
+        acc.join(parent.select(col(parentKey).as(s"_pk$i")).distinct(),
+          col(childKey) === col(s"_pk$i"), "left")
+    }
+    val aggs = count(lit(1)).as("_n") +: edges.zipWithIndex.map { case (_, i) =>
+      sum(when(col(s"_pk$i").isNull, 1L).otherwise(0L)).as(s"_o$i")
+    }
+    keyed.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(edges.zipWithIndex.map { case ((name, _, _, _), i) =>
+        struct(lit(name).as("edge"), col("_n").as("n_rows"),
+          col(s"_o$i").as("n_orphans"))
+      }: _*)).as("r"))
+      .select(col("r.edge"), col("r.n_rows"), col("r.n_orphans"),
+        round(col("r.n_orphans").cast("double") / col("r.n_rows").cast("double"), 6)
+          .as("orphan_rate"))
+  }
+
   def refIntegrity(edges: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(edges.nonEmpty, "at least one edge")

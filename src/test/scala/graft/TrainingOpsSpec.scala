@@ -1202,6 +1202,15 @@ class TrainingOpsSpec extends SparkSpec {
     val out = Audit.refIntegrity(Seq(("c_p", child, "fk", parent, "pk")))
       .as[(String, Long, Long, Double)].collect()
     assert(out.toSeq === Seq(("c_p", 4L, 2L, 0.5)))
+    // shared-child form: one scan, same counts per edge
+    val pa = Seq(1L, 2L).toDF("a")
+    val pb = Seq(10L, 20L).toDF("b")
+    val fact = Seq((1L, 10L), (2L, 99L), (9L, 10L), (1L, 10L)).toDF("ka", "kb")
+    val shared = Audit.refIntegrityShared(fact, Seq(
+      ("f_a", "ka", pa, "a"), ("f_b", "kb", pb, "b")))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(shared("f_a") === (("f_a", 4L, 1L, 0.25)))
+    assert(shared("f_b") === (("f_b", 4L, 1L, 0.25)))
   }
 
   test("event transitions: counts and conditional probabilities from the lag order") {
