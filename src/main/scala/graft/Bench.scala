@@ -20,7 +20,7 @@ object Bench {
     spark.catalog.clearCache()
     // blocking: the next timed query must not race block removal; gc: pay
     // accumulated allocation debt between queries, not inside a timed run
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    graft.functions.Par.unpersistAll(spark, blocking = true)
     System.gc()
   }
 

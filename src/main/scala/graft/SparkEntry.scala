@@ -2582,16 +2582,18 @@ object SparkEntry {
     "q68_shuffle_shards" ->
       """WITH h AS (
            SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS hh
-           FROM documents)
-         SELECT doc_id,
-                CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 +
-                      (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 8
-                  AS BIGINT) AS shard,
-                CAST(row_number() OVER (
-                  PARTITION BY ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16 +
-                                (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 8
-                  ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
-         FROM h""",
+           FROM documents),
+         x AS (
+           SELECT doc_id, hh,
+                  ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1)) % 8 AS sh
+           FROM h)
+         SELECT doc_id, CAST(sh AS BIGINT) AS shard,
+                CAST(row_number() OVER (PARTITION BY sh ORDER BY hh, doc_id)
+                  AS BIGINT) AS shard_pos
+         FROM x""",
 
     "q62_mixture_weights" ->
       """WITH s AS (

@@ -600,14 +600,18 @@ object Corpus {
     * budget (nShards is the parallelism knob, 256-4096 in practice).
     */
   def shuffleShards(df: DataFrame, idCol: String, salt: String, nShards: Int): DataFrame = {
-    require(nShards >= 1 && nShards <= 256, "nShards must be in [1, 256]")
+    // two md5 bytes (65536 values) so the documented 256-4096 shard range
+    // is actually reachable; modulo bias is ≤ nShards/65536 (zero for
+    // power-of-two shard counts, the usual choice)
+    require(nShards >= 1 && nShards <= 65536, "nShards must be in [1, 65536]")
     val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
     val hex = "0123456789abcdef"
-    val byte0 = (instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
-      (instr(lit(hex), substring(h, 2, 1)) - 1)
+    val x16 = (1 to 4).map(j =>
+      (instr(lit(hex), substring(h, j, 1)) - 1) * lit(1 << (4 * (4 - j))))
+      .reduce(_ + _)
     val w = Window.partitionBy(col("shard")).orderBy(col("_h").asc, col(idCol).asc)
     df.withColumn("_h", h)
-      .withColumn("shard", pmod(byte0, lit(nShards)).cast("long"))
+      .withColumn("shard", pmod(x16, lit(nShards)).cast("long"))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .drop("_h")
   }

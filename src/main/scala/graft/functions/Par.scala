@@ -63,13 +63,15 @@ object Par {
   /** Drop every cached RDD in the session — the cleanup hook for `persist`
     * mode, whose cache entries otherwise outlive their operator call (each
     * near-dup/similarity invocation pins its signature tables; a long-lived
-    * session accumulates them). Call between operator invocations or rounds,
-    * as `Bench` does. NOTE: this clears ALL persisted RDDs in the
+    * session accumulates them). `Bench.dropPersisted` calls this between
+    * timed queries with `blocking = true` (the next measurement must not
+    * race block removal). NOTE: this clears ALL persisted RDDs in the
     * SparkContext, including the caller's own — it is a session-sweep, not
     * a per-operator release.
     */
-  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession,
+                   blocking: Boolean = false): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking))
 
   /** Skew-resistant equi-join: a hot join key concentrates all its rows on
     * one reducer in a hash-partitioned join; salting splits each key's rows

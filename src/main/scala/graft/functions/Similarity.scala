@@ -38,6 +38,14 @@ object Similarity {
   private def fitDim(v: Array[Double], dim: Int): Array[Double] =
     if (v.length == dim) v else java.util.Arrays.copyOf(v, dim)
 
+  /** Dominant vector length across a training sample (ties → larger dim).
+    * The target dim must NOT be whatever the first sampled row happens to
+    * carry: one truncated/corrupt row sorting first would silently
+    * truncate the whole corpus geometry to its length.
+    */
+  private def majorityDim(raw: Array[Array[Double]]): Int =
+    raw.groupBy(_.length).maxBy { case (len, vs) => (vs.length, len) }._1
+
   /** Per-query top-k ranking of a scored candidate stream via the
     * bounded-heap typed aggregate (see [[graft.plans.TopKPairs]]): each
     * input partition sends at most k (sim, id) pairs per query across the
@@ -139,7 +147,7 @@ object Similarity {
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
     require(raw.nonEmpty, "empty candidate corpus")
     val sample = raw
-      .map(fitDim(_, raw(0).length)) // ragged rows zero-pad/truncate (kernels clamp the same way)
+      .map(fitDim(_, majorityDim(raw))) // ragged rows zero-pad/truncate (kernels clamp the same way)
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
@@ -198,7 +206,7 @@ object Similarity {
     val raw = trainRows.orderBy(col("neighbor_id"))
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
     require(raw.nonEmpty, "empty candidate corpus")
-    val sample = raw.map(fitDim(_, raw(0).length)) // ragged rows zero-pad/truncate
+    val sample = raw.map(fitDim(_, majorityDim(raw))) // ragged rows zero-pad/truncate
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m

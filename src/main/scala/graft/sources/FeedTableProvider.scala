@@ -176,9 +176,14 @@ class FeedScan(transport: FeedTransport, val schema: StructType, cursor: Option[
     * form, whose per-batch one-page overlap plus idempotent sinks absorb
     * exactly that case.
     */
+  // ONE envelope probe per scan, shared by partition planning and the end
+  // bound — a second probe would double the feed round-trips (and 429
+  // exposure) of every batch query over the connector
+  private lazy val probedTotal: Long =
+    PagedFeed.withRetry()(() => transport.fetch(cursor, 1, 0)).totalCount
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // one cheap envelope probe for the total filtered count (M-4 semantics)
-    val total = PagedFeed.withRetry()(() => transport.fetch(cursor, 1, 0)).totalCount
+    val total = probedTotal
     if (total == 0) return Array.empty
     val span = pageSize.toLong * pagesPerPartition
     (0L until total by span)
@@ -187,12 +192,16 @@ class FeedScan(transport: FeedTransport, val schema: StructType, cursor: Option[
   }
 
   private lazy val endBoundMicros: Option[Long] = {
-    val total = PagedFeed.withRetry()(() => transport.fetch(cursor, 1, 0)).totalCount
-    if (total == 0) None
+    if (probedTotal == 0) None
     else {
       val tsIdx = schema.fieldIndex("updated_at")
-      PagedFeed.withRetry()(() => transport.fetch(cursor, 1, total - 1)).rows.lastOption
-        .map(r => FeedMicroBatchStream.micros(r.getTimestamp(tsIdx).toInstant))
+      // a tail row with NULL updated_at yields no bound (falls back to the
+      // unbounded pre-bound behavior) rather than an NPE — decodeRow maps
+      // missing JSON fields to SQL null for any column, including this one
+      PagedFeed.withRetry()(() => transport.fetch(cursor, 1, probedTotal - 1))
+        .rows.lastOption
+        .flatMap(r => Option(r.getTimestamp(tsIdx))
+          .map(ts => FeedMicroBatchStream.micros(ts.toInstant)))
     }
   }
 
@@ -219,7 +228,10 @@ class FeedReaderFactory(transport: FeedTransport, schema: StructType,
       private var current: InternalRow = _
 
       private def inBound(r: Row): Boolean = endBoundMicros match {
-        case Some(end) => !r.isNullAt(tsIdx) &&
+        // a NULL updated_at row is untimestamped, not "mutated past the
+        // bound" — it was always delivered before the bound existed, so
+        // it must keep passing (dropping it would be silent data loss)
+        case Some(end) => r.isNullAt(tsIdx) ||
           FeedMicroBatchStream.micros(r.getTimestamp(tsIdx).toInstant) <= end
         case None => true
       }

@@ -64,6 +64,16 @@ object Landing {
     // timestamp/date dimensions — the natural time+key clustering — work
     // like the bucket expression below, which compares in double space too
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // loud on non-castable dimensions: a string key would cast to all
+    // nulls, approxQuantile would return EMPTY fences, and that dimension
+    // would silently collapse to bucket 0 for every row (no pruning)
+    cols.foreach { n =>
+      val dt = df.schema(n).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.DateType,
+        s"z-order column '$n' must be numeric/timestamp/date, got ${dt.catalogString}")
+    }
     val castNames = cols.indices.map(i => s"_zq$i")
     val casted = df.select(cols.zip(castNames).map { case (n, a) =>
       c(n).cast("double").as(a)

@@ -287,14 +287,19 @@ object ManifestStore {
       case _ => None
     }).sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    // Try per manifest, like currentSnapshot's read path: a crashed writer's
-    // half-written manifest (generic-Hadoop branch) must not kill vacuum
-    // until later commits push it out of the keep window — its data files
-    // are protected by the retention cutoff regardless
-    val live = keep.flatMap(v =>
-      scala.util.Try(readManifest(spark, dir, v).files).getOrElse(Seq.empty)).toSet
+    // Read every KEPT manifest; if any fails (crashed writer's half-write
+    // OR a transient store error), data-file deletion is skipped entirely
+    // this run. Folding a failed read into an empty file list would remove
+    // that version's files from the live set and vacuum would delete data
+    // a kept — possibly CURRENT — snapshot still references; skipping
+    // costs nothing (the next vacuum retries) and old-manifest dropping
+    // below stays safe either way (readers fall back within the keep
+    // window, never to a dropped version).
+    val reads = keep.map(v => scala.util.Try(readManifest(spark, dir, v).files))
+    val allKeptReadable = reads.forall(_.isSuccess)
+    val live = reads.flatMap(_.getOrElse(Seq.empty)).toSet
     var dataDeleted = 0
-    f.listStatus(new Path(dir)).toSeq
+    if (allKeptReadable) f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
       .foreach { d =>
         f.listStatus(d.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet"))

@@ -12,6 +12,7 @@ missing from the budget table (a new query must get a frozen budget in the
 same commit that adds it).
 """
 import json
+import os
 import re
 import sys
 
@@ -40,8 +41,8 @@ def load_bench(path):
 
 def main():
     bench_path = sys.argv[1] if len(sys.argv) > 1 else "-"
-    budget_path = sys.argv[2] if len(sys.argv) > 2 else \
-        __file__.rsplit("/", 1)[0] + "/bench_budgets.json"
+    budget_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_budgets.json")
     queries = load_bench(bench_path)
     budgets = json.load(open(budget_path))["budgets"]
 
