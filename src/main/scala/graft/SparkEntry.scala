@@ -1116,6 +1116,44 @@ object SparkEntry {
         "doc_id", k = 5, salt = "cv")
         .select(col("doc_id"), col("fold"))),
 
+    // BM25 lexical retrieval (Lucene idf variant) for a fixed term query —
+    // targeted corpus carving. Token stream filtered to the query terms
+    // BEFORE aggregation; per-term contributions decimal-summed.
+    "q96_bm25" -> ((s, dir) => {
+      val scores = graft.functions.Retrieval.bm25Scores(t(s, dir, "documents"),
+        "text", "doc_id", Seq("spark", "join", "filter"))
+      val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      scores.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 list with an
+    // embedding-cosine list for the same "query" (vector = vec_id 0) —
+    // the standard lexical+vector stack, exact and engine-reproducible.
+    "q97_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.functions.Retrieval.bm25Scores(docs, "text", "doc_id",
+        Seq("spark", "join", "filter"))
+      val wl = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+      val lexRank = lex.withColumn("rank", row_number().over(wl).cast("long"))
+        .filter(col("rank") <= 50).select(col("doc_id").as("id"), col("rank"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("_qv"))
+      val joined = emb.crossJoin(broadcast(q))
+      val withCos = joined.select(col("vec_id"),
+        round(graft.plans.GraftFunctions.cosine(joined,
+          col("embedding").cast("array<double>"), col("_qv")), 6).as("cos"))
+      val wv = Window.orderBy(col("cos").desc, col("vec_id").asc)
+      val vecRank = withCos.withColumn("rank", row_number().over(wv).cast("long"))
+        .filter(col("rank") <= 50).select(col("vec_id").as("id"), col("rank"))
+      val fused = graft.functions.Retrieval.rrfFuse(lexRank, vecRank, "id")
+      val wf = Window.orderBy(col("rrf").desc, col("id").asc)
+      fused.withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("id").as("doc_id"), col("rrf"), col("rank"))
+    }),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -2366,6 +2404,85 @@ object SparkEntry {
                + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 5 AS fold
          FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':cv') AS h
                FROM documents)""",
+
+    // identical BM25 expression shape; k1 shipped as the same source
+    // decimal and combined in-engine (never pre-folded); decimal term-sum
+    "q96_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         d AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM tok),
+         st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ts) AS term FROM d)
+                WHERE term IN ('spark', 'join', 'filter') GROUP BY 1, 2, 3),
+         dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         sc AS (
+           SELECT t.doc_id,
+                  round(CAST(sum(CAST(round(
+                    ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df_t AS DOUBLE) + 0.5)
+                       / (CAST(f.df_t AS DOUBLE) + 0.5) + 1.0)
+                    * ((CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                          * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                             + CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE) / s.avgdl)))
+                  , 10) AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+           FROM tf t JOIN dft f USING (term) CROSS JOIN st s GROUP BY 1)
+         SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rank
+         FROM (SELECT doc_id, bm25,
+                      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+               FROM sc)
+         WHERE rn <= 20""",
+
+    // same BM25 CTEs for the lexical list; cosine list via
+    // list_cosine_similarity (round-6 parity); RRF in one fixed expression
+    "q97_hybrid_rrf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         d AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM tok),
+         st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ts) AS term FROM d)
+                WHERE term IN ('spark', 'join', 'filter') GROUP BY 1, 2, 3),
+         dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         sc AS (
+           SELECT t.doc_id,
+                  round(CAST(sum(CAST(round(
+                    ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df_t AS DOUBLE) + 0.5)
+                       / (CAST(f.df_t AS DOUBLE) + 0.5) + 1.0)
+                    * ((CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                          * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                             + CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE) / s.avgdl)))
+                  , 10) AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+           FROM tf t JOIN dft f USING (term) CROSS JOIN st s GROUP BY 1),
+         lex AS (SELECT doc_id AS id, rn AS ra
+                 FROM (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+                       FROM sc)
+                 WHERE rn <= 50),
+         qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+         vc AS (SELECT e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6) AS cos
+                FROM embeddings e CROSS JOIN qv q),
+         vr AS (SELECT vec_id AS id, rn AS rb
+                FROM (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rn
+                      FROM vc)
+                WHERE rn <= 50),
+         fused AS (
+           SELECT coalesce(l.id, v.id) AS doc_id,
+                  round(coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(l.ra AS DOUBLE)),
+                                 CAST(0 AS DOUBLE)) +
+                        coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(v.rb AS DOUBLE)),
+                                 CAST(0 AS DOUBLE)), 6) AS rrf
+           FROM lex l FULL OUTER JOIN vr v ON l.id = v.id)
+         SELECT doc_id, rrf, CAST(rn AS BIGINT) AS rank
+         FROM (SELECT doc_id, rrf,
+                      row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn
+               FROM fused)
+         WHERE rn <= 10""",
 
     // pmi evaluated in the same double expression shape as the Spark
     // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value

@@ -63,7 +63,11 @@ class PlanAuditSpec extends SparkSpec {
       "q85_cluster_cohesion" -> "|labels|-row centroid table",
       // surprisal needs the corpus grand total on every (doc, token) row:
       // the broadcast side is that 1-row aggregate
-      "q93_unigram_surprisal" -> "1-row corpus-total aggregate")
+      "q93_unigram_surprisal" -> "1-row corpus-total aggregate",
+      // BM25 needs (N, avgdl) on every (doc, term) row: 1-row aggregate
+      "q96_bm25" -> "1-row corpus-stats aggregate",
+      // hybrid fusion: BM25's 1-row stats + the 1-row query vector
+      "q97_hybrid_rrf" -> "1-row stats + 1-row query vector")
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))

@@ -1305,6 +1305,33 @@ class TrainingOpsSpec extends SparkSpec {
     folds.foreach { case (id, f) => assert(regrown(id) === f, s"doc $id moved") }
   }
 
+  test("bm25: hand-computed score, tf saturation, non-matching docs absent") {
+    import graft.functions.Retrieval
+    val docs = Seq((1L, "cat cat dog"), (2L, "cat bird"), (3L, "fish"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25Scores(docs, "text", "doc_id", Seq("cat"))
+      .as[(Long, Double)].collect().toMap
+    // N=3, df=2, avgdl=2: idf = ln(1.6); doc1 tf=2 dl=3, doc2 tf=1 dl=2
+    val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / 2.0))
+    assert(math.abs(out(1L) - s(2, 3)) < 2e-6, s"doc1: ${out(1L)} vs ${s(2, 3)}")
+    assert(math.abs(out(2L) - s(1, 2)) < 2e-6)
+    assert(!out.contains(3L) && out(1L) > out(2L))
+  }
+
+  test("rrf fusion: shared id outranks single-list ids, exact reciprocal sums") {
+    import graft.functions.Retrieval
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(a, b, "id").as[(Long, Double)].collect().toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === r6(1.0 / 61))
+    assert(out(2L) === r6(1.0 / 62 + 1.0 / 61))
+    assert(out(3L) === r6(1.0 / 62))
+    assert(out(2L) > out(1L) && out(1L) > out(3L))
+  }
+
   test("pmi collocations: bound phrases outrank frequent-but-independent pairs") {
     // "san francisco" always co-occurs; "the" pairs with everything.
     val docs = (1 to 10).map(i =>
