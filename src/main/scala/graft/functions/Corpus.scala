@@ -113,12 +113,19 @@ object Corpus {
     val agg = df.groupBy(strataCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(tokensCol.cast("long")).as("n_tokens"))
     val all = Window.partitionBy()
+    // a zero-token stratum has NULL weight (the observed share is 0, the
+    // ratio is undefined — under ANSI mode an unguarded double division by
+    // zero THROWS rather than yielding null, so the guard is load-bearing);
+    // DuckDB's x/0.0 = NULL agrees, and applyMixtureWeights treats the
+    // NULL as "keep everything" (the limit of under-represented)
     agg
       .withColumn("token_share",
-        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all), 6))
+        when(sum(col("n_tokens")).over(all) > 0,
+          round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all), 6)))
       .withColumn("weight",
-        round((lit(1.0) / count(lit(1)).over(all)) /
-          (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)), 6))
+        when(col("n_tokens") > 0,
+          round((lit(1.0) / count(lit(1)).over(all)) /
+            (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)), 6)))
   }
 
   /** Apply [[mixtureWeights]] as a deterministic downsample: each stratum

@@ -32,8 +32,12 @@ object Retrieval {
   def bm25Scores(df: DataFrame, textCol: String, idCol: String,
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
+    // NULL text counts as an empty document (dl = 0, included in avgdl) —
+    // the oracle's coalesce(text, '') does the same; letting size(null)
+    // propagate would drop the doc from avgdl and shift every score
     val withDl = df
-      .select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol).as("_id"),
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("_toks"))
       .select(col("_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
     val stats = withDl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))

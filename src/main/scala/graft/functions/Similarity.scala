@@ -146,8 +146,9 @@ object Similarity {
     val raw = trainRows.orderBy(col("neighbor_id")) // deterministic order
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
     require(raw.nonEmpty, "empty candidate corpus")
+    val trainDim = majorityDim(raw) // hoisted: inline it and the groupBy reruns per vector
     val sample = raw
-      .map(fitDim(_, majorityDim(raw))) // ragged rows zero-pad/truncate (kernels clamp the same way)
+      .map(fitDim(_, trainDim)) // ragged rows zero-pad/truncate (kernels clamp the same way)
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
@@ -206,7 +207,8 @@ object Similarity {
     val raw = trainRows.orderBy(col("neighbor_id"))
       .select(col("_cv")).collect().map(_.getSeq[Double](0).toArray)
     require(raw.nonEmpty, "empty candidate corpus")
-    val sample = raw.map(fitDim(_, majorityDim(raw))) // ragged rows zero-pad/truncate
+    val trainDim = majorityDim(raw) // hoisted: inline it and the groupBy reruns per vector
+    val sample = raw.map(fitDim(_, trainDim)) // ragged rows zero-pad/truncate
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m

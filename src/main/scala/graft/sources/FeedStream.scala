@@ -89,7 +89,11 @@ class FeedMicroBatchStream(transport: FeedTransport, schema: StructType,
     if (total == 0) return None
     val lastPage = PagedFeed.withRetry()(() =>
       transport.fetch(cursor, 1, total - 1)).rows
-    lastPage.lastOption.map(r => FeedOffset(micros(r.getTimestamp(tsIdx).toInstant)))
+    // a NULL updated_at tail row yields no offset advance (the stream
+    // idles) instead of an NPE killing every micro-batch — decodeRow maps
+    // missing JSON fields to SQL null for any column, including this one
+    lastPage.lastOption.flatMap(r => Option(r.getTimestamp(tsIdx)))
+      .map(ts => FeedOffset(micros(ts.toInstant)))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -140,7 +144,12 @@ class FeedStreamReaderFactory(transport: FeedTransport, schema: StructType,
 
       private def inRange(r: Row): Boolean = {
         val ts = r.getTimestamp(tsIdx)
-        ts != null && {
+        // a NULL updated_at row cannot be ordered into any cursor interval:
+        // it is delivered exactly once, in the cold-start batch (no prior
+        // cursor) — matching the batch path, where the `updated_at >
+        // cursor` pushdown likewise excludes it from every cursored read
+        if (ts == null) p.startMicros == Long.MinValue
+        else {
           val m = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
           m > p.startMicros && m <= p.endMicros
         }
