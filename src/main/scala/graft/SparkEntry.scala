@@ -1154,6 +1154,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rrf"), col("rank"))
     }),
 
+    // Exact substring-level duplication: per-doc duplicated k-token-window
+    // stats — catches boilerplate spans inside otherwise-distinct docs,
+    // which document-level near-dup (q22/q24/q50) cannot. Oracle counts
+    // the window text; Spark counts 8-byte xxhash64 fingerprints — equal
+    // absent a ~n²/2⁶⁴ collision.
+    "q98_dup_substrings" -> ((s, dir) => {
+      graft.functions.NearDup.dupSpanStats(t(s, dir, "documents"),
+        "text", "doc_id", k = 8)
+    }),
+
+    // Canonical text + sha256 key: the case/punctuation-insensitive exact
+    // dedup key (CCNet normalization). Pure map-side string ops.
+    "q99_canonical_text" -> ((s, dir) => {
+      val canon = graft.functions.TextAnalysis.canonicalize(col("text"))
+      t(s, dir, "documents").select(col("doc_id"), canon.as("canon_text"),
+        sha2(canon, 256).as("canon_sha"))
+    }),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -2483,6 +2501,47 @@ object SparkEntry {
                       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn
                FROM fused)
          WHERE rn <= 10""",
+
+    // window text counted directly (Spark counts xxhash64 fingerprints of
+    // the same text — equal absent a 64-bit collision); range() is
+    // end-exclusive so greatest(len-6, 1) yields no windows for docs
+    // under 8 tokens; list slice ts[i:i+7] is the 1-based inclusive
+    // 8-token window, = Spark's slice(ts, i, 8)
+    "q98_dup_substrings" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(ts) - 6, 1)),
+                    i -> array_to_string(ts[i:i+7], ' '))) AS gram
+           FROM t),
+         pd AS (SELECT doc_id, gram, count(*) AS occ FROM w GROUP BY 1, 2),
+         g AS (SELECT gram, sum(occ) AS tot FROM pd GROUP BY 1),
+         s AS (SELECT pd.doc_id,
+                      sum(occ) AS n_windows,
+                      sum(CASE WHEN g.tot > 1 THEN occ ELSE 0 END) AS dup_windows
+               FROM pd JOIN g USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_windows, 0) AS BIGINT) AS n_windows,
+                CAST(coalesce(s.dup_windows, 0) AS BIGINT) AS dup_windows,
+                CASE WHEN coalesce(s.n_windows, 0) > 0
+                     THEN round(CAST(s.dup_windows AS DOUBLE) / s.n_windows, 6)
+                END AS dup_frac
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+
+    // same three rewrites in the same order; 'g' flag = Spark's
+    // replace-all default
+    "q99_canonical_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+                  ' +', ' ', 'g')) AS canon_text,
+                sha256(trim(regexp_replace(
+                  regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', ' ', 'g'),
+                  ' +', ' ', 'g'))) AS canon_sha
+         FROM documents""",
 
     // pmi evaluated in the same double expression shape as the Spark
     // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value

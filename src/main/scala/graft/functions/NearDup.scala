@@ -557,4 +557,58 @@ object NearDup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact substring-level duplication stats — the window form of
+    * exact-substring dedup (reference: dedup family; the Lee et al.
+    * "Deduplicating Training Data" operator class): every length-`k` token
+    * window of every document is fingerprinted, and a window is duplicated
+    * iff its text occurs anywhere else in the corpus — another document OR
+    * another position of the same document. One row per input document:
+    * `n_windows` (0 for docs shorter than k tokens), `dup_windows`, and
+    * `dup_frac` (NULL when there are no windows — under ANSI mode the
+    * guard is load-bearing, an unguarded 0/0 double division throws).
+    *
+    * This catches what document-level near-dup (q22/q24/q50) cannot: long
+    * boilerplate spans embedded in otherwise-distinct documents.
+    *
+    * Scale: the paper's suffix array is replaced by the shape that
+    * distributes — windows explode map-side; the (doc, fingerprint) count
+    * partially aggregates (the combiner collapses within-doc repeats before
+    * the shuffle); fingerprint totals aggregate the already-collapsed
+    * stream; one key-equality join carries counts back. Shuffle keys are
+    * 8-byte xxhash64 fingerprints, never window text (q22's discipline —
+    * a collision conflates two windows with probability ~n²/2⁶⁴,
+    * indistinguishable from one spurious duplicate at corpus scale).
+    */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 8): DataFrame = {
+    require(k >= 1, "window length k must be >= 1")
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    // when() guards the sequence: Spark's sequence(1, n) is DESCENDING for
+    // n < 1, so short docs must short-circuit to an empty window list
+    val grams = df.select(col(idCol).as("doc_id"), toks.as("_ts"))
+      .select(col("doc_id"),
+        when(size(col("_ts")) >= k,
+          transform(sequence(lit(1), size(col("_ts")) - (k - 1)),
+            i => xxhash64(concat_ws(" ", slice(col("_ts"), i, lit(k))))))
+          .otherwise(array().cast("array<long>")).as("_fps"))
+      .select(col("doc_id"), explode(col("_fps")).as("_fp"))
+    val perDoc = grams.groupBy(col("doc_id"), col("_fp"))
+      .agg(count(lit(1)).as("_occ"))
+    val totals = perDoc.groupBy(col("_fp")).agg(sum(col("_occ")).as("_tot"))
+    val stats = perDoc.join(totals, "_fp")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_occ")).as("n_windows"),
+        sum(when(col("_tot") > 1, col("_occ")).otherwise(lit(0L)))
+          .as("dup_windows"))
+    // left join restores short docs the explode dropped (n_windows = 0)
+    df.select(col(idCol).as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          round(col("dup_windows").cast("double") / col("n_windows"), 6)))
+  }
 }

@@ -244,4 +244,19 @@ object TextAnalysis {
       "n_chars" -> st.getField("n_chars"),
       "n_distinct_chars" -> st.getField("n_distinct"))
   }
+
+  /** CCNet-style canonicalization before hashing: lowercase, replace every
+    * character outside `[a-z0-9 ]` with a space (so punctuation separates
+    * words instead of gluing them), collapse space runs, trim. Null ≡
+    * empty. Exact-rule-portable — lower + two regex rewrites any engine
+    * reproduces byte-for-byte — so the sha256 of the canonical form is a
+    * stable cross-engine dedup key that exact dedup should group on
+    * instead of raw text (it merges case/punctuation variants the raw
+    * hash of [[NearDup.exactDedup]] treats as distinct). Pure codegen'd
+    * string ops: map-side at scan speed.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9 ]", " "),
+      " +", " "))
 }

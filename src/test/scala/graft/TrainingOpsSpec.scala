@@ -1498,4 +1498,41 @@ class TrainingOpsSpec extends SparkSpec {
       .filter($"m" > ($"s" / 127.0) * ($"s" / 127.0) / 4.0 + lit(1e-12)).count()
     assert(bad === 0)
   }
+
+  test("dup spans: cross-doc and within-doc windows flagged, short docs null frac") {
+    // k=3 windows; doc1/doc2 share "a b c"; doc3's "x y z" repeats within
+    // itself (both occurrences dup); doc4 distinct; doc5 too short (2 toks)
+    val docs = Seq(
+      (1L, "a b c d"),          // windows: [a b c][b c d]; first is shared
+      (2L, "z a b c"),          // windows: [z a b][a b c]; second is shared
+      (3L, "x y z q x y z"),    // [x y z] at 1 and 5 — within-doc dup pair
+      (4L, "p q r s"),          // all unique
+      (5L, "u v")).toDF("doc_id", "text")
+    val out = NearDup.dupSpanStats(docs, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1L) === ((2L, 1L, Some(0.5))))
+    assert(out(2L) === ((2L, 1L, Some(0.5))))
+    // doc3: 5 windows, the two [x y z] occurrences are each duplicated
+    assert(out(3L) === ((5L, 2L, Some(0.4))))
+    assert(out(4L) === ((2L, 0L, Some(0.0))))
+    assert(out(5L) === ((0L, 0L, None)))
+  }
+
+  test("canonicalize: case, punctuation, whitespace runs, null text") {
+    val df = Seq(
+      ("Hello, World!!", "hello world"),
+      ("  a--b  c  ", "a b c"),
+      ("ALL CAPS 42", "all caps 42"),
+      (null.asInstanceOf[String], ""),
+      ("...", "")).toDF("text", "expected")
+    val bad = df.filter(TextAnalysis.canonicalize($"text") =!= $"expected")
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+    // canonical hash merges case/punct variants the raw hash keeps apart
+    val pair = Seq("The cat.", "the CAT").toDF("text")
+    assert(pair.select(sha2(TextAnalysis.canonicalize($"text"), 256))
+      .distinct().count() === 1)
+    assert(pair.select(sha2($"text", 256)).distinct().count() === 2)
+  }
 }
