@@ -584,15 +584,12 @@ object NearDup {
                    k: Int = 8): DataFrame = {
     require(k >= 1, "window length k must be >= 1")
     val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
-    // when() guards the sequence: Spark's sequence(1, n) is DESCENDING for
-    // n < 1, so short docs must short-circuit to an empty window list
+    // shingles owns the windowing (including the short-doc descending-
+    // sequence guard); this operator only fingerprints each window
     val grams = df.select(col(idCol).as("doc_id"), toks.as("_ts"))
       .select(col("doc_id"),
-        when(size(col("_ts")) >= k,
-          transform(sequence(lit(1), size(col("_ts")) - (k - 1)),
-            i => xxhash64(concat_ws(" ", slice(col("_ts"), i, lit(k))))))
-          .otherwise(array().cast("array<long>")).as("_fps"))
-      .select(col("doc_id"), explode(col("_fps")).as("_fp"))
+        explode(transform(TextAnalysis.shingles(col("_ts"), k),
+          g => xxhash64(g))).as("_fp"))
     val perDoc = grams.groupBy(col("doc_id"), col("_fp"))
       .agg(count(lit(1)).as("_occ"))
     val totals = perDoc.groupBy(col("_fp")).agg(sum(col("_occ")).as("_tot"))
