@@ -159,6 +159,49 @@ class FeedSourceSpec extends SparkSpec {
     assert(counts.values.count(_ == 2) === 4 * 100, "dups = one page per boundary")
   }
 
+  test("streaming feed: NULL updated_at delivered once in the cold-start batch, never after") {
+    // feeds order nulls FIRST (unknown time sorts at the epoch); the
+    // streaming reader mirrors the batch pushdown: a null-ts row can't be
+    // ordered into any cursor interval, so it rides only the cold batch
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = scala.collection.mutable.ArrayBuffer[Row](
+      Row("n", null, "NEW"), Row("a", t("2024-02-01 10:00:00"), "NEW"))
+    def sorted(cursor: Option[Instant]) = cursor match {
+      case Some(c) => rows.toSeq.filter(r => Option(r.getTimestamp(1))
+        .exists(_.toInstant.isAfter(c)))
+      case None => rows.toSeq // nulls-first total order preserved
+    }
+    FeedRegistry.register("null-ts", schema, (cursor, limit, offset) => {
+      val f = sorted(cursor)
+      PagedFeed.Page(f.slice(offset.toInt, offset.toInt + limit), f.size)
+    })
+    val stream = spark.readStream.format("graft-feed").option("feed", "null-ts").load()
+    val q = stream.writeStream.format("memory").queryName("nullts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("nullts").count() === 2, "cold batch must carry the null-ts row")
+      rows += Row("b", t("2024-02-01 10:05:00"), "NEW")
+      q.processAllAvailable()
+      val got = spark.table("nullts")
+      assert(got.count() === 3)
+      assert(got.filter(col("id") === "n").count() === 1, "null-ts row re-delivered")
+    } finally q.stop()
+  }
+
+  test("streaming feed: all-null-ts feed idles without NPE (tail probe yields no offset)") {
+    FeedRegistry.register("null-tail", schema, (_, limit, offset) => {
+      val f = Seq(Row("n", null, "NEW"))
+      PagedFeed.Page(f.slice(offset.toInt, offset.toInt + limit), f.size)
+    })
+    val s = new graft.sources.FeedMicroBatchStream(
+      graft.sources.RegistryTransport("null-tail"), schema, None,
+      pageSize = 10, pagesPerPartition = 2)
+    val end = s.latestOffset() // the regression: this NPE'd on a null tail row
+    assert(end === s.initialOffset(), "no orderable rows → offset must not advance")
+    assert(s.planInputPartitions(s.initialOffset(), end).isEmpty)
+  }
+
   test("feed source composes with the extractor pipeline operators") {
     mkFeed("compose")
     val raw = spark.read.format("graft-feed").option("feed", "compose").load()

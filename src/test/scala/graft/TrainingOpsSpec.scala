@@ -529,6 +529,23 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture weights: zero-token stratum gets NULL weight, downsample keeps it whole") {
+    // the "xx" stratum has only empty documents: observed token share is 0,
+    // the ratio is undefined — must not throw under ANSI, and the NULL
+    // weight is the keep-everything limit of under-represented
+    val docs = Seq(
+      (1L, "en", "one two three"), (2L, "en", "four five"),
+      (3L, "xx", ""), (4L, "xx", "  ")).toDF("doc_id", "lang", "text")
+    val w = Corpus.mixtureWeights(docs, Seq("lang"), TextAnalysis.tokenCount($"text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(w("xx").isNullAt(4), "zero-token weight must be NULL")
+    assert(w("xx").getDouble(3) === 0.0) // share is defined: 0 of 5 tokens
+    assert(!w("en").isNullAt(4))
+    val out = Corpus.applyMixtureWeights(docs, Seq("lang"),
+      TextAnalysis.tokenCount($"text"), "doc_id", salt = "42")
+    assert(out.filter($"lang" === "xx").count() === 2, "NULL weight dropped docs")
+  }
+
   test("decontamination flags eval-overlapping docs and only those") {
     val evalSet = Seq(
       (100L, "the quick brown fox jumps over the lazy dog near the river"),
