@@ -1172,6 +1172,24 @@ object SparkEntry {
         sha2(canon, 256).as("canon_sha"))
     }),
 
+    // Incremental profile maintenance: per-lang token statistics computed
+    // as two disjoint batch states MERGED (the monoid append a 100 TB
+    // pipeline maintains instead of rescanning history) — the oracle
+    // computes directly over the union, so a green row proves the merge
+    // identity. All-integer states; finished doubles derive exactly.
+    "q100_incremental_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tc = graft.functions.TextAnalysis.tokenCount(
+        coalesce(col("text"), lit("")))
+      val old = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val merged = graft.functions.Corpus.profileMerge(Seq(
+        graft.functions.Corpus.profileState(old, Seq("lang"), tc),
+        graft.functions.Corpus.profileState(batch, Seq("lang"), tc)),
+        Seq("lang"))
+      graft.functions.Corpus.profileFinish(merged, Seq("lang"))
+    }),
+
     // PMI collocations: top multi-word expressions by pointwise mutual
     // information over adjacent bigrams — phrase mining ahead of
     // tokenizer-vocab decisions. All exchanges carry aggregated vocabulary
@@ -2542,6 +2560,26 @@ object SparkEntry {
                   regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', ' ', 'g'),
                   ' +', ' ', 'g'))) AS canon_sha
          FROM documents""",
+
+    // the oracle aggregates the WHOLE table directly — equality with the
+    // Spark side's merged batch states is the merge-identity proof; the
+    // moments are integral so the derived doubles match bit-for-bit
+    "q100_incremental_profile" ->
+      """WITH t AS (
+           SELECT lang,
+                  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                    x -> x <> '')) AS BIGINT) AS tc
+           FROM documents)
+         SELECT lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(tc) AS BIGINT) AS n_tokens,
+                round(CAST(sum(tc) AS DOUBLE) / count(*), 6) AS mean_tokens,
+                round((CAST(sum(tc * tc) AS DOUBLE)
+                       - CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE) / count(*))
+                      / count(*), 6) AS var_tokens,
+                CAST(min(tc) AS BIGINT) AS min_tokens,
+                CAST(max(tc) AS BIGINT) AS max_tokens
+         FROM t GROUP BY lang""",
 
     // pmi evaluated in the same double expression shape as the Spark
     // side ((c_ab/P) / ((c_a/T)·(c_b/T))), rank on the rounded value

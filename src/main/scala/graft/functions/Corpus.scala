@@ -622,4 +622,51 @@ object Corpus {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .drop("_h")
   }
+
+  /** Mergeable per-group profile state: `(n, s1, s2, mn, mx)` — count, sum,
+    * sum of squares, min, max of `valueCol` per group. These are the
+    * parallel-mergeable moments: states from disjoint batches combine by
+    * summing the sums and min/max-ing the extremes ([[profileMerge]]), and
+    * mean/variance derive at read time ([[profileFinish]]). The incremental
+    * maintenance discipline at 100 TB: profile each ingest batch once when
+    * it lands, store |groups| state rows, merge — history is never
+    * rescanned. All-integer state (value cast to long), so merge order
+    * cannot change a single bit of the finished doubles.
+    */
+  def profileState(df: DataFrame, groupCols: Seq[String],
+                   valueCol: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"),
+        sum(v * v).as("s2"), min(v).as("mn"), max(v).as("mx"))
+  }
+
+  /** Combine any number of [[profileState]] tables (same `groupCols`) into
+    * one state — the monoid append. A group absent from one state simply
+    * contributes nothing. One partially-aggregated groupBy over |states| ×
+    * |groups| rows; never touches the underlying data.
+    */
+  def profileMerge(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+  }
+
+  /** Derive the readable profile from a state: count, total, mean,
+    * population variance (`(s2 - s1²/n)/n`), min, max. Exact cross-engine:
+    * the state is integral and the doubles derive from integers below 2⁵³,
+    * so any engine reproduces the rounded values bit-for-bit.
+    */
+  def profileFinish(state: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    state.select((groupCols.map(col) :+
+      col("n").as("n_docs") :+ col("s1").as("n_tokens") :+
+      round(s1 / n, 6).as("mean_tokens") :+
+      round((s2 - s1 * s1 / n) / n, 6).as("var_tokens") :+
+      col("mn").as("min_tokens") :+ col("mx").as("max_tokens")): _*)
+  }
 }

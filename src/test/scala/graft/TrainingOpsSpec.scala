@@ -1537,6 +1537,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L, None)))
   }
 
+  test("incremental profile: merged batch states equal the direct profile, any chunking") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tc = TextAnalysis.tokenCount(coalesce($"text", lit("")))
+    val direct = Corpus.profileFinish(
+      Corpus.profileState(docs, Seq("lang"), tc), Seq("lang"))
+    // three uneven batches merged must be bit-identical to the one-shot
+    // profile — the monoid-append identity incremental maintenance rests on
+    val chunks = Seq(0, 1, 2).map(i => docs.filter($"doc_id" % 3 === i))
+    val merged = Corpus.profileFinish(Corpus.profileMerge(
+      chunks.map(c => Corpus.profileState(c, Seq("lang"), tc)), Seq("lang")),
+      Seq("lang"))
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty)
+    // sanity on the finished values for one hand-computable group
+    val two = Seq(("en", 2L), ("en", 4L)).toDF("lang", "n_tok")
+    val r = Corpus.profileFinish(
+      Corpus.profileState(two, Seq("lang"), $"n_tok"), Seq("lang")).head()
+    assert(r.getLong(1) === 2L && r.getLong(2) === 6L)
+    assert(r.getDouble(3) === 3.0 && r.getDouble(4) === 1.0) // mean 3, popvar 1
+    assert(r.getLong(5) === 2L && r.getLong(6) === 4L)
+  }
+
   test("canonicalize: case, punctuation, whitespace runs, null text") {
     val df = Seq(
       ("Hello, World!!", "hello world"),
