@@ -200,6 +200,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming profile maintenance: merged per-batch states equal the direct profile") {
+    // the streaming form of q100: each micro-batch contributes one profile
+    // state and foreachBatch merges it into the stored state table —
+    // history is never rescanned, and after any number of batches the
+    // finished profile is bit-identical to profiling all rows at once
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{Corpus, TextAnalysis}
+    import graft.sources.StateStore
+    val dir = Files.createTempDirectory("profile-stream").resolve("state").toString
+    val stSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "lang STRING, n BIGINT, s1 BIGINT, s2 BIGINT, mn BIGINT, mx BIGINT")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDS().toDF("doc_id", "lang", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val tc = TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+        val merged = Corpus.profileMerge(Seq(
+          StateStore.read(s, dir, stSchema),
+          Corpus.profileState(batch, Seq("lang"), tc)), Seq("lang"))
+        StateStore.overwrite(merged, dir)
+      }
+      .start()
+    val data = Seq(
+      (1L, "en", "one two three"), (2L, "en", "four five"),
+      (3L, "de", "eins zwei drei vier"),
+      (4L, "en", "six"), (5L, "de", "fünf"))
+    try {
+      mem.addData(data(0), data(1), data(2))
+      q.processAllAvailable()
+      mem.addData(data(3), data(4))
+      q.processAllAvailable()
+      val streamed = Corpus.profileFinish(
+        StateStore.read(spark, dir, stSchema), Seq("lang"))
+      val direct = Corpus.profileFinish(Corpus.profileState(
+        data.toDF("doc_id", "lang", "text"), Seq("lang"),
+        TextAnalysis.tokenCount(coalesce($"text", lit("")))), Seq("lang"))
+      assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+        s"streamed ${streamed.collect().mkString(";")} vs direct ${direct.collect().mkString(";")}")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: eval-overlapping docs never reach the corpus") {
     // the full ingest guard: each micro-batch is decontaminated against the
     // held-out eval set FIRST, then dedup-admitted against the corpus —
