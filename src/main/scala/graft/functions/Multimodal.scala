@@ -6,17 +6,20 @@ import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
-  * Media travel as opaque `binary` columns next to typed metadata — the
-  * Spark-side contract (schema, partitioning, batch shape) is real and
-  * tested; the actual codec work is STUBBED with a deterministic fake
-  * (`fakeDecodeFeatures`) because no image/audio libraries exist in this
-  * container. On a real cluster the stub body is replaced by a vectorized
-  * decode (e.g. JNI/FFI per partition) behind the same column signature, so
-  * nothing downstream changes.
+  * Media travel as opaque `binary` columns next to typed metadata. Image
+  * (PNG/JPEG/BMP/GIF via `javax.imageio`) and audio (WAV/AIFF via
+  * `javax.sound.sampled`) decode is REAL — both codecs ship inside the
+  * JDK, no external library needed — through the batched `mapPartitions`
+  * seam ([[decodeImagesBatched]], [[decodeWavBatched]]). Only formats the
+  * JDK has no codec for (video, mp3, …) fall back to the deterministic
+  * hash-based feature stub (`fakeDecodeFeatures`), whose body a cluster
+  * with codec libraries replaces behind the same column signature.
   *
   * Scale notes: binaries stay columnar in parquet; never `collect` them.
   * Feature extraction is a map-side projection; partition sizing should be
   * driven by `spark.sql.files.maxPartitionBytes` since rows are wide.
+  * Decoders run per executor thread — `ImageIO`/`AudioSystem` are
+  * thread-safe for reads and need no display (headless-safe).
   */
 object Multimodal {
 
@@ -101,4 +104,131 @@ object Multimodal {
       DecodedRow(m.media_id, m.content.length,
         Array.tabulate(8)(i => ((h.toLong * (i + 1)) & 0xFFFFFFL).toDouble / 0xFFFFFF))
     }
+
+  final case class ImageDecoded(media_id: Long, ok: Boolean, width: Int,
+    height: Int, mean_r: Double, mean_g: Double, mean_b: Double,
+    grid: Array[Double])
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG, JPEG, BMP, GIF —
+    * no external library): per image, dimensions, per-channel means in
+    * [0,1], and a 2×4 grayscale grid — the cheap perceptual signature that
+    * feeds near-dup/quality filters. Undecodable or truncated payloads
+    * yield `ok = false` with zeroed features instead of failing the task
+    * (corrupt media is data, not an error, at corpus scale). Batched
+    * `mapPartitions`, map-side only; pixels are read through one bulk
+    * `getRGB` per image, never per-pixel JNI chatter.
+    */
+  def decodeImagesBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeImage)))
+      .toDF()
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private[functions] def decodeImage(m: MediaRow): ImageDecoded = {
+    val fail = ImageDecoded(m.media_id, ok = false, 0, 0, 0.0, 0.0, 0.0,
+      Array.fill(8)(0.0))
+    if (m.content == null || m.content.isEmpty) return fail
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.content))
+      if (img == null) return fail // no registered reader for the format
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
+      var sr, sg, sb = 0L
+      val cellSum = Array.fill(8)(0L)
+      val cellN = Array.fill(8)(0L)
+      var y = 0
+      while (y < h) {
+        val gy = if (y * 2 / h >= 2) 1 else y * 2 / h
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          sr += r; sg += g; sb += b
+          val gx = if (x * 4 / w >= 4) 3 else x * 4 / w
+          val c = gy * 4 + gx
+          cellSum(c) += (r + g + b) / 3
+          cellN(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageDecoded(m.media_id, ok = true, w, h,
+        r6(sr.toDouble / n / 255.0), r6(sg.toDouble / n / 255.0),
+        r6(sb.toDouble / n / 255.0),
+        Array.tabulate(8)(c =>
+          if (cellN(c) == 0) 0.0 else r6(cellSum(c).toDouble / cellN(c) / 255.0)))
+    } catch { case _: Exception => fail }
+  }
+
+  final case class AudioDecoded(media_id: Long, ok: Boolean, sample_rate: Int,
+    n_frames: Long, duration_ms: Long, rms: Double, peak: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM): sample rate, frame count, duration, and normalized RMS/peak
+    * amplitude in [0,1] — the silence/clipping screens an audio corpus
+    * filters on. Same corrupt-is-data posture and batched map-side shape
+    * as [[decodeImagesBatched]]. Handles 8-bit and 16-bit PCM (signed or
+    * unsigned, either endianness), averaging across channels.
+    */
+  def decodeWavBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeWav)))
+      .toDF()
+  }
+
+  private[functions] def decodeWav(m: MediaRow): AudioDecoded = {
+    val fail = AudioDecoded(m.media_id, ok = false, 0, 0L, 0L, 0.0, 0.0)
+    if (m.content == null || m.content.isEmpty) return fail
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (bits != 8 && bits != 16) return fail
+        val bytes = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val nSamples = bytes.length / bytesPerSample
+        if (nSamples == 0) return fail
+        var sumSq = 0.0
+        var peak = 0.0
+        var i = 0
+        while (i < nSamples) {
+          val v =
+            if (bits == 8) {
+              val b = bytes(i)
+              if (signed) b.toDouble / 128.0 else ((b & 0xFF) - 128).toDouble / 128.0
+            } else {
+              val o = i * 2
+              val (lo, hi) =
+                if (fmt.isBigEndian) (bytes(o + 1), bytes(o)) else (bytes(o), bytes(o + 1))
+              val s = ((hi << 8) | (lo & 0xFF)).toShort
+              (if (signed) s.toDouble
+               else ((s & 0xFFFF) - 32768).toDouble) / 32768.0
+            }
+          sumSq += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val frames = nSamples.toLong / fmt.getChannels
+        val rate = fmt.getSampleRate.toInt
+        AudioDecoded(m.media_id, ok = true, rate, frames,
+          if (rate == 0) 0L else frames * 1000L / rate,
+          r6(math.sqrt(sumSq / nSamples)), r6(math.min(peak, 1.0)))
+      } finally ais.close()
+    } catch { case _: Exception => fail }
+  }
 }

@@ -266,6 +266,50 @@ class TrainingOpsSpec extends SparkSpec {
     assert(frames.head.length == 100)
   }
 
+  test("multimodal: REAL png decode via the JDK codec — dims, channel means, grid") {
+    // 8x4 image, left half black, right half white: means 0.5, grid cells
+    // split 0/1 by column — hand-checkable through a genuine PNG round-trip
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes),
+      (3L, Array.empty[Byte])).toDF("media_id", "content")
+    val out = Multimodal.decodeImagesBatched(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getBoolean(1) && ok.getInt(2) === 8 && ok.getInt(3) === 4)
+    assert(ok.getDouble(4) === 0.5 && ok.getDouble(5) === 0.5 && ok.getDouble(6) === 0.5)
+    val grid = ok.getAs[collection.Seq[Double]](7)
+    assert(grid.toSeq === Seq(0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0))
+    assert(!out(2L).getBoolean(1) && !out(3L).getBoolean(1), "corrupt payloads must not fail the task")
+  }
+
+  test("multimodal: REAL wav decode via the JDK codec — rate, duration, rms, peak") {
+    // 800 samples of constant +0.5 amplitude 16-bit PCM at 8 kHz → rms =
+    // peak = 0.5 exactly, duration 100 ms — through a genuine WAV container
+    val pcm = new Array[Byte](1600)
+    var i = 0
+    while (i < 800) { pcm(2 * i) = 0x00; pcm(2 * i + 1) = 0x40; i += 1 } // 0x4000 = +16384
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 800)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+    val df = Seq((1L, wav.toByteArray), (2L, "not audio".getBytes))
+      .toDF("media_id", "content")
+    val out = Multimodal.decodeWavBatched(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getBoolean(1) && ok.getInt(2) === 8000)
+    assert(ok.getLong(3) === 800L && ok.getLong(4) === 100L)
+    assert(ok.getDouble(5) === 0.5 && ok.getDouble(6) === 0.5)
+    assert(!out(2L).getBoolean(1))
+  }
+
   test("cosine near-dup pairs: exact threshold pairs on a hand-checkable corpus") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
