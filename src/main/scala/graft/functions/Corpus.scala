@@ -636,8 +636,11 @@ object Corpus {
   def profileState(df: DataFrame, groupCols: Seq[String],
                    valueCol: Column): DataFrame = {
     val v = valueCol.cast("long")
+    // count(v), not count(*): a NULL value must be invisible to EVERY
+    // moment alike — counting it in n but not s1/s2/mn/mx would make the
+    // derived mean/variance describe neither the rows nor the values
     df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(v).as("s1"),
+      .agg(count(v).as("n"), sum(v).as("s1"),
         sum(v * v).as("s2"), min(v).as("mn"), max(v).as("mx"))
   }
 
@@ -655,18 +658,21 @@ object Corpus {
   }
 
   /** Derive the readable profile from a state: count, total, mean,
-    * population variance (`(s2 - s1²/n)/n`), min, max. Exact cross-engine:
-    * the state is integral and the doubles derive from integers below 2⁵³,
-    * so any engine reproduces the rounded values bit-for-bit.
+    * population variance (`(s2 - s1²/n)/n`), min, max. Output columns are
+    * named after `valueName` (the state is value-generic — bytes, lines,
+    * scores — so the labels must be too). Exact cross-engine: the state is
+    * integral and the doubles derive from integers below 2⁵³, so any
+    * engine reproduces the rounded values bit-for-bit.
     */
-  def profileFinish(state: DataFrame, groupCols: Seq[String]): DataFrame = {
+  def profileFinish(state: DataFrame, groupCols: Seq[String],
+                    valueName: String = "tokens"): DataFrame = {
     val n = col("n").cast("double")
     val s1 = col("s1").cast("double")
     val s2 = col("s2").cast("double")
     state.select((groupCols.map(col) :+
-      col("n").as("n_docs") :+ col("s1").as("n_tokens") :+
-      round(s1 / n, 6).as("mean_tokens") :+
-      round((s2 - s1 * s1 / n) / n, 6).as("var_tokens") :+
-      col("mn").as("min_tokens") :+ col("mx").as("max_tokens")): _*)
+      col("n").as("n_docs") :+ col("s1").as(s"n_$valueName") :+
+      round(s1 / n, 6).as(s"mean_$valueName") :+
+      round((s2 - s1 * s1 / n) / n, 6).as(s"var_$valueName") :+
+      col("mn").as(s"min_$valueName") :+ col("mx").as(s"max_$valueName")): _*)
   }
 }

@@ -112,59 +112,77 @@ object Multimodal {
   /** REAL image decode via the JDK's `javax.imageio` (PNG, JPEG, BMP, GIF —
     * no external library): per image, dimensions, per-channel means in
     * [0,1], and a 2×4 grayscale grid — the cheap perceptual signature that
-    * feeds near-dup/quality filters. Undecodable or truncated payloads
-    * yield `ok = false` with zeroed features instead of failing the task
-    * (corrupt media is data, not an error, at corpus scale). Batched
-    * `mapPartitions`, map-side only; pixels are read through one bulk
-    * `getRGB` per image, never per-pixel JNI chatter.
+    * feeds near-dup/quality filters. Undecodable, truncated, or
+    * decompression-bomb payloads (header dimensions above `maxPixels`,
+    * checked BEFORE any pixel allocation) yield `ok = false` with zeroed
+    * features instead of failing the task — corrupt media is data, not an
+    * error, at corpus scale. Map-side only; decoding reads from a
+    * memory-backed stream (never ImageIO's default temp-file spool) and
+    * pixels come through one bulk `getRGB` per image.
     */
-  def decodeImagesBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeImagesBatched(df: DataFrame,
+                          maxPixels: Long = 1L << 24): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id"), col("content")).as[MediaRow]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeImage)))
+      .mapPartitions(_.map(decodeImage(_, maxPixels)))
       .toDF()
   }
 
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private[functions] def decodeImage(m: MediaRow): ImageDecoded = {
+  private[functions] def decodeImage(m: MediaRow,
+                                     maxPixels: Long = 1L << 24): ImageDecoded = {
     val fail = ImageDecoded(m.media_id, ok = false, 0, 0, 0.0, 0.0, 0.0,
       Array.fill(8)(0.0))
     if (m.content == null || m.content.isEmpty) return fail
     try {
-      val img = javax.imageio.ImageIO.read(
+      // memory-backed stream: ImageIO.read(InputStream) would spool every
+      // payload to a java.io.tmpdir cache file first (and fail outright on
+      // an unwritable tmpdir) — pure overhead when the bytes are in RAM
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(m.content))
-      if (img == null) return fail // no registered reader for the format
-      val w = img.getWidth
-      val h = img.getHeight
-      val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
-      var sr, sg, sb = 0L
-      val cellSum = Array.fill(8)(0L)
-      val cellN = Array.fill(8)(0L)
-      var y = 0
-      while (y < h) {
-        val gy = if (y * 2 / h >= 2) 1 else y * 2 / h
-        var x = 0
-        while (x < w) {
-          val p = px(y * w + x)
-          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
-          sr += r; sg += g; sb += b
-          val gx = if (x * 4 / w >= 4) 3 else x * 4 / w
-          val c = gy * 4 + gx
-          cellSum(c) += (r + g + b) / 3
-          cellN(c) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val n = w.toLong * h
-      ImageDecoded(m.media_id, ok = true, w, h,
-        r6(sr.toDouble / n / 255.0), r6(sg.toDouble / n / 255.0),
-        r6(sb.toDouble / n / 255.0),
-        Array.tabulate(8)(c =>
-          if (cellN(c) == 0) 0.0 else r6(cellSum(c).toDouble / cellN(c) / 255.0)))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return fail // no registered codec
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          // bomb guard: dimensions come from the HEADER, before the raster
+          // is materialized — a few-KB 50000×50000 PNG would otherwise
+          // allocate ~10 GB and kill the executor with an un-catchable OOM
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return fail
+          val img = reader.read(0)
+          val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
+          var sr, sg, sb = 0L
+          val cellSum = Array.fill(8)(0L)
+          val cellN = Array.fill(8)(0L)
+          var y = 0
+          while (y < h) {
+            val gy = y * 2 / h // in [0,1] for y < h
+            var x = 0
+            while (x < w) {
+              val p = px(y * w + x)
+              val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+              sr += r; sg += g; sb += b
+              val c = gy * 4 + x * 4 / w
+              cellSum(c) += (r + g + b) / 3
+              cellN(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageDecoded(m.media_id, ok = true, w, h,
+            r6(sr.toDouble / n / 255.0), r6(sg.toDouble / n / 255.0),
+            r6(sb.toDouble / n / 255.0),
+            Array.tabulate(8)(c =>
+              if (cellN(c) == 0) 0.0 else r6(cellSum(c).toDouble / cellN(c) / 255.0)))
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case _: Exception => fail }
   }
 
@@ -174,15 +192,17 @@ object Multimodal {
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
     * PCM): sample rate, frame count, duration, and normalized RMS/peak
     * amplitude in [0,1] — the silence/clipping screens an audio corpus
-    * filters on. Same corrupt-is-data posture and batched map-side shape
-    * as [[decodeImagesBatched]]. Handles 8-bit and 16-bit PCM (signed or
-    * unsigned, either endianness), averaging across channels.
+    * filters on. Same corrupt-is-data posture and map-side shape as
+    * [[decodeImagesBatched]]. Handles 8-bit and 16-bit linear PCM (signed
+    * or unsigned, either endianness), averaging across channels;
+    * companded encodings (µ-law/A-law) report `ok = false` rather than
+    * being misread as linear samples.
     */
-  def decodeWavBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeWavBatched(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id"), col("content")).as[MediaRow]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeWav)))
+      .mapPartitions(_.map(decodeWav))
       .toDF()
   }
 
@@ -195,8 +215,13 @@ object Multimodal {
       try {
         val fmt = ais.getFormat
         val bits = fmt.getSampleSizeInBits
-        val signed = fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        // the amplitude math below is LINEAR PCM only: a µ-law/A-law WAV
+        // also parses as 8-bit, but its log-companded bytes would decode
+        // to garbage (µ-law silence ≈ 0.99 amplitude) with ok = true
+        if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          return fail
         if (bits != 8 && bits != 16) return fail
         val bytes = ais.readAllBytes()
         val bytesPerSample = bits / 8

@@ -200,29 +200,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming profile maintenance: merged per-batch states equal the direct profile") {
-    // the streaming form of q100: each micro-batch contributes one profile
-    // state and foreachBatch merges it into the stored state table —
-    // history is never rescanned, and after any number of batches the
-    // finished profile is bit-identical to profiling all rows at once
+  test("streaming profile maintenance: per-batch states, replay-idempotent, equal the direct profile") {
+    // the streaming form of q100: the state table keeps one moment row per
+    // (batch_id, group) and each foreachBatch call REPLACES its own batch's
+    // rows — so a micro-batch replay (foreachBatch is at-least-once: crash
+    // between sink write and checkpoint commit re-runs the batch) rewrites
+    // identical rows instead of double-adding them. History is never
+    // rescanned; the finished profile merges the per-batch rows at read
+    // time and stays bit-identical to profiling everything at once.
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.{Corpus, TextAnalysis}
     import graft.sources.StateStore
     val dir = Files.createTempDirectory("profile-stream").resolve("state").toString
     val stSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "lang STRING, n BIGINT, s1 BIGINT, s2 BIGINT, mn BIGINT, mx BIGINT")
+      "batch_id BIGINT, lang STRING, n BIGINT, s1 BIGINT, s2 BIGINT, mn BIGINT, mx BIGINT")
+    def mergeBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val s = batch.sparkSession
+      val tc = TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+      val state = Corpus.profileState(batch, Seq("lang"), tc)
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "lang", "n", "s1", "s2", "mn", "mx")
+      val others = StateStore.read(s, dir, stSchema)
+        .filter(col("batch_id") =!= batchId)
+      StateStore.overwrite(others.unionByName(state), dir)
+    }
+    def finished() = Corpus.profileFinish(Corpus.profileMerge(
+      Seq(StateStore.read(spark, dir, stSchema).drop("batch_id")),
+      Seq("lang")), Seq("lang"))
     val mem = MemoryStream[(Long, String, String)]
     val q = mem.toDS().toDF("doc_id", "lang", "text").writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val tc = TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
-        val merged = Corpus.profileMerge(Seq(
-          StateStore.read(s, dir, stSchema),
-          Corpus.profileState(batch, Seq("lang"), tc)), Seq("lang"))
-        StateStore.overwrite(merged, dir)
-      }
-      .start()
+      .outputMode("append").foreachBatch(mergeBatch _).start()
     val data = Seq(
       (1L, "en", "one two three"), (2L, "en", "four five"),
       (3L, "de", "eins zwei drei vier"),
@@ -232,13 +239,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(data(3), data(4))
       q.processAllAvailable()
-      val streamed = Corpus.profileFinish(
-        StateStore.read(spark, dir, stSchema), Seq("lang"))
       val direct = Corpus.profileFinish(Corpus.profileState(
         data.toDF("doc_id", "lang", "text"), Seq("lang"),
         TextAnalysis.tokenCount(coalesce($"text", lit("")))), Seq("lang"))
+      val streamed = finished()
       assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
         s"streamed ${streamed.collect().mkString(";")} vs direct ${direct.collect().mkString(";")}")
+      // replay: re-running the LAST batch must leave the profile unchanged
+      mergeBatch(data.slice(3, 5).toDF("doc_id", "lang", "text"), batchId = 1L)
+      val replayed = finished()
+      assert(replayed.exceptAll(direct).isEmpty && direct.exceptAll(replayed).isEmpty,
+        "micro-batch replay inflated the profile")
     } finally q.stop()
   }
 

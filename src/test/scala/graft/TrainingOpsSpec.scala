@@ -285,6 +285,11 @@ class TrainingOpsSpec extends SparkSpec {
     val grid = ok.getAs[collection.Seq[Double]](7)
     assert(grid.toSeq === Seq(0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0))
     assert(!out(2L).getBoolean(1) && !out(3L).getBoolean(1), "corrupt payloads must not fail the task")
+    // decompression-bomb guard: header dims above the cap → ok=false
+    // without any pixel allocation
+    val capped = Multimodal.decodeImagesBatched(
+      df.filter($"media_id" === 1L), maxPixels = 16L).head()
+    assert(!capped.getBoolean(1), "32-pixel image must fail a 16-pixel cap")
   }
 
   test("multimodal: REAL wav decode via the JDK codec — rate, duration, rms, peak") {
@@ -308,6 +313,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(ok.getLong(3) === 800L && ok.getLong(4) === 100L)
     assert(ok.getDouble(5) === 0.5 && ok.getDouble(6) === 0.5)
     assert(!out(2L).getBoolean(1))
+    // µ-law parses as 8-bit audio but is log-companded, not linear PCM —
+    // decoding it as PCM would report silence as ~0.99 amplitude
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val silence = Array.fill[Byte](800)(0xFF.toByte) // µ-law zero amplitude
+    val uais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(silence), ulawFmt, 800)
+    val uwav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(uais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, uwav)
+    val ulaw = Multimodal.decodeWavBatched(
+      Seq((3L, uwav.toByteArray)).toDF("media_id", "content")).head()
+    assert(!ulaw.getBoolean(1), "companded encoding must not decode as linear PCM")
   }
 
   test("cosine near-dup pairs: exact threshold pairs on a hand-checkable corpus") {
