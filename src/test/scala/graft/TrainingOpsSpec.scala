@@ -328,6 +328,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!ulaw.getBoolean(1), "companded encoding must not decode as linear PCM")
   }
 
+  test("multimodal end-to-end: decoded image grids feed cosine near-dup") {
+    // the composition the decode features exist for: perceptual near-dup
+    // over images — two visually identical frames (one pixel differs) pair
+    // up, an inverted frame does not
+    def png(invert: Boolean, tweak: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val base = if ((x < 4) ^ invert) 0x202020 else 0xE0E0E0
+        img.setRGB(x, y, base)
+      }
+      if (tweak) img.setRGB(7, 7, 0xD0D0D0) // one-pixel difference
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, png(invert = false, tweak = false)),
+      (2L, png(invert = false, tweak = true)),
+      (3L, png(invert = true, tweak = false))).toDF("media_id", "content")
+    val feats = Multimodal.decodeImagesBatched(media)
+      .select($"media_id".as("vec_id"),
+        $"grid".cast("array<float>").as("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(feats, minCosine = 0.99, dim = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+  }
+
   test("cosine near-dup pairs: exact threshold pairs on a hand-checkable corpus") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
