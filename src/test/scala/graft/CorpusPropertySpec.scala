@@ -75,4 +75,42 @@ class CorpusPropertySpec extends SparkSpec {
       a.foreach { case (id, s) => assert(b(id) === s, s"seed $seed: doc $id moved") }
     }
   }
+
+  test("canonicalize is idempotent and caps the alphabet over random fixtures") {
+    (1 to 6).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val noisy = randomDocs(seed).map { case (i, t) =>
+        // inject case flips, punctuation, and whitespace runs
+        val chars = t.flatMap { c =>
+          val v = r.nextInt(6)
+          if (v == 0) c.toUpper.toString
+          else if (v == 1) s"$c  " else if (v == 2) s"$c," else c.toString
+        }
+        (i, chars)
+      }.toDF("id", "content")
+      import graft.functions.TextAnalysis.canonicalize
+      val once = noisy.select($"id", canonicalize($"content").as("c1"))
+      val twice = once.select($"id", $"c1", canonicalize($"c1").as("c2"))
+      assert(twice.filter($"c1" =!= $"c2").isEmpty, s"seed $seed: not idempotent")
+      val offAlphabet = twice.filter($"c1".rlike("[^a-z0-9 ]|^ | $|  "))
+      assert(offAlphabet.isEmpty, s"seed $seed: alphabet/whitespace violation")
+    }
+  }
+
+  test("dup-span stats invariants: bounded fractions, blind to doc order, short docs null") {
+    (1 to 4).foreach { seed =>
+      val docs = randomDocs(seed, n = 30).toDF("doc_id", "text")
+      import graft.functions.NearDup
+      val out = NearDup.dupSpanStats(docs, "text", "doc_id", k = 3)
+      // dup_windows never exceeds n_windows; frac only NULL when windowless
+      assert(out.filter($"dup_windows" > $"n_windows").isEmpty)
+      assert(out.filter($"dup_frac".isNull && $"n_windows" > 0).isEmpty)
+      assert(out.filter($"dup_frac".isNotNull && $"n_windows" === 0).isEmpty)
+      // repartitioning/shuffling the corpus cannot change any stat
+      val shuffled = NearDup.dupSpanStats(
+        docs.repartition(7).sortWithinPartitions($"text"), "text", "doc_id", k = 3)
+      assert(out.exceptAll(shuffled).isEmpty && shuffled.exceptAll(out).isEmpty,
+        s"seed $seed: order-dependent result")
+    }
+  }
 }
