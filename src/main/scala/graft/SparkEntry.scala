@@ -1154,6 +1154,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rrf"), col("rank"))
     }),
 
+    // Quality-aware dedup: same clusters as q48, but each cluster keeps
+    // its LONGEST member (ties → smallest id) — the production keep-best
+    // rule, vs q49's min-id form. Oracle re-derives the clusters with the
+    // recursive CTE and ranks by the same (token count desc, id asc).
+    "q101_quality_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.functions.NearDup.ngramJaccardPairs(
+        docs, "text", "doc_id", n = 3, minJaccard = 0.2)
+      val clusters = graft.functions.NearDup.connectedComponents(pairs, "id_a", "id_b")
+      graft.functions.NearDup.canonicalCorpusByScore(docs, clusters, "doc_id",
+          graft.functions.TextAnalysis.tokenCount(
+            coalesce(col("text"), lit(""))).cast("long"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Exact substring-level duplication: per-doc duplicated k-token-window
     // stats — catches boilerplate spans inside otherwise-distinct docs,
     // which document-level near-dup (q22/q24/q50) cannot. Oracle counts
@@ -2519,6 +2534,51 @@ object SparkEntry {
                       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn
                FROM fused)
          WHERE rn <= 10""",
+
+    // q48's recursive-CTE clustering + keep-longest ranking; rn > 1 =
+    // the dropped members, everything else (incl. singletons) survives
+    "q101_quality_dedup" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         inv AS (SELECT * FROM inv0 WHERE shingle IN (
+                   SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
+         cnt AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY 1, 2),
+         jp AS (
+           SELECT id_a, id_b FROM cnt
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2),
+         edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                  FROM reach GROUP BY a),
+         tc AS (SELECT doc_id,
+                       CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '')) AS BIGINT) AS tc
+                FROM documents),
+         ranked AS (
+           SELECT c.doc_id,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                                     ORDER BY t.tc DESC, c.doc_id ASC) AS rn
+           FROM clus c JOIN tc t USING (doc_id)),
+         dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""",
 
     // window text counted directly (Spark counts xxhash64 fingerprints of
     // the same text — equal absent a 64-bit collision); range() is

@@ -300,6 +300,34 @@ object NearDup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware canonical corpus: per near-dup cluster keep the
+    * HIGHEST-scoring document (ties → smallest id) instead of
+    * [[canonicalCorpusFromClusters]]'s min-id representative — the
+    * production keep-longest / keep-best-quality rule (dedup should
+    * discard the truncated variants, not whichever happened to get the
+    * smallest id). Singletons never appear in `clusters` and are always
+    * kept.
+    *
+    * Scale: the score join touches only clustered nodes (a small fraction
+    * of the corpus), the per-cluster argmax is a partially-aggregable
+    * `max_by`, and the final membership test is the same left-anti join as
+    * the min-id form.
+    */
+  def canonicalCorpusByScore(df: DataFrame, clusters: DataFrame, idCol: String,
+                             score: Column, nodeCol: String = "node",
+                             componentCol: String = "component"): DataFrame = {
+    val scored = clusters.join(
+      df.select(col(idCol).as(nodeCol), score.as("_sc")), nodeCol)
+    // max of (score, -id): highest score wins, ties resolve to smallest id
+    val keeps = scored.groupBy(col(componentCol))
+      .agg(max_by(col(nodeCol), struct(col("_sc"), (-col(nodeCol)).as("_tie")))
+        .as("_keep"))
+    val dropped = clusters.join(keeps, componentCol)
+      .filter(col(nodeCol) =!= col("_keep"))
+      .select(col(nodeCol).as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Incremental near-dup: pairs between an incoming batch and the
     * existing corpus PLUS batch-internal pairs — never existing×existing,
     * which a maintained corpus has already resolved. This is the

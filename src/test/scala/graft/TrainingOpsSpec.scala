@@ -328,6 +328,18 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!ulaw.getBoolean(1), "companded encoding must not decode as linear PCM")
   }
 
+  test("quality-aware canonical corpus: each cluster keeps its best scorer, ties to min id") {
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "longest variant", 9L), (3L, "mid", 7L), // cluster A → keep 2
+      (4L, "tie a", 6L), (5L, "tie b", 6L),                            // cluster B tie → keep 4
+      (9L, "singleton", 1L)).toDF("doc_id", "text", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("node", "component")
+    val kept = NearDup.canonicalCorpusByScore(docs, clusters, "doc_id", $"score")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 9L), s"got $kept")
+  }
+
   test("multimodal end-to-end: decoded image grids feed cosine near-dup") {
     // the composition the decode features exist for: perceptual near-dup
     // over images — two visually identical frames (one pixel differs) pair
