@@ -77,6 +77,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dup-span stats aggregates partially and never windows the gram stream") {
+    val p = plan("q98_dup_substrings")
+    // two partial/final aggregate pairs (per-doc-gram, then gram totals)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    // a Window over the exploded grams would shuffle the raw stream with
+    // no map-side combine — the ngramNovelty regression class
+    assert(!p.contains("Window"), "gram counting must not be a window:\n" + p.take(800))
+  }
+
+  test("incremental profile merges states with partial aggregation at every level") {
+    val p = plan("q100_incremental_profile")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("projection pruning reaches the scan: token count reads only 2 columns") {
     val p = plan("q17_token_count")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
