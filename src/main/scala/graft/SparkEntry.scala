@@ -1653,19 +1653,21 @@ object SparkEntry {
              generate_series(1, greatest(len(ts) - 2, 0)),
              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
            FROM tok),
-         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
          inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
          inv AS (SELECT * FROM inv0 WHERE shingle IN (
                    SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
-         cnt AS (
-           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
-           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-           GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
          jp AS (
-           SELECT id_a, id_b FROM cnt
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-           WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2),
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+                    len(list_intersect(sa.shs, sb.shs)) AS common,
+                    len(sa.shs) AS sza, len(sb.shs) AS szb
+             FROM cand
+             JOIN sh sa ON sa.doc_id = id_a
+             JOIN sh sb ON sb.doc_id = id_b)
+           WHERE round(common * 1.0 / (sza + szb - common), 4) >= 0.2),
          edges AS (SELECT id_a AS a, id_b AS b FROM jp
                    UNION SELECT id_b, id_a FROM jp),
          reach(a, b) AS (
@@ -1706,19 +1708,21 @@ object SparkEntry {
              generate_series(1, greatest(len(ts) - 2, 0)),
              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
            FROM tok),
-         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
          inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
          inv AS (SELECT * FROM inv0 WHERE shingle IN (
                    SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
-         cnt AS (
-           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
-           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-           GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
          jp AS (
-           SELECT id_a, id_b FROM cnt
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-           WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2),
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+                    len(list_intersect(sa.shs, sb.shs)) AS common,
+                    len(sa.shs) AS sza, len(sb.shs) AS szb
+             FROM cand
+             JOIN sh sa ON sa.doc_id = id_a
+             JOIN sh sb ON sb.doc_id = id_b)
+           WHERE round(common * 1.0 / (sza + szb - common), 4) >= 0.2),
          edges AS (SELECT id_a AS a, id_b AS b FROM jp
                    UNION SELECT id_b, id_a FROM jp),
          reach(a, b) AS (
@@ -2546,19 +2550,21 @@ object SparkEntry {
              generate_series(1, greatest(len(ts) - 2, 0)),
              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
            FROM tok),
-         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
          inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
          inv AS (SELECT * FROM inv0 WHERE shingle IN (
                    SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
-         cnt AS (
-           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
-           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-           GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
          jp AS (
-           SELECT id_a, id_b FROM cnt
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-           WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2),
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+                    len(list_intersect(sa.shs, sb.shs)) AS common,
+                    len(sa.shs) AS sza, len(sb.shs) AS szb
+             FROM cand
+             JOIN sh sa ON sa.doc_id = id_a
+             JOIN sh sb ON sb.doc_id = id_b)
+           WHERE round(common * 1.0 / (sza + szb - common), 4) >= 0.2),
          edges AS (SELECT id_a AS a, id_b AS b FROM jp
                    UNION SELECT id_b, id_a FROM jp),
          reach(a, b) AS (
