@@ -67,7 +67,8 @@ object Audit {
           col(childKey) === col(s"_pk$i"), "left")
     }
     val aggs = count(lit(1)).as("_n") +: edges.zipWithIndex.map { case (_, i) =>
-      sum(when(col(s"_pk$i").isNull, 1L).otherwise(0L)).as(s"_o$i")
+      coalesce(sum(when(col(s"_pk$i").isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"_o$i") // empty child: 0 orphans, not a NULL sum-of-nothing
     }
     keyed.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(edges.zipWithIndex.map { case ((name, _, _, _), i) =>
@@ -75,7 +76,10 @@ object Audit {
           col(s"_o$i").as("n_orphans"))
       }: _*)).as("r"))
       .select(col("r.edge"), col("r.n_rows"), col("r.n_orphans"),
-        round(col("r.n_orphans").cast("double") / col("r.n_rows").cast("double"), 6)
+        // an EMPTY child table has n_rows = 0: the rate is undefined (NULL,
+        // as the SQL division yields) — unguarded, ANSI mode would throw
+        when(col("r.n_rows") > 0,
+          round(col("r.n_orphans").cast("double") / col("r.n_rows").cast("double"), 6))
           .as("orphan_rate"))
   }
 
@@ -91,9 +95,11 @@ object Audit {
         .join(parent.select(col(parentKey).as("_pk")).distinct(),
           col("_ck") === col("_pk"), "left")
         .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          coalesce(sum(when(col("_pk").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans")) // empty child: 0 orphans, not a NULL sum
         .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"),
-          round(col("n_orphans").cast("double") / col("n_rows").cast("double"), 6)
+          when(col("n_rows") > 0, // empty child: NULL rate, not a throw
+            round(col("n_orphans").cast("double") / col("n_rows").cast("double"), 6))
             .as("orphan_rate"))
     }.reduce(_ unionByName _)
   }

@@ -1329,6 +1329,13 @@ class TrainingOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(shared("f_a") === (("f_a", 4L, 1L, 0.25)))
     assert(shared("f_b") === (("f_b", 4L, 1L, 0.25)))
+    // empty child table: rate is NULL (undefined), not an ANSI throw
+    val emptyChild = Seq.empty[Long].toDF("fk")
+    val e = Audit.refIntegrity(Seq(("e_p", emptyChild, "fk", parent, "pk"))).head()
+    assert(e.getLong(1) === 0L && e.getLong(2) === 0L && e.isNullAt(3))
+    val se = Audit.refIntegrityShared(emptyChild.withColumnRenamed("fk", "ka"),
+      Seq(("e_a", "ka", pa, "a"))).head()
+    assert(se.getLong(1) === 0L && se.getLong(2) === 0L && se.isNullAt(3))
   }
 
   test("event transitions: counts and conditional probabilities from the lag order") {
