@@ -2192,7 +2192,7 @@ object SparkEntry {
                   max(round(list_cosine_similarity(a.cvec, b.cvec), 6)) AS max_inter_cos
            FROM carr a JOIN carr b ON a.label <> b.label GROUP BY 1)
          SELECT i.label, CAST(i.n AS BIGINT) AS n, i.mean_intra_cos, x.max_inter_cos
-         FROM intra i JOIN inter x USING (label)""",
+         FROM intra i LEFT JOIN inter x USING (label)""",
 
     // same snapshot derivation; status via null-safe digest compare
     // (IS NOT DISTINCT FROM ≡ Spark's <=>)

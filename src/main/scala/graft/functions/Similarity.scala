@@ -521,6 +521,8 @@ object Similarity {
       .groupBy(col("label"))
       .agg(max(round(graft.plans.GraftFunctions.cosine(
         interPairs, col("cvec"), col("cvec_b")), 6)).as("max_inter_cos"))
-    intra.join(inter, Seq("label"))
+    // left: a single-label corpus has no inter pairs — report the label
+    // with a NULL max_inter_cos rather than dropping it
+    intra.join(inter, Seq("label"), "left")
   }
 }

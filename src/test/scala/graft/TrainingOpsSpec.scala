@@ -1251,6 +1251,11 @@ class TrainingOpsSpec extends SparkSpec {
       "embedding", "label").as[(Int, Long, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(out2(2)._3 < 0.8, s"smeared cluster should be loose: ${out2(2)}")
+    // single-label corpus: no inter pairs exist — keep the label with a
+    // NULL max_inter_cos instead of silently dropping it
+    val solo = Similarity.clusterCohesion(
+      rows.take(5).toDF("embedding", "label"), "embedding", "label").head()
+    assert(solo.getInt(0) === 0 && solo.getLong(1) === 5L && solo.isNullAt(3))
   }
 
   test("snapshot diff: all four statuses, null-safe content compare") {
