@@ -1196,8 +1196,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val tc = graft.functions.TextAnalysis.tokenCount(
         coalesce(col("text"), lit("")))
+      // =!= 0, not === 1: Java % gives negative ids remainder -1, which
+      // would fall into NEITHER half and vanish from the merged profile
       val old = docs.filter(col("doc_id") % 2 === 0)
-      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
       val merged = graft.functions.Corpus.profileMerge(Seq(
         graft.functions.Corpus.profileState(old, Seq("lang"), tc),
         graft.functions.Corpus.profileState(batch, Seq("lang"), tc)),

@@ -156,16 +156,20 @@ object Multimodal {
           val h = reader.getHeight(0)
           if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return fail
           val img = reader.read(0)
-          val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
+          // row-at-a-time getRGB into one reused O(w) buffer: a bulk
+          // w*h read would transiently DOUBLE peak per-image memory
+          // (raster + int copy — ~128 MB at the maxPixels cap, per task)
+          val rowBuf = new Array[Int](w)
           var sr, sg, sb = 0L
           val cellSum = Array.fill(8)(0L)
           val cellN = Array.fill(8)(0L)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
             val gy = y * 2 / h // in [0,1] for y < h
             var x = 0
             while (x < w) {
-              val p = px(y * w + x)
+              val p = rowBuf(x)
               val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
               sr += r; sg += g; sb += b
               val c = gy * 4 + x * 4 / w

@@ -318,9 +318,12 @@ object NearDup {
                              componentCol: String = "component"): DataFrame = {
     val scored = clusters.join(
       df.select(col(idCol).as(nodeCol), score.as("_sc")), nodeCol)
-    // max of (score, -id): highest score wins, ties resolve to smallest id
+    // min of (-score, id): highest score wins, ties resolve to smallest id.
+    // Only the (numeric) score is negated, so the id column keeps its own
+    // type's ordering — string ids tie-break lexicographically, not via an
+    // ANSI string->double cast
     val keeps = scored.groupBy(col(componentCol))
-      .agg(max_by(col(nodeCol), struct(col("_sc"), (-col(nodeCol)).as("_tie")))
+      .agg(min_by(col(nodeCol), struct((-col("_sc")).as("_neg"), col(nodeCol)))
         .as("_keep"))
     val dropped = clusters.join(keeps, componentCol)
       .filter(col(nodeCol) =!= col("_keep"))

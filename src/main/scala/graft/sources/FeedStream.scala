@@ -87,13 +87,18 @@ class FeedMicroBatchStream(transport: FeedTransport, schema: StructType,
   private def probeLatest(cursor: Option[Instant]): Option[FeedOffset] = {
     val total = PagedFeed.withRetry()(() => transport.fetch(cursor, 1, 0)).totalCount
     if (total == 0) return None
+    // probe the whole LAST PAGE, not just the tail row: a feed whose
+    // backing store orders NULL updated_at last would otherwise pin a
+    // null row at the tail and the single-row probe would never advance
+    // the offset (silent permanent stall). Max non-null ts over the page
+    // advances past up to pageSize-1 trailing nulls; decodeRow maps
+    // missing JSON fields to SQL null for any column, including this one.
+    val n = math.min(pageSize.toLong, total).toInt
     val lastPage = PagedFeed.withRetry()(() =>
-      transport.fetch(cursor, 1, total - 1)).rows
-    // a NULL updated_at tail row yields no offset advance (the stream
-    // idles) instead of an NPE killing every micro-batch — decodeRow maps
-    // missing JSON fields to SQL null for any column, including this one
-    lastPage.lastOption.flatMap(r => Option(r.getTimestamp(tsIdx)))
-      .map(ts => FeedOffset(micros(ts.toInstant)))
+      transport.fetch(cursor, n, total - n)).rows
+    val stamps = lastPage.flatMap(r => Option(r.getTimestamp(tsIdx)))
+    if (stamps.isEmpty) None
+    else Some(FeedOffset(stamps.map(ts => micros(ts.toInstant)).max))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -145,9 +150,11 @@ class FeedStreamReaderFactory(transport: FeedTransport, schema: StructType,
       private def inRange(r: Row): Boolean = {
         val ts = r.getTimestamp(tsIdx)
         // a NULL updated_at row cannot be ordered into any cursor interval:
-        // it is delivered exactly once, in the cold-start batch (no prior
-        // cursor) — matching the batch path, where the `updated_at >
-        // cursor` pushdown likewise excludes it from every cursored read
+        // it rides the cold-start batch (no prior cursor) if present then —
+        // AT MOST once overall. One that first appears after cold start is
+        // never delivered: cursored fetches exclude it server-side, matching
+        // the batch path's `updated_at > cursor` pushdown. Upstreams must
+        // stamp updated_at for a row to be streamable.
         if (ts == null) p.startMicros == Long.MinValue
         else {
           val m = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L

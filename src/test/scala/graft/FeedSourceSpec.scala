@@ -202,6 +202,28 @@ class FeedSourceSpec extends SparkSpec {
     assert(s.planInputPartitions(s.initialOffset(), end).isEmpty)
   }
 
+  test("streaming feed: NULLS-LAST store ordering does not stall the offset probe") {
+    // a backing store that orders NULL updated_at LAST pins a null row at
+    // the tail; probing only the tail row would never advance the offset
+    // (silent permanent stall) — the last-PAGE probe takes the max
+    // non-null stamp instead
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      Row("a", t("2024-02-01 10:00:00"), "NEW"),
+      Row("b", t("2024-02-01 10:07:00"), "NEW"),
+      Row("n", null, "NEW")) // nulls last
+    FeedRegistry.register("nulls-last", schema, (_, limit, offset) =>
+      PagedFeed.Page(rows.slice(offset.toInt, offset.toInt + limit), rows.size))
+    val s = new graft.sources.FeedMicroBatchStream(
+      graft.sources.RegistryTransport("nulls-last"), schema, None,
+      pageSize = 10, pagesPerPartition = 2)
+    val end = s.latestOffset()
+    assert(end === graft.sources.FeedOffset(
+      graft.sources.FeedMicroBatchStream.micros(t("2024-02-01 10:07:00").toInstant)),
+      s"offset must advance to the max non-null stamp, got $end")
+    assert(s.planInputPartitions(s.initialOffset(), end).nonEmpty)
+  }
+
   test("feed source composes with the extractor pipeline operators") {
     mkFeed("compose")
     val raw = spark.read.format("graft-feed").option("feed", "compose").load()

@@ -338,6 +338,13 @@ class TrainingOpsSpec extends SparkSpec {
     val kept = NearDup.canonicalCorpusByScore(docs, clusters, "doc_id", $"score")
       .select($"doc_id").as[Long].collect().toSet
     assert(kept === Set(2L, 4L, 9L), s"got $kept")
+    // string ids: ties break by the ID COLUMN'S OWN ordering ('10' < '9'
+    // lexicographically) — no numeric cast of the id is ever attempted
+    val sdocs = Seq(("10", 6L), ("9", 6L)).toDF("doc_id", "score")
+    val sclusters = Seq(("10", "10"), ("9", "10")).toDF("node", "component")
+    val skept = NearDup.canonicalCorpusByScore(sdocs, sclusters, "doc_id", $"score")
+      .select($"doc_id").as[String].collect().toSet
+    assert(skept === Set("10"), s"got $skept")
   }
 
   test("multimodal end-to-end: decoded image grids feed cosine near-dup") {
