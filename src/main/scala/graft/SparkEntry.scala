@@ -1122,9 +1122,12 @@ object SparkEntry {
     "q96_bm25" -> ((s, dir) => {
       val scores = graft.functions.Retrieval.bm25Scores(t(s, dir, "documents"),
         "text", "doc_id", Seq("spark", "join", "filter"))
+      // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+      // bounded heaps) — the rank window then orders only the k survivors,
+      // never the full scored corpus
       val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-      scores.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 20)
+      scores.orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
     }),
 
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 list with an
@@ -1135,9 +1138,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val lex = graft.functions.Retrieval.bm25Scores(docs, "text", "doc_id",
         Seq("spark", "join", "filter"))
+      // each list: TakeOrderedAndProject to its k, then rank the survivors
+      // (the windows below order ≤50 rows, never the scored corpus)
       val wl = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-      val lexRank = lex.withColumn("rank", row_number().over(wl).cast("long"))
-        .filter(col("rank") <= 50).select(col("doc_id").as("id"), col("rank"))
+      val lexRank = lex.orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank", row_number().over(wl).cast("long"))
+        .select(col("doc_id").as("id"), col("rank"))
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("_qv"))
       val joined = emb.crossJoin(broadcast(q))
@@ -1145,12 +1151,13 @@ object SparkEntry {
         round(graft.plans.GraftFunctions.cosine(joined,
           col("embedding").cast("array<double>"), col("_qv")), 6).as("cos"))
       val wv = Window.orderBy(col("cos").desc, col("vec_id").asc)
-      val vecRank = withCos.withColumn("rank", row_number().over(wv).cast("long"))
-        .filter(col("rank") <= 50).select(col("vec_id").as("id"), col("rank"))
+      val vecRank = withCos.orderBy(col("cos").desc, col("vec_id").asc).limit(50)
+        .withColumn("rank", row_number().over(wv).cast("long"))
+        .select(col("vec_id").as("id"), col("rank"))
       val fused = graft.functions.Retrieval.rrfFuse(lexRank, vecRank, "id")
       val wf = Window.orderBy(col("rrf").desc, col("id").asc)
-      fused.withColumn("rank", row_number().over(wf).cast("long"))
-        .filter(col("rank") <= 10)
+      fused.orderBy(col("rrf").desc, col("id").asc).limit(10)
+        .withColumn("rank", row_number().over(wf).cast("long"))
         .select(col("id").as("doc_id"), col("rrf"), col("rank"))
     }),
 
@@ -1952,10 +1959,14 @@ object SparkEntry {
          SELECT d.doc_id, d.lang
          FROM documents d JOIN w ON d.lang = w.lang
          WHERE ((strpos('0123456789abcdef',
-                   substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 1)) - 1) * 16 +
+                   substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 1)) - 1) * 4096 +
                 (strpos('0123456789abcdef',
-                   substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 2, 1)) - 1))
-               < floor(coalesce(least(w.weight, 1.0), 1.0) * 256)""",
+                   substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 4, 1)) - 1))
+               < greatest(floor(coalesce(least(w.weight, 1.0), 1.0) * 65536), 1)""",
 
     // distinct-per-doc bigrams (list_distinct before unnest), df >= 2,
     // ties on gram text — mirrors boilerplateNgrams' total order
@@ -2165,7 +2176,7 @@ object SparkEntry {
                     CAST(0.5 AS DOUBLE)) / CAST(16777216 AS DOUBLE))
                     / CAST(weight AS DOUBLE), 10) AS sample_key
            FROM d WHERE weight > 0)
-         SELECT doc_id, CAST(weight AS BIGINT) AS weight, sample_key
+         SELECT doc_id, CAST(weight AS DOUBLE) AS weight, sample_key
          FROM k ORDER BY sample_key DESC, doc_id ASC LIMIT 50""",
 
     // centroids: per-dim decimal-summed means (order-free, exact); member

@@ -135,9 +135,13 @@ object Corpus {
     * The draw is the md5 discipline of [[splitAssign]]: a document's fate
     * depends only on (id, salt), so the sample is reproducible, stable
     * under repartitioning, and auditable. The threshold compares the first
-    * hash byte against `floor(min(weight,1)·256)` — 1/256 probability
-    * granularity, exact-rule-reproducible by any engine (finer granularity
-    * = more hash bytes, same construction).
+    * TWO hash bytes against `max(floor(min(weight,1)·65536), 1)` — 1/65536
+    * probability granularity, exact-rule-reproducible by any engine. The
+    * floor of 1 means a nonempty stratum is never annihilated outright: a
+    * stratum whose weight falls below the granularity (possible once
+    * |strata| exceeds 65536·target share — e.g. one domain holding 30% of
+    * tokens among thousands of domain strata) is cut to 1/65536, not to
+    * zero, so no language/source silently vanishes from the training mix.
     *
     * Scale: the weights table is |strata| rows (broadcast); the keep
     * decision is map-side per row. One partially-aggregated pass for the
@@ -149,14 +153,16 @@ object Corpus {
       .select((strataCols.map(col) :+ col("weight")): _*)
     val h = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
     val hex = "0123456789abcdef"
-    val byte0 = (instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
-      (instr(lit(hex), substring(h, 2, 1)) - 1)
+    val hash16 = (1 to 4).map(j =>
+      (instr(lit(hex), substring(h, j, 1)) - 1) * lit(1 << (4 * (4 - j))))
+      .reduce(_ + _)
     // a stratum with ZERO tokens has weight NULL (x/0): it is the limit of
     // "under-represented", so it keeps everything — without the coalesce
     // the NULL comparison would silently drop the whole stratum. (Rows
     // with a NULL strata key still drop at the equi-join, as documented.)
     df.join(broadcast(weights), strataCols)
-      .filter(byte0 < floor(coalesce(least(col("weight"), lit(1.0)), lit(1.0)) * 256))
+      .filter(hash16 < greatest(
+        floor(coalesce(least(col("weight"), lit(1.0)), lit(1.0)) * 65536), lit(1L)))
       .drop("weight")
   }
 
@@ -287,10 +293,13 @@ object Corpus {
                      salt: String): DataFrame = {
     val x = hash24(col(idCol), salt)
     val u = (x + lit(0.5)) / lit(16777216.0) // 16^6; exact dyadic division
-    df.withColumn("weight", weightCol.cast("long"))
+    // double, not an integral cast: A-ES promises inclusion probability
+    // proportional to ANY positive weight — truncating would drop every
+    // row with 0 < weight < 1 and distort fractional weights
+    df.withColumn("weight", weightCol.cast("double"))
       .filter(col("weight") > 0)
       .withColumn("sample_key",
-        round(log(u) / col("weight").cast("double"), 10))
+        round(log(u) / col("weight"), 10))
       .orderBy(col("sample_key").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("weight"), col("sample_key"))

@@ -282,7 +282,9 @@ object Similarity {
     val kAdc = math.max(k, k * rerankFactor)
     val survivors = scored.groupBy(col("query_id"))
       .agg(graft.plans.GraftFunctions.topkPairs(scored, col("adc"),
-        -col("neighbor_id"), kAdc).as("_top"))
+        // cast BEFORE negating: the heap is strictly (double, long) — an
+        // int id column would fail analysis (and -Int.MinValue overflows)
+        -col("neighbor_id").cast("long"), kAdc).as("_top"))
       .select(col("query_id"), explode(col("_top")).as("_p"))
       .select(col("query_id"), (-col("_p.id")).as("neighbor_id"))
       .join(qn.select(col("query_id"), col("_qv")), Seq("query_id"))

@@ -40,14 +40,6 @@ object Audit {
           col("r.n_rows").cast("double"), 6).as("violation_rate"))
   }
 
-  /** Referential-integrity report: for each named edge (childKey must
-    * exist in parentKey), the child row count, orphan count, and rate.
-    * Each edge is a distinct-parent anti-join — the exact form; at corpus
-    * scale the parent key set rides a broadcast when small and a shuffle
-    * otherwise, and a bloom pre-filter ([[graft.operators.Merge]]'s
-    * `historyDeltaBloom` pattern) can screen the child first when orphans
-    * are rare. Report is |edges| rows.
-    */
   /** [[refIntegrity]] for several edges sharing ONE child table: the
     * child is scanned ONCE, each parent's distinct key set left-joins in
     * (distinct ⇒ at most one match ⇒ row count preserved), and a single
@@ -83,6 +75,14 @@ object Audit {
           .as("orphan_rate"))
   }
 
+  /** Referential-integrity report: for each named edge (childKey must
+    * exist in parentKey), the child row count, orphan count, and rate.
+    * Each edge is a distinct-parent anti-join — the exact form; at corpus
+    * scale the parent key set rides a broadcast when small and a shuffle
+    * otherwise, and a bloom pre-filter ([[graft.operators.Merge]]'s
+    * `historyDeltaBloom` pattern) can screen the child first when orphans
+    * are rare. Report is |edges| rows.
+    */
   def refIntegrity(edges: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {
     require(edges.nonEmpty, "at least one edge")

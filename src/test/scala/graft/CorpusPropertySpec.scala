@@ -50,14 +50,14 @@ class CorpusPropertySpec extends SparkSpec {
       val rows = (1L to 60L).map(i => (i, 1L + r.nextInt(50).toLong))
       val df = rows.toDF("id", "w")
       val picked = Corpus.weightedSample(df, "id", $"w", k = 12, salt = s"s$seed")
-        .as[(Long, Long, Double)].collect()
+        .as[(Long, Double, Double)].collect()
       assert(picked.length === 12)
       // bump one sampled row's weight: its ln(u)/w key only improves, all
       // other keys are untouched, so it must survive the cut
       val bumpId = picked(r.nextInt(picked.length))._1
       val bumped = rows.map { case (i, w) => (i, if (i == bumpId) w * 3 else w) }
       val again = Corpus.weightedSample(bumped.toDF("id", "w"), "id", $"w",
-        k = 12, salt = s"s$seed").as[(Long, Long, Double)].collect()
+        k = 12, salt = s"s$seed").as[(Long, Double, Double)].collect()
       assert(again.map(_._1).contains(bumpId), s"seed $seed: $bumpId evicted by a raise")
     }
   }

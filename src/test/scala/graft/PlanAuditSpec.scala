@@ -268,6 +268,20 @@ class PlanAuditSpec extends SparkSpec {
       "global sort instead of bounded top-k:\n" + p.take(800))
   }
 
+  test("retrieval rank windows order only TakeOrderedAndProject survivors") {
+    // q96/q97 rank via row_number over an unpartitioned window — legal
+    // ONLY because the stream has already been cut to k rows by a
+    // bounded-heap top-k; ranking the full scored corpus through a
+    // single-partition window sort is the scale killer this pins out
+    for (q <- Seq("q96_bm25", "q97_hybrid_rrf")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must pre-cut with a bounded top-k:\n" + p.take(800))
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$q plans a global sort:\n" + p.take(800))
+    }
+  }
+
   test("snapshot diff shuffles md5 digests, not document bodies") {
     val p = plan("q86_snapshot_diff")
     // the digest must be computed BELOW the join: every Exchange row

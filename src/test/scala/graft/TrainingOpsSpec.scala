@@ -234,6 +234,13 @@ class TrainingOpsSpec extends SparkSpec {
     info(s"measured IVF-PQ recall: $recall")
     // measured 0.64 at (nlist=8, nprobe=4, m=8, rerank=10), deterministic
     assert(recall >= 0.6, s"IVF-PQ recall $recall below the pinned 0.64 band")
+    // int id columns stay supported through the ADC heap stage (the family
+    // contract: byte/short/int ids work everywhere long ids do)
+    val embInt = emb.withColumn("vec_id", $"vec_id".cast("int"))
+    val approxInt = Similarity.ivfpqTopK(embInt.filter($"vec_id" < 5), embInt,
+      k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 32, rerankFactor = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approxInt === approxPairs, "int ids must reproduce the long-id result")
   }
 
   test("multimodal batched decode: mapPartitions batches, deterministic, full coverage") {
@@ -652,6 +659,37 @@ class TrainingOpsSpec extends SparkSpec {
     val out = Corpus.applyMixtureWeights(docs, Seq("lang"),
       TextAnalysis.tokenCount($"text"), "doc_id", salt = "42")
     assert(out.filter($"lang" === "xx").count() === 2, "NULL weight dropped docs")
+  }
+
+  test("mixture downsample never annihilates a stratum below the hash granularity") {
+    // weight = (1/|strata|)/share can drop below 1/65536 once |strata| is
+    // large and one stratum dominates (one crawl domain among tens of
+    // thousands). floor(weight·65536) is then 0 — the threshold must floor
+    // at 1 so the stratum is cut to the hash granularity, NOT to zero.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash16(id: Long): Int = {
+      val h = md.digest(s"$id:ann".getBytes("UTF-8"))
+      ((h(0) & 0xFF) << 8) | (h(1) & 0xFF)
+    }
+    // deterministic: md5 is stable, so these scans always find the same ids
+    val luckyId = (0L to 300000L).find(hash16(_) == 0).get
+    val unluckyIds = (0L to 300000L).filter(hash16(_) != 0).take(9)
+    // 65536 singleton strata (1 token each) + one "big" stratum holding
+    // ~all tokens: weight_big = (1/65537)/share_big < 1/65536
+    val singletons = spark.range(65536).select(
+      ($"id" + 10000000L).as("doc_id"),
+      concat(lit("s"), $"id").as("lang"), lit(1L).as("toks"))
+    val big = (luckyId +: unluckyIds).toDF("doc_id")
+      .select($"doc_id", lit("big").as("lang"), lit(100000000L).as("toks"))
+    val docs = singletons.unionByName(big)
+    val w = Corpus.mixtureWeights(docs, Seq("lang"), $"toks")
+      .filter($"lang" === "big").select($"weight").as[Double].head()
+    assert(w > 0 && w < 1.0 / 65536, s"fixture must induce sub-granularity weight, got $w")
+    val kept = Corpus.applyMixtureWeights(docs, Seq("lang"), $"toks", "doc_id",
+        salt = "ann")
+      .filter($"lang" === "big").select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(luckyId),
+      s"big stratum must keep exactly the hash16==0 doc, got $kept")
   }
 
   test("decontamination flags eval-overlapping docs and only those") {
@@ -1117,7 +1155,7 @@ class TrainingOpsSpec extends SparkSpec {
     for ((lang, n) <- before) {
       if (w(lang) >= 1.0) assert(after(lang) === n, s"$lang lost docs at weight >= 1")
       else {
-        val p = math.floor(math.min(w(lang), 1.0) * 256) / 256
+        val p = math.max(math.floor(math.min(w(lang), 1.0) * 65536), 1.0) / 65536
         // md5 bytes are uniform: expect np within a generous binomial band
         val exp = n * p
         assert(math.abs(after(lang) - exp) <= 4 * math.sqrt(exp) + 3,
@@ -1228,15 +1266,25 @@ class TrainingOpsSpec extends SparkSpec {
       (51L to 100L).map(i => (i, 1L)) :+ ((101L, 0L))
     val df = rows.toDF("doc_id", "w")
     val out = Corpus.weightedSample(df, "doc_id", $"w", k = 10, salt = "s")
-      .as[(Long, Long, Double)].collect()
+      .as[(Long, Double, Double)].collect()
     assert(out.length === 10)
     // weight 0 can never be drawn; 100x weights should take nearly every slot
     assert(!out.exists(_._1 === 101L))
-    assert(out.count(_._2 === 100L) >= 8, s"heavy docs took ${out.count(_._2 === 100L)}/10")
+    assert(out.count(_._2 === 100.0) >= 8, s"heavy docs took ${out.count(_._2 === 100.0)}/10")
     // same (id, salt, w) -> same sample on any partitioning
     val again = Corpus.weightedSample(df.repartition(13), "doc_id", $"w", 10, "s")
-      .as[(Long, Long, Double)].collect()
+      .as[(Long, Double, Double)].collect()
     assert(out.map(_._1).toSet === again.map(_._1).toSet)
+    // FRACTIONAL weights are first-class (quality scores, mixture ratios):
+    // an all-sub-1.0-weight corpus still yields k rows, and a 10x weight
+    // ratio dominates the same way integral weights do — no truncation
+    val frac = ((1L to 30L).map(i => (i, 0.9)) ++ (31L to 60L).map(i => (i, 0.09)))
+      .toDF("doc_id", "w")
+    val fout = Corpus.weightedSample(frac, "doc_id", $"w", k = 10, salt = "s")
+      .as[(Long, Double, Double)].collect()
+    assert(fout.length === 10, "fractional weights must not empty the sample")
+    assert(fout.count(_._2 === 0.9) >= 8,
+      s"heavy fractional docs took ${fout.count(_._2 === 0.9)}/10")
   }
 
   test("cluster cohesion: tight separated clusters read high intra, low inter") {
