@@ -1161,6 +1161,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rrf"), col("rank"))
     }),
 
+    // Per-source quota cap: each source keeps its 50 highest-token-count
+    // documents (ties → smallest id) — the hard per-domain representation
+    // cap (max-URLs-per-domain) that bounds a stratum's absolute count,
+    // complementing q78's probabilistic rebalance. One partitioned window
+    // keyed on source; never a global sort.
+    "q102_domain_quota" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Corpus.quotaCap(docs, Seq("source"),
+          graft.functions.TextAnalysis.tokenCount(
+            coalesce(col("text"), lit(""))).cast("long"),
+          "doc_id", n = 50)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Quality-aware dedup: same clusters as q48, but each cluster keeps
     // its LONGEST member (ties → smallest id) — the production keep-best
     // rule, vs q49's min-id form. Oracle re-derives the clusters with the
@@ -2598,6 +2612,21 @@ object SparkEntry {
          dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
          SELECT d.doc_id, d.lang FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""",
+
+    // same (token count desc, doc_id asc) total order per source as the
+    // engine's partitioned window
+    "q102_domain_quota" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                    x -> x <> '')) AS BIGINT) AS tc
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY tc DESC, doc_id ASC) AS rn
+           FROM t)
+         SELECT doc_id, source FROM r WHERE rn <= 50""",
 
     // window text counted directly (Spark counts xxhash64 fingerprints of
     // the same text — equal absent a 64-bit collision); range() is

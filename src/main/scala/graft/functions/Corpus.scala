@@ -305,6 +305,29 @@ object Corpus {
       .select(col(idCol), col("weight"), col("sample_key"))
   }
 
+  /** Per-stratum quota cap: keep the `n` best rows of each stratum by
+    * `rank` (ties → smallest id), drop the rest — the hard per-domain
+    * representation cap (RefinedWeb/FineWeb "max URLs per domain" rule)
+    * that complements [[applyMixtureWeights]]'s probabilistic rebalance:
+    * a quota bounds a stratum's absolute count no matter how its share
+    * moves, and keeps the BEST members rather than a uniform draw.
+    *
+    * Scale: one hash-partitioned window per stratum (shuffle keyed on the
+    * strata columns, never a global sort); rank + filter stream inside the
+    * window, so per-partition memory is O(batch), not O(stratum). A skewed
+    * mega-domain makes one hot partition — at that point cap its input
+    * first with [[applyMixtureWeights]] or a salted pre-prune, as the
+    * window's total order can't be salted without breaking exactness.
+    */
+  def quotaCap(df: DataFrame, strataCols: Seq[String], rank: Column,
+               idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(rank.desc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams that appear in no other document — templated/boilerplate
     * docs score near 0, genuinely novel text near 1. The inverse lens of

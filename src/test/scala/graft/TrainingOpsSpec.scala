@@ -1260,6 +1260,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!out.contains((1L, 4L)))
   }
 
+  test("domain quota cap: keeps best n per stratum, ties to min id, small strata whole") {
+    import graft.functions.Corpus
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L), // a: top2 = 2,4
+      (5L, "b", 5L),                                                  // b under quota
+      (6L, "c", 7L), (7L, "c", 7L), (8L, "c", 7L)                     // c all tied → 6,7
+    ).toDF("doc_id", "source", "q")
+    val kept = Corpus.quotaCap(docs, Seq("source"), $"q", "doc_id", n = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L, 6L, 7L), s"got $kept")
+    // stable under repartitioning: the window's total order is explicit
+    val again = Corpus.quotaCap(docs.repartition(7), Seq("source"), $"q", "doc_id", 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === kept)
+    // full schema passes through minus the helper rank
+    assert(Corpus.quotaCap(docs, Seq("source"), $"q", "doc_id", 2).columns.toSeq
+      === docs.columns.toSeq)
+  }
+
   test("weighted sample: heavy weights dominate, zero excluded, deterministic") {
     import graft.functions.Corpus
     val rows = (1L to 50L).map(i => (i, 100L)) ++
