@@ -1175,6 +1175,31 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // BPE tokenizer training, first merge iteration: the corpus collapses
+    // to a distinct-word frequency table (the ONE corpus-wide scan; Heaps'
+    // law keeps it vocabulary-sized), then adjacent character-pair counts
+    // weighted by word frequency rank the merge candidates — count desc,
+    // pair asc, a total order so the top-30 is engine-reproducible. The
+    // full iterative merge loop is Bpe.train (driver loop over the cached
+    // vocab table, BpeSpec pins it against the Sennrich corpus).
+    "q103_bpe_pairs" -> ((s, dir) =>
+      graft.functions.Bpe.mergePairCounts(
+        t(s, dir, "documents"), col("text"), k = 30)),
+
+    // Exact n-gram collision decontamination (GPT-3/PaLM rule): a corpus
+    // doc is contaminated if it shares ANY exact word 5-gram with the
+    // held-out eval set — catches a single pasted benchmark sentence that
+    // q59's document-level Jaccard threshold waves through. Fingerprint
+    // equi-join on 8-byte keys + partial-agg distinct-gram count; Spark
+    // joins xxhash64 fingerprints, the oracle the same grams as text.
+    "q104_exact_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.NearDup.exactContamination(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "text", "doc_id", n = 5)
+    }),
+
     // Quality-aware dedup: same clusters as q48, but each cluster keeps
     // its LONGEST member (ties → smallest id) — the production keep-best
     // rule, vs q49's min-id form. Oracle re-derives the clusters with the
@@ -2612,6 +2637,42 @@ object SparkEntry {
          dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
          SELECT d.doc_id, d.lang FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""",
+
+    // same word-frequency collapse then adjacent char-pair counts; the
+    // (count desc, pair asc) total order makes LIMIT engine-reproducible
+    "q103_bpe_pairs" ->
+      """WITH words AS (
+           SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+             x -> x <> '')) AS word
+           FROM documents),
+         wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+         idx AS (
+           SELECT word, freq,
+                  unnest(generate_series(1, length(word) - 1)) AS i
+           FROM wf),
+         p AS (SELECT substring(word, CAST(i AS INT), 2) AS pair, freq FROM idx)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM p GROUP BY pair
+         ORDER BY pair_count DESC, pair ASC LIMIT 30""",
+
+    // same distinct 5-grams per doc; the oracle joins gram text where the
+    // engine joins xxhash64 fingerprints — equal absent a 64-bit collision
+    "q104_exact_contamination" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(ts) - 3, 1)),
+                    i -> array_to_string(ts[i:i+4], ' ')))) AS g
+           FROM tok),
+         ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 13 = 0)
+         SELECT s.doc_id, count(*) AS n_hits
+         FROM sh s JOIN ev USING (g)
+         WHERE s.doc_id % 13 <> 0
+         GROUP BY s.doc_id""",
 
     // same (token count desc, doc_id asc) total order per source as the
     // engine's partitioned window

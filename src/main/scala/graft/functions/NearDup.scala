@@ -428,6 +428,46 @@ object NearDup {
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Exact n-gram collision contamination report — the GPT-3/PaLM-style
+    * decontamination rule: a corpus document is contaminated if it shares
+    * ANY exact word n-gram with the eval set, regardless of what fraction
+    * of the document that n-gram covers. The complement of
+    * [[decontaminate]]'s Jaccard form: Jaccard catches documents that are
+    * mostly eval material; exact collision catches a single memorized
+    * benchmark sentence pasted into an otherwise-clean document, which a
+    * document-level similarity threshold waves through. Production
+    * pipelines run BOTH (collision with a long n, similarity with a lower
+    * one).
+    *
+    * Returns (idCol, n_hits): each contaminated corpus document with the
+    * number of DISTINCT eval n-grams it contains ([[WordShingleHashes]]
+    * emits each document's distinct fingerprints, so the post-join count
+    * is a distinct-gram count without a dedup pass). Clean documents are
+    * absent — at a healthy contamination rate the report is tiny.
+    *
+    * Scale: both sides collapse to (id, 8-byte fingerprint) streams; the
+    * collision is a fingerprint equi-join followed by a partial-agg count
+    * — never a text comparison, never a cross or broadcast of either
+    * corpus. A caller with a genuinely benchmark-sized eval set can mark
+    * it `broadcast(...)` at the call site; the default stays a shuffle
+    * join so an eval set proportional to the corpus (the q104 harness
+    * shape) cannot become a driver-side bomb.
+    */
+  def exactContamination(corpus: DataFrame, evalSet: DataFrame,
+                         textCol: String, idCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val base = df.select(col(idCol).as("_id"),
+        coalesce(col(textCol), lit("")).as("_text"))
+      base.select(col("_id"),
+        explode(graft.plans.GraftFunctions.wordShingleHashes(base, col("_text"), n))
+          .as("_g"))
+    }
+    grams(corpus)
+      .join(grams(evalSet).select("_g").distinct(), Seq("_g"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Exact shingle-set Jaccard verify of candidate id pairs: re-attach the
     * (materialized) shingle arrays per side, intersect, threshold. The ONE
     * verification expression every banding/bucketing candidate generator

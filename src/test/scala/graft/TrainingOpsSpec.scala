@@ -711,6 +711,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(clean == Set(2L, 3L))
   }
 
+  test("exact contamination counts distinct colliding grams; one pasted sentence flags") {
+    val evalSet = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // one pasted eval sentence inside a long unrelated doc — Jaccard at a
+      // document level would miss it; exact collision must flag it with the
+      // 2 distinct eval 5-grams it contains
+      (1L, "totally unrelated preface alpha beta gamma delta epsilon zeta and a long tail of other words"),
+      (2L, "no overlap with the benchmark material at all in this document"),
+      // repeats the SAME eval 5-gram twice → still 1 distinct colliding gram
+      (3L, "alpha beta gamma delta epsilon then alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val hits = NearDup.exactContamination(corpus, evalSet, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits === Map(1L -> 2L, 3L -> 1L), s"got $hits")
+  }
+
   test("decontamination tolerates eval ids colliding with corpus ids") {
     // the eval set is EXTERNAL — its id space may overlap the corpus's; the
     // verify must resolve id_a against eval shingles and id_b against corpus
