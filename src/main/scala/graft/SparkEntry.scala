@@ -1200,6 +1200,18 @@ object SparkEntry {
         "text", "doc_id", n = 5)
     }),
 
+    // Global token-offset index over the q68 shard layout — distributed
+    // prefix sum: per-shard cumulative sums in parallel, then a window
+    // over the 8-row shard-base table, broadcast back. The naive global
+    // ordered window would funnel the whole corpus through one partition.
+    "q105_token_offsets" -> ((s, dir) => {
+      val sharded = graft.functions.Corpus.shuffleShards(
+        t(s, dir, "documents"), "doc_id", salt = "42", nShards = 8)
+      graft.functions.Corpus.tokenOffsets(sharded, "shard", "shard_pos",
+          graft.functions.TextAnalysis.tokenCount(coalesce(col("text"), lit(""))))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_offset"))
+    }),
+
     // Quality-aware dedup: same clusters as q48, but each cluster keeps
     // its LONGEST member (ties → smallest id) — the production keep-best
     // rule, vs q49's min-id form. Oracle re-derives the clusters with the
@@ -2654,6 +2666,29 @@ object SparkEntry {
          SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair ASC LIMIT 30""",
+
+    // the oracle's single global ordered window equals the engine's
+    // two-level (per-shard cumsum + shard-base prefix) decomposition;
+    // within-shard order (md5 asc, doc_id asc) matches shard_pos
+    "q105_token_offsets" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || ':42') AS hh,
+                  len(list_filter(string_split(coalesce(text, ''), ' '),
+                    x -> x <> '')) AS tc
+           FROM documents),
+         x AS (
+           SELECT doc_id, hh, tc,
+                  ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1)) % 8 AS sh
+           FROM h)
+         SELECT doc_id, CAST(sh AS BIGINT) AS shard, CAST(tc AS BIGINT) AS n_tokens,
+                CAST(coalesce(sum(tc) OVER (ORDER BY sh, hh, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS start_offset
+         FROM x""",
 
     // same distinct 5-grams per doc; the oracle joins gram text where the
     // engine joins xxhash64 fingerprints — equal absent a 64-bit collision

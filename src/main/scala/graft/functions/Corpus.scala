@@ -328,6 +328,39 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Global token-offset index of a sharded corpus — for each row, the
+    * index of its first token in the concatenated (shard asc, position
+    * asc) token stream. This is the loader-side index every training run
+    * reads ("sample i starts at token offset o"), and the textbook
+    * distributed prefix sum: the naive form — one global ordered window —
+    * funnels EVERY row through a single partition, the worst possible
+    * plan at 100 TB. The two-level form does a per-shard cumulative sum
+    * (parallel, one shuffle keyed on shard), collapses to one row per
+    * shard, prefix-sums THAT table (a window over #shards rows, not the
+    * corpus), and broadcast-joins the shard base offsets back.
+    *
+    * `posCol` must be a total order within each shard (e.g.
+    * [[shuffleShards]]'s `shard_pos`); output appends `n_tokens` (the
+    * evaluated `tokens` count) and `start_offset`.
+    */
+  def tokenOffsets(df: DataFrame, shardCol: String, posCol: String,
+                   tokens: Column): DataFrame = {
+    val wIntra = Window.partitionBy(col(shardCol)).orderBy(col(posCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("_intra", coalesce(sum(col("n_tokens")).over(wIntra), lit(0L)))
+    val bases = intra.groupBy(col(shardCol))
+      .agg(sum(col("n_tokens")).as("_shard_total"))
+    val wBase = Window.orderBy(col(shardCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val based = bases
+      .withColumn("_base", coalesce(sum(col("_shard_total")).over(wBase), lit(0L)))
+      .select(col(shardCol), col("_base"))
+    intra.join(broadcast(based), Seq(shardCol))
+      .withColumn("start_offset", col("_base") + col("_intra"))
+      .drop("_intra", "_base")
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams that appear in no other document — templated/boilerplate
     * docs score near 0, genuinely novel text near 1. The inverse lens of

@@ -1297,6 +1297,29 @@ class TrainingOpsSpec extends SparkSpec {
       === docs.columns.toSeq)
   }
 
+  test("token offsets: two-level prefix sum equals the global ordered cumsum") {
+    import graft.functions.Corpus
+    // 3 shards, explicit positions, known counts — offsets must equal the
+    // running total in (shard, pos) order regardless of input partitioning
+    val rows = Seq(
+      (1L, 0L, 1L, 10L), (2L, 0L, 2L, 5L),
+      (3L, 1L, 1L, 7L),
+      (4L, 2L, 1L, 3L), (5L, 2L, 2L, 0L), (6L, 2L, 3L, 4L))
+    val df = rows.toDF("id", "shard", "pos", "tc").repartition(5)
+    val out = Corpus.tokenOffsets(df, "shard", "pos", $"tc")
+      .select($"id", $"n_tokens", $"start_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, 10L, 0L), (2L, 5L, 10L),
+      (3L, 7L, 15L),
+      (4L, 3L, 22L), (5L, 0L, 25L), (6L, 4L, 25L)))
+    // empty-shard gaps don't exist by construction; an empty input is fine
+    val empty = Corpus.tokenOffsets(
+      Seq.empty[(Long, Long, Long, Long)].toDF("id", "shard", "pos", "tc"),
+      "shard", "pos", $"tc")
+    assert(empty.count() === 0)
+  }
+
   test("weighted sample: heavy weights dominate, zero excluded, deterministic") {
     import graft.functions.Corpus
     val rows = (1L to 50L).map(i => (i, 100L)) ++
