@@ -1200,6 +1200,22 @@ object SparkEntry {
         "text", "doc_id", n = 5)
     }),
 
+    // Unicode NFC canonicalization (native java.text.Normalizer pass;
+    // Spark has no built-in): the corpus is ASCII, so the query first
+    // REWRITES it into decomposed form deterministically (every 'e'
+    // becomes e + U+0301) on both engines, then normalizes — NFC must
+    // compose each pair back to 'é', shrinking the char count by exactly
+    // the 'e' count and matching DuckDB's nfc_normalize byte-for-byte
+    // (pinned via sha256 of the normalized text).
+    "q106_nfc_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val decomposed = regexp_replace(coalesce(col("text"), lit("")),
+        "e", "e\u0301") // e + combining acute (decomposed)
+      val nfc = graft.plans.GraftFunctions.unicodeNormalize(docs, decomposed, "NFC")
+      docs.select(col("doc_id"), length(nfc).cast("long").as("n_nfc"),
+        sha2(nfc, 256).as("nfc_sha"))
+    }),
+
     // Global token-offset index over the q68 shard layout — distributed
     // prefix sum: per-shard cumulative sums in parallel, then a window
     // over the 8-row shard-base table, broadcast back. The naive global
@@ -2666,6 +2682,16 @@ object SparkEntry {
          SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair ASC LIMIT 30""",
+
+    // same deterministic decomposition (e → e+U+0301), then the engines'
+    // independent NFC implementations must agree byte-for-byte
+    "q106_nfc_normalize" ->
+      """SELECT doc_id,
+                CAST(length(nfc_normalize(replace(coalesce(text, ''),
+                  'e', 'e' || chr(769)))) AS BIGINT) AS n_nfc,
+                sha256(nfc_normalize(replace(coalesce(text, ''),
+                  'e', 'e' || chr(769)))) AS nfc_sha
+         FROM documents""",
 
     // the oracle's single global ordered window equals the engine's
     // two-level (per-shard cumsum + shard-base prefix) decomposition;

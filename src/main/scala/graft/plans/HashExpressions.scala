@@ -290,6 +290,19 @@ object GraftFunctions {
     call_function(name, text)
   }
 
+  /** Unicode-normalized text (form ∈ NFC/NFD/NFKC/NFKD), one native pass
+    * with an allocation-free already-normalized fast path — the
+    * canonicalization that belongs before any hash-keyed text op (see
+    * [[UnicodeNormalize]]).
+    */
+  def unicodeNormalize(df: org.apache.spark.sql.DataFrame, text: Column,
+                       form: String = "NFC"): Column = {
+    val name = s"graft_unicode_normalize_$form"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => UnicodeNormalize(exprs.head, form), "built-in")
+    call_function(name, text)
+  }
+
   /** Distinct word n-gram shingle fingerprints (array<long>), single native
     * pass — Jaccard-equivalent to `wordShingles` up to 2⁻⁶⁴ collisions.
     */
@@ -510,6 +523,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => GramRepetitionStats(exprs.head, litInt(exprs, 1, "n")))
     inject("graft_char_entropy", classOf[CharEntropyStats],
       exprs => CharEntropyStats(exprs.head))
+    inject("graft_nfc", classOf[UnicodeNormalize],
+      exprs => UnicodeNormalize(exprs.head, "NFC"))
     inject("graft_int8_quant", classOf[Int8QuantStats],
       exprs => Int8QuantStats(exprs.head))
     inject("graft_topk", classOf[TopKPairs],

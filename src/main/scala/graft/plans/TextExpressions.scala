@@ -162,3 +162,55 @@ case class CharEntropyStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
     copy(child = newChild)
 }
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) via the JDK's
+  * `java.text.Normalizer` — the canonicalization step that belongs BEFORE
+  * any hash-keyed text operation: "é" as U+00E9 and as e+U+0301 are the
+  * same text to a reader but different bytes to sha256/xxhash64, so
+  * un-normalized corpora leak duplicates straight past exact dedup.
+  * Spark SQL has no normalization built-in; this closes the gap as a
+  * native expression.
+  *
+  * The `isNormalized` fast path returns the INPUT UTF8String untouched —
+  * for ASCII/already-NFC corpora (the common case) the expression does
+  * one scan and zero allocation per row, and stays inside whole-stage
+  * codegen either way (`doGenCode` calls the kernel directly; no
+  * CodegenFallback stage demotion).
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unknown normalization form: $form")
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"graft_unicode_normalize_$form"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+  }
+
+  @transient private lazy val normForm = java.text.Normalizer.Form.valueOf(form)
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, normForm)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, normForm))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unicodeNormalize", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}

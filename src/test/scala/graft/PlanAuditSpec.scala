@@ -180,6 +180,7 @@ class PlanAuditSpec extends SparkSpec {
     val entstats = docs.select(
       GraftFunctions.charEntropyStats(docs, $"text").as("es"))
     val quant = emb.select(GraftFunctions.int8QuantStats(emb, $"v").as("qs"))
+    val nfcd = docs.select(GraftFunctions.unicodeNormalize(docs, $"text").as("nf"))
     // fallback=false: a janino compile error in the generated code (e.g. an
     // assignment to a pinned isNull literal under non-nullable children)
     // fails the test loudly instead of silently executing interpreted
@@ -189,7 +190,8 @@ class PlanAuditSpec extends SparkSpec {
                            (bucketed, "graft_hyperplane_buckets"),
                            (repstats, "graft_gram_repetition"),
                            (entstats, "graft_char_entropy"),
-                           (quant, "graft_int8_quant"))) {
+                           (quant, "graft_int8_quant"),
+                           (nfcd, "graft_unicode_normalize_NFC"))) {
         df.count()
         val p = df.queryExecution.executedPlan.toString
         // the projection carrying the native expression must be fused (starred

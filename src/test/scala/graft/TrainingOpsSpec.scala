@@ -1297,6 +1297,35 @@ class TrainingOpsSpec extends SparkSpec {
       === docs.columns.toSeq)
   }
 
+  test("unicode normalization: composes, decomposes, compatibility-folds, null-safe") {
+    import graft.plans.GraftFunctions
+    val df = Seq(
+      (1L, "café"),       // decomposed é → NFC composes to U+00E9
+      (2L, "café"),             // already composed → unchanged (fast path)
+      (3L, "ﬁne"),              // U+FB01 ligature: NFC keeps, NFKC folds to "fi"
+      (4L, "plain ascii"),
+      (5L, null)
+    ).toDF("id", "s")
+    def norm(form: String) =
+      df.select($"id", GraftFunctions.unicodeNormalize(df, $"s", form).as("n"))
+        .as[(Long, Option[String])].collect().toMap
+    val nfc = norm("NFC")
+    assert(nfc(1L) === Some("café") && nfc(1L).get.length === 4)
+    assert(nfc(2L) === Some("café"))
+    assert(nfc(3L) === Some("ﬁne")) // canonical form keeps compatibility chars
+    assert(nfc(4L) === Some("plain ascii"))
+    assert(nfc(5L) === None)
+    val nfkc = norm("NFKC")
+    assert(nfkc(3L) === Some("fine")) // compatibility fold expands the ligature
+    val nfd = norm("NFD")
+    assert(nfd(2L).get.length === 5) // é decomposes back to e + U+0301
+    // unknown form rejected at construction
+    intercept[IllegalArgumentException] {
+      graft.plans.UnicodeNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
+
   test("token offsets: two-level prefix sum equals the global ordered cumsum") {
     import graft.functions.Corpus
     // 3 shards, explicit positions, known counts — offsets must equal the
