@@ -1200,6 +1200,28 @@ object SparkEntry {
         "text", "doc_id", n = 5)
     }),
 
+    // Temperature-flattened language mixture (mT5/XLM-R α-sampling,
+    // α = 0.3): target share ∝ observed^α renormalized — boosts
+    // low-resource languages without forcing q62's uniform target.
+    // Weights table is |strata| rows; windows only over that.
+    "q107_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Corpus.temperatureWeights(docs, Seq("lang"),
+        graft.functions.TextAnalysis.tokenCount(col("text")), alpha = 0.3)
+    }),
+
+    // Padding-waste audit: fixed-count batches padded to their batch max
+    // (the dense-tensor shape), length-sorted vs arrival-order policies
+    // over the q68 shard layout — the measurement behind bucketed
+    // batching. Per-shard windows only; never a global sort.
+    "q108_padding_audit" -> ((s, dir) => {
+      val sharded = graft.functions.Corpus.shuffleShards(
+        t(s, dir, "documents"), "doc_id", salt = "42", nShards = 8)
+      graft.functions.Corpus.paddingAudit(sharded, "shard", "doc_id",
+        graft.functions.TextAnalysis.tokenCount(coalesce(col("text"), lit(""))),
+        batchSize = 16)
+    }),
+
     // Unicode NFC canonicalization (native java.text.Normalizer pass;
     // Spark has no built-in): the corpus is ASCII, so the query first
     // REWRITES it into decomposed form deterministically (every 'e'
@@ -2682,6 +2704,71 @@ object SparkEntry {
          SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair ASC LIMIT 30""",
+
+    // same α = 0.3 power-flatten over double shares; round(6) absorbs
+    // libm-vs-JVM pow last-ulp differences
+    "q107_temperature_mix" ->
+      """WITH s AS (
+           SELECT lang, count(*) AS n_docs,
+                  sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                    AS n_tokens
+           FROM documents GROUP BY lang),
+         p AS (
+           SELECT lang, n_docs, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share,
+                  CASE WHEN n_tokens > 0
+                       THEN pow(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 0.3)
+                       ELSE 0.0 END AS powed
+           FROM s)
+         SELECT lang, n_docs, n_tokens,
+                round(share, 6) AS token_share,
+                round(powed / sum(powed) OVER (), 6) AS target_share,
+                CASE WHEN n_tokens > 0
+                     THEN round((powed / sum(powed) OVER ()) / share, 6)
+                     END AS weight
+         FROM p""",
+
+    // same shard layout as q68; per-shard dense ranks batch the rows, a
+    // short final batch pads to its own max over its actual row count
+    "q108_padding_audit" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || ':42') AS hh,
+                  len(list_filter(string_split(coalesce(text, ''), ' '),
+                    x -> x <> '')) AS tc
+           FROM documents),
+         x AS (
+           SELECT doc_id, hh, tc,
+                  ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1)) % 8 AS sh
+           FROM h),
+         bl AS (
+           SELECT sh, CAST(floor((row_number() OVER (PARTITION BY sh
+                    ORDER BY tc DESC, doc_id ASC) - 1) / 16) AS BIGINT) AS b, tc
+           FROM x),
+         ba AS (
+           SELECT sh, CAST(floor((row_number() OVER (PARTITION BY sh
+                    ORDER BY doc_id ASC) - 1) / 16) AS BIGINT) AS b, tc
+           FROM x),
+         gl AS (SELECT sh, b, count(*) AS cnt, max(tc) AS mx, sum(tc) AS sm
+                FROM bl GROUP BY sh, b),
+         ga AS (SELECT sh, b, count(*) AS cnt, max(tc) AS mx, sum(tc) AS sm
+                FROM ba GROUP BY sh, b),
+         al AS (SELECT 'by_length' AS policy, count(*) AS n_batches,
+                       CAST(sum(sm) AS BIGINT) AS payload_tokens,
+                       CAST(sum(cnt * mx - sm) AS BIGINT) AS padding_tokens
+                FROM gl),
+         aa AS (SELECT 'arrival' AS policy, count(*) AS n_batches,
+                       CAST(sum(sm) AS BIGINT) AS payload_tokens,
+                       CAST(sum(cnt * mx - sm) AS BIGINT) AS padding_tokens
+                FROM ga)
+         SELECT policy, n_batches, payload_tokens, padding_tokens,
+                round(CAST(padding_tokens AS DOUBLE) /
+                      greatest(padding_tokens + payload_tokens, 1), 6)
+                  AS padding_frac
+         FROM (SELECT * FROM al UNION ALL SELECT * FROM aa)""",
 
     // same deterministic decomposition (e → e+U+0301), then the engines'
     // independent NFC implementations must agree byte-for-byte

@@ -128,6 +128,76 @@ object Corpus {
             (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)), 6)))
   }
 
+  /** Temperature-flattened mixture weights — the mT5/XLM-R sampling rule:
+    * target share ∝ observed_shareᵅ, renormalized. α = 1 reproduces the
+    * observed mix (all weights 1), α → 0 approaches uniform
+    * ([[mixtureWeights]]'s target); the standard production choice
+    * (α ≈ 0.3) boosts low-resource strata without letting them dominate.
+    * `weight` is the per-document sampling multiplier `target / observed`,
+    * directly consumable by [[applyMixtureWeights]]'s keep-probability
+    * discipline.
+    *
+    * Zero-token strata keep the q62 NULL-weight contract (observed share
+    * 0 → ratio undefined; ANSI division would throw, DuckDB agrees on
+    * NULL). Scale: identical to [[mixtureWeights]] — one partial-agg pass
+    * to |strata| rows, windows only over that tiny table.
+    */
+  def temperatureWeights(df: DataFrame, strataCols: Seq[String],
+                         tokensCol: Column, alpha: Double): DataFrame = {
+    val agg = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol.cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+    val share = col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)
+    val powed = when(col("n_tokens") > 0, pow(share, lit(alpha))).otherwise(lit(0.0))
+    agg
+      .withColumn("token_share",
+        when(sum(col("n_tokens")).over(all) > 0, round(share, 6)))
+      .withColumn("target_share",
+        when(sum(powed).over(all) > 0, round(powed / sum(powed).over(all), 6)))
+      .withColumn("weight",
+        when(col("n_tokens") > 0,
+          round((powed / sum(powed).over(all)) / share, 6)))
+  }
+
+  /** Padding-waste audit of a batching policy: group rows into
+    * fixed-count batches, pad every member to its batch's max length (the
+    * dense-tensor training shape), and report totals. Compares the two
+    * canonical policies — `by_length` (sort each shard by length before
+    * batching: like-sized rows share batches, padding collapses) vs
+    * `arrival` (batch in id order: each batch pays its longest straggler)
+    * — the measurement behind every bucketed-batching decision.
+    *
+    * Batching is per shard (a window keyed on `shardCol`, never a global
+    * sort): the distributed reality of loader sharding, and the reason
+    * the audit scales — each shard's rank/batch assignment shuffles only
+    * on the shard key. A short final batch is padded to its OWN max over
+    * its actual row count (no phantom rows).
+    */
+  def paddingAudit(df: DataFrame, shardCol: String, idCol: String,
+                   lenCol: Column, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val base = df.select(col(shardCol).as("_shard"), col(idCol).as("_id"),
+      lenCol.cast("long").as("_len"))
+    def audit(policy: String, order: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(col("_shard")).orderBy(order: _*)
+      base
+        .withColumn("_batch", ((row_number().over(w) - 1) / batchSize).cast("long"))
+        .groupBy(col("_shard"), col("_batch"))
+        .agg(count(lit(1)).as("_cnt"), max(col("_len")).as("_mx"),
+          sum(col("_len")).as("_sum"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("_sum")).as("payload_tokens"),
+          sum(col("_cnt") * col("_mx") - col("_sum")).as("padding_tokens"))
+        .select(lit(policy).as("policy"), col("n_batches"),
+          col("payload_tokens"), col("padding_tokens"),
+          round(col("padding_tokens").cast("double") /
+            greatest(col("padding_tokens") + col("payload_tokens"), lit(1L)), 6)
+            .as("padding_frac"))
+    }
+    audit("by_length", Seq(col("_len").desc, col("_id").asc))
+      .unionByName(audit("arrival", Seq(col("_id").asc)))
+  }
+
   /** Apply [[mixtureWeights]] as a deterministic downsample: each stratum
     * keeps documents with probability `min(weight, 1)` — under-represented
     * strata (weight ≥ 1) keep everything, dominant strata shed mass — so

@@ -1297,6 +1297,57 @@ class TrainingOpsSpec extends SparkSpec {
       === docs.columns.toSeq)
   }
 
+  test("temperature weights: alpha=1 reproduces observed mix, alpha flattens toward uniform") {
+    import graft.functions.Corpus
+    val docs = Seq(
+      (1L, "a", 90L), (2L, "b", 9L), (3L, "c", 1L))
+      .toDF("id", "lang", "tc")
+    def w(alpha: Double) =
+      Corpus.temperatureWeights(docs, Seq("lang"), $"tc", alpha)
+        .select($"lang", $"target_share", $"weight")
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // alpha = 1: target == observed, every weight 1
+    val w1 = w(1.0)
+    assert(w1("a")._1 === 0.9 && w1("b")._1 === 0.09 && w1("c")._1 === 0.01)
+    assert(Seq("a", "b", "c").forall(l => math.abs(w1(l)._2 - 1.0) < 1e-6))
+    // alpha = 0.3: low-resource boosted, dominant shed, order preserved
+    val w3 = w(0.3)
+    assert(w3("c")._1 > 0.01 && w3("c")._2 > 1.0, s"c must be boosted: $w3")
+    assert(w3("a")._1 < 0.9 && w3("a")._2 < 1.0, s"a must shed: $w3")
+    assert(w3("a")._1 > w3("b")._1 && w3("b")._1 > w3("c")._1) // order kept
+    // shares sum to 1 after flattening
+    assert(math.abs(w3.values.map(_._1).sum - 1.0) < 1e-5)
+    // zero-token stratum: NULL weight, zero target share (q62 contract)
+    val z = Corpus.temperatureWeights(
+        docs.union(Seq((4L, "z", 0L)).toDF("id", "lang", "tc")),
+        Seq("lang"), $"tc", 0.3)
+      .filter($"lang" === "z")
+      .select($"target_share", $"weight").collect().head
+    assert(z.getDouble(0) === 0.0 && z.isNullAt(1))
+  }
+
+  test("padding audit: length-sorted batching strictly beats arrival order on mixed lengths") {
+    import graft.functions.Corpus
+    // one shard, batch=2: lengths 10,10,1,1 — arrival order (10,1)(10,1)
+    // pays 9+9 padding; by-length (10,10)(1,1) pays 0
+    val df = Seq(
+      (1L, 0L, 10L), (2L, 0L, 1L), (3L, 0L, 10L), (4L, 0L, 1L))
+      .toDF("id", "shard", "len")
+    val out = Corpus.paddingAudit(df, "shard", "id", $"len", batchSize = 2)
+      .select($"policy", $"n_batches", $"payload_tokens", $"padding_tokens")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("by_length") === (("by_length", 2L, 22L, 0L)))
+    assert(out("arrival") === (("arrival", 2L, 22L, 18L)))
+    // short final batch pads to its own max only: 3 rows, batch=2 →
+    // batches (10,7) and (3): padding 3 + 0
+    val odd = Seq((1L, 0L, 10L), (2L, 0L, 7L), (3L, 0L, 3L)).toDF("id", "shard", "len")
+    val o = Corpus.paddingAudit(odd, "shard", "id", $"len", batchSize = 2)
+      .filter($"policy" === "by_length")
+      .select($"n_batches", $"padding_tokens").as[(Long, Long)].collect().head
+    assert(o === ((2L, 3L)))
+  }
+
   test("unicode normalization: composes, decomposes, compatibility-folds, null-safe") {
     import graft.plans.GraftFunctions
     val df = Seq(
