@@ -92,6 +92,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("BPE pair counting aggregates partially and top-ks without a global sort") {
+    val p = plan("q103_bpe_pairs")
+    // word-frequency pair + pair-count pair, both map-side combined
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    // top-k must be TakeOrderedAndProject (per-partition heaps), not a
+    // full Sort + Limit of the pair table
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("token offsets: shard-partitioned windows + broadcast base join, no global funnel") {
+    val p = plan("q105_token_offsets")
+    // the corpus-sized windows (shard_pos rank, intra-shard cumsum) must
+    // both be partitioned on shard — a Window whose spec loses the shard
+    // key is the single-partition global cumsum regression
+    // a PARTITIONED spec lists shard before the ordering columns:
+    // windowspecdefinition(shard#N, <order> ASC ...); the global-cumsum
+    // regression only ORDERS by shard (shard#N ASC — no comma)
+    val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(winSpecs.nonEmpty, p.take(800))
+    assert(winSpecs.count(s => "windowspecdefinition\\(shard#\\d+L?,".r
+        .findFirstIn(s).isDefined) >= 2,
+      s"corpus windows must PARTITION on shard:\n${winSpecs.mkString("\n")}")
+    // shard bases come back via broadcast, never a sort-merge of the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("padding audit windows stay shard-partitioned; totals aggregate partially") {
+    val p = plan("q108_padding_audit")
+    val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(s =>
+        "windowspecdefinition\\(_?shard#\\d+L?,".r.findFirstIn(s).isDefined),
+      s"every batching window must PARTITION on shard:\n${winSpecs.mkString("\n")}")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    assert(!p.contains("Join"), "padding audit needs no join:\n" + p.take(800))
+  }
+
   test("projection pruning reaches the scan: token count reads only 2 columns") {
     val p = plan("q17_token_count")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
