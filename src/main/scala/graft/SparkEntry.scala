@@ -1222,6 +1222,28 @@ object SparkEntry {
         batchSize = 16)
     }),
 
+    // Incremental offset-index maintenance: the appended batch (epoch 1)
+    // is indexed alone and shifted by the existing index's total — the
+    // existing index is never rescanned (q100/q55 ingest discipline; the
+    // 1-row base read is watermark-class control plane). Oracle = the
+    // full recompute: one global cumsum over (epoch, shard, position).
+    "q109_incremental_offsets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tc = graft.functions.TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+      def sharded(df: DataFrame) =
+        graft.functions.Corpus.shuffleShards(df, "doc_id", salt = "42", nShards = 8)
+      val oldIdx = graft.functions.Corpus.tokenOffsets(
+        sharded(docs.filter(col("doc_id") % 5 =!= 0)), "shard", "shard_pos", tc)
+      val base = oldIdx.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
+        .collect()(0).getLong(0)
+      val batchIdx = graft.functions.Corpus.appendTokenOffsets(
+        sharded(docs.filter(col("doc_id") % 5 === 0)), "shard", "shard_pos", tc, base)
+      oldIdx.withColumn("epoch", lit(0L))
+        .unionByName(batchIdx.withColumn("epoch", lit(1L)))
+        .select(col("doc_id"), col("epoch"), col("shard"), col("n_tokens"),
+          col("start_offset"))
+    }),
+
     // Unicode NFC canonicalization (native java.text.Normalizer pass;
     // Spark has no built-in): the corpus is ASCII, so the query first
     // REWRITES it into decomposed form deterministically (every 'e'
@@ -2704,6 +2726,30 @@ object SparkEntry {
          SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair ASC LIMIT 30""",
+
+    // the full recompute: one global cumsum over (epoch, shard, md5, id)
+    // must equal the engine's incremental append path
+    "q109_incremental_offsets" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS epoch,
+                  md5(CAST(doc_id AS VARCHAR) || ':42') AS hh,
+                  len(list_filter(string_split(coalesce(text, ''), ' '),
+                    x -> x <> '')) AS tc
+           FROM documents),
+         x AS (
+           SELECT doc_id, epoch, hh, tc,
+                  ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1)) % 8 AS sh
+           FROM h)
+         SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, CAST(sh AS BIGINT) AS shard,
+                CAST(tc AS BIGINT) AS n_tokens,
+                CAST(coalesce(sum(tc) OVER (ORDER BY epoch, sh, hh, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS start_offset
+         FROM x""",
 
     // same α = 0.3 power-flatten over double shares; round(6) absorbs
     // libm-vs-JVM pow last-ulp differences

@@ -431,6 +431,24 @@ object Corpus {
       .drop("_intra", "_base")
   }
 
+  /** Incremental maintenance of [[tokenOffsets]]: offsets for an APPENDED
+    * batch, given only the existing index's total token count — the
+    * ingest-time discipline (same family as the q100 profile states and
+    * q55 admission): each arriving batch is offset-indexed once, shifted
+    * by the running total, and the existing index is never rescanned, so
+    * per-batch cost is independent of corpus size. The batch occupies the
+    * epoch AFTER everything indexed so far; within the batch the same
+    * two-level prefix sum applies.
+    *
+    * Equivalence contract (q109's oracle): appending batches in epoch
+    * order and concatenating their indexes equals [[tokenOffsets]] over
+    * the union ordered by (epoch, shard, position).
+    */
+  def appendTokenOffsets(batch: DataFrame, shardCol: String, posCol: String,
+                         tokens: Column, baseOffset: Long): DataFrame =
+    tokenOffsets(batch, shardCol, posCol, tokens)
+      .withColumn("start_offset", col("start_offset") + lit(baseOffset))
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word n-grams that appear in no other document — templated/boilerplate
     * docs score near 0, genuinely novel text near 1. The inverse lens of

@@ -1297,6 +1297,27 @@ class TrainingOpsSpec extends SparkSpec {
       === docs.columns.toSeq)
   }
 
+  test("append token offsets: incremental epochs equal the full recompute") {
+    import graft.functions.Corpus
+    val old = Seq((1L, 0L, 1L, 10L), (2L, 1L, 1L, 5L)).toDF("id", "shard", "pos", "tc")
+    val batch = Seq((3L, 0L, 1L, 7L), (4L, 1L, 1L, 2L)).toDF("id", "shard", "pos", "tc")
+    val oldIdx = Corpus.tokenOffsets(old, "shard", "pos", $"tc")
+    val total = oldIdx.agg(sum($"n_tokens")).collect()(0).getLong(0)
+    assert(total === 15L)
+    val appended = Corpus.appendTokenOffsets(batch, "shard", "pos", $"tc", total)
+      .select($"id", $"start_offset").as[(Long, Long)].collect().toMap
+    // full recompute over the union in (epoch, shard, pos) order:
+    // 1(10)@0, 2(5)@10, 3(7)@15, 4(2)@22
+    assert(appended === Map(3L -> 15L, 4L -> 22L))
+    // second append continues from the new total without touching epoch 0
+    val total2 = total + 9L
+    val b2 = Corpus.appendTokenOffsets(
+      Seq((5L, 0L, 1L, 1L)).toDF("id", "shard", "pos", "tc"),
+      "shard", "pos", $"tc", total2)
+      .select($"start_offset").as[Long].collect().head
+    assert(b2 === 24L)
+  }
+
   test("temperature weights: alpha=1 reproduces observed mix, alpha flattens toward uniform") {
     import graft.functions.Corpus
     val docs = Seq(
