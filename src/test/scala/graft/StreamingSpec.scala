@@ -288,6 +288,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-collision gate catches a pasted benchmark sentence Jaccard admits") {
+    // the two decontamination rules compose in the ingest seam: exact
+    // n-gram collision FIRST (catches one memorized sentence inside a
+    // long unrelated doc — document-level Jaccard stays under any sane
+    // threshold on such a doc), then the Jaccard form for mostly-eval
+    // docs. A doc failing either never reaches the corpus.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ManifestStore
+    val dir = Files.createTempDirectory("collision-stream").resolve("corpus").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    val evalSet = Seq(
+      (9001L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val collided = graft.functions.NearDup.exactContamination(
+          batch, evalSet, "text", "doc_id", n = 5)
+        val gated = batch.join(collided.select("doc_id"), Seq("doc_id"), "left_anti")
+        val clean = graft.functions.NearDup.decontaminate(gated, evalSet,
+          "text", "doc_id", n = 3, minJaccard = 0.3)
+        if (!clean.isEmpty) ManifestStore.append(clean, dir): Unit
+      }
+      .start()
+    try {
+      mem.addData(
+        // one pasted eval sentence inside a long doc: Jaccard over the
+        // whole doc ~0.17 < 0.3, so only the collision gate stops it
+        (1L, "completely unrelated preamble about engines and planners " +
+          "the quick brown fox jumps over the lazy dog " +
+          "followed by a long tail on shuffle partitioning and codegen stages"),
+        (2L, "an entirely different document about spark engines and joins"))
+      q.processAllAvailable()
+      val after = ManifestStore.read(spark, dir, schema)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(after === Set(2L), s"corpus holds $after — the pasted sentence got in")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: a vocabulary-shifted batch reads higher KL than an in-distribution one") {
     // per-micro-batch ingest observability: tag the batch against a
     // reference corpus and read KL(batch ‖ combined) — the scraper-drift /
