@@ -81,6 +81,29 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** Segment a word column under a learned merge list (the encode side of
+    * [[train]]): a native single pass per word ([[graft.plans.BpeSegment]]),
+    * applying merges in learn order. Returns array<string> symbols.
+    */
+  def segment(df: DataFrame, word: Column, merges: Seq[(String, String)]): Column = {
+    val name = f"graft_bpe_segment_${merges.hashCode & 0xffffffffL}%08x"
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => graft.plans.BpeSegment(exprs.head, merges), "built-in")
+    call_function(name, word)
+  }
+
+  /** Token count of a text column under a learned BPE vocabulary: each
+    * whitespace word contributes its segment count. The budget-planning
+    * number AFTER tokenizer training — [[TextAnalysis.tokenCountBpe]]'s
+    * regex approximation, made exact for the learned vocab. Map-side only.
+    */
+  def encodedTokenCount(df: DataFrame, text: Column,
+                        merges: Seq[(String, String)]): Column =
+    aggregate(
+      transform(TextAnalysis.tokens(coalesce(text, lit(""))),
+        w => size(segment(df, w, merges))),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+
   /** Learn `merges` BPE merges. Returns (left, right, pair_count) in learn
     * order; stops early when no pair remains (fully merged vocabulary).
     *

@@ -214,3 +214,73 @@ case class UnicodeNormalize(child: Expression, form: String)
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
 }
+
+/** BPE segmentation of a single word under a learned merge list — the
+  * encode side of [[graft.functions.Bpe.train]]: merges are applied in
+  * LEARN ORDER, each greedily left-to-right and non-overlapping across the
+  * word's current symbols, which reproduces exactly the segmentation the
+  * training loop's vocabulary table held when it learned them (the
+  * priority-queue encoders of production tokenizers compute the same
+  * result; order-application is the defining form). One imperative pass
+  * per merge over an in-place symbol buffer — O(merges · len) per word,
+  * zero shuffle, inside whole-stage codegen.
+  */
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_segment"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+  }
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val word = input.toString
+    var syms = new java.util.ArrayList[String](word.length)
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms.add(word.substring(ci, ci + n))
+      ci += n
+    }
+    merges.foreach { case (l, r) =>
+      if (syms.size > 1) {
+        val next = new java.util.ArrayList[String](syms.size)
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms.get(i) == l && syms.get(i + 1) == r) {
+            next.add(l + r); i += 2 // consume both; non-overlapping greedy
+          } else {
+            next.add(syms.get(i)); i += 1
+          }
+        }
+        syms = next
+      }
+    }
+    val arr = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) {
+      arr(k) = org.apache.spark.unsafe.types.UTF8String.fromString(syms.get(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeSegment", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegment =
+    copy(child = newChild)
+}

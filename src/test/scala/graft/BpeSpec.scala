@@ -45,6 +45,38 @@ class BpeSpec extends SparkSpec {
     assert(merges === Seq(("a", "b", 2L))) // after (a,b) no pairs remain
   }
 
+  test("segment applies learned merges in order; train→segment round-trips the vocab") {
+    val merges = Bpe.train(sennrich, $"text", merges = 3)
+      .map { case (l, r, _) => (l, r) }
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    val words = Seq("low", "lower", "newest", "widest", "lowest", "", "slow")
+      .toDF("w")
+    val seg = words.select($"w", Bpe.segment(words, $"w", merges).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    // the training words segment exactly as the final vocab table held them
+    assert(seg("low") === Seq("lo", "w"))
+    assert(seg("lower") === Seq("lo", "w", "e", "r"))
+    assert(seg("newest") === Seq("n", "e", "w", "est"))
+    assert(seg("widest") === Seq("w", "i", "d", "est"))
+    // an UNSEEN word reuses the learned subwords
+    assert(seg("lowest") === Seq("lo", "w", "est"))
+    assert(seg("slow") === Seq("s", "lo", "w"))
+    assert(seg("") === Seq.empty)
+  }
+
+  test("encodedTokenCount shrinks monotonically as merges are learned") {
+    val df = sennrich
+    val counts = (0 to 3).map { m =>
+      val merges = Bpe.train(df, $"text", merges = m).map { case (l, r, _) => (l, r) }
+      df.select(Bpe.encodedTokenCount(df, $"text", merges).as("c"))
+        .as[Long].collect().head
+    }
+    // 16 words × their char lengths = 3·5+2·5... compute: low(3)×5 + lower(5)×2 +
+    // newest(6)×6 + widest(6)×3 = 15+10+36+18 = 79 chars at 0 merges
+    assert(counts.head === 79L)
+    assert(counts.sliding(2).forall(p => p(1) < p.head), s"not shrinking: $counts")
+  }
+
   test("wordFrequencies collapses the corpus to vocab-sized rows") {
     val wf = Bpe.wordFrequencies(sennrich, $"text")
       .as[(String, Long)].collect().toMap

@@ -219,6 +219,8 @@ class PlanAuditSpec extends SparkSpec {
       GraftFunctions.charEntropyStats(docs, $"text").as("es"))
     val quant = emb.select(GraftFunctions.int8QuantStats(emb, $"v").as("qs"))
     val nfcd = docs.select(GraftFunctions.unicodeNormalize(docs, $"text").as("nf"))
+    val bpeSeg = docs.select(
+      graft.functions.Bpe.segment(docs, $"text", Seq(("e", "s"), ("es", "t"))).as("bs"))
     // fallback=false: a janino compile error in the generated code (e.g. an
     // assignment to a pinned isNull literal under non-nullable children)
     // fails the test loudly instead of silently executing interpreted
@@ -229,7 +231,8 @@ class PlanAuditSpec extends SparkSpec {
                            (repstats, "graft_gram_repetition"),
                            (entstats, "graft_char_entropy"),
                            (quant, "graft_int8_quant"),
-                           (nfcd, "graft_unicode_normalize_NFC"))) {
+                           (nfcd, "graft_unicode_normalize_NFC"),
+                           (bpeSeg, "graft_bpe_segment"))) {
         df.count()
         val p = df.queryExecution.executedPlan.toString
         // the projection carrying the native expression must be fused (starred
