@@ -1222,6 +1222,17 @@ object SparkEntry {
         batchSize = 16)
     }),
 
+    // Winnowing fingerprint selection (MOSS): positional 3-gram md5s,
+    // window-of-4 local minima — any ≥6-word copied span shares a
+    // fingerprint, at ~2/(w+1) density. md5's lexicographic order makes
+    // the selection engine-portable; fp_sha pins the selected SET.
+    "q110_winnow_fingerprints" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.functions.TextAnalysis.winnowFingerprints(docs, col("text"))
+      docs.select(col("doc_id"), m("n_grams").as("n_grams"),
+        m("n_fp").as("n_fp"), m("fp_sha").as("fp_sha"))
+    }),
+
     // Incremental offset-index maintenance: the appended batch (epoch 1)
     // is indexed alone and shifted by the existing index's total — the
     // existing index is never rescanned (q100/q55 ingest discipline; the
@@ -2726,6 +2737,32 @@ object SparkEntry {
          SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair ASC LIMIT 30""",
+
+    // same positional 3-grams → md5 → window-of-4 minima; short docs
+    // (under 4 grams) contribute their single overall minimum
+    "q110_winnow_fingerprints" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_transform(range(1, greatest(len(ts) - 1, 1)),
+                    i -> md5(array_to_string(ts[i:i+2], ' '))) AS hs
+           FROM tok),
+         m AS (
+           SELECT doc_id, len(hs) AS n_grams,
+                  CASE WHEN len(hs) - 3 >= 1 THEN
+                         list_transform(range(1, len(hs) - 2),
+                           i -> list_min(hs[i:i+3]))
+                       WHEN len(hs) > 0 THEN [list_min(hs)]
+                       ELSE [] END AS mins
+           FROM g)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(len(list_sort(list_distinct(mins))) AS BIGINT) AS n_fp,
+                sha256(array_to_string(list_sort(list_distinct(mins)), ''))
+                  AS fp_sha
+         FROM m""",
 
     // the full recompute: one global cumsum over (epoch, shard, md5, id)
     // must equal the engine's incremental append path

@@ -245,6 +245,46 @@ object TextAnalysis {
       "n_distinct_chars" -> st.getField("n_distinct"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every positional word n-gram, slide a window of `w`
+    * consecutive hashes, keep each window's minimum — the guarantee is
+    * that any match of length ≥ w+n-1 words between two documents shares
+    * at least one selected fingerprint, at a ~2/(w+1) selection density.
+    * The local-min rule picks the SAME grams regardless of where a copied
+    * span lands in a document, which positional sampling (every k-th
+    * gram) cannot do — this is the copy-detection primitive between exact
+    * hashing (q20) and shingle-set Jaccard (q22).
+    *
+    * Hash = md5 hex, compared lexicographically — a portable total order
+    * any engine reproduces (the selection only needs SOME fixed order).
+    * Documents with fewer than `w` grams contribute their single overall
+    * minimum (the winnowing boundary rule); gram-less docs select none.
+    * All array ops are per-row and codegen'd: map-side at scan speed,
+    * fingerprint count ~2/(w+1) of gram count — the downstream index
+    * join is over the SELECTED set only.
+    *
+    * Returns `n_grams`, `n_fp` (distinct selected), and `fp_sha` (sha256
+    * over the sorted selected set — a stable identity for the whole
+    * fingerprint set, directly comparable across engines).
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, text: Column,
+                         n: Int = 3, w: Int = 4): Map[String, Column] = {
+    val grams = graft.plans.GraftFunctions.wordShingles(
+      df, coalesce(text, lit("")), n, distinct = false)
+    val hashes = transform(grams, g => md5(g))
+    val nWin = size(hashes) - w + 1
+    val mins = when(nWin >= 1,
+        transform(sequence(lit(1), greatest(nWin, lit(1))),
+          i => array_min(slice(hashes, i, lit(w)))))
+      .when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<string>"))
+    val fps = array_sort(array_distinct(mins))
+    Map(
+      "n_grams" -> size(hashes).cast("long"),
+      "n_fp" -> size(fps).cast("long"),
+      "fp_sha" -> sha2(concat_ws("", fps), 256))
+  }
+
   /** CCNet-style canonicalization before hashing: lowercase, replace every
     * character outside `[a-z0-9 ]` with a space (so punctuation separates
     * words instead of gluing them), collapse space runs, trim. Null ≡

@@ -1297,6 +1297,42 @@ class TrainingOpsSpec extends SparkSpec {
       === docs.columns.toSeq)
   }
 
+  test("winnowing: copied spans share a fingerprint; short and empty docs behave") {
+    import graft.functions.TextAnalysis
+    val span = "alpha beta gamma delta epsilon zeta eta" // 7 words ≥ w+n-1 = 6
+    val docs = Seq(
+      (1L, s"first document preamble $span and a first-specific ending tail"),
+      (2L, s"completely different opener here $span with another distinct closing"),
+      (3L, "tiny doc"),         // 0 grams at n=3... 2 words → no 3-gram
+      (4L, "four word doc here"), // 2 grams < w → single overall min
+      (5L, ""))
+      .toDF("doc_id", "text")
+    def fpSets(df: org.apache.spark.sql.DataFrame) = {
+      val grams = graft.plans.GraftFunctions.wordShingles(
+        df, coalesce($"text", lit("")), 3, distinct = false)
+      val hashes = transform(grams, g => md5(g))
+      val nWin = size(hashes) - 4 + 1
+      val mins = when(nWin >= 1,
+          transform(sequence(lit(1), greatest(nWin, lit(1))),
+            i => array_min(slice(hashes, i, lit(4)))))
+        .when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<string>"))
+      df.select($"doc_id", array_distinct(mins).as("fps"))
+        .as[(Long, Seq[String])].collect().toMap
+    }
+    val sets = fpSets(docs)
+    // the winnowing guarantee: the shared 7-word span (≥ w+n-1) must
+    // contribute at least one COMMON selected fingerprint to both docs
+    assert(sets(1L).toSet.intersect(sets(2L).toSet).nonEmpty,
+      "copied span selected no common fingerprint")
+    assert(sets(3L).isEmpty && sets(5L).isEmpty)
+    assert(sets(4L).size === 1) // fewer grams than the window → overall min
+    // the query surface agrees with the inlined construction
+    val m = TextAnalysis.winnowFingerprints(docs, $"text")
+    val q = docs.select($"doc_id", m("n_fp").as("n")).as[(Long, Long)].collect().toMap
+    assert(q(1L) === sets(1L).size.toLong && q(3L) === 0L && q(4L) === 1L)
+  }
+
   test("append token offsets: incremental epochs equal the full recompute") {
     import graft.functions.Corpus
     val old = Seq((1L, 0L, 1L, 10L), (2L, 1L, 1L, 5L)).toDF("id", "shard", "pos", "tc")
