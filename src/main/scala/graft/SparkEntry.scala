@@ -1222,6 +1222,14 @@ object SparkEntry {
         batchSize = 16)
     }),
 
+    // Winnow-index candidate pairs: the ~2/(w+1)-density fingerprint
+    // index joins on itself — ~60% less index traffic than q22's full
+    // shingle index, every ≥6-word copied span still guaranteed to
+    // collide. minShared=2 keeps the single-collision noise floor out.
+    "q111_winnow_pairs" -> ((s, dir) =>
+      graft.functions.NearDup.winnowCandidatePairs(
+        t(s, dir, "documents"), "text", "doc_id", n = 3, w = 4, minShared = 2L)),
+
     // Winnowing fingerprint selection (MOSS): positional 3-gram md5s,
     // window-of-4 local minima — any ≥6-word copied span shares a
     // fingerprint, at ~2/(w+1) density. md5's lexicographic order makes
@@ -2737,6 +2745,33 @@ object SparkEntry {
          SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
          FROM p GROUP BY pair
          ORDER BY pair_count DESC, pair ASC LIMIT 30""",
+
+    // the same selected-fingerprint inverted index, self-joined; nothing
+    // exceeds the 1000-posting prune cap on this corpus (max bucket 7),
+    // so the engine's pruned index equals this unpruned oracle
+    "q111_winnow_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  list_transform(range(1, greatest(len(ts) - 1, 1)),
+                    i -> md5(array_to_string(ts[i:i+2], ' '))) AS hs
+           FROM tok),
+         m AS (
+           SELECT doc_id,
+                  CASE WHEN len(hs) - 3 >= 1 THEN
+                         list_transform(range(1, len(hs) - 2),
+                           i -> list_min(hs[i:i+3]))
+                       WHEN len(hs) > 0 THEN [list_min(hs)]
+                       ELSE [] END AS mins
+           FROM g),
+         inv AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING count(*) >= 2""",
 
     // same positional 3-grams → md5 → window-of-4 minima; short docs
     // (under 4 grams) contribute their single overall minimum

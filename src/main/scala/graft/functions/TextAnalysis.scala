@@ -269,20 +269,31 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, text: Column,
                          n: Int = 3, w: Int = 4): Map[String, Column] = {
-    val grams = graft.plans.GraftFunctions.wordShingles(
-      df, coalesce(text, lit("")), n, distinct = false)
-    val hashes = transform(grams, g => md5(g))
-    val nWin = size(hashes) - w + 1
-    val mins = when(nWin >= 1,
-        transform(sequence(lit(1), greatest(nWin, lit(1))),
-          i => array_min(slice(hashes, i, lit(w)))))
-      .when(size(hashes) > 0, array(array_min(hashes)))
-      .otherwise(array().cast("array<string>"))
-    val fps = array_sort(array_distinct(mins))
+    val hashes = winnowGramHashes(df, text, n)
+    val fps = array_sort(array_distinct(winnowMins(hashes, w)))
     Map(
       "n_grams" -> size(hashes).cast("long"),
       "n_fp" -> size(fps).cast("long"),
       "fp_sha" -> sha2(concat_ws("", fps), 256))
+  }
+
+  /** Positional (non-distinct) word n-gram md5s of a text column — the
+    * hash stream winnowing selects from. */
+  private[functions] def winnowGramHashes(df: org.apache.spark.sql.DataFrame,
+                                          text: Column, n: Int): Column =
+    transform(graft.plans.GraftFunctions.wordShingles(
+      df, coalesce(text, lit("")), n, distinct = false), g => md5(g))
+
+  /** Window-of-`w` local minima over a hash stream (with repeats; callers
+    * distinct as needed) — the winnowing selection rule, including the
+    * short-document boundary case (fewer than `w` grams → overall min). */
+  private[functions] def winnowMins(hashes: Column, w: Int): Column = {
+    val nWin = size(hashes) - w + 1
+    when(nWin >= 1,
+        transform(sequence(lit(1), greatest(nWin, lit(1))),
+          i => array_min(slice(hashes, i, lit(w)))))
+      .when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** CCNet-style canonicalization before hashing: lowercase, replace every

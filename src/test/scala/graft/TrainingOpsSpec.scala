@@ -1333,6 +1333,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(q(1L) === sets(1L).size.toLong && q(3L) === 0L && q(4L) === 1L)
   }
 
+  test("winnow pairs: copied-span docs collide; disjoint docs don't; threshold filters") {
+    import graft.functions.NearDup
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"first preamble text $span ending one two three"),
+      (2L, s"other opener words $span closing tail entirely different"),
+      (3L, "no overlap at all with anything else in this corpus today"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.winnowCandidatePairs(docs, "text", "doc_id")
+      .select($"id_a", $"id_b", $"n_shared").as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)), pairs.mkString(";"))
+    assert(pairs.head._3 >= 1L)
+    // raising minShared above the observed count drops the pair
+    val none = NearDup.winnowCandidatePairs(docs, "text", "doc_id",
+      minShared = pairs.head._3 + 1)
+    assert(none.isEmpty)
+  }
+
   test("append token offsets: incremental epochs equal the full recompute") {
     import graft.functions.Corpus
     val old = Seq((1L, 0L, 1L, 10L), (2L, 1L, 1L, 5L)).toDF("id", "shard", "pos", "tc")
