@@ -1230,6 +1230,64 @@ object SparkEntry {
       graft.functions.NearDup.winnowCandidatePairs(
         t(s, dir, "documents"), "text", "doc_id", n = 3, w = 4, minShared = 2L)),
 
+    // SCD type-2 dimension build: the event stream's attribute changes
+    // become [valid_from, valid_to) version intervals per user — the
+    // interval companion of q10's newer-wins latest upsert. One shuffle:
+    // both window passes share (user_id; ts, event_id) partitioning+order.
+    "q112_scd2_history" -> ((s, dir) =>
+      graft.operators.Merge.scd2Build(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")),
+
+    // OLAP cube: all four (event_type × day) grouping sets in one pass —
+    // Spark expands the cube BELOW the partial aggregate, so each input
+    // row contributes to every grouping set map-side and the shuffle
+    // carries only per-set partial aggregates, never 4× the raw rows.
+    "q113_cube_daily" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), date_trunc("day", col("ts")).as("day_ts"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .select(col("event_type"), col("day_ts"), col("gid"),
+          col("n_events"), col("sum_value"))),
+
+    // Wide pivot: one row per day, one column per event type — the
+    // BI-export shape. The value list is EXPLICIT (the contract's five
+    // types): Spark then skips the distinct-values pre-scan and plans a
+    // single partial-aggregated pass; an open value list would add a
+    // collect + a schema only known at runtime.
+    "q114_pivot_daily" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day_ts"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast(dec)).cast("double"))),
+
+    // Rank-based winsorized stats per event type: cutoffs are the values
+    // AT ranks ceil(n/100) and ceil(99n/100) — no interpolation, so both
+    // engines clamp to exact data values and the DECIMAL-cast winsorized
+    // mean hashes identically. One windowed sort per group for ranks, a
+    // 5-row broadcast back onto the stream for the clamp pass.
+    "q115_winsorized_stats" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("event_id"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val ranked = e
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      val cuts = ranked.groupBy(col("event_type")).agg(
+        max(col("_n")).as("n_events"),
+        max(when(col("_rn") === ceil(col("_n") / lit(100.0)), col("value"))).as("p01"),
+        max(when(col("_rn") === ceil(col("_n") * lit(99) / lit(100.0)), col("value"))).as("p99"))
+      e.join(broadcast(cuts), "event_type")
+        .withColumn("_clamped", least(greatest(col("value"), col("p01")), col("p99")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("p01")).as("p01"), max(col("p99")).as("p99"),
+          (sum(col("_clamped").cast(dec)).cast("double") / max(col("n_events")))
+            .as("wmean"))
+    }),
+
     // Winnowing fingerprint selection (MOSS): positional 3-gram md5s,
     // window-of-4 local minima — any ≥6-word copied span shares a
     // fingerprint, at ~2/(w+1) density. md5's lexicographic order makes
@@ -2772,6 +2830,79 @@ object SparkEntry {
          FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id
          HAVING count(*) >= 2""",
+
+    // change rows via null-safe lag compare, intervals via lead; ties
+    // broken by event_id on both window passes
+    "q112_scd2_history" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER w AS prev,
+                  row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         chg AS (
+           SELECT user_id, event_type, ts AS valid_from, event_id
+           FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+         v AS (
+           SELECT user_id, event_type, valid_from,
+                  lead(valid_from) OVER (
+                    PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+           FROM chg)
+         SELECT user_id, event_type, valid_from, valid_to,
+                (valid_to IS NULL) AS is_current
+         FROM v""",
+
+    // GROUPING() bit order matches Spark's grouping_id (leftmost column =
+    // most significant bit); double SUM via the DECIMAL(18,4) parity rule
+    "q113_cube_daily" ->
+      """SELECT event_type, date_trunc('day', ts) AS day_ts,
+                GROUPING(event_type, date_trunc('day', ts)) AS gid,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY CUBE (event_type, date_trunc('day', ts))""",
+
+    // conditional aggregation = the portable spelling of PIVOT; no ELSE,
+    // so a type absent on a day is NULL exactly like Spark's pivot
+    "q114_pivot_daily" ->
+      """SELECT date_trunc('day', ts) AS day_ts,
+                CAST(sum(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+                CAST(sum(CASE WHEN event_type = 'error'
+                  THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup'
+                  THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1""",
+
+    // cutoffs at exact ranks (no interpolation) so the clamp hits data
+    // values; wmean = decimal sum cast double, then double division
+    "q115_winsorized_stats" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         cuts AS (
+           SELECT event_type, max(n) AS n_events,
+                  max(CASE WHEN rn = CAST(ceil(n / 100.0) AS BIGINT)
+                      THEN value END) AS p01,
+                  max(CASE WHEN rn = CAST(ceil(n * 99 / 100.0) AS BIGINT)
+                      THEN value END) AS p99
+           FROM ranked GROUP BY event_type),
+         c AS (
+           SELECT e.event_type, n_events, p01, p99,
+                  least(greatest(e.value, p01), p99) AS clamped
+           FROM events e JOIN cuts USING (event_type))
+         SELECT event_type, max(n_events) AS n_events,
+                max(p01) AS p01, max(p99) AS p99,
+                CAST(sum(CAST(clamped AS DECIMAL(18,4))) AS DOUBLE)
+                  / max(n_events) AS wmean
+         FROM c GROUP BY event_type""",
 
     // same positional 3-grams → md5 → window-of-4 minima; short docs
     // (under 4 grams) contribute their single overall minimum

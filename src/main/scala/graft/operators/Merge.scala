@@ -119,6 +119,38 @@ object Merge {
     * so the null-safe compare still distinguishes "absent" from "null
     * content present".
     */
+  /** SCD type-2 history build — the interval form of the latest-upsert
+    * dimension: per key, each CHANGE of the tracked attribute opens a new
+    * version row `[valid_from, valid_to)`, the open version has a null
+    * `valid_to` and `is_current = true`. Consecutive observations with an
+    * unchanged attribute collapse into one version (change detection is
+    * null-safe, so null→null is "no change" and null→value is a change).
+    * `tieCol` breaks same-timestamp observations into a total order, the
+    * same discipline as [[Dedup.keepLast]].
+    *
+    * Scale: both window passes — the change-detect lag over raw
+    * observations and the interval-closing lead over the (much smaller)
+    * change rows — partition AND order identically on (key, ts, tie), so
+    * Catalyst plans ONE exchange + sort and reuses it; the operator costs
+    * a single shuffle of the observation stream regardless of history
+    * depth. No driver state, no per-key iteration.
+    */
+  def scd2Build(obs: DataFrame, keyCol: String, attrCol: String,
+                tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = obs
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      .filter(col("_first") || !(col("_prev") <=> col(attrCol)))
+    changes
+      .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"), col(tieCol))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col(keyCol)).orderBy(col("valid_from"), col(tieCol))))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tieCol)
+  }
+
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    idCol: String, contentCol: String): DataFrame = {
     val o = oldSnap.select(col(idCol).as("_id"), md5(col(contentCol)).as("_old"),

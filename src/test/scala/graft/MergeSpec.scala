@@ -119,4 +119,33 @@ class MergeSpec extends SparkSpec {
     }
     assert(notes.distinct == Seq("last-arrival"), s"nondeterministic or wrong: $notes")
   }
+
+  test("scd2Build: changes open versions, repeats collapse, intervals abut, one current per key") {
+    val obs = Seq(
+      // key 1: A A B A  → versions A[t1,t3) B[t3,t4) A[t4,null)
+      (1L, "A", ts("2024-01-01 00:00:01"), 1L),
+      (1L, "A", ts("2024-01-01 00:00:02"), 2L),
+      (1L, "B", ts("2024-01-01 00:00:03"), 3L),
+      (1L, "A", ts("2024-01-01 00:00:04"), 4L),
+      // key 2: null null C → null[t1,t2) C[t2,null) (null→null collapses,
+      // null→C is a change)
+      (2L, null, ts("2024-01-01 00:00:01"), 5L),
+      (2L, null, ts("2024-01-01 00:00:02"), 6L),
+      (2L, "C", ts("2024-01-01 00:00:03"), 7L))
+      .toDF("user_id", "event_type", "obs_ts", "event_id")
+    val out = Merge.scd2Build(obs, "user_id", "event_type", "obs_ts", "event_id")
+      .orderBy("user_id", "valid_from")
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+      .collect()
+    assert(out.length == 5)
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    // intervals abut: each valid_to equals the next valid_from
+    assert(k1.init.map(_.getTimestamp(3)).toSeq == k1.tail.map(_.getTimestamp(2)).toSeq)
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.map(r => Option(r.getString(1))).toSeq == Seq(None, Some("C")))
+    // exactly one open (is_current) version per key, and it has null valid_to
+    val current = out.filter(_.getBoolean(4))
+    assert(current.length == 2 && current.forall(_.isNullAt(3)))
+  }
 }
