@@ -260,6 +260,66 @@ object ManifestStore {
     overwrite(cur.coalesce(math.max(1, numFiles)), dir)
   }
 
+  /** Incremental OPTIMIZE: rewrite only the current snapshot's files
+    * smaller than `minFileBytes` into ~`targetFileBytes` outputs, leaving
+    * right-sized files untouched — on a 100 TB table the full-rewrite
+    * [[compact]] is not an option, and 99% of the small-file debt from
+    * streaming micro-batches lives in the newest commits anyway.
+    *
+    * Concurrency: the rewrite commits through the optimistic protocol
+    * with `combine = (prev minus compacted-smalls) ++ fresh`, evaluated
+    * against the snapshot AT COMMIT TIME — an append that lands mid-
+    * compaction re-bases this commit and its files survive (they are not
+    * in the compacted-small set). Rows are therefore never lost or
+    * duplicated: exactly the small files read are the ones removed.
+    * Returns None (nothing to do: fewer than 2 small files) or the new
+    * version.
+    */
+  def compactSmall(spark: SparkSession, dir: String, schema: StructType,
+                   minFileBytes: Long = 32L * 1024 * 1024,
+                   targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] =
+    compactSmall(spark, dir, schema, minFileBytes, targetFileBytes, () => ())
+
+  /** [[compactSmall]] with a race-injection seam: `midFlight` runs after
+    * the small-file set is fixed and before the commit — the window a
+    * concurrent writer's commit can land in. Spec-only entry point for
+    * deterministically exercising the append-survives / overwrite-aborts
+    * conflict rules.
+    */
+  private[graft] def compactSmall(spark: SparkSession, dir: String,
+                                  schema: StructType, minFileBytes: Long,
+                                  targetFileBytes: Long,
+                                  midFlight: () => Unit): Option[Long] = {
+    val f = fs(spark, dir)
+    val snap = currentSnapshot(spark, dir).getOrElse(return None)
+    val sized = snap.files.map { rel =>
+      rel -> f.getFileStatus(new Path(dir, rel)).getLen
+    }
+    val small = sized.filter(_._2 < minFileBytes)
+    if (small.size < 2) return None // nothing to gain from a rewrite
+    val smallSet = small.map(_._1).toSet
+    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble
+      / targetFileBytes).toInt)
+    val df = spark.read.schema(schema)
+      .parquet(small.map(s => new Path(dir, s._1).toString): _*)
+      .coalesce(nOut)
+    midFlight()
+    // combine runs against the snapshot at commit time (re-based on lost
+    // races). A concurrent APPEND is fine — its files are not in the
+    // compacted set and pass through untouched. A concurrent OVERWRITE (or
+    // competing compaction) that removed any compacted-small file means
+    // those rows were deliberately dropped or already rewritten — swapping
+    // in our rewrite would resurrect them, so the compaction aborts
+    // instead (Delta's conflict rule for OPTIMIZE vs overwrite).
+    try Some(commit(df, dir, "compact", { (prev, fresh) =>
+      if (!smallSet.forall(prev.contains))
+        throw new java.util.ConcurrentModificationException(
+          "snapshot changed under compaction")
+      prev.filterNot(smallSet.contains) ++ fresh
+    }))
+    catch { case _: java.util.ConcurrentModificationException => None }
+  }
+
   /** Drop versions older than the latest `keepVersions`, then delete every
     * data file no surviving manifest references AND older than
     * `retainMillis`. Returns (manifests, data files) deleted.

@@ -146,4 +146,51 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.currentSnapshot(spark, dir).get.version === 12L)
     assert(contents(dir).size === 12)
   }
+
+  test("compactSmall rewrites only sub-threshold files; big files keep their identity") {
+    val dir = tmpDir()
+    // one "big" file (threshold tuned below so it stays) + 5 small appends
+    ManifestStore.append(
+      df((1 to 50).map(i => i.toLong -> ("pad" * 40 + i)): _*).coalesce(1), dir)
+    val big = ManifestStore.currentSnapshot(spark, dir).get.files
+    assert(big.size === 1)
+    (100 to 104).foreach(i => ManifestStore.append(df(i.toLong -> s"r$i"), dir))
+    val bigLen = {
+      val f = new org.apache.hadoop.fs.Path(dir, big.head)
+      f.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(f).getLen
+    }
+    val v = ManifestStore.compactSmall(spark, dir, schema, minFileBytes = bigLen)
+    assert(v.nonEmpty)
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.files.contains(big.head), "right-sized file was rewritten")
+    assert(after.files.size === 2, s"smalls not squashed to one: ${after.files}")
+    assert(contents(dir) ===
+      ((1 to 50).map(i => i.toLong -> ("pad" * 40 + i)) ++
+        (100 to 104).map(i => i.toLong -> s"r$i")).toSet)
+    // idempotent: a second pass has < 2 small files left to gain from
+    assert(ManifestStore.compactSmall(spark, dir, schema, minFileBytes = bigLen).isEmpty)
+  }
+
+  test("compactSmall: an append landing mid-compaction survives the rewrite") {
+    val dir = tmpDir()
+    (1 to 4).foreach(i => ManifestStore.append(df(i.toLong -> s"r$i"), dir))
+    val v = ManifestStore.compactSmall(spark, dir, schema,
+      minFileBytes = 1L << 20, targetFileBytes = 128L << 20,
+      midFlight = () => { ManifestStore.append(df(99L -> "late"), dir): Unit })
+    assert(v.nonEmpty)
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.version === v.get)
+    assert(contents(dir) ===
+      ((1 to 4).map(i => i.toLong -> s"r$i") :+ (99L -> "late")).toSet)
+  }
+
+  test("compactSmall: an overwrite landing mid-compaction aborts it (no resurrection)") {
+    val dir = tmpDir()
+    (1 to 4).foreach(i => ManifestStore.append(df(i.toLong -> s"r$i"), dir))
+    val v = ManifestStore.compactSmall(spark, dir, schema,
+      minFileBytes = 1L << 20, targetFileBytes = 128L << 20,
+      midFlight = () => { ManifestStore.overwrite(df(7L -> "only"), dir): Unit })
+    assert(v.isEmpty, "compaction must abort when its inputs were dropped")
+    assert(contents(dir) === Set(7L -> "only"))
+  }
 }
