@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
 import scala.util.matching.Regex
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -46,7 +47,21 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestStore {
 
-  final case class Snapshot(version: Long, files: Seq[String], op: String)
+  final case class Snapshot(version: Long, files: Seq[String], op: String,
+                            stats: Map[String, Map[String, ColStats]] = Map.empty)
+
+  /** Per-file column statistics harvested from the parquet footer at commit
+    * time (metadata-only — no data read). `min`/`max` are the column's
+    * primitive-space bounds rendered as strings with a type tag
+    * (`long` | `double` | `string`); `None` bounds mean "unknown" and make
+    * the file un-prunable, never wrong. Oversized string bounds (> 64
+    * chars) are dropped rather than truncated: a truncated upper bound
+    * would UNDERSTATE the file's max and prune a file that matches
+    * (Iceberg solves this with increment-on-truncate; dropping is the
+    * simple safe choice).
+    */
+  final case class ColStats(typ: String, min: Option[String],
+                            max: Option[String], nullCount: Long)
 
   /** [[TableStore]] view: the drop-in object-store-safe backend for every
     * pipeline component (committed versions are discarded by the interface;
@@ -101,7 +116,18 @@ object ManifestStore {
                finally in.close()
     val root = mapper.readTree(body)
     val files = (0 until root.path("files").size()).map(root.path("files").get(_).asText())
-    Snapshot(root.path("version").asLong(), files, root.path("op").asText())
+    val statsNode = root.path("stats")
+    val stats = if (statsNode.isMissingNode) Map.empty[String, Map[String, ColStats]]
+    else statsNode.properties().asScala.iterator.map { e =>
+      e.getKey -> e.getValue.properties().asScala.iterator.map { c =>
+        val v = c.getValue
+        c.getKey -> ColStats(v.path("t").asText(),
+          Option(v.get("min")).filterNot(_.isNull).map(_.asText()),
+          Option(v.get("max")).filterNot(_.isNull).map(_.asText()),
+          v.path("nulls").asLong())
+      }.toMap
+    }.toMap
+    Snapshot(root.path("version").asLong(), files, root.path("op").asText(), stats)
   }
 
   /** DataFrame of the latest version (empty frame with `schema` if none). */
@@ -110,6 +136,69 @@ object ManifestStore {
       case Some(s) => readSnapshot(spark, dir, s, schema)
       case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
+
+  /** The file subset of `snap` that can contain rows with
+    * `column ∈ [lo, hi]` — manifest-stats data skipping. A file is kept
+    * unless its recorded bounds PROVE it disjoint from the range; missing
+    * stats keep the file (safe, never wrong). `lo`/`hi` are compared in
+    * the column's primitive stat space: pass Long/Int for `long` columns
+    * (timestamps: microseconds since epoch), Double for `double`, String
+    * for `string`.
+    */
+  def pruneFiles(snap: Snapshot, column: String, lo: Any, hi: Any): Seq[String] =
+    snap.files.filter { rel =>
+      snap.stats.get(rel).flatMap(_.get(column)) match {
+        case Some(ColStats(typ, Some(mn), Some(mx), _)) => typ match {
+          case "long" =>
+            val (l, h) = (toLong(lo), toLong(hi))
+            mn.toLong <= h && mx.toLong >= l
+          case "double" =>
+            val (l, h) = (toDouble(lo), toDouble(hi))
+            mn.toDouble <= h && mx.toDouble >= l
+          case "string" =>
+            val (l, h) = (lo.toString, hi.toString)
+            !utf8Lt(h, mn) && !utf8Lt(mx, l) // mn <= h && l <= mx
+          case _ => true
+        }
+        case _ => true
+      }
+    }
+
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    case other => other.toString.toLong
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case other => other.toString.toDouble
+  }
+
+  /** Range read with manifest-stats file skipping: scans only the files
+    * [[pruneFiles]] keeps, then applies the exact row-level `[lo, hi]`
+    * filter — identical results to a full scan + filter, minus the I/O for
+    * files the manifest proves irrelevant. On a timestamp column pass
+    * `java.sql.Timestamp` bounds (pruned via their microsecond encoding).
+    * This is the scan shape a 100 TB time-ordered state table needs:
+    * incremental consumers read "rows since the watermark" and skip every
+    * file the bounds rule out — commit-time-clustered tables prune to the
+    * newest few files without any partitioning scheme.
+    */
+  def rangeScan(spark: SparkSession, dir: String, schema: StructType,
+                column: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    currentSnapshot(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(s) =>
+        val kept = pruneFiles(s, column, lo, hi)
+        readSnapshot(spark, dir, s.copy(files = kept), schema)
+          .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    }
+  }
 
   /** Time travel: the table exactly as of `version`. */
   def readVersion(spark: SparkSession, dir: String, version: Long,
@@ -131,6 +220,92 @@ object ManifestStore {
   def append(df: DataFrame, dir: String): Long =
     commit(df, dir, "append", (prev, fresh) => prev ++ fresh)
 
+  /** Per-file column bounds from the parquet FOOTER — a metadata-only read
+    * (one footer RPC per file, no data pages). Row-group stats are merged;
+    * a column missing stats in ANY row group gets `None` bounds (file
+    * stays un-prunable). Only top-level primitive columns are recorded:
+    * INT32/INT64 (and INT64-micros timestamps) as `long`, FLOAT/DOUBLE as
+    * `double`, UTF-8 BINARY as `string`. String bounds compare in unsigned
+    * UTF-8 byte order — the order parquet computed them in. Commit calls
+    * this once per fresh file on the driver; a bulk-backfill over millions
+    * of existing files should distribute the footer reads instead.
+    */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          dir: String, rel: String): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(dir, rel), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val perCol = scala.collection.mutable.LinkedHashMap[String,
+        (String, Option[(String, String)], Long)]() // typ, merged bounds, nulls
+      for (b <- blocks; cc <- b.getColumns.asScala) {
+        val path = cc.getPath.toArray
+        if (path.length == 1) {
+          val name = path(0)
+          val pt = cc.getPrimitiveType
+          val logical = Option(pt.getLogicalTypeAnnotation)
+          val typ = pt.getPrimitiveTypeName match {
+            case INT32 | INT64 => Some("long")
+            case FLOAT | DOUBLE => Some("double")
+            case BINARY
+              if logical.exists(_.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) =>
+              Some("string")
+            case _ => None
+          }
+          typ.foreach { t =>
+            val st = cc.getStatistics
+            val bounds: Option[(String, String)] =
+              if (st == null || !st.hasNonNullValue) None
+              else t match {
+                case "string" =>
+                  val mn = new String(st.getMinBytes, StandardCharsets.UTF_8)
+                  val mx = new String(st.getMaxBytes, StandardCharsets.UTF_8)
+                  if (mn.length > 64 || mx.length > 64) None else Some((mn, mx))
+                case _ => Some((st.genericGetMin.toString, st.genericGetMax.toString))
+              }
+            val nulls = if (st != null && st.isNumNullsSet) st.getNumNulls else 0L
+            perCol.get(name) match {
+              case None => perCol(name) = (t, bounds, nulls)
+              case Some((t0, b0, n0)) =>
+                val merged = for (x <- b0; y <- bounds) yield t0 match {
+                  case "long" =>
+                    (math.min(x._1.toLong, y._1.toLong).toString,
+                      math.max(x._2.toLong, y._2.toLong).toString)
+                  case "double" =>
+                    (math.min(x._1.toDouble, y._1.toDouble).toString,
+                      math.max(x._2.toDouble, y._2.toDouble).toString)
+                  case _ =>
+                    (if (utf8Lt(x._1, y._1)) x._1 else y._1,
+                      if (utf8Lt(x._2, y._2)) y._2 else x._2)
+                }
+                perCol(name) = (t0, merged, n0 + nulls)
+            }
+          }
+        }
+      }
+      perCol.map { case (n, (t, b, nulls)) =>
+        n -> ColStats(t, b.map(_._1), b.map(_._2), nulls)
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** Unsigned UTF-8 byte-order less-than — parquet's string stat order. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def commit(df: DataFrame, dir: String, op: String,
                      combine: (Seq[String], Seq[String]) => Seq[String],
                      maxAttempts: Int = 10): Long = {
@@ -143,6 +318,10 @@ object ManifestStore {
     val fresh = f.listStatus(new Path(dir, dataRel)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .sorted.map(n => s"$dataRel/$n")
+    // harvest footer stats ONCE per fresh file (outside the retry loop —
+    // lost races re-publish the manifest, never re-read footers)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val freshStats = fresh.map(r => r -> footerStats(hadoopConf, dir, r)).toMap
     // 2. claim the next version slot; on a lost race, re-base and retry —
     //    only the manifest publish repeats, never the data write
     var attempt = 0
@@ -172,6 +351,22 @@ object ManifestStore {
         body.put("op", op)
         val arr = body.putArray("files")
         files.foreach(arr.add)
+        // stats travel with the lineage: surviving files keep the bounds
+        // their adding commit harvested, fresh files add theirs
+        val carried = prev.map(_.stats).getOrElse(Map.empty) ++ freshStats
+        val statsNode = body.putObject("stats")
+        files.foreach { rel =>
+          carried.get(rel).filter(_.nonEmpty).foreach { cols =>
+            val fNode = statsNode.putObject(rel)
+            cols.foreach { case (c, cs) =>
+              val cn = fNode.putObject(c)
+              cn.put("t", cs.typ)
+              cs.min.foreach(cn.put("min", _))
+              cs.max.foreach(cn.put("max", _))
+              cn.put("nulls", cs.nullCount): Unit
+            }
+          }
+        }
         if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
         attempt += 1
       }

@@ -193,4 +193,54 @@ class ManifestStoreSpec extends SparkSpec {
     assert(v.isEmpty, "compaction must abort when its inputs were dropped")
     assert(contents(dir) === Set(7L -> "only"))
   }
+
+  test("manifest stats: footer bounds recorded per file, carried through append") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "aa", 5L -> "bb").coalesce(1), dir)
+    ManifestStore.append(df(10L -> "cc", 20L -> "dd").coalesce(1), dir)
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.files.size === 2)
+    val byFile = snap.files.map(f => snap.stats(f))
+    // the v1 file's bounds survived v2's commit untouched
+    assert(byFile.map(s => (s("k").min.get.toLong, s("k").max.get.toLong)).toSet
+      === Set((1L, 5L), (10L, 20L)))
+    assert(byFile.map(s => (s("v").min.get, s("v").max.get)).toSet
+      === Set(("aa", "bb"), ("cc", "dd")))
+    assert(byFile.forall(_("k").typ === "long"))
+    assert(byFile.forall(_("v").typ === "string"))
+  }
+
+  test("pruneFiles skips provably-disjoint files, keeps overlap and unknown") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a", 5L -> "b").coalesce(1), dir)
+    ManifestStore.append(df(10L -> "c", 20L -> "d").coalesce(1), dir)
+    ManifestStore.append(df(100L -> "e").coalesce(1), dir)
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(ManifestStore.pruneFiles(snap, "k", 6L, 50L).size === 1)
+    assert(ManifestStore.pruneFiles(snap, "k", 5L, 10L).size === 2) // bounds inclusive
+    assert(ManifestStore.pruneFiles(snap, "k", 200L, 300L).isEmpty)
+    assert(ManifestStore.pruneFiles(snap, "v", "b", "c").size === 2)
+    // a column with no stats (unknown) prunes nothing
+    assert(ManifestStore.pruneFiles(snap, "nope", 0L, 1L).size === 3)
+  }
+
+  test("rangeScan equals full scan + filter, while reading fewer files") {
+    val dir = tmpDir()
+    (0 to 4).foreach(i =>
+      ManifestStore.append(
+        df((1 to 10).map(j => (i * 100 + j).toLong -> s"r$i-$j"): _*).coalesce(1), dir))
+    val full = ManifestStore.read(spark, dir, schema)
+      .filter($"k" >= 101L && $"k" <= 210L).as[(Long, String)].collect().toSet
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(ManifestStore.pruneFiles(snap, "k", 101L, 210L).size === 2, "5 files → 2")
+    val pruned = ManifestStore.rangeScan(spark, dir, schema, "k", 101L, 210L)
+      .as[(Long, String)].collect().toSet
+    assert(pruned === full && full.size === 20)
+    // compaction rewrites the files; the rewritten file gets fresh bounds
+    ManifestStore.compactSmall(spark, dir, schema, minFileBytes = 1L << 20)
+    val snap2 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap2.files.size === 1 && snap2.stats(snap2.files.head)("k").max.get.toLong === 410L)
+    assert(ManifestStore.rangeScan(spark, dir, schema, "k", 101L, 210L)
+      .as[(Long, String)].collect().toSet === full)
+  }
 }
