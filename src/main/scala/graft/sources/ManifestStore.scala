@@ -310,14 +310,26 @@ object ManifestStore {
                      combine: (Seq[String], Seq[String]) => Seq[String],
                      maxAttempts: Int = 10): Long = {
     val spark = df.sparkSession
-    val f = fs(spark, dir)
     // 1. write the new data files once, under a unique never-renamed prefix
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"d-$nonce"
     df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+    val f = fs(spark, dir)
     val fresh = f.listStatus(new Path(dir, dataRel)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .sorted.map(n => s"$dataRel/$n")
+    publishLoop(spark, dir, op, fresh, combine, maxAttempts)
+  }
+
+  /** The optimistic slot-claim loop, separated from the data write so ops
+    * that only DROP files (a delete whose matches cover whole files) can
+    * commit with `fresh = Nil` and no data job at all.
+    */
+  private def publishLoop(spark: SparkSession, dir: String, op: String,
+                          fresh: Seq[String],
+                          combine: (Seq[String], Seq[String]) => Seq[String],
+                          maxAttempts: Int = 10): Long = {
+    val f = fs(spark, dir)
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -513,6 +525,72 @@ object ManifestStore {
       prev.filterNot(smallSet.contains) ++ fresh
     }))
     catch { case _: java.util.ConcurrentModificationException => None }
+  }
+
+  /** Targeted delete of rows with `column ∈ [lo, hi]` — the GDPR/retention
+    * write shape, planned from manifest stats so a 100 TB table rewrites
+    * only the files that can contain matches:
+    *
+    *  - files whose bounds are DISJOINT from the range keep their identity
+    *    (no read, no write — the overwhelming majority on a clustered
+    *    table);
+    *  - files whose bounds lie ENTIRELY inside the range and hold no nulls
+    *    are dropped from the manifest outright (provably all-matching; no
+    *    data job — a whole-partition retention drop costs one manifest
+    *    publish);
+    *  - only genuinely PARTIAL files are read, anti-filtered, rewritten.
+    *
+    * Null rows never match a range predicate and are always kept (which is
+    * why an all-in-bounds file with nulls still rewrites). The delete
+    * applies to the snapshot it planned against: a concurrent append's
+    * rows land untouched (they postdate the snapshot); a concurrent
+    * overwrite/compaction that removed any planned file aborts with None,
+    * like [[compactSmall]]. Returns the new version, or None when no file
+    * could contain a match or the commit was aborted; old versions
+    * time-travel until
+    * [[vacuum]] (the deleted rows remain readable there — run vacuum to
+    * destroy them physically).
+    */
+  def deleteRange(spark: SparkSession, dir: String, schema: StructType,
+                  column: String, lo: Any, hi: Any): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = currentSnapshot(spark, dir).getOrElse(return None)
+    val touched = pruneFiles(snap, column, lo, hi)
+    if (touched.isEmpty) return None
+    val dropWhole = touched.filter { rel =>
+      snap.stats.get(rel).flatMap(_.get(column)) match {
+        case Some(ColStats(typ, Some(mn), Some(mx), nulls)) if nulls == 0L =>
+          typ match {
+            case "long" => mn.toLong >= toLong(lo) && mx.toLong <= toLong(hi)
+            case "double" => mn.toDouble >= toDouble(lo) && mx.toDouble <= toDouble(hi)
+            case "string" => !utf8Lt(mn, lo.toString) && !utf8Lt(hi.toString, mx)
+            case _ => false
+          }
+        case _ => false
+      }
+    }.toSet
+    val partial = touched.filterNot(dropWhole.contains)
+    val gone = dropWhole ++ partial
+    val abort = { (prev: Seq[String]) =>
+      if (!touched.forall(prev.contains))
+        throw new java.util.ConcurrentModificationException(
+          "snapshot changed under deleteRange")
+    }
+    try {
+      if (partial.isEmpty)
+        Some(publishLoop(spark, dir, "delete", Nil, { (prev, _) =>
+          abort(prev); prev.filterNot(gone.contains)
+        }))
+      else {
+        val survivors = spark.read.schema(schema)
+          .parquet(partial.map(p => new Path(dir, p).toString): _*)
+          .filter(!(col(column) >= lit(lo) && col(column) <= lit(hi)) ||
+            col(column).isNull)
+        Some(commit(survivors, dir, "delete", { (prev, fresh) =>
+          abort(prev); prev.filterNot(gone.contains) ++ fresh
+        }))
+      }
+    } catch { case _: java.util.ConcurrentModificationException => None }
   }
 
   /** Drop versions older than the latest `keepVersions`, then delete every

@@ -3,6 +3,8 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path => JPath}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -242,5 +244,50 @@ class ManifestStoreSpec extends SparkSpec {
     assert(snap2.files.size === 1 && snap2.stats(snap2.files.head)("k").max.get.toLong === 410L)
     assert(ManifestStore.rangeScan(spark, dir, schema, "k", 101L, 210L)
       .as[(Long, String)].collect().toSet === full)
+  }
+
+  test("deleteRange: disjoint files keep identity, covered files drop, partial rewrite") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a", 5L -> "b").coalesce(1), dir)    // disjoint
+    ManifestStore.append(df(10L -> "c", 20L -> "d").coalesce(1), dir)  // fully covered
+    ManifestStore.append(df(25L -> "e", 40L -> "f").coalesce(1), dir)  // partial
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    val v = ManifestStore.deleteRange(spark, dir, schema, "k", 10L, 30L)
+    assert(v.nonEmpty)
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.files.contains(before.files.head), "disjoint file was rewritten")
+    assert(!after.files.exists(before.files.drop(1).take(1).contains),
+      "fully-covered file not dropped")
+    assert(contents(dir) === Set(1L -> "a", 5L -> "b", 40L -> "f"))
+    // deleted rows still time-travel until vacuum
+    assert(ManifestStore.readVersion(spark, dir, before.version, schema).count() === 6)
+    // a range no file can contain is a no-op: no new version
+    assert(ManifestStore.deleteRange(spark, dir, schema, "k", 500L, 600L).isEmpty)
+    assert(ManifestStore.currentSnapshot(spark, dir).get.version === v.get)
+  }
+
+  test("deleteRange: whole-file drop commits without any data write") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a").coalesce(1), dir)
+    ManifestStore.append(df(50L -> "x", 60L -> "y").coalesce(1), dir)
+    val dataDirsBefore = Files.list(JPath.of(dir)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("d-"))
+    val v = ManifestStore.deleteRange(spark, dir, schema, "k", 50L, 60L)
+    assert(v.nonEmpty)
+    val dataDirsAfter = Files.list(JPath.of(dir)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("d-"))
+    assert(dataDirsAfter === dataDirsBefore, "drop-only delete wrote data files")
+    assert(contents(dir) === Set(1L -> "a"))
+  }
+
+  test("deleteRange keeps null rows even when a file's bounds sit inside the range") {
+    val dir = tmpDir()
+    val rows = Seq[(java.lang.Long, String)]((10L, "in"), (null, "keepme"), (20L, "in2"))
+    ManifestStore.append(
+      rows.toDF("k", "v").coalesce(1), dir)
+    val v = ManifestStore.deleteRange(spark, dir, schema, "k", 0L, 100L)
+    assert(v.nonEmpty)
+    val out = ManifestStore.read(spark, dir, schema).collect()
+    assert(out.length === 1 && out.head.isNullAt(0) && out.head.getString(1) === "keepme")
   }
 }
