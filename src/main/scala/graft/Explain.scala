@@ -16,6 +16,7 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false") // tz-naive testdata reads as UTC instants
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     // ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k=v"

@@ -23,6 +23,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // testdata parquet carries tz-naive timestamps; read them as UTC
+      // instants (LTZ), not TIMESTAMP_NTZ — the whole engine (unix_micros
+      // arithmetic, window RANGE frames, the DuckDB oracles) treats ts as
+      // an instant in the UTC-pinned session
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
