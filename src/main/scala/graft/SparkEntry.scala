@@ -1288,6 +1288,20 @@ object SparkEntry {
             .as("wmean"))
     }),
 
+    // Graded contamination fraction: per corpus doc, the share of its
+    // distinct word 5-grams that appear anywhere in the eval set — the
+    // threshold-sweep audit between q104's boolean collision gate and
+    // q59's pairwise Jaccard. Clean docs stay in the report (hit_frac 0).
+    // One fingerprint equi-join + partial-agg counts; eval side collapsed
+    // to its distinct gram set.
+    "q116_contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.NearDup.contaminationFraction(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "text", "doc_id", n = 5)
+    }),
+
     // Winnowing fingerprint selection (MOSS): positional 3-gram md5s,
     // window-of-4 local minima — any ≥6-word copied span shares a
     // fingerprint, at ~2/(w+1) density. md5's lexicographic order makes
@@ -2903,6 +2917,29 @@ object SparkEntry {
                 CAST(sum(CAST(clamped AS DECIMAL(18,4))) AS DOUBLE)
                   / max(n_events) AS wmean
          FROM c GROUP BY event_type""",
+
+    // same distinct 5-grams per doc as q104; LEFT join keeps clean docs,
+    // count(ev.g) counts only matched grams (NULL-skipping, = Spark's
+    // count over the _hit marker); gram text vs xxhash64 fingerprints —
+    // equal absent a 64-bit collision
+    "q116_contamination_frac" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(ts) - 3, 1)),
+                    i -> array_to_string(ts[i:i+4], ' ')))) AS g
+           FROM tok),
+         ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 13 = 0)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(count(ev.g) AS BIGINT) AS n_hits,
+                round(CAST(count(ev.g) AS DOUBLE) / count(*), 4) AS hit_frac
+         FROM sh s LEFT JOIN ev ON s.g = ev.g
+         WHERE s.doc_id % 13 <> 0
+         GROUP BY s.doc_id""",
 
     // same positional 3-grams → md5 → window-of-4 minima; short docs
     // (under 4 grams) contribute their single overall minimum

@@ -506,6 +506,47 @@ object NearDup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Graded contamination score — per corpus document, the fraction of its
+    * DISTINCT word n-grams that appear anywhere in the eval set. Sits
+    * between [[exactContamination]]'s boolean any-collision rule (n_hits
+    * > 0 ⇒ drop) and [[decontaminate]]'s document-level Jaccard: the
+    * fraction is what a pipeline thresholds when a single shared n-gram is
+    * too aggressive a drop rule (boilerplate phrases collide constantly at
+    * small n) but pairwise similarity is the wrong unit (the eval set as a
+    * WHOLE is what must not leak). Every corpus document with ≥1 n-gram is
+    * reported — including clean ones (hit_frac = 0), so the output is the
+    * audit table a threshold sweep reads, not just the kill list.
+    *
+    * Returns (idCol, n_grams, n_hits, hit_frac): distinct-gram count,
+    * eval-colliding distinct-gram count, and their ratio rounded to 4.
+    * Documents shorter than n tokens have no n-grams and are absent.
+    *
+    * Scale: identical join discipline to [[exactContamination]] — both
+    * sides collapse to (id, 8-byte fingerprint); the eval side further
+    * collapses to its distinct fingerprint set; one equi-join (left, to
+    * keep clean documents) + one partial-agg count pair per document.
+    * Never a text comparison, never a broadcast of either corpus by
+    * default.
+    */
+  def contaminationFraction(corpus: DataFrame, evalSet: DataFrame,
+                            textCol: String, idCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val base = df.select(col(idCol).as("_id"),
+        coalesce(col(textCol), lit("")).as("_text"))
+      base.select(col("_id"),
+        explode(graft.plans.GraftFunctions.wordShingleHashes(base, col("_text"), n))
+          .as("_g"))
+    }
+    val evGrams = grams(evalSet).select(col("_g")).distinct()
+      .withColumn("_hit", lit(1))
+    grams(corpus)
+      .join(evGrams, Seq("_g"), "left")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hits"))
+      .withColumn("hit_frac",
+        round(col("n_hits").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
   /** Exact shingle-set Jaccard verify of candidate id pairs: re-attach the
     * (materialized) shingle arrays per side, intersect, threshold. The ONE
     * verification expression every banding/bucketing candidate generator

@@ -729,6 +729,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(hits === Map(1L -> 2L, 3L -> 1L), s"got $hits")
   }
 
+  test("contamination fraction grades hit share and keeps clean docs") {
+    val evalSet = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 16 tokens → 12 distinct 5-grams, 2 of them eval grams
+      (1L, "totally unrelated preface alpha beta gamma delta epsilon zeta and a long tail of other words"),
+      // clean doc stays in the report with hit_frac 0
+      (2L, "no overlap with the benchmark material at all in this document"),
+      // under n tokens → no grams → absent
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = NearDup.contaminationFraction(corpus, evalSet, "text", "doc_id", n = 5)
+      .select($"doc_id", $"n_grams", $"n_hits", $"hit_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 12L, 2L, 0.1667), (2L, 7L, 0L, 0.0)), s"got $out")
+  }
+
   test("decontamination tolerates eval ids colliding with corpus ids") {
     // the eval set is EXTERNAL — its id space may overlap the corpus's; the
     // verify must resolve id_a against eval shingles and id_b against corpus
