@@ -210,6 +210,67 @@ object ManifestStore {
     if (s.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else spark.read.schema(schema).parquet(s.files.map(new Path(dir, _).toString): _*)
 
+  /** Change-data-feed: the row-level changes the table underwent in versions
+    * `(fromVersion, toVersion]`, as `schema`'s columns plus `_change_type`
+    * (`insert` | `delete`), `_commit_version`, and `_commit_op`. An update
+    * surfaces as delete + insert (this log has no key knowledge — pair them
+    * downstream on the table's key if needed). `fromVersion = 0` means
+    * "since before the first commit". This is what lets an incremental
+    * consumer follow a maintained table exactly — apply the feed and its
+    * state equals `readVersion(toVersion)` — without rescanning snapshots.
+    *
+    * Planned from the manifest lineage, costed by what each commit touched:
+    *  - `append` (removed nothing): inserts = a scan of ONLY that version's
+    *    fresh files — metadata-planned, no diff job, the streaming/
+    *    incremental hot path stays proportional to the batch.
+    *  - `compact` (full [[compact]] and [[compactSmall]] both commit under
+    *    it): data-neutral by construction — the rewrite commits exactly
+    *    the rows it read, and a concurrent overwrite aborts it — so the
+    *    feed emits nothing and costs nothing.
+    *  - `overwrite` / `delete` / anything else: an exact multiset diff
+    *    (`exceptAll` both ways) over only the files the commit added or
+    *    dropped — a whole-file drop (deleteRange's stats-planned fast
+    *    path) reads just the dropped files; a partial rewrite reads the
+    *    old and new versions of the touched files, never the whole table.
+    *
+    * Vacuum interaction: versions older than the retention window lose
+    * their dropped files; `changes` over a vacuumed range fails at scan
+    * time rather than under-reporting — keep `fromVersion` within the
+    * vacuum retention, as any CDC consumer must.
+    */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+              toVersion: Long, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad change range ($fromVersion, $toVersion]")
+    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    def snap(v: Long): Snapshot =
+      if (v == 0L) Snapshot(0L, Nil, "none") else readManifest(spark, dir, v)
+    def rd(fl: Seq[String]): DataFrame =
+      if (fl.isEmpty) empty
+      else spark.read.schema(schema).parquet(fl.map(new Path(dir, _).toString): _*)
+    def tag(df: DataFrame, t: String, v: Long, op: String): DataFrame = df
+      .withColumn("_change_type", lit(t))
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_op", lit(op))
+    val perVersion = ((fromVersion + 1) to toVersion).map { v =>
+      val cur = snap(v)
+      val prevFiles = snap(v - 1).files
+      val prevSet = prevFiles.toSet
+      val curSet = cur.files.toSet
+      val added = cur.files.filterNot(prevSet)
+      val removed = prevFiles.filterNot(curSet)
+      val (ins, del) =
+        if (cur.op == "compact") (empty, empty)
+        else if (removed.isEmpty) (rd(added), empty)
+        else if (added.isEmpty) (empty, rd(removed))
+        else (rd(added).exceptAll(rd(removed)), rd(removed).exceptAll(rd(added)))
+      tag(ins, "insert", v, cur.op).unionAll(tag(del, "delete", v, cur.op))
+    }
+    perVersion.reduceOption(_ unionAll _)
+      .getOrElse(tag(empty, "insert", 0L, "none").limit(0))
+  }
+
   /** Replace the table contents with `df`. Returns the committed version. */
   def overwrite(df: DataFrame, dir: String): Long =
     commit(df, dir, "overwrite", (_, fresh) => fresh)
@@ -464,7 +525,9 @@ object ManifestStore {
   def compact(spark: SparkSession, dir: String, schema: StructType,
               numFiles: Int = 1): Long = {
     val cur = read(spark, dir, schema)
-    overwrite(cur.coalesce(math.max(1, numFiles)), dir)
+    // op "compact", not "overwrite": the manifest records this commit as
+    // data-neutral, which lets [[changes]] skip it without a diff job
+    commit(cur.coalesce(math.max(1, numFiles)), dir, "compact", (_, fresh) => fresh)
   }
 
   /** Incremental OPTIMIZE: rewrite only the current snapshot's files

@@ -280,6 +280,37 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir) === Set(1L -> "a"))
   }
 
+  test("changes: CDC feed tracks inserts/deletes per version, skips compaction") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a", 2L -> "b"), dir)        // v1
+    ManifestStore.append(df(3L -> "c"), dir)                   // v2
+    ManifestStore.deleteRange(spark, dir, schema, "k", 2L, 2L) // v3: partial rewrite
+    ManifestStore.compact(spark, dir, schema)                  // v4: data-neutral
+    ManifestStore.overwrite(df(9L -> "z"), dir)                // v5
+
+    def feed(from: Long, to: Long) =
+      ManifestStore.changes(spark, dir, from, to, schema)
+        .select($"k", $"v", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+
+    assert(feed(0L, 1L) === Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+    assert(feed(1L, 2L) === Set((3L, "c", "insert", 2L)))
+    // the rewrite carried (1,a) into a fresh file; the feed must report only
+    // the genuinely deleted row, not the carried one
+    assert(feed(2L, 3L) === Set((2L, "b", "delete", 3L)))
+    assert(feed(3L, 4L) === Set.empty, "compaction must emit no changes")
+    assert(feed(4L, 5L) === Set((1L, "a", "delete", 5L), (3L, "c", "delete", 5L),
+      (9L, "z", "insert", 5L)))
+    // applying the full feed reconstructs the final snapshot
+    val all = ManifestStore.changes(spark, dir, 0L, 5L, schema)
+    val applied = all.filter($"_change_type" === "insert").select($"k", $"v")
+      .exceptAll(all.filter($"_change_type" === "delete").select($"k", $"v"))
+      .as[(Long, String)].collect().toSet
+    assert(applied === contents(dir) && applied === Set(9L -> "z"))
+    // an empty range yields an empty, correctly-shaped frame
+    assert(ManifestStore.changes(spark, dir, 2L, 2L, schema).isEmpty)
+  }
+
   test("deleteRange keeps null rows even when a file's bounds sit inside the range") {
     val dir = tmpDir()
     val rows = Seq[(java.lang.Long, String)]((10L, "in"), (null, "keepme"), (20L, "in2"))
