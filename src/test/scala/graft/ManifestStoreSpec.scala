@@ -311,6 +311,30 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.changes(spark, dir, 2L, 2L, schema).isEmpty)
   }
 
+  test("schema evolution: a widened read schema null-fills pre-evolution files") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a"), dir) // written under (k, v)
+    val wide = StructType.fromDDL("k BIGINT, v STRING, w DOUBLE")
+    ManifestStore.append(Seq((2L, "b", 3.5)).toDF("k", "v", "w"), dir)
+    // new readers see the union schema; the old file's w is null
+    assert(ManifestStore.read(spark, dir, wide)
+      .as[(Long, String, Option[Double])].collect().toSet ===
+      Set((1L, "a", None), (2L, "b", Some(3.5))))
+    // old narrow readers keep working against the evolved table
+    assert(contents(dir) === Set(1L -> "a", 2L -> "b"))
+    // stats-planned reads stay safe: the pre-evolution file has no bounds
+    // for w, so it is kept (unknown, never wrongly pruned) and its rows
+    // surface as null — filtered by the exact row-level bound re-check
+    assert(ManifestStore.rangeScan(spark, dir, wide, "w", 0.0, 10.0)
+      .as[(Long, String, Option[Double])].collect().toSet ===
+      Set((2L, "b", Some(3.5))))
+    // the CDC feed reads the range under the evolved schema the same way
+    val feed = ManifestStore.changes(spark, dir, 0L, 2L, wide)
+      .select($"k", $"w", $"_change_type")
+      .as[(Long, Option[Double], String)].collect().toSet
+    assert(feed === Set((1L, None, "insert"), (2L, Some(3.5), "insert")))
+  }
+
   test("deleteRange keeps null rows even when a file's bounds sit inside the range") {
     val dir = tmpDir()
     val rows = Seq[(java.lang.Long, String)]((10L, "in"), (null, "keepme"), (20L, "in2"))
