@@ -48,7 +48,8 @@ import org.apache.spark.sql.types.StructType
 object ManifestStore {
 
   final case class Snapshot(version: Long, files: Seq[String], op: String,
-                            stats: Map[String, Map[String, ColStats]] = Map.empty)
+                            stats: Map[String, Map[String, ColStats]] = Map.empty,
+                            rows: Map[String, Long] = Map.empty)
 
   /** Per-file column statistics harvested from the parquet footer at commit
     * time (metadata-only — no data read). `min`/`max` are the column's
@@ -127,7 +128,12 @@ object ManifestStore {
           v.path("nulls").asLong())
       }.toMap
     }.toMap
-    Snapshot(root.path("version").asLong(), files, root.path("op").asText(), stats)
+    val rowsNode = root.path("rows")
+    val rows = if (rowsNode.isMissingNode) Map.empty[String, Long]
+    else rowsNode.properties().asScala.iterator
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+    Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
+      stats, rows)
   }
 
   /** DataFrame of the latest version (empty frame with `schema` if none). */
@@ -204,6 +210,37 @@ object ManifestStore {
   def readVersion(spark: SparkSession, dir: String, version: Long,
                   schema: StructType): DataFrame =
     readSnapshot(spark, dir, readManifest(spark, dir, version), schema)
+
+  /** Metadata-only `COUNT(*)`: the table's exact row count from the
+    * manifest's per-file counts — zero data I/O, zero Spark jobs. `None`
+    * when any current file predates row-count recording (an append through
+    * an older writer): the honest answer is "unknown", never a partial sum.
+    * The Delta/Iceberg metadata-query fast path; at 100 TB this turns the
+    * most common sanity query from a full scan into one JSON read.
+    */
+  def countRows(spark: SparkSession, dir: String): Option[Long] =
+    currentSnapshot(spark, dir).flatMap { s =>
+      if (s.files.forall(s.rows.contains)) Some(s.files.map(s.rows).sum)
+      else None
+    }
+
+  /** Time travel by wall clock: the newest version whose manifest was
+    * published at or before `tsMillis` (epoch millis), `None` if the table
+    * had no committed version yet. Based on manifest modification times —
+    * the publish instant on local FS and HDFS, the PUT time on object
+    * stores; like Delta's `timestampAsOf`, it inherits the store's clock,
+    * so cross-writer skew blurs at clock-resolution, never corrupts (the
+    * returned version is always a real committed snapshot).
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Option[Long] = {
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    if (!f.exists(md)) return None
+    f.listStatus(md).toSeq.flatMap(st => st.getPath.getName match {
+      case manifestName(v) if st.getModificationTime <= tsMillis => Some(v.toLong)
+      case _ => None
+    }).maxOption
+  }
 
   private def readSnapshot(spark: SparkSession, dir: String, s: Snapshot,
                            schema: StructType): DataFrame =
@@ -292,7 +329,14 @@ object ManifestStore {
     * of existing files should distribute the footer reads instead.
     */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
-                          dir: String, rel: String): Map[String, ColStats] = {
+                          dir: String, rel: String): Map[String, ColStats] =
+    footerMeta(conf, dir, rel)._1
+
+  /** [[footerStats]] plus the file's exact row count (the block row counts
+    * summed) — both from the one footer read.
+    */
+  private def footerMeta(conf: org.apache.hadoop.conf.Configuration,
+                         dir: String, rel: String): (Map[String, ColStats], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -348,9 +392,9 @@ object ManifestStore {
           }
         }
       }
-      perCol.map { case (n, (t, b, nulls)) =>
+      (perCol.map { case (n, (t, b, nulls)) =>
         n -> ColStats(t, b.map(_._1), b.map(_._2), nulls)
-      }.toMap
+      }.toMap, blocks.map(_.getRowCount).sum)
     } finally reader.close()
   }
 
@@ -394,7 +438,9 @@ object ManifestStore {
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val freshStats = fresh.map(r => r -> footerStats(hadoopConf, dir, r)).toMap
+    val freshMeta = fresh.map(r => r -> footerMeta(hadoopConf, dir, r)).toMap
+    val freshStats = freshMeta.view.mapValues(_._1).toMap
+    val freshRows = freshMeta.view.mapValues(_._2).toMap
     // 2. claim the next version slot; on a lost race, re-base and retry —
     //    only the manifest publish repeats, never the data write
     var attempt = 0
@@ -440,6 +486,11 @@ object ManifestStore {
             }
           }
         }
+        // exact per-file row counts (same footer read as the stats): the
+        // metadata-only COUNT(*) path; carried through commits like stats
+        val carriedRows = prev.map(_.rows).getOrElse(Map.empty) ++ freshRows
+        val rowsNode = body.putObject("rows")
+        files.foreach(rel => carriedRows.get(rel).foreach(rowsNode.put(rel, _)))
         if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
         attempt += 1
       }

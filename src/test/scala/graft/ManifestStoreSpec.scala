@@ -311,6 +311,38 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.changes(spark, dir, 2L, 2L, schema).isEmpty)
   }
 
+  test("countRows answers from the manifest alone; unknown files make it None") {
+    val dir = tmpDir()
+    assert(ManifestStore.countRows(spark, dir).isEmpty) // no table yet
+    ManifestStore.append(df(1L -> "a", 2L -> "b"), dir)
+    ManifestStore.append(df(3L -> "c"), dir)
+    assert(ManifestStore.countRows(spark, dir) === Some(3L))
+    ManifestStore.deleteRange(spark, dir, schema, "k", 2L, 2L)
+    assert(ManifestStore.countRows(spark, dir) === Some(2L))
+    assert(ManifestStore.countRows(spark, dir).get ===
+      ManifestStore.read(spark, dir, schema).count())
+    // a manifest written without row counts (older writer) → honest None
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    Files.write(JPath.of(dir, "_manifests", "v00000099.json"),
+      s"""{"version":99,"op":"append","files":[${
+        snap.files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+        .getBytes(StandardCharsets.UTF_8))
+    assert(ManifestStore.countRows(spark, dir).isEmpty)
+  }
+
+  test("versionAsOf resolves wall-clock time travel via publish instants") {
+    val dir = tmpDir()
+    assert(ManifestStore.versionAsOf(spark, dir, Long.MaxValue).isEmpty)
+    ManifestStore.append(df(1L -> "a"), dir)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // local FS mtime can be second-granular
+    ManifestStore.append(df(2L -> "b"), dir)
+    assert(ManifestStore.versionAsOf(spark, dir, afterV1) === Some(1L))
+    assert(ManifestStore.versionAsOf(spark, dir, System.currentTimeMillis())
+      === Some(2L))
+    assert(ManifestStore.versionAsOf(spark, dir, 0L).isEmpty) // before the table
+  }
+
   test("schema evolution: a widened read schema null-fills pre-evolution files") {
     val dir = tmpDir()
     ManifestStore.append(df(1L -> "a"), dir) // written under (k, v)
