@@ -707,6 +707,73 @@ object ManifestStore {
     } catch { case _: java.util.ConcurrentModificationException => None }
   }
 
+  /** Keyed copy-on-write upsert — the MERGE write shape: every batch row
+    * replaces the current row carrying the same key, or inserts if the key
+    * is new. Planned from manifest stats like [[deleteRange]]: only files
+    * whose key bounds overlap the batch's key range are read, anti-joined
+    * on key against the batch (the batch side is small — AQE broadcasts
+    * it), and rewritten together with the batch; every other file keeps
+    * its identity untouched — on a key-clustered 100 TB table an
+    * incremental upsert rewrites a handful of files, never the table.
+    *
+    * Semantics and contracts:
+    *  - the batch must be key-unique (checked with one small aggregate on
+    *    the batch side; a batch with two rows for one key has no defined
+    *    winner);
+    *  - null keys never match an existing row (SQL join semantics) — a
+    *    null-key batch row always inserts;
+    *  - concurrency is strict: ANY commit landing between planning and
+    *    publish aborts with None (a concurrent append could carry the same
+    *    key, and silently keeping both would corrupt key-uniqueness — the
+    *    caller retries, like Delta's serializable MERGE);
+    *  - the replaced rows time-travel until [[vacuum]], and
+    *    [[changes]] reports the upsert as exact row-level delete + insert
+    *    (rewritten-but-unchanged rows cancel in its diff).
+    */
+  def upsertKeyed(spark: SparkSession, dir: String, schema: StructType,
+                  batch: DataFrame, keyCol: String): Option[Long] =
+    upsertKeyed(spark, dir, schema, batch, keyCol, () => ())
+
+  /** [[upsertKeyed]] with the spec-only race-injection seam (see
+    * [[compactSmall]]'s midFlight).
+    */
+  private[graft] def upsertKeyed(spark: SparkSession, dir: String,
+                                 schema: StructType, batch: DataFrame,
+                                 keyCol: String,
+                                 midFlight: () => Unit): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
+    val dupKeys = batch.groupBy(col(keyCol)).agg(fcount(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).count()
+    require(dupKeys == 0L, s"upsert batch has duplicate keys on $keyCol")
+    val snap = currentSnapshot(spark, dir).getOrElse {
+      return Some(commit(batch, dir, "upsert", (_, fresh) => fresh))
+    }
+    // batch key bounds for stats pruning (nulls excluded — they match
+    // nothing); files without recorded bounds are conservatively touched
+    val b = batch.agg(fmin(col(keyCol)), fmax(col(keyCol))).head
+    val touched =
+      if (b.isNullAt(0)) Seq.empty // all-null-key batch: pure insert
+      else pruneFiles(snap, keyCol, b.get(0), b.get(1))
+    midFlight()
+    val touchedSet = touched.toSet
+    val abort = { (prev: Seq[String]) =>
+      if (prev != snap.files)
+        throw new java.util.ConcurrentModificationException(
+          "snapshot changed under upsertKeyed")
+    }
+    try {
+      val fresh =
+        if (touched.isEmpty) batch
+        else spark.read.schema(schema)
+          .parquet(touched.map(p => new Path(dir, p).toString): _*)
+          .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(batch)
+      Some(commit(fresh, dir, "upsert", { (prev, freshFiles) =>
+        abort(prev); prev.filterNot(touchedSet.contains) ++ freshFiles
+      }))
+    } catch { case _: java.util.ConcurrentModificationException => None }
+  }
+
   /** Drop versions older than the latest `keepVersions`, then delete every
     * data file no surviving manifest references AND older than
     * `retainMillis`. Returns (manifests, data files) deleted.

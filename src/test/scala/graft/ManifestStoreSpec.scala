@@ -311,6 +311,48 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.changes(spark, dir, 2L, 2L, schema).isEmpty)
   }
 
+  test("upsertKeyed: replaces matched keys, inserts new, leaves disjoint files alone") {
+    val dir = tmpDir()
+    // bootstrap through upsert itself
+    assert(ManifestStore.upsertKeyed(spark, dir, schema,
+      df(1L -> "a", 2L -> "b"), "k").nonEmpty)
+    ManifestStore.append(df(100L -> "far").coalesce(1), dir) // disjoint key range
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    val farFile = before.files.filter(f => before.stats.get(f)
+      .flatMap(_.get("k")).flatMap(_.min).exists(_.toLong == 100L))
+    assert(farFile.size === 1)
+    val v = ManifestStore.upsertKeyed(spark, dir, schema,
+      df(2L -> "B2", 3L -> "c"), "k")
+    assert(v.nonEmpty)
+    assert(contents(dir) === Set(1L -> "a", 2L -> "B2", 3L -> "c", 100L -> "far"))
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.files.contains(farFile.head), "key-disjoint file was rewritten")
+    // the CDC feed reports the upsert as exact row-level delete + insert:
+    // (2,b) out, (2,B2) and (3,c) in; the carried (1,a) cancels in the diff
+    val feed = ManifestStore.changes(spark, dir, v.get - 1, v.get, schema)
+      .select($"k", $"v", $"_change_type").as[(Long, String, String)].collect().toSet
+    assert(feed === Set((2L, "b", "delete"), (2L, "B2", "insert"), (3L, "c", "insert")))
+    // metadata count stays exact
+    assert(ManifestStore.countRows(spark, dir) === Some(4L))
+    // a duplicate-key batch has no defined winner: refused
+    intercept[IllegalArgumentException] {
+      ManifestStore.upsertKeyed(spark, dir, schema, df(7L -> "x", 7L -> "y"), "k")
+    }
+  }
+
+  test("upsertKeyed aborts when any commit lands between planning and publish") {
+    val dir = tmpDir()
+    ManifestStore.upsertKeyed(spark, dir, schema, df(1L -> "a"), "k")
+    val v = ManifestStore.upsertKeyed(spark, dir, schema, df(1L -> "A2"), "k",
+      midFlight = () => { ManifestStore.append(df(1L -> "racer"), dir): Unit })
+    assert(v.isEmpty, "upsert must abort on a concurrent commit (same-key hazard)")
+    // the racer's append survived; the aborted upsert changed nothing
+    assert(contents(dir) === Set(1L -> "a", 1L -> "racer"))
+    // a clean retry then lands
+    assert(ManifestStore.upsertKeyed(spark, dir, schema, df(1L -> "A2"), "k").nonEmpty)
+    assert(contents(dir) === Set(1L -> "A2"))
+  }
+
   test("countRows answers from the manifest alone; unknown files make it None") {
     val dir = tmpDir()
     assert(ManifestStore.countRows(spark, dir).isEmpty) // no table yet
