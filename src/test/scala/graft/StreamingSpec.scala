@@ -328,6 +328,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert + CDC feed: a maintained downstream view follows the table exactly") {
+    // the full incremental stack in one seam: micro-batches MERGE into a
+    // manifest table (upsertKeyed), the table's change feed drives IVM on
+    // a downstream (count, sum) view, and the view equals the recompute
+    // at every step — no snapshot rescan anywhere
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ManifestStore
+    import graft.operators.Ivm
+    val dir = Files.createTempDirectory("upsert-stream").resolve("state").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v DOUBLE")
+    @volatile var view = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, n_rows BIGINT, total DECIMAL(28,8)"))
+    @volatile var lastSeen = 0L
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDS().toDF("k", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ManifestStore.upsertKeyed(batch.sparkSession, dir, schema, batch, "k")
+          .foreach { v =>
+            view = Ivm.applyDelta(view,
+              ManifestStore.changes(batch.sparkSession, dir, lastSeen, v, schema),
+              Seq("k"), "v")
+            lastSeen = v
+          }
+      }
+      .start()
+    try {
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select($"k", $"n_rows", $"total".cast("double"))
+          .as[(Long, Long, Double)].collect().toSet
+      mem.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0), (3L, 3.0)) // k=1 replaced, k=3 new
+      q.processAllAvailable()
+      assert(ManifestStore.read(spark, dir, schema).as[(Long, Double)].collect().toSet
+        === Set((1L, 5.0), (2L, 2.0), (3L, 3.0)))
+      val expected = Ivm.recompute(
+        ManifestStore.read(spark, dir, schema), Seq("k"), "v")
+      assert(norm(view) === norm(expected),
+        "CDC-maintained view diverged from the recompute")
+      assert(norm(view) === Set((1L, 1L, 5.0), (2L, 1L, 2.0), (3L, 1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: a vocabulary-shifted batch reads higher KL than an in-distribution one") {
     // per-micro-batch ingest observability: tag the batch against a
     // reference corpus and read KL(batch ‖ combined) — the scraper-drift /
