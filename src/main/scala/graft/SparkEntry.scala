@@ -1302,6 +1302,14 @@ object SparkEntry {
         "text", "doc_id", n = 5)
     }),
 
+    // Containment near-dup: asymmetric overlap |A∩B|/min(|A|,|B|) — the
+    // subset-duplication catch (a short doc quoted whole inside a long
+    // one has Jaccard ≈ 0 but containment ≈ 1). Same inverted
+    // fingerprint index and prune discipline as q22; only scoring differs.
+    "q117_containment" -> ((s, dir) =>
+      graft.functions.NearDup.ngramContainmentPairs(t(s, dir, "documents"),
+        "text", "doc_id", n = 3, minContainment = 0.35, maxBucket = 1000)),
+
     // Winnowing fingerprint selection (MOSS): positional 3-gram md5s,
     // window-of-4 local minima — any ≥6-word copied span shares a
     // fingerprint, at ~2/(w+1) density. md5's lexicographic order makes
@@ -2917,6 +2925,34 @@ object SparkEntry {
                 CAST(sum(CAST(clamped AS DECIMAL(18,4))) AS DOUBLE)
                   / max(n_events) AS wmean
          FROM c GROUP BY event_type""",
+
+    // q22's oracle with the containment denominator: least(size_a, size_b)
+    "q117_containment" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         inv AS (SELECT * FROM inv0 WHERE shingle IN (
+                   SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+         scored AS (
+           SELECT id_a, id_b,
+                  len(list_intersect(sa.shs, sb.shs)) AS common,
+                  len(sa.shs) AS size_a, len(sb.shs) AS size_b
+           FROM pairs
+           JOIN sh sa ON sa.doc_id = id_a
+           JOIN sh sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, common, size_a, size_b,
+                round(common * 1.0 / least(size_a, size_b), 4) AS containment
+         FROM scored
+         WHERE round(common * 1.0 / least(size_a, size_b), 4) >= 0.35""",
 
     // same distinct 5-grams per doc as q104; LEFT join keeps clean docs,
     // count(ev.g) counts only matched grams (NULL-skipping, = Spark's

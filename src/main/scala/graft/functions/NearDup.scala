@@ -94,6 +94,47 @@ object NearDup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
                         minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
+    val overlap = ngramOverlapPairs(df, textCol, idCol, n, maxBucket)
+    overlap
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+        col("jaccard"))
+  }
+
+  /** Word n-gram CONTAINMENT near-dup pairs — Broder's asymmetric overlap
+    * |A∩B| / min(|A|, |B|): the measure that catches SUBSET duplication
+    * (a short document quoted whole inside a long one, a re-post with
+    * added commentary) which symmetric Jaccard structurally misses — a
+    * small set fully contained in a large one has Jaccard ≈ |A|/|B| ≈ 0
+    * but containment 1.0. The max-direction form (min denominator) is
+    * reported so one thresholded query covers both "A in B" and "B in A".
+    * Returns (id_a, id_b, common, size_a, size_b, containment),
+    * id_a < id_b. Same index, plans, and prune discipline as
+    * [[ngramJaccardPairs]] — only the scoring differs.
+    */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            n: Int, minContainment: Double,
+                            maxBucket: Int = 1000): DataFrame = {
+    val overlap = ngramOverlapPairs(df, textCol, idCol, n, maxBucket)
+    overlap
+      .withColumn("containment",
+        round(col("common").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"), 4))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+        col("containment"))
+  }
+
+  /** The shared overlap engine of [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: every candidate pair sharing ≥1 surviving
+    * shingle, with its exact distinct-shingle intersection and set sizes —
+    * scoring (Jaccard, containment, …) is the caller's one-line wrapper.
+    */
+  private def ngramOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+                                n: Int, maxBucket: Int): DataFrame = {
     // spread the raw rows BEFORE the shingle projection: a Project above the
     // round-robin Exchange runs at full width; below it, on one scan split.
     val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
@@ -107,9 +148,9 @@ object NearDup {
     // join side beats checkpointing that volume (measured 2-3× faster)
     val (inv, nHot) = pruneHotKeysCounted(
       sh.select(col("_id"), explode(col("_sh")).as("_shingle")), "_shingle", maxBucket)
-    // common/jaccard must come from the FULL shingle sets: pruning may
-    // truncate candidate recall (documented, logged) but must never deflate
-    // the reported value of a pair it did surface. Two plans deliver that:
+    // common must come from the FULL shingle sets: pruning may truncate
+    // candidate recall (documented, logged) but must never deflate the
+    // reported value of a pair it did surface. Two plans deliver that:
     //  - nothing pruned (the common case, known only in eager mode): the
     //    index join's match count per pair IS the exact intersection —
     //    count it map-side (partial agg) and join the two size columns;
@@ -119,37 +160,24 @@ object NearDup {
     //    array_intersect over the full arrays, like the rest of the family.
     if (nHot.contains(0L)) {
       val sizes = sh.select(col("_id"), size(col("_sh")).as("_size"))
-      val pairs = inv.as("l").join(inv.as("r"),
+      inv.as("l").join(inv.as("r"),
           col("l._shingle") === col("r._shingle") && col("l._id") < col("r._id"))
         .groupBy(col("l._id").as("id_a"), col("r._id").as("id_b"))
         .agg(count(lit(1)).as("common"))
-      pairs
         .join(sizes.withColumnsRenamed(Map("_id" -> "id_a", "_size" -> "size_a")), Seq("id_a"))
         .join(sizes.withColumnsRenamed(Map("_id" -> "id_b", "_size" -> "size_b")), Seq("id_b"))
-        .withColumn("jaccard",
-          round(col("common").cast("double") /
-            (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
-          col("jaccard"))
     } else {
       val candIds = inv.as("l").join(inv.as("r"),
           col("l._shingle") === col("r._shingle") && col("l._id") < col("r._id"))
         .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
-      val cand = candIds
+      candIds
         .join(sh.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
         .join(sh.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
-      cand
         .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
         .withColumn("size_a", size(col("sh_a")))
         .withColumn("size_b", size(col("sh_b")))
-        .withColumn("jaccard",
-          round(col("common").cast("double") /
-            (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
-          col("jaccard"))
+        .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"))
     }
   }
 

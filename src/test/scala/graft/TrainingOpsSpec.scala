@@ -729,6 +729,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(hits === Map(1L -> 2L, 3L -> 1L), s"got $hits")
   }
 
+  test("containment flags a subset duplicate symmetric Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, short), // quoted whole inside doc 2's much longer text
+      (2L, "one two three four five six seven eight nine ten " + short +
+        " eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+      (3L, "entirely unrelated text about cooking pasta with garlic and olive oil"))
+      .toDF("doc_id", "text")
+    val cont = NearDup.ngramContainmentPairs(corpus, "text", "doc_id",
+      n = 3, minContainment = 0.9)
+      .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)].collect()
+    assert(cont.length == 1 && cont.head._1 == 1L && cont.head._2 == 2L &&
+      cont.head._3 == 1.0, s"got ${cont.toSeq}")
+    // the same pair stays under a symmetric-Jaccard threshold: 6 shared
+    // shingles over the 24-shingle union is exactly 0.25 < 0.3
+    val jac = NearDup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, minJaccard = 0.3)
+    assert(jac.isEmpty, "Jaccard should miss the subset dup at this threshold")
+  }
+
   test("contamination fraction grades hit share and keeps clean docs") {
     val evalSet = Seq((900L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
