@@ -50,6 +50,58 @@ class IvmSpec extends SparkSpec {
     assert(norm(oneShot) === norm(state))
   }
 
+  test("checkpointed CDC follower: exactly-once IVM through crash and replay") {
+    import graft.sources.{Cdc, StateStore}
+    val base = Files.createTempDirectory("graft-cdc-follow")
+    val dir = base.resolve("table").toString
+    val ck = base.resolve("checkpoint").toString
+    val viewDir = base.resolve("view").toString
+    val viewSchema = StructType.fromDDL(
+      "k BIGINT, n_rows BIGINT, total DECIMAL(28,8), _applied BIGINT")
+
+    // the canonical exactly-once sink: state and the feed's to-version
+    // persist in ONE atomic swap; an interval already absorbed is skipped
+    def applyExactlyOnce(feed: DataFrame, to: Long): Unit = {
+      val cur = StateStore.read(spark, viewDir, viewSchema)
+      val applied = cur.agg(max($"_applied")).head
+      if (applied.isNullAt(0) || applied.getLong(0) < to) {
+        val next = Ivm.applyDelta(cur.drop("_applied"), feed, Seq("k"), "v")
+          .withColumn("_applied", lit(to))
+        StateStore.overwrite(next, viewDir)
+      }
+    }
+    def view(): DataFrame = StateStore.read(spark, viewDir, viewSchema).drop("_applied")
+
+    ManifestStore.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), dir) // v1
+    ManifestStore.append(Seq((1L, 4.0)).toDF("k", "v"), dir)            // v2
+    assert(Cdc.followOnce(spark, dir, schema, ck) {
+      (feed, _, to) => applyExactlyOnce(feed, to)
+    } === Some((0L, 2L)))
+    assert(norm(view()) === norm(Ivm.recompute(
+      ManifestStore.read(spark, dir, schema), Seq("k"), "v")))
+    // caught up: no interval, no apply
+    assert(Cdc.followOnce(spark, dir, schema, ck) { (_, _, _) =>
+      fail("apply must not run when caught up")
+    }.isEmpty)
+
+    ManifestStore.append(Seq((3L, 9.0)).toDF("k", "v"), dir) // v3
+    // crash AFTER the sink persisted but BEFORE the checkpoint advanced
+    intercept[RuntimeException] {
+      Cdc.followOnce(spark, dir, schema, ck) { (feed, _, to) =>
+        applyExactlyOnce(feed, to)
+        throw new RuntimeException("crash before checkpoint")
+      }
+    }
+    assert(Cdc.lastProcessed(spark, ck) === 2L, "checkpoint must not advance on failure")
+    // replay of (2, 3]: the sink skips the absorbed interval — no double count
+    assert(Cdc.followOnce(spark, dir, schema, ck) {
+      (feed, _, to) => applyExactlyOnce(feed, to)
+    } === Some((2L, 3L)))
+    assert(Cdc.lastProcessed(spark, ck) === 3L)
+    assert(norm(view()) === Set((1L, 2L, 5.0), (2L, 1L, 2.0), (3L, 1L, 9.0)),
+      "replay double-applied the interval")
+  }
+
   test("full retraction drops the key; no tombstone rows linger") {
     val state = Seq((1L, 2L, BigDecimal(15.0)), (2L, 1L, BigDecimal(3.0)))
       .toDF("k", "n_rows", "total")
