@@ -308,6 +308,39 @@ object ManifestStore {
       .getOrElse(tag(empty, "insert", 0L, "none").limit(0))
   }
 
+  /** [[changes]] refined with key knowledge — the Delta-CDF-style change
+    * classification: within one commit, a delete whose key also inserted
+    * becomes `update_preimage` and the insert `update_postimage`; keys
+    * that only inserted or only deleted keep `insert` / `delete`. This is
+    * what lets a consumer distinguish "row replaced" from "row removed,
+    * unrelated row added" — the upsert/SCD2/replica cases.
+    *
+    * Cost on top of [[changes]]: one window over (commit, key) counting
+    * each side's presence — a single shuffle of the feed (which is sized
+    * by what the commits touched, not the table). Multiplicity caveat: on
+    * tables without key uniqueness, ANY co-occurrence of both sides marks
+    * the whole key's rows as an update (the log records no row pairing);
+    * key-unique tables — everything [[upsertKeyed]] maintains — get the
+    * exact 1:1 pre/postimage.
+    */
+  def changesKeyed(spark: SparkSession, dir: String, fromVersion: Long,
+                   toVersion: Long, schema: StructType,
+                   keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val feed = changes(spark, dir, fromVersion, toVersion, schema)
+    val w = Window.partitionBy(col("_commit_version"), col(keyCol))
+    val nIns = sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).over(w)
+    val nDel = sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).over(w)
+    feed
+      .withColumn("_change_type",
+        when(col("_change_type") === "delete" && nIns > 0 && col(keyCol).isNotNull,
+          lit("update_preimage"))
+          .when(col("_change_type") === "insert" && nDel > 0 && col(keyCol).isNotNull,
+            lit("update_postimage"))
+          .otherwise(col("_change_type")))
+  }
+
   /** Replace the table contents with `df`. Returns the committed version. */
   def overwrite(df: DataFrame, dir: String): Long =
     commit(df, dir, "overwrite", (_, fresh) => fresh)

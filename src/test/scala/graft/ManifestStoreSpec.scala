@@ -353,6 +353,23 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir) === Set(1L -> "A2"))
   }
 
+  test("changesKeyed classifies same-key delete+insert as update pre/postimage") {
+    val dir = tmpDir()
+    ManifestStore.upsertKeyed(spark, dir, schema, df(1L -> "a", 2L -> "b"), "k") // v1
+    val v = ManifestStore.upsertKeyed(spark, dir, schema,
+      df(2L -> "B2", 3L -> "c"), "k").get                                        // v2
+    val feed = ManifestStore.changesKeyed(spark, dir, v - 1, v, schema, "k")
+      .select($"k", $"v", $"_change_type").as[(Long, String, String)].collect().toSet
+    assert(feed === Set(
+      (2L, "b", "update_preimage"), (2L, "B2", "update_postimage"),
+      (3L, "c", "insert")))
+    // a pure delete stays a delete
+    ManifestStore.deleteRange(spark, dir, schema, "k", 3L, 3L)                   // v3
+    val feed2 = ManifestStore.changesKeyed(spark, dir, v, v + 1, schema, "k")
+      .select($"k", $"_change_type").as[(Long, String)].collect().toSet
+    assert(feed2 === Set((3L, "delete")))
+  }
+
   test("countRows answers from the manifest alone; unknown files make it None") {
     val dir = tmpDir()
     assert(ManifestStore.countRows(spark, dir).isEmpty) // no table yet
