@@ -631,8 +631,10 @@ object ManifestStore {
     */
   def compactSmall(spark: SparkSession, dir: String, schema: StructType,
                    minFileBytes: Long = 32L * 1024 * 1024,
-                   targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] =
-    compactSmall(spark, dir, schema, minFileBytes, targetFileBytes, () => ())
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   zorderCols: Seq[String] = Nil): Option[Long] =
+    compactSmall(spark, dir, schema, minFileBytes, targetFileBytes, () => (),
+      zorderCols)
 
   /** [[compactSmall]] with a race-injection seam: `midFlight` runs after
     * the small-file set is fixed and before the commit — the window a
@@ -643,7 +645,15 @@ object ManifestStore {
   private[graft] def compactSmall(spark: SparkSession, dir: String,
                                   schema: StructType, minFileBytes: Long,
                                   targetFileBytes: Long,
-                                  midFlight: () => Unit): Option[Long] = {
+                                  midFlight: () => Unit): Option[Long] =
+    compactSmall(spark, dir, schema, minFileBytes, targetFileBytes, midFlight,
+      Nil)
+
+  private[graft] def compactSmall(spark: SparkSession, dir: String,
+                                  schema: StructType, minFileBytes: Long,
+                                  targetFileBytes: Long,
+                                  midFlight: () => Unit,
+                                  zorderCols: Seq[String]): Option[Long] = {
     val f = fs(spark, dir)
     val snap = currentSnapshot(spark, dir).getOrElse(return None)
     val sized = snap.files.map { rel =>
@@ -654,9 +664,24 @@ object ManifestStore {
     val smallSet = small.map(_._1).toSet
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble
       / targetFileBytes).toInt)
-    val df = spark.read.schema(schema)
+    val raw = spark.read.schema(schema)
       .parquet(small.map(s => new Path(dir, s._1).toString): _*)
-      .coalesce(nOut)
+    // zorderCols turns the rewrite into OPTIMIZE ZORDER BY: the squashed
+    // rows are Morton-clustered (Landing.zorderValue's rank-normalized
+    // interleave) and range-partitioned on the z-value, so the compacted
+    // files' manifest stats become tight in EVERY listed dimension — the
+    // maintenance pass that makes pruneFiles/rangeScan/deleteRange/
+    // upsertKeyed progressively cheaper as a table ages, instead of
+    // inheriting whatever clustering the micro-batches arrived with
+    val df =
+      if (zorderCols.isEmpty) raw.coalesce(nOut)
+      else {
+        val z = Landing.zorderValue(raw, zorderCols)
+        raw.withColumn("_z", z)
+          .repartitionByRange(nOut, org.apache.spark.sql.functions.col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+      }
     midFlight()
     // combine runs against the snapshot at commit time (re-based on lost
     // races). A concurrent APPEND is fine — its files are not in the

@@ -353,6 +353,34 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir) === Set(1L -> "A2"))
   }
 
+  test("compactSmall with zorderCols re-clusters: output file bounds are disjoint") {
+    val dir = tmpDir()
+    // interleaved appends: every small file spans nearly the full k range,
+    // so stats pruning on k is useless before the clustered rewrite
+    (0 until 4).foreach { i =>
+      ManifestStore.append(
+        df((0 until 10).map(j => (j * 4 + i).toLong -> s"r$i-$j"): _*).coalesce(1), dir)
+    }
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    assert(ManifestStore.pruneFiles(before, "k", 0L, 9L).size === 4,
+      "arrival clustering should prune nothing")
+    val v = ManifestStore.compactSmall(spark, dir, schema,
+      minFileBytes = 1L << 20, targetFileBytes = 1L, zorderCols = Seq("k"))
+    assert(v.nonEmpty)
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.files.size >= 2, "tiny target should split the rewrite")
+    // clustered output: k bounds must not overlap across files, and a
+    // point-range read now prunes to a strict subset
+    val bounds = after.files.map(f => after.stats(f)("k"))
+      .map(cs => (cs.min.get.toLong, cs.max.get.toLong)).sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping bounds $bounds")
+      case _ =>
+    }
+    assert(ManifestStore.pruneFiles(after, "k", 0L, 9L).size < after.files.size)
+    assert(contents(dir).size === 40) // nothing lost in the re-cluster
+  }
+
   test("changesKeyed classifies same-key delete+insert as update pre/postimage") {
     val dir = tmpDir()
     ManifestStore.upsertKeyed(spark, dir, schema, df(1L -> "a", 2L -> "b"), "k") // v1
