@@ -197,6 +197,25 @@ class PlanAuditSpec extends SparkSpec {
       "candidate generation must stay a key-equality bucket join:\n" + p.take(800))
   }
 
+  test("contamination fraction joins fingerprints and partial-aggregates per doc") {
+    val p = plan("q116_contamination_frac")
+    // the gram collision must stay a key-equality shuffle join — never a
+    // broadcast of either corpus — and the per-doc counts must combine
+    // map-side before the exchange
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-doc counts lost partial aggregation:\n" + p.take(800))
+  }
+
+  test("containment shares the Jaccard index plan: equi-join, partial pair counts") {
+    val p = plan("q117_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "containment candidates must come from the inverted-index equi-join:\n" + p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair intersection counts lost partial aggregation:\n" + p.take(800))
+  }
+
   test("range join stays an equi-join on (keys, bucket) — no nested loop") {
     val p = plan("q37_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
