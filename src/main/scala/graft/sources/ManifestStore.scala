@@ -206,6 +206,33 @@ object ManifestStore {
     }
   }
 
+  /** The file subset that can contain ANY of `values` in `column` — the
+    * point-lookup companion of [[pruneFiles]]: each value keeps only files
+    * whose bounds admit it, and the union over values is the scan set. On
+    * a key-clustered table (zorderCols compaction, commit-time clustering)
+    * this is how `key IN (...)` fetches touch a handful of files instead
+    * of the lake. Missing stats keep a file — safe, never wrong.
+    */
+  def pruneFilesIn(snap: Snapshot, column: String, values: Seq[Any]): Seq[String] =
+    values.flatMap(v => pruneFiles(snap, column, v, v)).distinct
+
+  /** Point-lookup read: rows whose `column` equals one of `values`,
+    * scanning only the files [[pruneFilesIn]] keeps. Results are identical
+    * to a full scan + IN-filter, minus the pruned I/O.
+    */
+  def lookup(spark: SparkSession, dir: String, schema: StructType,
+             column: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    currentSnapshot(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(s) =>
+        val kept = pruneFilesIn(s, column, values)
+        readSnapshot(spark, dir, s.copy(files = kept), schema)
+          .filter(col(column).isin(values.map(lit): _*))
+    }
+  }
+
   /** Time travel: the table exactly as of `version`. */
   def readVersion(spark: SparkSession, dir: String, version: Long,
                   schema: StructType): DataFrame =

@@ -353,6 +353,20 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir) === Set(1L -> "A2"))
   }
 
+  test("lookup prunes to the files admitting the probed keys, results exact") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a", 5L -> "b").coalesce(1), dir)
+    ManifestStore.append(df(10L -> "c", 20L -> "d").coalesce(1), dir)
+    ManifestStore.append(df(100L -> "e", 110L -> "f").coalesce(1), dir)
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(ManifestStore.pruneFilesIn(snap, "k", Seq(5L, 105L)).size === 2,
+      "probe keys in two files' bounds must keep exactly those files")
+    assert(ManifestStore.lookup(spark, dir, schema, "k", Seq(5L, 105L))
+      .as[(Long, String)].collect().toSet === Set(5L -> "b"))
+    assert(ManifestStore.lookup(spark, dir, schema, "k", Seq(10L, 110L))
+      .as[(Long, String)].collect().toSet === Set(10L -> "c", 110L -> "f"))
+  }
+
   test("compactSmall with zorderCols re-clusters: output file bounds are disjoint") {
     val dir = tmpDir()
     // interleaved appends: every small file spans nearly the full k range,
