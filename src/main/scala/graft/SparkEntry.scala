@@ -1439,6 +1439,19 @@ object SparkEntry {
     // monitor over the feed. Variance from integer sums (S1, S2, C), so
     // both engines derive identical doubles; |z| > 2 flags. Two
     // partially-aggregated passes plus a broadcast of |types| stats rows.
+    // Hopping-window aggregates: 6-hour windows sliding hourly over the
+    // event stream — the batch twin of the streaming sliding-window agg,
+    // through Spark's built-in window() (each row contributes to its 6
+    // covering windows; the expansion partial-aggregates map-side, so the
+    // shuffle carries per-(window, type) partials, never 6× the rows).
+    "q118_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n_events"), col("sum_value"))),
+
     "q77_rate_anomaly" -> ((s, dir) => {
       val hourly = t(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
@@ -3253,6 +3266,21 @@ object SparkEntry {
 
     // variance from integer sums (S1, S2, C) so both engines compute the
     // identical doubles; z compared in DOUBLE space
+    // every event contributes to the 6 hour-aligned windows covering it:
+    // starts date_trunc(hour, ts)-5h .. date_trunc(hour, ts) — the same
+    // epoch-aligned starts Spark's window('6 hours','1 hour') computes
+    "q118_hopping_window" ->
+      """WITH h AS (
+           SELECT event_type, value,
+                  unnest(generate_series(date_trunc('hour', ts) - INTERVAL 5 HOUR,
+                                         date_trunc('hour', ts),
+                                         INTERVAL 1 HOUR)) AS w_start
+           FROM events)
+         SELECT w_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM h GROUP BY 1, 2""",
+
     "q77_rate_anomaly" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
