@@ -484,6 +484,25 @@ object Similarity {
       k)
   }
 
+  /** Johnson–Lindenstrauss random projection of an embedding column to `k`
+    * dimensions: out[j] = ⟨v, h_j⟩ / √k over the same deterministic ±1
+    * hyperplanes the LSH family draws ([[hyperplane]], distinct seed
+    * space), so pairwise inner products and euclidean distances are
+    * preserved in expectation with O(1/√k) distortion — the standard
+    * pre-ANN dimensionality reduction (project once, then run IVF/LSH in
+    * the cheap k-dim space; re-rank survivors with full vectors).
+    * Deterministic for a fixed (dim, k, seed): any engine re-derives the
+    * identical projection. Map-side only — no shuffle, no training pass,
+    * which is what distinguishes JL from PCA at 100 TB.
+    */
+  def jlProject(vec: Column, dim: Int, k: Int, seed: Long = 42L): Column = {
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    array((0 until k).map { j =>
+      val plane = array(hyperplane(j, 0, dim, seed ^ 0x4a4cL).map(lit): _*)
+      dot(asDouble(vec), plane) * scale
+    }: _*)
+  }
+
   /** Cluster-cohesion audit over a labeled embedding corpus: per label, the
     * member count, the mean cosine of members to their OWN centroid
     * (cohesion), and the max cosine between this centroid and any OTHER

@@ -729,6 +729,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(hits === Map(1L -> 2L, 3L -> 1L), s"got $hits")
   }
 
+  test("JL projection preserves pairwise distances within expected distortion") {
+    import graft.functions.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 24)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val dim = emb.select(size($"v")).head.getInt(0)
+    val proj = emb.withColumn("p", Similarity.jlProject($"v", dim, k = 32))
+    val rows = proj.select($"vec_id", $"v", $"p").orderBy($"vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      d0 = dist(rows(i)._2, rows(j)._2) if d0 > 0
+    } yield dist(rows(i)._3, rows(j)._3) / d0
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.size
+    // JL at k=32: unit expectation, O(1/sqrt(k)) spread — deterministic
+    // for the fixed seed, so these bounds pin the draw, not just theory
+    assert(math.abs(mean - 1.0) < 0.15, s"mean distortion $mean")
+    assert(ratios.forall(r => r > 0.5 && r < 1.6),
+      s"distortion tail out of band: ${ratios.min} .. ${ratios.max}")
+    // deterministic: a second evaluation reproduces the projection exactly
+    val again = proj.select($"vec_id", $"p").orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1))
+    assert(again.map(_.toSeq).toSeq == rows.map(_._3.toSeq).toSeq)
+  }
+
   test("containment flags a subset duplicate symmetric Jaccard misses") {
     val short = "alpha beta gamma delta epsilon zeta eta theta"
     val corpus = Seq(
