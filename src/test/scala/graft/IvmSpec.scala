@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -100,6 +102,37 @@ class IvmSpec extends SparkSpec {
     assert(Cdc.lastProcessed(spark, ck) === 3L)
     assert(norm(view()) === Set((1L, 2L, 5.0), (2L, 1L, 2.0), (3L, 1L, 9.0)),
       "replay double-applied the interval")
+  }
+
+  test("property: maintained view equals recompute over random insert/delete feeds") {
+    // pure applyDelta algebra, no table store: random batches mutate a
+    // driver-side multiset oracle; after every batch the maintained view
+    // must equal the recompute of the oracle — deletions always reference
+    // live rows (a CDC feed never retracts what was not inserted)
+    val rnd = new scala.util.Random(20260813L)
+    var state = emptyState
+    val live = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    (1 to 12).foreach { step =>
+      val inserts = Seq.fill(rnd.nextInt(5)) {
+        val row = (rnd.nextInt(6).toLong, (rnd.nextInt(40) + 1) / 4.0)
+        live += row
+        (row._1, row._2, "insert")
+      }
+      val deletes = Seq.fill(math.min(rnd.nextInt(4), live.size)) {
+        val idx = rnd.nextInt(live.size)
+        val row = live.remove(idx)
+        (row._1, row._2, "delete")
+      }
+      val feed = rnd.shuffle(inserts ++ deletes)
+      if (feed.nonEmpty) {
+        state = Ivm.applyDelta(state,
+          feed.toDF("k", "v", "_change_type"), Seq("k"), "v")
+        // re-materialize per step: 12 chained lazy plans otherwise stack
+        state = spark.createDataFrame(state.collect().toSeq.asJava, state.schema)
+        val expected = Ivm.recompute(live.toSeq.toDF("k", "v"), Seq("k"), "v")
+        assert(norm(state) === norm(expected), s"diverged at step $step")
+      }
+    }
   }
 
   test("full retraction drops the key; no tombstone rows linger") {

@@ -395,6 +395,42 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir).size === 40) // nothing lost in the re-cluster
   }
 
+  test("property: the change feed reconstructs every version of a random schedule") {
+    // randomized commit schedule over every op kind; after each commit the
+    // cumulative feed (inserts minus deletes) must equal the snapshot —
+    // the invariant that makes the log a faithful history of the table
+    val dir = tmpDir()
+    val rnd = new scala.util.Random(42424242L)
+    var nextId = 0L
+    def batch(n: Int) = df((0 until n).map { _ =>
+      nextId += 1; nextId -> s"r$nextId"
+    }: _*)
+    (1 to 8).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => ManifestStore.append(batch(rnd.nextInt(3) + 1), dir)
+        case 2 => ManifestStore.upsertKeyed(spark, dir, schema,
+          batch(rnd.nextInt(2) + 1), "k")
+        case 3 if nextId > 2 =>
+          val lo = rnd.nextLong(nextId) + 1
+          ManifestStore.deleteRange(spark, dir, schema, "k", lo,
+            math.min(nextId, lo + 2))
+        case _ => ManifestStore.compactSmall(spark, dir, schema,
+          minFileBytes = 1L << 20)
+      }
+      ManifestStore.currentSnapshot(spark, dir).foreach { snap =>
+        val feed = ManifestStore.changes(spark, dir, 0L, snap.version, schema)
+        val applied = feed.filter($"_change_type" === "insert").select($"k", $"v")
+          .exceptAll(feed.filter($"_change_type" === "delete").select($"k", $"v"))
+          .as[(Long, String)].collect().toSet
+        assert(applied === contents(dir),
+          s"feed diverged from snapshot at v${snap.version}")
+        // and the metadata count stays exact through every op kind
+        assert(ManifestStore.countRows(spark, dir) ===
+          Some(ManifestStore.read(spark, dir, schema).count()))
+      }
+    }
+  }
+
   test("changesKeyed classifies same-key delete+insert as update pre/postimage") {
     val dir = tmpDir()
     ManifestStore.upsertKeyed(spark, dir, schema, df(1L -> "a", 2L -> "b"), "k") // v1
