@@ -49,7 +49,8 @@ object ManifestStore {
 
   final case class Snapshot(version: Long, files: Seq[String], op: String,
                             stats: Map[String, Map[String, ColStats]] = Map.empty,
-                            rows: Map[String, Long] = Map.empty)
+                            rows: Map[String, Long] = Map.empty,
+                            schema: Option[StructType] = None)
 
   /** Per-file column statistics harvested from the parquet footer at commit
     * time (metadata-only — no data read). `min`/`max` are the column's
@@ -132,8 +133,28 @@ object ManifestStore {
     val rows = if (rowsNode.isMissingNode) Map.empty[String, Long]
     else rowsNode.properties().asScala.iterator
       .map(e => e.getKey -> e.getValue.asLong()).toMap
+    val schemaNode = root.path("schema")
+    val schema =
+      if (schemaNode.isMissingNode) None
+      else Some(org.apache.spark.sql.types.DataType.fromJson(schemaNode.asText())
+        .asInstanceOf[StructType])
     Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
-      stats, rows)
+      stats, rows, schema)
+  }
+
+  /** The latest version under the manifest-recorded schema — the
+    * self-describing read: no caller-supplied StructType, pre-evolution
+    * files null-fill the widened columns. Fails only when the table is
+    * empty or predates schema recording (older writer) — then the caller
+    * must know the schema and use [[read]].
+    */
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val snap = currentSnapshot(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"manifest v${snap.version} at $dir records no schema (older writer) — " +
+        "use read(spark, dir, schema)"))
+    readSnapshot(spark, dir, snap, schema)
   }
 
   /** DataFrame of the latest version (empty frame with `schema` if none). */
@@ -483,7 +504,27 @@ object ManifestStore {
     val fresh = f.listStatus(new Path(dir, dataRel)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .sorted.map(n => s"$dataRel/$n")
-    publishLoop(spark, dir, op, fresh, combine, maxAttempts)
+    publishLoop(spark, dir, op, fresh, combine, maxAttempts, Some(df.schema))
+  }
+
+  /** Widening-only schema evolution rule: columns present in both must
+    * keep their exact type (a type CHANGE would silently corrupt old
+    * files' reads — refused at commit, the table-format contract);
+    * batch-only columns append as nullable additions; prior-only columns
+    * stay (old readers keep working, new files null-fill them on read).
+    */
+  private[graft] def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    val byName = next.fields.map(f => f.name -> f).toMap
+    prev.fields.foreach { p =>
+      byName.get(p.name).foreach { n =>
+        require(n.dataType == p.dataType,
+          s"schema evolution cannot change column '${p.name}' from " +
+            s"${p.dataType.simpleString} to ${n.dataType.simpleString}")
+      }
+    }
+    val prevNames = prev.fieldNames.toSet
+    StructType(prev.fields ++ next.fields.filterNot(f => prevNames(f.name))
+      .map(_.copy(nullable = true)))
   }
 
   /** The optimistic slot-claim loop, separated from the data write so ops
@@ -493,7 +534,8 @@ object ManifestStore {
   private def publishLoop(spark: SparkSession, dir: String, op: String,
                           fresh: Seq[String],
                           combine: (Seq[String], Seq[String]) => Seq[String],
-                          maxAttempts: Int = 10): Long = {
+                          maxAttempts: Int = 10,
+                          dfSchema: Option[StructType] = None): Long = {
     val f = fs(spark, dir)
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
@@ -551,6 +593,14 @@ object ManifestStore {
         val carriedRows = prev.map(_.rows).getOrElse(Map.empty) ++ freshRows
         val rowsNode = body.putObject("rows")
         files.foreach(rel => carriedRows.get(rel).foreach(rowsNode.put(rel, _)))
+        // the table schema travels in the manifest (self-describing table):
+        // widened by each commit under the widening-only evolution rule;
+        // a drop-only commit (fresh = Nil) carries the previous schema
+        val tableSchema = (prev.flatMap(_.schema), dfSchema) match {
+          case (Some(p), Some(n)) => Some(mergeSchemas(p, n))
+          case (p, n) => n.orElse(p)
+        }
+        tableSchema.foreach(s => body.put("schema", s.json))
         if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
         attempt += 1
       }

@@ -480,6 +480,25 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.versionAsOf(spark, dir, 0L).isEmpty) // before the table
   }
 
+  test("manifest-recorded schema: self-describing read, widening-only evolution") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a"), dir)
+    assert(ManifestStore.readLatest(spark, dir).columns.toSeq === Seq("k", "v"))
+    // a batch with a new column widens the recorded schema
+    ManifestStore.append(Seq((2L, "b", 3.5)).toDF("k", "v", "w"), dir)
+    val widened = ManifestStore.readLatest(spark, dir)
+    assert(widened.columns.toSeq === Seq("k", "v", "w"))
+    assert(widened.as[(Long, String, Option[Double])].collect().toSet ===
+      Set((1L, "a", None), (2L, "b", Some(3.5))))
+    // a type CHANGE on an existing column is refused at commit
+    intercept[IllegalArgumentException] {
+      ManifestStore.append(Seq((3L, 9L, 1.0)).toDF("k", "v", "w"), dir)
+    }
+    // a drop-only delete carries the schema through an empty-fresh commit
+    ManifestStore.deleteRange(spark, dir, schema, "k", 1L, 1L)
+    assert(ManifestStore.readLatest(spark, dir).columns.toSeq === Seq("k", "v", "w"))
+  }
+
   test("schema evolution: a widened read schema null-fills pre-evolution files") {
     val dir = tmpDir()
     ManifestStore.append(df(1L -> "a"), dir) // written under (k, v)
