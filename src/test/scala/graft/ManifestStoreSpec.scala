@@ -448,6 +448,32 @@ class ManifestStoreSpec extends SparkSpec {
     assert(feed2 === Set((3L, "delete")))
   }
 
+  test("racing upserts on one key: losers abort and converge on retry") {
+    val dir = tmpDir()
+    ManifestStore.upsertKeyed(spark, dir, schema, df(1L -> "base"), "k")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futures = Seq("A", "B").map { tag =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            gate.await()
+            var v: Option[Long] = None
+            while (v.isEmpty) // abort → retry against the fresh snapshot
+              v = ManifestStore.upsertKeyed(spark, dir, schema, df(1L -> tag), "k")
+            v.get
+          }
+        })
+      }
+      gate.countDown()
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size === 2, s"both upserts must land, got $versions")
+      val out = contents(dir)
+      assert(out.size === 1 && Set("A", "B").contains(out.head._2),
+        s"key-uniqueness broke under racing merges: $out")
+    } finally pool.shutdownNow()
+  }
+
   test("countRows answers from the manifest alone; unknown files make it None") {
     val dir = tmpDir()
     assert(ManifestStore.countRows(spark, dir).isEmpty) // no table yet
