@@ -44,6 +44,16 @@ import org.apache.spark.sql.types.StructType
   * latest, history) where the reference used Postgres transactions
   * (`services/staging/app/staging_repo.py:18-23` batches in one txn);
   * history appends map to `append`, latest/watermark swaps to `overwrite`.
+  *
+  * On top of the core protocol, manifests carry per-file column stats,
+  * exact row counts, and the table schema — enabling stats-skipped scans
+  * ([[rangeScan]], [[lookup]]), metadata-only [[countRows]],
+  * self-describing [[readLatest]] with widening-only schema evolution,
+  * stats-planned writes ([[deleteRange]], [[upsertKeyed]] — the MERGE
+  * shape), maintenance ([[compactSmall]], optionally Z-order clustered),
+  * wall-clock time travel ([[versionAsOf]]), and a row-level change-data
+  * feed ([[changes]], [[changesKeyed]]) consumed incrementally via
+  * [[Cdc.followOnce]] + [[graft.operators.Ivm]].
   */
 object ManifestStore {
 
