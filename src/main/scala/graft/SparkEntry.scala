@@ -1439,6 +1439,40 @@ object SparkEntry {
     // monitor over the feed. Variance from integer sums (S1, S2, C), so
     // both engines derive identical doubles; |z| > 2 flags. Two
     // partially-aggregated passes plus a broadcast of |types| stats rows.
+    // MAD-based robust outliers: per event type, median and median
+    // absolute deviation at exact ranks (ceil(n/2), interpolation-free —
+    // q115's cross-engine discipline), then every event with robust z =
+    // |value − median| / MAD above 6. The robust complement of q77's
+    // stddev anomalies: one extreme tail value shifts a mean/stddev gate
+    // but leaves median/MAD untouched. Two windowed sorts share one
+    // (event_type) exchange; the 5-row cut table broadcasts back.
+    "q119_mad_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("event_id"), col("value"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val ranked = e.withColumn("_rn", row_number().over(wv))
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      val med = ranked.groupBy(col("event_type"))
+        .agg(max(when(col("_rn") === ceil(col("_n") / lit(2.0)), col("value"))).as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("_d", abs(col("value") - col("med")))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("_d"), col("event_id"))
+      val devRanked = dev.withColumn("_rn", row_number().over(wd))
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      val mad = devRanked.groupBy(col("event_type"))
+        .agg(max(col("med")).as("med"),
+          max(when(col("_rn") === ceil(col("_n") / lit(2.0)), col("_d"))).as("mad"))
+      val scored = e.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("rz", round(abs(col("value") - col("med")) / col("mad"), 4))
+      scored.filter(col("rz") > 6)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("med"), col("mad"), col("rz"))
+    }),
+
     // Hopping-window aggregates: 6-hour windows sliding hourly over the
     // event stream — the batch twin of the streaming sliding-window agg,
     // through Spark's built-in window() (each row contributes to its 6
@@ -3266,6 +3300,38 @@ object SparkEntry {
 
     // variance from integer sums (S1, S2, C) so both engines compute the
     // identical doubles; z compared in DOUBLE space
+    // same exact-rank median/MAD (rank ceil(n/2) on (value, event_id)
+    // resp. (dev, event_id)) so both engines pick identical data values
+    "q119_mad_outliers" ->
+      """WITH ranked AS (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         med AS (
+           SELECT event_type,
+                  max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                      THEN value END) AS med
+           FROM ranked GROUP BY event_type),
+         devr AS (
+           SELECT e.event_type, e.event_id, abs(e.value - m.med) AS d,
+                  row_number() OVER (PARTITION BY e.event_type
+                                     ORDER BY abs(e.value - m.med), e.event_id) AS rn,
+                  count(*) OVER (PARTITION BY e.event_type) AS n
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type,
+                  max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                      THEN d END) AS mad
+           FROM devr GROUP BY event_type)
+         SELECT e.event_type, e.event_id, e.value, m.med, x.mad,
+                round(abs(e.value - m.med) / x.mad, 4) AS rz
+         FROM events e
+         JOIN med m USING (event_type)
+         JOIN mad x USING (event_type)
+         WHERE x.mad > 0 AND round(abs(e.value - m.med) / x.mad, 4) > 6""",
+
     // every event contributes to the 6 hour-aligned windows covering it:
     // starts date_trunc(hour, ts)-5h .. date_trunc(hour, ts) — the same
     // epoch-aligned starts Spark's window('6 hours','1 hour') computes
