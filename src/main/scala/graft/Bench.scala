@@ -73,7 +73,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the full map also goes to a file: the driver captures a bounded stdout
+    // TAIL, which truncated the single giant line in rounds 3–4 (BENCH_r04
+    // arrived `parsed: null` with 58 of 119 queries lost). The file is the
+    // complete artifact; stdout stays for the driver's line capture.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    println(line)
+    // compact total-LAST line: a bounded tail capture always gets this one
+    // intact, and it references the complete per-query map on disk
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"queries_file":"bench_out.json"}""")
     spark.stop()
   }
 }

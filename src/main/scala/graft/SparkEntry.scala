@@ -767,6 +767,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Incremental SEMANTIC admission — q55's embedding-space sibling and
+    // q65's production maintenance shape: a batch of new vectors dedups
+    // against the maintained corpus LSH bucket index (batch×index probe +
+    // batch-internal pairs; NEVER a corpus self-join or broadcast), and a
+    // vector is admitted iff it near-dups no existing vector and no
+    // smaller-id batch vector. Oracle = exact all-pairs cosine (valid
+    // because the LSH path's recall is 100% on the gate data at the q65
+    // parameters — same tables/bits/seed/threshold).
+    "q120_semantic_admit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val batch = emb.filter(col("vec_id") % 7 === 0)
+      val existing = emb.filter(col("vec_id") % 7 =!= 0)
+      graft.functions.Similarity.admitVectorBatch(existing, batch,
+          minCosine = 0.4, dim = 64)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+    }),
+
     // Deterministic salted train/val/test split (~90/5/5): assignment by
     // md5(id:salt) prefix — stable under repartitioning and re-runs, and
     // recomputable by any engine with md5 (unlike randomSplit, whose
@@ -1965,6 +1982,23 @@ object SparkEntry {
          SELECT vec_id, CAST(label AS BIGINT) AS label FROM v
          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
 
+    // batch vector admitted iff no exact-cosine pair >= 0.4 against any
+    // existing vector or any smaller-id batch vector (q55's pair-local
+    // admission rule in embedding space)
+    "q120_semantic_admit" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
+           FROM embeddings),
+         dropped AS (
+           SELECT DISTINCT b.vec_id AS id_b
+           FROM v b JOIN v x
+             ON b.vec_id % 7 = 0
+            AND (x.vec_id % 7 <> 0 OR x.vec_id < b.vec_id)
+            AND x.vec_id <> b.vec_id
+           WHERE round(list_cosine_similarity(x.ev, b.ev), 6) >= CAST(0.4 AS DOUBLE))
+         SELECT vec_id, CAST(label AS BIGINT) AS label FROM v
+         WHERE vec_id % 7 = 0 AND vec_id NOT IN (SELECT id_b FROM dropped)""",
+
     "q49_dedup_corpus" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
@@ -2192,7 +2226,8 @@ object SparkEntry {
            SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
            FROM documents),
          a AS (
-           SELECT doc_id, round(entropy(ch), 4) AS char_entropy,
+           SELECT doc_id,
+                  floor(entropy(ch) * 10000.0 + 0.5) / 10000.0 AS char_entropy,
                   count(*) AS n_chars, count(DISTINCT ch) AS n_distinct_chars
            FROM c GROUP BY doc_id)
          SELECT d.doc_id,
@@ -2210,8 +2245,9 @@ object SparkEntry {
            FROM documents GROUP BY lang),
          w AS (
            SELECT lang,
-                  round((1.0 / count(*) OVER ())
-                        / (n_tokens * 1.0 / sum(n_tokens) OVER ()), 6) AS weight
+                  floor(((1.0 / count(*) OVER ())
+                         / (n_tokens * 1.0 / sum(n_tokens) OVER ()))
+                        * 1000000.0 + 0.5) / 1000000.0 AS weight
            FROM s)
          SELECT d.doc_id, d.lang
          FROM documents d JOIN w ON d.lang = w.lang
@@ -2260,10 +2296,11 @@ object SparkEntry {
          tt AS (SELECT token, sum(c_gt) AS c_t FROM cgt GROUP BY 1),
          tot AS (SELECT sum(n_g) AS n_total FROM gt)
          SELECT c.source, CAST(max(g.n_g) AS BIGINT) AS n_tokens,
-                round(CAST(sum(CAST(round(
+                floor(CAST(sum(CAST(floor(
                   (c.c_gt * 1.0 / g.n_g) *
-                  ln((c.c_gt * 1.0 * x.n_total) / (g.n_g * 1.0 * t.c_t)),
-                  10) AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_div
+                  ln((c.c_gt * 1.0 * x.n_total) / (g.n_g * 1.0 * t.c_t))
+                  * 10000000000.0 + 0.5) / 10000000000.0 AS DECIMAL(28,12)))
+                  AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS kl_div
          FROM cgt c
          JOIN gt g USING (source)
          JOIN tt t USING (token)
@@ -2291,7 +2328,8 @@ object SparkEntry {
          ch AS (
            SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
            FROM documents),
-         ce AS (SELECT doc_id, round(entropy(c), 4) AS ent FROM ch GROUP BY doc_id),
+         ce AS (SELECT doc_id, floor(entropy(c) * 10000.0 + 0.5) / 10000.0 AS ent
+                FROM ch GROUP BY doc_id),
          m AS (
            SELECT t.doc_id, len(t.ts) AS n_tokens,
                   CASE WHEN length(t.text) > 0
@@ -2313,9 +2351,10 @@ object SparkEntry {
                        ELSE 'keep' END AS verdict
            FROM documents d JOIN m ON d.doc_id = m.doc_id),
          r AS (
-           SELECT source, round(avg(CASE WHEN verdict = 'keep'
+           SELECT source, floor(avg(CASE WHEN verdict = 'keep'
                                          THEN CAST(1 AS DOUBLE)
-                                         ELSE CAST(0 AS DOUBLE) END), 6) AS keep_rate
+                                         ELSE CAST(0 AS DOUBLE) END)
+                                * 1000000.0 + 0.5) / 1000000.0 AS keep_rate
            FROM v GROUP BY 1)
          SELECT v.doc_id, v.source, v.verdict, r.keep_rate,
                 CASE WHEN r.keep_rate < CAST(0.75 AS DOUBLE) THEN 'blocked_source'
@@ -2681,10 +2720,12 @@ object SparkEntry {
          ct AS (SELECT token, sum(c_dt) AS c_t FROM cdt GROUP BY 1),
          tt AS (SELECT sum(c_dt) AS t_total FROM cdt)
          SELECT c.doc_id, CAST(sum(c.c_dt) AS BIGINT) AS n_tokens,
-                round(CAST(sum(CAST(round(CAST(c.c_dt AS DOUBLE) *
-                        (-ln(CAST(t.c_t AS DOUBLE) / CAST(x.t_total AS DOUBLE))),
-                        10) AS DECIMAL(28,12))) AS DOUBLE)
-                      / CAST(sum(c.c_dt) AS DOUBLE), 6) AS mean_surprisal
+                floor((CAST(sum(CAST(floor(CAST(c.c_dt AS DOUBLE) *
+                         (-ln(CAST(t.c_t AS DOUBLE) / CAST(x.t_total AS DOUBLE)))
+                         * 10000000000.0 + 0.5) / 10000000000.0
+                         AS DECIMAL(28,12))) AS DOUBLE)
+                       / CAST(sum(c.c_dt) AS DOUBLE))
+                      * 1000000.0 + 0.5) / 1000000.0 AS mean_surprisal
          FROM cdt c JOIN ct t USING (token) CROSS JOIN tt x
          GROUP BY 1""",
 
@@ -2745,14 +2786,15 @@ object SparkEntry {
          dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
          sc AS (
            SELECT t.doc_id,
-                  round(CAST(sum(CAST(round(
+                  floor(CAST(sum(CAST(floor((
                     ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df_t AS DOUBLE) + 0.5)
                        / (CAST(f.df_t AS DOUBLE) + 0.5) + 1.0)
                     * ((CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
                        / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
                           * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-                             + CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE) / s.avgdl)))
-                  , 10) AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+                             + CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE) / s.avgdl))))
+                  * 10000000000.0 + 0.5) / 10000000000.0 AS DECIMAL(28,12)))
+                  AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS bm25
            FROM tf t JOIN dft f USING (term) CROSS JOIN st s GROUP BY 1)
          SELECT doc_id, bm25, CAST(rn AS BIGINT) AS rank
          FROM (SELECT doc_id, bm25,
@@ -2775,14 +2817,15 @@ object SparkEntry {
          dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
          sc AS (
            SELECT t.doc_id,
-                  round(CAST(sum(CAST(round(
+                  floor(CAST(sum(CAST(floor((
                     ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df_t AS DOUBLE) + 0.5)
                        / (CAST(f.df_t AS DOUBLE) + 0.5) + 1.0)
                     * ((CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
                        / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
                           * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-                             + CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE) / s.avgdl)))
-                  , 10) AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+                             + CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE) / s.avgdl))))
+                  * 10000000000.0 + 0.5) / 10000000000.0 AS DECIMAL(28,12)))
+                  AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS bm25
            FROM tf t JOIN dft f USING (term) CROSS JOIN st s GROUP BY 1),
          lex AS (SELECT doc_id AS id, rn AS ra
                  FROM (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
@@ -2798,10 +2841,11 @@ object SparkEntry {
                 WHERE rn <= 50),
          fused AS (
            SELECT coalesce(l.id, v.id) AS doc_id,
-                  round(coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(l.ra AS DOUBLE)),
-                                 CAST(0 AS DOUBLE)) +
-                        coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(v.rb AS DOUBLE)),
-                                 CAST(0 AS DOUBLE)), 6) AS rrf
+                  floor((coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(l.ra AS DOUBLE)),
+                                  CAST(0 AS DOUBLE)) +
+                         coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(v.rb AS DOUBLE)),
+                                  CAST(0 AS DOUBLE)))
+                        * 1000000.0 + 0.5) / 1000000.0 AS rrf
            FROM lex l FULL OUTER JOIN vr v ON l.id = v.id)
          SELECT doc_id, rrf, CAST(rn AS BIGINT) AS rank
          FROM (SELECT doc_id, rrf,
@@ -3074,8 +3118,11 @@ object SparkEntry {
                   AS start_offset
          FROM x""",
 
-    // same α = 0.3 power-flatten over double shares; round(6) absorbs
-    // libm-vs-JVM pow last-ulp differences
+    // same α = 0.3 power-flatten over double shares; floor-form portable
+    // rounding (functions/Portable.scala) replaces round(6): the round-4
+    // hash red was round()'s BigDecimal-vs-binary divergence, not pow —
+    // a libm-vs-JVM pow last-ulp difference flips the 1e-6 floor grain
+    // only within ~1e-16 of a boundary
     "q107_temperature_mix" ->
       """WITH s AS (
            SELECT lang, count(*) AS n_docs,
@@ -3090,10 +3137,12 @@ object SparkEntry {
                        ELSE 0.0 END AS powed
            FROM s)
          SELECT lang, n_docs, n_tokens,
-                round(share, 6) AS token_share,
-                round(powed / sum(powed) OVER (), 6) AS target_share,
+                floor(share * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+                floor((powed / sum(powed) OVER ())
+                      * 1000000.0 + 0.5) / 1000000.0 AS target_share,
                 CASE WHEN n_tokens > 0
-                     THEN round((powed / sum(powed) OVER ()) / share, 6)
+                     THEN floor(((powed / sum(powed) OVER ()) / share)
+                                * 1000000.0 + 0.5) / 1000000.0
                      END AS weight
          FROM p""",
 
@@ -3287,8 +3336,9 @@ object SparkEntry {
                   (SELECT sum(c_ab) FROM bc) AS t_bigrams),
          scored AS (
            SELECT gram, c_ab, a.c_w AS c_a, b.c_w AS c_b,
-                  round(ln((c_ab * 1.0 / t_bigrams) /
-                    ((a.c_w * 1.0 / t_tokens) * (b.c_w * 1.0 / t_tokens))), 6) AS pmi
+                  floor(ln((c_ab * 1.0 / t_bigrams) /
+                          ((a.c_w * 1.0 / t_tokens) * (b.c_w * 1.0 / t_tokens)))
+                        * 1000000.0 + 0.5) / 1000000.0 AS pmi
            FROM bc CROSS JOIN tot
            JOIN uc a ON a.w = string_split(gram, ' ')[1]
            JOIN uc b ON b.w = string_split(gram, ' ')[2]
@@ -3455,7 +3505,8 @@ object SparkEntry {
          ch AS (
            SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
            FROM documents),
-         ce AS (SELECT doc_id, round(entropy(c), 4) AS ent FROM ch GROUP BY doc_id),
+         ce AS (SELECT doc_id, floor(entropy(c) * 10000.0 + 0.5) / 10000.0 AS ent
+                FROM ch GROUP BY doc_id),
          m AS (
            SELECT t.doc_id, len(t.ts) AS n_tokens,
                   CASE WHEN length(t.text) > 0
@@ -3542,6 +3593,10 @@ object SparkEntry {
                   AS BIGINT) AS shard_pos
          FROM x""",
 
+    // floor-form portable rounding (see functions/Portable.scala): the
+    // same IEEE ops on both engines make the output bytes identical —
+    // DuckDB's binary-space round() vs Spark's BigDecimal HALF_UP
+    // diverged by 1 ulp here in round 4's driver hash
     "q62_mixture_weights" ->
       """WITH s AS (
            SELECT lang, count(*) AS n_docs,
@@ -3549,9 +3604,11 @@ object SparkEntry {
                     AS n_tokens
            FROM documents GROUP BY lang)
          SELECT lang, n_docs, n_tokens,
-                round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share,
-                round((1.0 / count(*) OVER ())
-                      / (n_tokens * 1.0 / sum(n_tokens) OVER ()), 6) AS weight
+                floor((CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())
+                      * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+                floor(((1.0 / count(*) OVER ())
+                       / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()))
+                      * 1000000.0 + 0.5) / 1000000.0 AS weight
          FROM s""",
 
     // split thresholds are cumulative 1/256 shares compared on the md5 hex

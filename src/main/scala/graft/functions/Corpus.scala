@@ -117,15 +117,19 @@ object Corpus {
     // ratio is undefined — under ANSI mode an unguarded double division by
     // zero THROWS rather than yielding null, so the guard is load-bearing);
     // DuckDB's x/0.0 = NULL agrees, and applyMixtureWeights treats the
-    // NULL as "keep everything" (the limit of under-represented)
+    // NULL as "keep everything" (the limit of under-represented).
+    // Rounding is Portable.r6, not round(): the inputs are ratios of exact
+    // long sums (bit-identical on any IEEE engine), so the portable
+    // floor-form makes the OUTPUT bytes engine-identical too — round()'s
+    // BigDecimal path diverged from DuckDB by 1 ulp in round 4.
     agg
       .withColumn("token_share",
         when(sum(col("n_tokens")).over(all) > 0,
-          round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all), 6)))
+          Portable.r6(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))))
       .withColumn("weight",
         when(col("n_tokens") > 0,
-          round((lit(1.0) / count(lit(1)).over(all)) /
-            (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)), 6)))
+          Portable.r6((lit(1.0) / count(lit(1)).over(all)) /
+            (col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)))))
   }
 
   /** Temperature-flattened mixture weights — the mT5/XLM-R sampling rule:
@@ -149,14 +153,20 @@ object Corpus {
     val all = Window.partitionBy()
     val share = col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)
     val powed = when(col("n_tokens") > 0, pow(share, lit(alpha))).otherwise(lit(0.0))
+    // Portable.r6 (floor-form, engine-exact) rather than round(): pow is
+    // the one residual cross-engine wobble (libm vs JVM may differ in the
+    // last ulp), but a 1-ulp input difference flips the 1e-6-grain floor
+    // only when the true value sits within ~1e-16 of a boundary —
+    // round()'s BigDecimal-vs-binary divergence window was ~6 orders of
+    // magnitude wider and actually bit in round 4.
     agg
       .withColumn("token_share",
-        when(sum(col("n_tokens")).over(all) > 0, round(share, 6)))
+        when(sum(col("n_tokens")).over(all) > 0, Portable.r6(share)))
       .withColumn("target_share",
-        when(sum(powed).over(all) > 0, round(powed / sum(powed).over(all), 6)))
+        when(sum(powed).over(all) > 0, Portable.r6(powed / sum(powed).over(all))))
       .withColumn("weight",
         when(col("n_tokens") > 0,
-          round((powed / sum(powed).over(all)) / share, 6)))
+          Portable.r6((powed / sum(powed).over(all)) / share)))
   }
 
   /** Padding-waste audit of a batching policy: group rows into
@@ -190,7 +200,7 @@ object Corpus {
           sum(col("_cnt") * col("_mx") - col("_sum")).as("padding_tokens"))
         .select(lit(policy).as("policy"), col("n_batches"),
           col("payload_tokens"), col("padding_tokens"),
-          round(col("padding_tokens").cast("double") /
+          Portable.roundPortable(col("padding_tokens").cast("double") /
             greatest(col("padding_tokens") + col("payload_tokens"), lit(1L)), 6)
             .as("padding_frac"))
     }
@@ -298,10 +308,13 @@ object Corpus {
     val p = col("c_gt").cast("double") / col("n_g").cast("double")
     val ratio = (col("c_gt").cast("double") * col("n_total").cast("double")) /
       (col("n_g").cast("double") * col("c_t").cast("double"))
-    val term = round(p * log(ratio), 10).cast("decimal(28,12)")
+    // Portable floor-form rounding (see Portable.scala) at both the term
+    // and output steps — Spark's BigDecimal round() diverges from
+    // DuckDB's binary-space round by 1 ulp on boundary values
+    val term = Portable.roundPortable(p * log(ratio), 10).cast("decimal(28,12)")
     withCorpus.groupBy(col(groupCol))
       .agg(max(col("n_g")).as("n_tokens"),
-        round(sum(term).cast("double"), 6).as("kl_div"))
+        Portable.r6(sum(term).cast("double")).as("kl_div"))
   }
 
   /** Source-reputation quality gate: [[TextAnalysis.qualityVerdict]] per
@@ -323,7 +336,7 @@ object Corpus {
     val scored = df.withColumn("verdict",
       TextAnalysis.qualityVerdict(df, col(textCol)))
     val rep = scored.groupBy(col(groupCol))
-      .agg(round(avg(when(col("verdict") === "keep", 1.0).otherwise(0.0)), 6)
+      .agg(Portable.r6(avg(when(col("verdict") === "keep", 1.0).otherwise(0.0)))
         .as("keep_rate"))
     scored.join(broadcast(rep), Seq(groupCol))
       .withColumn("final_verdict",
@@ -369,7 +382,7 @@ object Corpus {
     df.withColumn("weight", weightCol.cast("double"))
       .filter(col("weight") > 0)
       .withColumn("sample_key",
-        round(log(u) / col("weight"), 10))
+        Portable.roundPortable(log(u) / col("weight"), 10))
       .orderBy(col("sample_key").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("weight"), col("sample_key"))
@@ -477,7 +490,7 @@ object Corpus {
       .withColumnRenamed("_id", idCol)
     df.select(col(idCol)).join(stats, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6)
+        Portable.roundPortable(col("n_unique").cast("double") / col("n_grams").cast("double"), 6)
           .as("novelty"))
   }
 
@@ -549,13 +562,14 @@ object Corpus {
     val withTot = cdt
       .withColumn("c_t", sum(col("c_dt")).over(Window.partitionBy(col("token"))))
     val tot = cdt.agg(sum(col("c_dt")).as("t_total"))
-    val term = round(col("c_dt").cast("double") *
+    // portable floor-form rounding at term + output (see Portable.scala)
+    val term = Portable.roundPortable(col("c_dt").cast("double") *
       -log(col("c_t").cast("double") / col("t_total").cast("double")), 10)
       .cast("decimal(28,12)")
     withTot.crossJoin(broadcast(tot))
       .groupBy(col("_id"))
       .agg(sum(col("c_dt")).as("n_tokens"),
-        round(sum(term).cast("double") / sum(col("c_dt")).cast("double"), 6)
+        Portable.r6(sum(term).cast("double") / sum(col("c_dt")).cast("double"))
           .as("mean_surprisal"))
       .withColumnRenamed("_id", idCol)
   }
@@ -648,7 +662,7 @@ object Corpus {
     occ.join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("cnt") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+        Portable.roundPortable(col("cnt") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col(groupCol), col("token"), col("cnt"), col("df"), col("tfidf"), col("rnk"))
@@ -701,10 +715,10 @@ object Corpus {
       .join(uni.withColumnsRenamed(Map("w" -> "w_a", "c_w" -> "c_a")), "w_a")
       .join(uni.withColumnsRenamed(Map("w" -> "w_b", "c_w" -> "c_b")), "w_b")
       .crossJoin(totals)
-      .withColumn("pmi", round(log(
+      .withColumn("pmi", Portable.r6(log(
         (col("c_ab").cast("double") / col("t_bigrams").cast("double")) /
           ((col("c_a").cast("double") / col("t_tokens").cast("double")) *
-           (col("c_b").cast("double") / col("t_tokens").cast("double")))), 6))
+           (col("c_b").cast("double") / col("t_tokens").cast("double"))))))
     val w = Window.partitionBy().orderBy(col("pmi").desc, col("gram").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -824,8 +838,8 @@ object Corpus {
     val s2 = col("s2").cast("double")
     state.select((groupCols.map(col) :+
       col("n").as("n_docs") :+ col("s1").as(s"n_$valueName") :+
-      round(s1 / n, 6).as(s"mean_$valueName") :+
-      round((s2 - s1 * s1 / n) / n, 6).as(s"var_$valueName") :+
+      Portable.roundPortable(s1 / n, 6).as(s"mean_$valueName") :+
+      Portable.roundPortable((s2 - s1 * s1 / n) / n, 6).as(s"var_$valueName") :+
       col("mn").as(s"min_$valueName") :+ col("mx").as(s"max_$valueName")): _*)
   }
 }

@@ -70,17 +70,17 @@ object Graph {
     for (it <- 1 to iters) {
       val contrib = withDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"),
-          round(col("rank") / col("outdeg").cast("double"), 14)
+          Portable.roundPortable(col("rank") / col("outdeg").cast("double"), 14)
             .cast("decimal(38,18)").as("c"))
       val summed = contrib.groupBy(col("dst"))
         .agg(sum(col("c")).cast("double").as("s"))
         .select(col("dst").as("node"),
-          round(lit(teleport) + lit(d) * col("s"), 12).as("rank"))
+          Portable.roundPortable(lit(teleport) + lit(d) * col("s"), 12).as("rank"))
       val next =
         if (allNodesReceive) summed
         else nodes.join(summed, Seq("node"), "left")
           .select(col("node"),
-            coalesce(col("rank"), round(lit(teleport), 12)).as("rank"))
+            coalesce(col("rank"), Portable.roundPortable(lit(teleport), 12)).as("rank"))
       // short unrolls run as ONE plan (each eager checkpoint costs a
       // full job; at 3 iterations that tripled wall-clock on the gate
       // graph); long runs truncate lineage periodically like

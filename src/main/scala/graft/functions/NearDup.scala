@@ -97,7 +97,7 @@ object NearDup {
     val overlap = ngramOverlapPairs(df, textCol, idCol, n, maxBucket)
     overlap
       .withColumn("jaccard",
-        round(col("common").cast("double") /
+        Portable.roundPortable(col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
@@ -121,7 +121,7 @@ object NearDup {
     val overlap = ngramOverlapPairs(df, textCol, idCol, n, maxBucket)
     overlap
       .withColumn("containment",
-        round(col("common").cast("double") /
+        Portable.roundPortable(col("common").cast("double") /
           least(col("size_a"), col("size_b")).cast("double"), 4))
       .filter(col("containment") >= minContainment)
       .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
@@ -204,7 +204,7 @@ object NearDup {
       .join(b, Seq("id_b"))
       .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
       .withColumn("edit_sim",
-        round(lit(1.0) - col("edit_dist").cast("double") /
+        Portable.roundPortable(lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("_ta")), length(col("_tb"))).cast("double"), 6))
       .filter(col("edit_sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"))
@@ -234,7 +234,7 @@ object NearDup {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("_did").isNotNull, 1L).otherwise(0L)).as("n_neardup"))
       .withColumn("dup_rate",
-        round(col("n_neardup").cast("double") / col("n_docs").cast("double"), 6))
+        Portable.roundPortable(col("n_neardup").cast("double") / col("n_docs").cast("double"), 6))
   }
 
   /** Connected components over an undirected pair list — the step that
@@ -572,7 +572,7 @@ object NearDup {
       .groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hits"))
       .withColumn("hit_frac",
-        round(col("n_hits").cast("double") / col("n_grams").cast("double"), 4))
+        Portable.roundPortable(col("n_hits").cast("double") / col("n_grams").cast("double"), 4))
   }
 
   /** Exact shingle-set Jaccard verify of candidate id pairs: re-attach the
@@ -596,7 +596,7 @@ object NearDup {
       .join(bShingles.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
     cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        round(col("common").cast("double") /
+        Portable.roundPortable(col("common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -784,6 +784,6 @@ object NearDup {
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
       .withColumn("dup_frac",
         when(col("n_windows") > 0,
-          round(col("dup_windows").cast("double") / col("n_windows"), 6)))
+          Portable.roundPortable(col("dup_windows").cast("double") / col("n_windows"), 6)))
   }
 }

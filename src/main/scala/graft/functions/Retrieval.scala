@@ -52,9 +52,10 @@ object Retrieval {
     val norm = (tfd * (lit(k1) + lit(1.0))) /
       (tfd + lit(k1) * ((lit(1.0) - lit(b)) +
         lit(b) * col("dl").cast("double") / col("avgdl")))
-    val term = round(idf * norm, 10).cast("decimal(28,12)")
+    // portable floor-form rounding at term + output (see Portable.scala)
+    val term = Portable.roundPortable(idf * norm, 10).cast("decimal(28,12)")
     scored.groupBy(col("_id"))
-      .agg(round(sum(term).cast("double"), 6).as("bm25"))
+      .agg(Portable.r6(sum(term).cast("double")).as("bm25"))
       .withColumnRenamed("_id", idCol)
   }
 
@@ -68,9 +69,9 @@ object Retrieval {
     val fb = b.select(col(idCol), col("rank").as("_rb"))
     fa.join(fb, Seq(idCol), "full_outer")
       .select(col(idCol),
-        round(
+        Portable.r6(
           coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("_ra").cast("double")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("_rb").cast("double")), lit(0.0)),
-          6).as("rrf"))
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("_rb").cast("double")), lit(0.0))
+        ).as("rrf"))
   }
 }

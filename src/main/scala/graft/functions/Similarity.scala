@@ -69,7 +69,7 @@ object Similarity {
     agg.select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_p")))
       .select(col("query_id"), (-col("_p.id")).as("neighbor_id"),
         (col("_pos") + 1).cast("int").as("rank"),
-        round(col("_p.ord"), 6).as("sim"))
+        Portable.roundPortable(col("_p.ord"), 6).as("sim"))
   }
 
   /** Exact cosine top-k: for every row of `queries`, the `k` nearest rows of
@@ -401,7 +401,7 @@ object Similarity {
     val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("_vb"))
     val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
     pairs
-      .withColumn("sim", round(graft.plans.GraftFunctions.cosine(pairs, col("_va"), col("_vb")), 6))
+      .withColumn("sim", Portable.roundPortable(graft.plans.GraftFunctions.cosine(pairs, col("_va"), col("_vb")), 6))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -446,9 +446,89 @@ object Similarity {
       .join(vecs.withColumnsRenamed(Map("_id" -> "id_a", "_v" -> "_va")), Seq("id_a"))
       .join(vecs.withColumnsRenamed(Map("_id" -> "id_b", "_v" -> "_vb")), Seq("id_b"))
     cand
-      .withColumn("sim", round(graft.plans.GraftFunctions.cosine(cand, col("_va"), col("_vb")), 6))
+      .withColumn("sim", Portable.roundPortable(graft.plans.GraftFunctions.cosine(cand, col("_va"), col("_vb")), 6))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Incremental embedding near-dup pairs: a new batch of vectors against a
+    * maintained corpus — the embedding-space sibling of
+    * [[NearDup.incrementalJaccardPairs]], and the maintenance shape a real
+    * pipeline runs DAILY instead of corpus-wide SemDeDup
+    * ([[cosineNearDupPairsLsh]]): the corpus pays its hyperplane bucket
+    * index once (at 100 TB it is a maintained table new batches append to —
+    * here derived on the fly); a batch then costs |batch| bucket lookups
+    * plus its own internal self-join — never a corpus self-join, so
+    * admission cost is independent of corpus size.
+    *
+    * Same seeded hyperplanes as the corpus-wide form, so a bucket index
+    * built by one serves the other; same hot-key prune on the CORPUS index
+    * only (its posting lists are what amplify the join — batch-internal
+    * fan-out is bounded by the batch size); same exact-cosine verify, so
+    * precision is exact and only candidate recall is approximate.
+    *
+    * Returns (id_a, id_b, sim) with id_b always the batch vector of the
+    * pair (existing↔batch) or the larger id (batch-internal) — the
+    * loser-side convention [[admitVectorBatch]] consumes.
+    */
+  def incrementalCosinePairs(existing: DataFrame, batch: DataFrame,
+                             minCosine: Double, dim: Int,
+                             tables: Int = 48, bits: Int = 4, seed: Long = 42L,
+                             maxBucket: Int = 100000,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame): DataFrame = Par.materialize(Par.spread(
+      df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))))
+    def bucketed(vecs: DataFrame): DataFrame =
+      vecs.withColumn("_bks",
+          graft.plans.GraftFunctions.hyperplaneBuckets(vecs, col("_v"), dim, tables, bits, seed))
+        .select(col("_id"), posexplode(col("_bks")).as(Seq("_table", "_bucket")))
+        .withColumn("_tb", col("_table") * (1L << bits) + col("_bucket"))
+        .select(col("_id"), col("_tb"))
+    val ex = prep(existing)
+    val ba = prep(batch)
+    val exInv = Par.materialize(NearDup.pruneHotKeys(bucketed(ex), "_tb", maxBucket))
+    val baInv = Par.materialize(bucketed(ba))
+    // existing↔batch candidates: the batch's buckets probe the corpus index
+    val crossIds = baInv.as("b").join(exInv.as("e"), col("b._tb") === col("e._tb"))
+      .select(col("e._id").as("id_a"), col("b._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // batch-internal candidates: the batch's own (small) self-join
+    val selfIds = baInv.as("l").join(baInv.as("r"),
+        col("l._tb") === col("r._tb") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val candIds = crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b")
+    // id_a resolves against corpus ∪ batch, id_b against the batch only
+    val cand = candIds
+      .join(ex.unionByName(ba).withColumnsRenamed(Map("_id" -> "id_a", "_v" -> "_va")), Seq("id_a"))
+      .join(ba.withColumnsRenamed(Map("_id" -> "id_b", "_v" -> "_vb")), Seq("id_b"))
+    cand
+      .withColumn("sim",
+        Portable.roundPortable(graft.plans.GraftFunctions.cosine(cand, col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Batch admission under incremental SEMANTIC dedup: the batch vectors
+    * that survive against the existing corpus and their own batch — the
+    * embedding-space sibling of [[NearDup.admitBatch]] with the identical
+    * pair-local rule: a batch vector drops iff it pairs with ANY existing
+    * vector (the corpus member is already canonical) or with a smaller-id
+    * batch vector. No cluster closure: admission is per-vector, and
+    * conservatively dropping both members of a transitive chain is the
+    * safe direction for training data.
+    */
+  def admitVectorBatch(existing: DataFrame, batch: DataFrame,
+                       minCosine: Double, dim: Int,
+                       tables: Int = 48, bits: Int = 4, seed: Long = 42L,
+                       maxBucket: Int = 100000,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val exIds = existing.select(col(idCol).as("_exid"))
+    val pairs = Par.materialize(incrementalCosinePairs(existing, batch,
+      minCosine, dim, tables, bits, seed, maxBucket, idCol, vecCol))
+    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
+    batch.join(dropped, Seq(idCol), "left_anti")
+      .join(exIds, col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
   }
 
   /** Approximate cosine top-k via multi-table hyperplane LSH: queries and
@@ -529,18 +609,18 @@ object Similarity {
         x => x.getField("c")).as("cvec"))
     val membered = df.select(col(labelCol).as("label"), asDouble(col(vecCol)).as("_v"))
       .join(broadcast(carr), Seq("label"))
-    val cos6 = round(
+    val cos6 = Portable.roundPortable(
       graft.plans.GraftFunctions.cosine(membered, col("_v"), col("cvec")), 6)
     val intra = membered
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(sum(cos6.cast("decimal(18,10)")).cast("double") /
+        Portable.roundPortable(sum(cos6.cast("decimal(18,10)")).cast("double") /
           count(lit(1)).cast("double"), 6).as("mean_intra_cos"))
     val b = carr.select(col("label").as("label_b"), col("cvec").as("cvec_b"))
     val interPairs = carr.join(b, col("label") =!= col("label_b"))
     val inter = interPairs
       .groupBy(col("label"))
-      .agg(max(round(graft.plans.GraftFunctions.cosine(
+      .agg(max(Portable.roundPortable(graft.plans.GraftFunctions.cosine(
         interPairs, col("cvec"), col("cvec_b")), 6)).as("max_inter_cos"))
     // left: a single-label corpus has no inter pairs — report the label
     // with a NULL max_inter_cos rather than dropping it

@@ -65,7 +65,7 @@ object TextAnalysis {
       "n_tokens" -> nTokens,
       "n_punct" -> punctCount(text),
       "n_stopwords" -> nStop,
-      "stop_ratio" -> round(nStop.cast("double") / nTokens.cast("double"), 4))
+      "stop_ratio" -> Portable.roundPortable(nStop.cast("double") / nTokens.cast("double"), 4))
   }
 
   /** Non-empty lines of a text column (blank / whitespace-only lines
@@ -106,9 +106,9 @@ object TextAnalysis {
     val st = graft.plans.GraftFunctions.gramRepetitionStats(df, txt, n)
     Map(
       "n_lines" -> size(lines(txt)).cast("long"),
-      "dup_line_frac" -> round(dupLineFraction(txt), 4),
-      s"top_${n}gram_share" -> round(st.getField("top_share"), 4),
-      s"dup_${n}gram_frac" -> round(st.getField("dup_frac"), 4))
+      "dup_line_frac" -> Portable.roundPortable(dupLineFraction(txt), 4),
+      s"top_${n}gram_share" -> Portable.roundPortable(st.getField("top_share"), 4),
+      s"dup_${n}gram_frac" -> Portable.roundPortable(st.getField("dup_frac"), 4))
   }
 
   /** Language-ID heuristic: count stopword hits per candidate language and
@@ -240,7 +240,10 @@ object TextAnalysis {
       : Map[String, Column] = {
     val st = graft.plans.GraftFunctions.charEntropyStats(df, coalesce(text, lit("")))
     Map(
-      "char_entropy" -> round(st.getField("entropy"), 4),
+      // portable floor-form rounding (see Portable.scala): aligns with
+      // DuckDB's binary-space rounding where Spark's BigDecimal round()
+      // can sit 1 ulp off on boundary values
+      "char_entropy" -> Portable.roundPortable(st.getField("entropy"), 4),
       "n_chars" -> st.getField("n_chars"),
       "n_distinct_chars" -> st.getField("n_distinct"))
   }

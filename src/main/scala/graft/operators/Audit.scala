@@ -36,7 +36,7 @@ object Audit {
           col(s"_v_$i").as("n_violations"))
       }: _*)).as("r"))
       .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"),
-        round(col("r.n_violations").cast("double") /
+        graft.functions.Portable.roundPortable(col("r.n_violations").cast("double") /
           col("r.n_rows").cast("double"), 6).as("violation_rate"))
   }
 
@@ -71,7 +71,7 @@ object Audit {
         // an EMPTY child table has n_rows = 0: the rate is undefined (NULL,
         // as the SQL division yields) — unguarded, ANSI mode would throw
         when(col("r.n_rows") > 0,
-          round(col("r.n_orphans").cast("double") / col("r.n_rows").cast("double"), 6))
+          graft.functions.Portable.roundPortable(col("r.n_orphans").cast("double") / col("r.n_rows").cast("double"), 6))
           .as("orphan_rate"))
   }
 
@@ -99,7 +99,7 @@ object Audit {
             .as("n_orphans")) // empty child: 0 orphans, not a NULL sum
         .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"),
           when(col("n_rows") > 0, // empty child: NULL rate, not a throw
-            round(col("n_orphans").cast("double") / col("n_rows").cast("double"), 6))
+            graft.functions.Portable.roundPortable(col("n_orphans").cast("double") / col("n_rows").cast("double"), 6))
             .as("orphan_rate"))
     }.reduce(_ unionByName _)
   }

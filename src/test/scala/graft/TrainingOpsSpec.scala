@@ -1006,6 +1006,39 @@ class TrainingOpsSpec extends SparkSpec {
     assert(admitted === batchIds -- droppedByPairs)
   }
 
+  test("incremental semantic admission equals the exact all-pairs rule (sf0.01)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val batch = emb.filter($"vec_id" % 7 === 0)
+    val existing = emb.filter($"vec_id" % 7 =!= 0)
+    val inc = Similarity.incrementalCosinePairs(existing, batch,
+        minCosine = 0.4, dim = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    // the exact all-pairs form over the union, restricted to batch-touching
+    // pairs — the incremental LSH path must find exactly these (100% recall
+    // at the q65 parameters on gate data; same verify, same threshold)
+    val full = Similarity.cosineNearDupPairsExact(emb, minCosine = 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter(p => p._1 % 7 == 0 || p._2 % 7 == 0).toSet
+    assert(inc === full, s"missing=${(full -- inc).take(5)} phantom=${(inc -- full).take(5)}")
+    assert(inc.nonEmpty, "sf0.01 embeddings have batch-touching near-dup pairs")
+    // admission: every admitted vec is from the batch; dropped vecs are
+    // exactly the batch side of some pair (pair-local rule)
+    val admitted = Similarity.admitVectorBatch(existing, batch,
+        minCosine = 0.4, dim = 64)
+      .select($"vec_id").as[Long].collect().toSet
+    val batchIds = batch.select($"vec_id").as[Long].collect().toSet
+    assert(admitted.subsetOf(batchIds))
+    val droppedByPairs = inc.flatMap { case (a, b) =>
+      Seq(a, b).filter(batchIds.contains) match {
+        case Seq(x) => Seq(x)                 // existing↔batch: batch side drops
+        case Seq(x, y) => Seq(math.max(x, y)) // batch-internal: larger id drops
+        case _ => Nil
+      }
+    }
+    assert(admitted === batchIds -- droppedByPairs)
+  }
+
   test("corpus pipeline end-to-end: filter → dedup → split → pack composes and conserves") {
     // the full training-data path as one composed flow over real testdata:
     // quality filter → near-dup canonical corpus → split assignment →

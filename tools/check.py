@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--strict] [names...]
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
 the sf parquet tables as DuckDB views, runs each oracle, reads the matching
 Spark result parquet, and compares (columns sorted by name, rows sorted,
 values normalized). Prints one line per query: OK / MISMATCH / ERROR.
+
+--strict is the builder's gate: floats compare BYTE-EXACT (rtol=0, atol=0,
+no round(6) normalization), matching the driver's hash compare. The default
+tolerant mode exists only for triaging HOW far apart a mismatch is — round 4
+shipped two driver-hash-red queries precisely because the tolerant mode was
+used as the gate (1-ulp round() divergence passed rtol=1e-6, failed bytes).
+Optional trailing names restrict the compare to those queries.
 """
 import json
 import sys
@@ -18,7 +25,7 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, strict: bool) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
@@ -28,14 +35,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             df[c] = s.apply(lambda v: str(v) if v is not None and not (isinstance(v, float) and pd.isna(v)) else None)
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.round(6)
+            if not strict:
+                df[c] = s.round(6)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, strict: bool = False, names=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -44,12 +52,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_ok = n_bad = 0
     for name in sorted(oracles):
+        if names and name not in names:
+            continue
         sql = oracles[name]
         try:
             expected = con.execute(sql).fetchdf()
             got_dir = Path(out_dir) / name
             got = con.execute(f"SELECT * FROM '{got_dir}/*.parquet'").fetchdf()
-            e, g = normalize(expected), normalize(got)
+            e, g = normalize(expected, strict), normalize(got, strict)
             if list(e.columns) != list(g.columns):
                 print(f"MISMATCH {name}: columns {list(g.columns)} != {list(e.columns)}")
                 n_bad += 1
@@ -58,7 +68,10 @@ def main(sf_dir: str, out_dir: str) -> int:
                 n_bad += 1
             else:
                 try:
-                    pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9)
+                    if strict:
+                        pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=True)
+                    else:
+                        pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9)
                     print(f"OK       {name} ({len(g)} rows)")
                     n_ok += 1
                     continue
@@ -74,9 +87,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as ex:
             print(f"ERROR    {name}: {ex}")
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} bad")
+    mode = "strict" if strict else "tolerant"
+    print(f"\n{n_ok} ok, {n_bad} bad ({mode})")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:]]
+    strict = "--strict" in argv
+    argv = [a for a in argv if a != "--strict"]
+    sys.exit(main(argv[0], argv[1], strict=strict, names=set(argv[2:]) or None))
