@@ -37,8 +37,17 @@ object Ivm {
   def applyDelta(state: DataFrame, feed: DataFrame, keys: Seq[String],
                  valueCol: String): DataFrame = {
     val dec = "decimal(28,8)"
+    // update_preimage/postimage (the shapes ManifestStore.changesKeyed
+    // emits) are a retraction + re-assertion; any OTHER change type fails
+    // loudly — an unmapped type silently dropping to a null sign would
+    // corrupt the maintained view instead of erroring (round-4 advice)
     val sign = when(col("_change_type") === "insert", 1L)
       .when(col("_change_type") === "delete", -1L)
+      .when(col("_change_type") === "update_postimage", 1L)
+      .when(col("_change_type") === "update_preimage", -1L)
+      .otherwise(raise_error(concat(
+        lit("Ivm.applyDelta: unknown _change_type '"),
+        col("_change_type"), lit("'"))))
     val delta = feed
       .select(keys.map(col) :+ sign.as("_s") :+ col(valueCol).as("_v"): _*)
       .groupBy(keys.map(col): _*)

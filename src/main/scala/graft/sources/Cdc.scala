@@ -17,7 +17,16 @@ import org.apache.spark.sql.types.StructType
   * `to`-version in ONE atomic swap and skips intervals it has already
   * absorbed — see the IVM follow spec. The checkpoint is monotonic
   * (max-merge, like the watermark table) and per `consumer`, so independent
-  * consumers follow one table at their own pace.
+  * consumers follow one table at their own pace — PROVIDED each consumer
+  * owns its own `checkpointDir` (or their steps are externally serialized).
+  * A checkpoint advance is a read-modify-write over the whole checkpoint
+  * table through [[StateStore.overwrite]]'s single-writer directory swap:
+  * two consumers sharing one dir and advancing CONCURRENTLY can lose the
+  * slower writer's row (checkpoint regression → interval replay — safe
+  * only because delivery is at-least-once and sinks must be idempotent)
+  * or fail the rename swap outright. One directory per consumer costs a
+  * few bytes and removes the race entirely; a multi-writer checkpoint
+  * table belongs in a [[ManifestStore]] (optimistic concurrency) instead.
   *
   * Scale: a follow step's planning cost is two manifest reads (checkpoint
   * row + current version); the data cost is the feed's — proportional to

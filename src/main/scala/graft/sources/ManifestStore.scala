@@ -60,7 +60,8 @@ object ManifestStore {
   final case class Snapshot(version: Long, files: Seq[String], op: String,
                             stats: Map[String, Map[String, ColStats]] = Map.empty,
                             rows: Map[String, Long] = Map.empty,
-                            schema: Option[StructType] = None)
+                            schema: Option[StructType] = None,
+                            parts: Map[String, Map[String, String]] = Map.empty)
 
   /** Per-file column statistics harvested from the parquet footer at commit
     * time (metadata-only — no data read). `min`/`max` are the column's
@@ -148,8 +149,14 @@ object ManifestStore {
       if (schemaNode.isMissingNode) None
       else Some(org.apache.spark.sql.types.DataType.fromJson(schemaNode.asText())
         .asInstanceOf[StructType])
+    val partsNode = root.path("parts")
+    val parts = if (partsNode.isMissingNode) Map.empty[String, Map[String, String]]
+    else partsNode.properties().asScala.iterator.map { e =>
+      e.getKey -> e.getValue.properties().asScala.iterator
+        .map(c => c.getKey -> c.getValue.asText()).toMap
+    }.toMap
     Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
-      stats, rows, schema)
+      stats, rows, schema, parts)
   }
 
   /** The latest version under the manifest-recorded schema — the
@@ -181,9 +188,42 @@ object ManifestStore {
     * the column's primitive stat space: pass Long/Int for `long` columns
     * (timestamps: microseconds since epoch), Double for `double`, String
     * for `string`.
+    *
+    * A file carrying an explicit PARTITION value for `column`
+    * ([[appendPartitioned]]) is decided by that value alone — exact
+    * min = max knowledge recorded at the metadata layer, so whole
+    * partitions prune even when footer stats are absent (oversized string
+    * bounds, stat-less writers). A null-partition file
+    * (`__HIVE_DEFAULT_PARTITION__`) is always kept — conservative, never
+    * wrong.
     */
   def pruneFiles(snap: Snapshot, column: String, lo: Any, hi: Any): Seq[String] =
     snap.files.filter { rel =>
+      partitionAdmits(snap, rel, column, lo, hi).getOrElse {
+        statsAdmit(snap, rel, column, lo, hi)
+      }
+    }
+
+  /** Some(decision) when `rel` records a partition value for `column`;
+    * None → fall through to footer stats. Values compare in the TABLE
+    * SCHEMA's primitive space (the schema travels in the manifest).
+    */
+  private def partitionAdmits(snap: Snapshot, rel: String, column: String,
+                              lo: Any, hi: Any): Option[Boolean] =
+    snap.parts.get(rel).flatMap(_.get(column)).map { v =>
+      if (v == hiveNullPartition) true // null matches nothing provable: keep
+      else snap.schema.flatMap(s => s.fields.find(_.name == column))
+        .map(_.dataType.typeName) match {
+        case Some("long" | "integer" | "short" | "byte") =>
+          v.toLong >= toLong(lo) && v.toLong <= toLong(hi)
+        case Some("string") =>
+          !utf8Lt(v, lo.toString) && !utf8Lt(hi.toString, v) // lo <= v <= hi
+        case _ => true // unknown partition type: keep, never wrong
+      }
+    }
+
+  private def statsAdmit(snap: Snapshot, rel: String, column: String,
+                         lo: Any, hi: Any): Boolean =
       snap.stats.get(rel).flatMap(_.get(column)) match {
         case Some(ColStats(typ, Some(mn), Some(mx), _)) => typ match {
           case "long" =>
@@ -199,7 +239,6 @@ object ManifestStore {
         }
         case _ => true
       }
-    }
 
   private def toLong(v: Any): Long = v match {
     case l: Long => l
@@ -409,6 +448,86 @@ object ManifestStore {
   def append(df: DataFrame, dir: String): Long =
     commit(df, dir, "append", (prev, fresh) => prev ++ fresh)
 
+  /** Hive value escaped by Spark's partitioned writer for a null value. */
+  private val hiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Append `df` hive-partitioned on `partitionCols`: data files land under
+    * `d-<nonce>/<col>=<value>/…` with ONE partition value per file, and the
+    * manifest records that value explicitly per file — the reference's
+    * hive-layout discipline (writer_landing.py:29 `run_id=`) lifted to the
+    * table-format layer. [[pruneFiles]] (and through it [[rangeScan]],
+    * [[lookup]], [[deleteRange]], [[upsertKeyed]]) then prunes whole
+    * partitions from the METADATA value alone — exact, independent of
+    * parquet footer stats (which drop oversized string bounds).
+    *
+    * The partition columns stay IN the data files (the writer partitions on
+    * hidden clones), so reads, schema evolution, CDC, and compaction are
+    * oblivious to the layout: a partitioned and an unpartitioned file can
+    * share a lineage, each pruned by whatever knowledge its manifest entry
+    * carries. Partition columns must be integral or string (the types whose
+    * hive path round-trip is exact); nulls land in the hive default
+    * partition and stay un-prunable (kept by every scan — safe).
+    */
+  def appendPartitioned(df: DataFrame, dir: String,
+                        partitionCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(partitionCols.nonEmpty, "appendPartitioned needs partition columns")
+    partitionCols.foreach { c =>
+      val dt = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"partition column '$c' not in schema"))
+        .dataType.typeName
+      require(Set("long", "integer", "short", "byte", "string").contains(dt),
+        s"partition column '$c' has type $dt — only integral/string columns " +
+          "partition (their hive path round-trip is exact)")
+    }
+    val spark = df.sparkSession
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"d-$nonce"
+    // partition on hidden CLONES so the real columns stay in the files:
+    // readers of explicit leaf paths see the full row without partition
+    // inference, and un-partitioned commits can share the lineage
+    val clones = partitionCols.map(c => s"__p_$c")
+    val cloned = partitionCols.zip(clones).foldLeft(df) { case (d, (c, cl)) =>
+      d.withColumn(cl, col(c))
+    }
+    cloned.write.mode("error").partitionBy(clones: _*)
+      .parquet(new Path(dir, dataRel).toString)
+    val f = fs(spark, dir)
+    def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath) else Nil
+    }
+    val base = new Path(dir, dataRel)
+    val baseUri = f.makeQualified(base).toUri
+    val fresh = walk(base)
+      .map(p => s"$dataRel/${baseUri.relativize(f.makeQualified(p).toUri).getPath}")
+      .sorted
+    // parse each file's partition values back out of its hive path
+    val freshParts = fresh.map { rel =>
+      rel -> rel.split("/").toSeq.init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if k.startsWith("__p_") =>
+            Some(k.stripPrefix("__p_") -> unescapeHive(v))
+          case _ => None
+        }
+      }.toMap
+    }.filter(_._2.nonEmpty).toMap
+    publishLoop(spark, dir, "append", fresh, (prev, fr) => prev ++ fr,
+      dfSchema = Some(df.schema), freshParts = freshParts)
+  }
+
+  /** Invert Spark's hive path escaping (`%XX` per escaped byte). */
+  private def unescapeHive(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '%' && i + 2 < v.length + 1 && i + 3 <= v.length)
+        { sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar); i += 3 }
+      else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Per-file column bounds from the parquet FOOTER — a metadata-only read
     * (one footer RPC per file, no data pages). Row-group stats are merged;
     * a column missing stats in ANY row group gets `None` bounds (file
@@ -522,6 +641,12 @@ object ManifestStore {
     * files' reads — refused at commit, the table-format contract);
     * batch-only columns append as nullable additions; prior-only columns
     * stay (old readers keep working, new files null-fill them on read).
+    *
+    * Nullability only ever WIDENS (Delta's column-add semantics): a prior
+    * column the incoming batch omits becomes nullable — the new files
+    * null-fill it, so advertising the old non-nullable flag would hand the
+    * optimizer a license to elide isNull checks over genuinely null data —
+    * and a column nullable on either side stays nullable.
     */
   private[graft] def mergeSchemas(prev: StructType, next: StructType): StructType = {
     val byName = next.fields.map(f => f.name -> f).toMap
@@ -533,7 +658,13 @@ object ManifestStore {
       }
     }
     val prevNames = prev.fieldNames.toSet
-    StructType(prev.fields ++ next.fields.filterNot(f => prevNames(f.name))
+    val carried = prev.fields.map { p =>
+      byName.get(p.name) match {
+        case Some(n) => p.copy(nullable = p.nullable || n.nullable)
+        case None    => p.copy(nullable = true) // new files null-fill it
+      }
+    }
+    StructType(carried ++ next.fields.filterNot(f => prevNames(f.name))
       .map(_.copy(nullable = true)))
   }
 
@@ -545,7 +676,8 @@ object ManifestStore {
                           fresh: Seq[String],
                           combine: (Seq[String], Seq[String]) => Seq[String],
                           maxAttempts: Int = 10,
-                          dfSchema: Option[StructType] = None): Long = {
+                          dfSchema: Option[StructType] = None,
+                          freshParts: Map[String, Map[String, String]] = Map.empty): Long = {
     val f = fs(spark, dir)
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
@@ -611,6 +743,19 @@ object ManifestStore {
           case (p, n) => n.orElse(p)
         }
         tableSchema.foreach(s => body.put("schema", s.json))
+        // explicit per-file partition values travel with the lineage like
+        // stats: surviving partitioned files keep theirs, fresh files add
+        // theirs; rewritten files (compaction, MERGE) simply drop out
+        val carriedParts = prev.map(_.parts).getOrElse(Map.empty) ++ freshParts
+        val partsWritten = files.flatMap(rel =>
+          carriedParts.get(rel).filter(_.nonEmpty).map(rel -> _))
+        if (partsWritten.nonEmpty) {
+          val partsNode = body.putObject("parts")
+          partsWritten.foreach { case (rel, kvs) =>
+            val n = partsNode.putObject(rel)
+            kvs.foreach { case (k, v) => n.put(k, v): Unit }
+          }
+        }
         if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
         attempt += 1
       }
@@ -628,62 +773,22 @@ object ManifestStore {
     }).foldLeft(0L)(math.max)
   }
 
-  /** Atomically publish `vNNNNNNNN.json`: the slot claim and the manifest
-    * BODY must land in one indivisible step. Claim-then-write (create the
-    * file, then write the bytes) has a mid-write window in which a
-    * concurrently RE-BASING writer reads the claimed-but-empty manifest,
-    * skips it as unparseable, bases its append on the previous snapshot —
-    * and the in-flight commit's files silently vanish from the new lineage
-    * (readers skipping a corpse is safe; writers skipping one is lost
-    * data; caught by the racing-threads spec).
-    *
-    * On `file:` URIs: write the full body to a hidden temp file, then
-    * claim the slot with `Files.createLink` — hard-link creation is an
-    * atomic all-or-nothing publish that fails with
-    * `FileAlreadyExistsException` if the slot is taken (POSIX `rename`
-    * would silently OVERWRITE an existing slot, so it cannot claim). A
-    * crashed writer can no longer leave a partial manifest: crash before
-    * the link → no manifest; after → a complete one. On S3 the equivalent
-    * is a conditional `PUT If-None-Match:*`, which also carries body +
-    * claim atomically — this method is the single point to swap. The
-    * generic-Hadoop branch (`create(overwrite = false)`, an atomic
-    * namespace claim on HDFS) retains the mid-write window for re-basing
-    * writers; HDFS deployments should route through an
-    * object-store-conditional or HDFS-rename-based implementation here.
-    *
-    * Returns false on a lost race (caller re-bases); any OTHER I/O failure
-    * (permissions, disk full) propagates — misclassifying it as a lost
-    * race would burn the retry budget against a dead filesystem.
+  /** Atomically publish `vNNNNNNNN.json` through the pluggable
+    * [[ManifestPublisher]] seam — claim + body in one indivisible step
+    * (see the trait doc for why, and for the object-store port contract).
+    * False = lost race, caller re-bases.
     */
   private def publish(f: FileSystem, dir: String, version: Long, body: String): Boolean = {
-    val target = manifestPath(dir, version)
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    if ("file" == Option(f.getUri.getScheme).getOrElse("")) {
-      val local = java.nio.file.Paths.get(target.toUri.getPath)
-      java.nio.file.Files.createDirectories(local.getParent)
-      val tmp = local.resolveSibling(
-        s".${local.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      try {
-        java.nio.file.Files.createLink(local, tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally {
-        java.nio.file.Files.deleteIfExists(tmp): Unit
-      }
-    } else {
-      val out = try f.create(target, false)
-                catch {
-                  case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-                  case e: java.io.IOException
-                    if Option(e.getMessage).exists(_.contains("already exists")) =>
-                    return false
-                }
-      try out.write(bytes) finally out.close()
-      true
-    }
+    val pub = publisherOverride.getOrElse(ManifestPublisher.default(f))
+    pub.publish(f, manifestPath(dir, version), body.getBytes(StandardCharsets.UTF_8))
   }
+
+  /** Backend override for the slot claim — the object-store port point.
+    * Production S3/GCS deployments install their conditional-PUT publisher
+    * here once per JVM; tests install racing fakes. None → scheme-based
+    * default ([[ManifestPublisher.default]]).
+    */
+  @volatile private[graft] var publisherOverride: Option[ManifestPublisher] = None
 
   /** Rewrite the current contents as one fresh version with `numFiles`
     * output files — the maintenance pass for append-heavy tables whose
@@ -887,7 +992,11 @@ object ManifestStore {
                                  keyCol: String,
                                  midFlight: () => Unit): Option[Long] = {
     import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
-    val dupKeys = batch.groupBy(col(keyCol)).agg(fcount(lit(1)).as("_n"))
+    // null keys are excluded from the duplicate guard: a null key matches
+    // nothing (documented semantics below), so any number of null-key rows
+    // is a legal batch of pure inserts, not a duplicate-key conflict
+    val dupKeys = batch.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(fcount(lit(1)).as("_n"))
       .filter(col("_n") > 1).limit(1).count()
     require(dupKeys == 0L, s"upsert batch has duplicate keys on $keyCol")
     val snap = currentSnapshot(spark, dir).getOrElse {
@@ -961,20 +1070,32 @@ object ManifestStore {
     if (allKeptReadable) f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
       .foreach { d =>
-        f.listStatus(d.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { file =>
-            val rel = s"${d.getPath.getName}/${file.getPath.getName}"
-            if (!live.contains(rel) && file.getModificationTime < cutoff) {
-              f.delete(file.getPath, false); dataDeleted += 1
-            }
+        // walk the whole d-* subtree: partitioned commits
+        // (appendPartitioned) nest files under <col>=<value>/ dirs, and a
+        // one-level listing would neither vacuum their orphans nor SEE
+        // their live files when deciding the dir is empty below
+        def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+          f.listStatus(p).toSeq.flatMap { s =>
+            if (s.isDirectory) walkParquet(s.getPath)
+            else if (s.getPath.getName.endsWith(".parquet")) Seq(s) else Nil
           }
-        // delete an emptied d-* dir only past the retention cutoff: a dir
-        // holding just _temporary/ IS an in-flight write whose top-level
-        // parquet files don't exist yet — recursive delete here would rip
-        // the staging area out from under the committing writer, which the
-        // per-file mod-time guard above cannot see
-        if (d.getModificationTime < cutoff &&
-            f.listStatus(d.getPath).forall(!_.getPath.getName.endsWith(".parquet")))
+        val baseUri = f.makeQualified(d.getPath).toUri
+        var liveRemain = false
+        walkParquet(d.getPath).foreach { file =>
+          val rel = s"${d.getPath.getName}/" +
+            baseUri.relativize(f.makeQualified(file.getPath).toUri).getPath
+          if (!live.contains(rel) && file.getModificationTime < cutoff) {
+            f.delete(file.getPath, false); dataDeleted += 1
+          } else liveRemain = true
+        }
+        // delete an emptied d-* dir only past the retention cutoff AND with
+        // no parquet file anywhere in its subtree: a dir holding just
+        // _temporary/ IS an in-flight write whose parquet files don't exist
+        // yet — recursive delete would rip the staging area out from under
+        // the committing writer, which the per-file mod-time guard above
+        // cannot see
+        if (d.getModificationTime < cutoff && !liveRemain &&
+            walkParquet(d.getPath).isEmpty)
           f.delete(d.getPath, true) // only bookkeeping files left
       }
     drop.foreach(v => f.delete(manifestPath(dir, v), false))

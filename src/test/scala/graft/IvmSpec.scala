@@ -143,4 +143,22 @@ class IvmSpec extends SparkSpec {
     val out = norm(Ivm.applyDelta(state, feed, Seq("k"), "v"))
     assert(out === Set((2L, 1L, 3.0), (3L, 1L, 2.0)))
   }
+
+  test("update_preimage/postimage pairs (changesKeyed shape) maintain the view") {
+    val state = Seq((1L, 1L, BigDecimal(10.0))).toDF("k", "n_rows", "total")
+    val feed = Seq((1L, 10.0, "update_preimage"), (1L, 4.0, "update_postimage"))
+      .toDF("k", "v", "_change_type")
+    assert(norm(Ivm.applyDelta(state, feed, Seq("k"), "v")) === Set((1L, 1L, 4.0)))
+  }
+
+  test("an unknown _change_type fails loudly instead of corrupting the view") {
+    val state = Seq((1L, 1L, BigDecimal(10.0))).toDF("k", "n_rows", "total")
+    val feed = Seq((1L, 1.0, "upsert")).toDF("k", "v", "_change_type")
+    val ex = intercept[Exception] {
+      Ivm.applyDelta(state, feed, Seq("k"), "v").collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("unknown _change_type"), msgs)
+  }
 }
