@@ -322,13 +322,16 @@ object SparkEntry {
         "text", "doc_id", n = 3, k = 32, bands = 8, minJaccard = 0.1)
     }),
 
-    // SimHash signatures via the native single-pass expression
-    // (no SQL oracle: xxhash64 has no DuckDB equivalent).
+    // SimHash signatures via the native single-pass expression. The
+    // canonical form is the PORTABLE 60-bit md5-based signature
+    // (SimHashMd5): fully oracle-checked — DuckDB re-derives every bit
+    // vote by nibble-parsing md5 prefixes. The xxhash64 form stays in the
+    // library as the Spark-only fast path (one hash vs an md5 per token).
     "q25_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
-        graft.plans.GraftFunctions.simhash64(docs,
-          graft.functions.TextAnalysis.tokens(col("text"))).as("simhash"))
+        graft.plans.GraftFunctions.simhashMd5(docs,
+          graft.functions.TextAnalysis.tokens(coalesce(col("text"), lit("")))).as("simhash"))
     }),
 
     // Approximate ANN via random-hyperplane LSH. Oracle-checked against the
@@ -353,11 +356,12 @@ object SparkEntry {
         graft.functions.Multimodal.headerHex(col("content")).as("header_hex"))
     }),
 
-    // Rolling-hash document signature (order-sensitive, Rabin-Karp style;
-    // no DuckDB xxhash64 → rows-only).
+    // Rolling-hash document signature (order-sensitive, Rabin-Karp style).
+    // Canonical form = the portable md5-based token hash, fully
+    // oracle-checked; the xxhash64 fold remains the library fast path.
     "q28_rolling_hash" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.TextAnalysis.rollingHash(col("text")).as("rhash"))
+        graft.functions.TextAnalysis.rollingHashPortable(col("text")).as("rhash"))
     }),
 
     // Window: running per-key aggregate over event time (decimal-exact).
@@ -1762,6 +1766,50 @@ object SparkEntry {
          WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.1""",
 
     // the LSH ANN must reproduce the exact top-k (bucket candidates cover
+    // portable md5-prefix hashes re-derived by nibble parsing (the q52/q110
+    // discipline): 12 hex chars (48 bits) per token, Rabin-Karp fold mod
+    // 2^31-1 — byte-identical to rollingHashPortable's conv/md5 chain
+    "q28_rolling_hash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         h AS (
+           SELECT doc_id, list_transform(ts, t ->
+             list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 12),
+               i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)::BIGINT)),
+               (a, x) -> a * 16 + x) % 2147483647) AS hs
+           FROM tok)
+         SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT, hs),
+                  (a, x) -> (a * 1000003 + x) % 2147483647) AS rhash
+         FROM h""",
+
+    // every bit vote re-derived relationally: 15-hex-char (60-bit) md5
+    // prefix per token occurrence, per-bit ±1 vote sums, sign → signature
+    "q25_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                    x -> x <> '')) AS t
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 15),
+                    i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)::BIGINT)),
+                    (a, x) -> a * 16 + x) AS h
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b.j,
+                  sum(CASE WHEN (h // (1::BIGINT << b.j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) b
+           GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           FROM bits GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+         FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id""",
+
     // the true top-5 at the pinned params; same ranking expression) — the
     // oracle is exactly q23's SQL
     "q26_ann_lsh" ->

@@ -160,6 +160,22 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(base) + pmod(xxhash64(t), lit(p)), lit(p)))
   }
 
+  /** [[rollingHash]] with a PORTABLE per-token hash: the first 12 hex chars
+    * (48 bits) of md5, `conv(substr(md5(t),1,12),16,10)`, mod p — the
+    * q52/q110 "portable md5" discipline, so the signature is recomputable
+    * by any engine with md5 (the q28 oracle re-derives it in DuckDB with
+    * nibble parsing). Same fold, same modulus; every intermediate stays
+    * < 2^52 (48-bit hash < p after mod; acc·base < 2^51), ANSI-safe. The
+    * xxhash64 form remains the fast path for Spark-only lineages (one
+    * hash vs an md5 per token).
+    */
+  def rollingHashPortable(text: Column, base: Long = 1000003L): Column = {
+    val p = 2147483647L
+    aggregate(tokens(coalesce(text, lit(""))), lit(0L),
+      (acc, t) => pmod(acc * lit(base) +
+        pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"), lit(p)), lit(p)))
+  }
+
   /** Word `n`-gram shingles of the token array (empty below n tokens). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

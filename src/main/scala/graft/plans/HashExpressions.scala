@@ -68,6 +68,71 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit PORTABLE SimHash of an array<string>: per bit, sign of Σ ±1
+  * votes from each element's md5-prefix hash — the first 15 hex chars
+  * (60 bits) of the standard md5 digest, i.e.
+  * `conv(substr(md5(t), 1, 15), 16, 10)`. md5 rather than xxhash64 is the
+  * q52/q110 "portable hash" discipline: the signature is recomputable by
+  * ANY engine or language with an md5 implementation (DuckDB reproduces
+  * it with nibble parsing — the q25 oracle), so near-dup signatures can be
+  * re-derived years later without Spark. 15 hex chars, not 16: the full
+  * 64-bit value can exceed Long.MaxValue, and a 60-bit positive long
+  * round-trips every integer path exactly. Bits 60–63 are always 0.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_md5"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftFunctions.requireStringArray(prettyName, child)
+
+  def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val md = SimHashMd5.digest.get()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 7 bytes + the high nibble of byte 8 = 15 hex chars, 60 bits
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashMd5", this)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+  /** One digest per task thread — MessageDigest is stateful and not
+    * thread-safe; per-row getInstance would dominate the kernel.
+    */
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** MinHash signature (array<long> of length k) of an array<string> shingle
   * set: h_i(s) = (a_i·x + b_i) mod p over x = xxhash64(s) mod p, p = 2^31−1.
   * Identical hash family and parameters to
@@ -270,6 +335,12 @@ object GraftFunctions {
   def simhash64(df: org.apache.spark.sql.DataFrame, toks: Column): Column = {
     register(df.sparkSession)
     call_function("graft_simhash64", toks)
+  }
+
+  /** Portable (md5-based, 60-bit) SimHash — see [[SimHashMd5]]. */
+  def simhashMd5(df: org.apache.spark.sql.DataFrame, toks: Column): Column = {
+    register(df.sparkSession)
+    call_function("graft_simhash_md5", toks)
   }
 
   def minhashSig(df: org.apache.spark.sql.DataFrame, shingles: Column,
@@ -480,6 +551,8 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_simhash_md5", exprs => SimHashMd5(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"graft_minhash_sig_${k}_$seed", exprs => MinHashSig(exprs.head, k, seed), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_cosine", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
@@ -510,6 +583,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), b))
     inject("graft_simhash64", classOf[SimHash64], exprs => SimHash64(exprs.head))
+    inject("graft_simhash_md5", classOf[SimHashMd5], exprs => SimHashMd5(exprs.head))
     // legacy fixed-parameter name, kept for plans/SQL written against it
     inject("graft_minhash_sig_32_42", classOf[MinHashSig],
       exprs => MinHashSig(exprs.head, 32, 42L))

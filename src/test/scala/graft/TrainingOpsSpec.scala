@@ -118,6 +118,37 @@ class TrainingOpsSpec extends SparkSpec {
       s"twins $twinDists should be closer than unrelated $unrelDists")
   }
 
+  test("portable md5 signatures match an independent re-derivation") {
+    // the q25/q28 canonical forms must be recomputable WITHOUT Spark —
+    // re-derive both here from java.security MessageDigest directly
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def toks(text: String): Seq[String] = text.split(" ").filter(_.nonEmpty).toSeq
+    def refSimhash(text: String): Long = {
+      val counts = new Array[Int](60)
+      toks(text).foreach { t =>
+        val h = java.lang.Long.parseLong(md5hex(t).take(15), 16)
+        (0 until 60).foreach(b => counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 60).filter(counts(_) > 0).map(1L << _).sum
+    }
+    def refRolling(text: String): Long =
+      toks(text).foldLeft(0L)((acc, t) =>
+        (acc * 1000003L + java.lang.Long.parseLong(md5hex(t).take(12), 16) % 2147483647L)
+          % 2147483647L)
+    val samples = Seq("hello world hello spark", "", "a b c d e f g",
+      "the quick brown fox", "répétition unicode ünïcødé")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val got = df.select($"id",
+        graft.plans.GraftFunctions.simhashMd5(df, TextAnalysis.tokens($"text")).as("sh"),
+        TextAnalysis.rollingHashPortable($"text").as("rh"))
+      .as[(Long, Long, Long)].collect().map { case (i, sh, rh) => i -> ((sh, rh)) }.toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) === ((refSimhash(s), refRolling(s))), s"sample '$s'")
+    }
+  }
+
   test("native SimHash64/MinHashSig expressions ≡ composable HOF forms") {
     val df = nearDupCorpus
     val toks = TextAnalysis.tokens($"text")
