@@ -222,6 +222,25 @@ object ManifestStore {
       }
     }
 
+  /** True iff `rel` records a non-null partition value for `column` that
+    * PROVABLY lies inside `[lo, hi]` — the whole-file-covered proof for
+    * delete planning. Unprovable (unknown type, missing schema, null
+    * partition) is false: never drop without proof.
+    */
+  private def partitionWhollyIn(snap: Snapshot, rel: String, column: String,
+                                lo: Any, hi: Any): Boolean =
+    snap.parts.get(rel).flatMap(_.get(column)).exists { v =>
+      v != hiveNullPartition &&
+        (snap.schema.flatMap(_.fields.find(_.name == column))
+          .map(_.dataType.typeName) match {
+          case Some("long" | "integer" | "short" | "byte") =>
+            v.toLong >= toLong(lo) && v.toLong <= toLong(hi)
+          case Some("string") =>
+            !utf8Lt(v, lo.toString) && !utf8Lt(hi.toString, v)
+          case _ => false
+        })
+    }
+
   private def statsAdmit(snap: Snapshot, rel: String, column: String,
                          lo: Any, hi: Any): Boolean =
       snap.stats.get(rel).flatMap(_.get(column)) match {
@@ -922,7 +941,12 @@ object ManifestStore {
     val touched = pruneFiles(snap, column, lo, hi)
     if (touched.isEmpty) return None
     val dropWhole = touched.filter { rel =>
-      snap.stats.get(rel).flatMap(_.get(column)) match {
+      // a recorded PARTITION value inside the range proves every row
+      // matches (one value per file, nulls live in the hive default
+      // partition) — whole partitions drop as pure manifest edits even
+      // when footer stats are absent
+      partitionWhollyIn(snap, rel, column, lo, hi) ||
+      (snap.stats.get(rel).flatMap(_.get(column)) match {
         case Some(ColStats(typ, Some(mn), Some(mx), nulls)) if nulls == 0L =>
           typ match {
             case "long" => mn.toLong >= toLong(lo) && mx.toLong <= toLong(hi)
@@ -931,7 +955,7 @@ object ManifestStore {
             case _ => false
           }
         case _ => false
-      }
+      })
     }.toSet
     val partial = touched.filterNot(dropWhole.contains)
     val gone = dropWhole ++ partial

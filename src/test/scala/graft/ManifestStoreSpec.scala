@@ -625,6 +625,29 @@ class ManifestStoreSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet === Set((1L, "x", "a=b c")))
   }
 
+  test("deleteRange drops whole partitions as pure manifest edits, no rewrite") {
+    val dir = tmpDir()
+    val pschema = StructType.fromDDL("k BIGINT, v STRING, lang STRING")
+    ManifestStore.appendPartitioned(
+      Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"), (4L, "d", "fr"))
+        .toDF("k", "v", "lang"), dir, Seq("lang"))
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    // the partition value alone must carry the whole-file proof — even
+    // with footer stats stripped from the manifest's view of the world
+    val strippedProof = before.copy(stats = Map.empty)
+    assert(ManifestStore.pruneFiles(strippedProof, "lang", "de", "de").nonEmpty)
+    val v = ManifestStore.deleteRange(spark, dir, pschema, "lang", "de", "de")
+    assert(v.nonEmpty)
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    // drop-only commit: strictly fewer files, every survivor carried over,
+    // no fresh files written
+    assert(after.files.toSet.subsetOf(before.files.toSet))
+    assert(after.files.size < before.files.size)
+    assert(ManifestStore.read(spark, dir, pschema)
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "en"), (2L, "b", "en"), (4L, "d", "fr")))
+  }
+
   test("vacuum walks partitioned subtrees: orphans go, live nested files stay") {
     val dir = tmpDir()
     val pschema = StructType.fromDDL("k BIGINT, v STRING, lang STRING")
