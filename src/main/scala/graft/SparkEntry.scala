@@ -1103,7 +1103,7 @@ object SparkEntry {
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("p", round(col("n").cast("double") /
+        .withColumn("p", graft.functions.Portable.roundPortable(col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"),
           6))
     }),
@@ -1169,7 +1169,7 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>").as("_qv"))
       val joined = emb.crossJoin(broadcast(q))
       val withCos = joined.select(col("vec_id"),
-        round(graft.plans.GraftFunctions.cosine(joined,
+        graft.functions.Portable.roundPortable(graft.plans.GraftFunctions.cosine(joined,
           col("embedding").cast("array<double>"), col("_qv")), 6).as("cos"))
       val wv = Window.orderBy(col("cos").desc, col("vec_id").asc)
       val vecRank = withCos.orderBy(col("cos").desc, col("vec_id").asc).limit(50)
@@ -1488,7 +1488,7 @@ object SparkEntry {
           max(when(col("_rn") === ceil(col("_n") / lit(2.0)), col("_d"))).as("mad"))
       val scored = e.join(broadcast(mad), "event_type")
         .filter(col("mad") > 0)
-        .withColumn("rz", round(abs(col("value") - col("med")) / col("mad"), 4))
+        .withColumn("rz", graft.functions.Portable.roundPortable(abs(col("value") - col("med")) / col("mad"), 4))
       scored.filter(col("rz") > 6)
         .select(col("event_type"), col("event_id"), col("value"),
           col("med"), col("mad"), col("rz"))
@@ -1519,7 +1519,7 @@ object SparkEntry {
         .withColumn("variance",
           col("s2").cast("double") / col("c").cast("double") - col("mean") * col("mean"))
         .filter(col("variance") > 0)
-        .withColumn("z", round((col("n").cast("double") - col("mean")) /
+        .withColumn("z", graft.functions.Portable.roundPortable((col("n").cast("double") - col("mean")) /
           sqrt(col("variance")), 4))
         .filter(abs(col("z")) > 2.0)
         .select(col("event_type"), col("hour_ts"), col("n"), col("z"))
