@@ -476,18 +476,49 @@ object Similarity {
                              tables: Int = 48, bits: Int = 4, seed: Long = 42L,
                              maxBucket: Int = 100000,
                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def prep(df: DataFrame): DataFrame = Par.materialize(Par.spread(
+    val ex = prepVectors(existing, idCol, vecCol)
+    incrementalCosinePairsIndexed(
+      bucketPostings(ex), ex, batch,
+      minCosine, dim, tables, bits, seed, maxBucket, idCol, vecCol)
+  }
+
+  /** Normalized (_id, _v double-array) vector frame — the row shape a
+    * maintained vector table persists ([[graft.pipeline.VectorIndex]]).
+    */
+  def prepVectors(df: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    Par.materialize(Par.spread(
       df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))))
-    def bucketed(vecs: DataFrame): DataFrame =
-      vecs.withColumn("_bks",
-          graft.plans.GraftFunctions.hyperplaneBuckets(vecs, col("_v"), dim, tables, bits, seed))
-        .select(col("_id"), posexplode(col("_bks")).as(Seq("_table", "_bucket")))
-        .withColumn("_tb", col("_table") * (1L << bits) + col("_bucket"))
-        .select(col("_id"), col("_tb"))
-    val ex = prep(existing)
-    val ba = prep(batch)
-    val exInv = Par.materialize(NearDup.pruneHotKeys(bucketed(ex), "_tb", maxBucket))
-    val baInv = Par.materialize(bucketed(ba))
+
+  /** Hyperplane-LSH bucket postings (_id, _tb) of a prepped vector frame —
+    * the rows a maintained bucket-index table stores. Same seeded
+    * hyperplanes as every cosine LSH path, so postings persisted by one
+    * build keep serving later probes.
+    */
+  def bucketPostings(vecs: DataFrame, dim: Int = 64, tables: Int = 48,
+                     bits: Int = 4, seed: Long = 42L): DataFrame =
+    vecs.withColumn("_bks",
+        graft.plans.GraftFunctions.hyperplaneBuckets(vecs, col("_v"), dim, tables, bits, seed))
+      .select(col("_id"), posexplode(col("_bks")).as(Seq("_table", "_bucket")))
+      .withColumn("_tb", col("_table") * (1L << bits) + col("_bucket"))
+      .select(col("_id"), col("_tb"))
+
+  /** [[incrementalCosinePairs]] against an ALREADY-MATERIALIZED index —
+    * `exPostings` (_id, _tb) and `exVectors` (_id, _v) as maintained
+    * tables — the form a persisted 100 TB index serves: the corpus pays
+    * its bucketing once at ingest, and each admission batch reads only
+    * the postings its own buckets collide with.
+    */
+  def incrementalCosinePairsIndexed(exPostings: DataFrame, exVectors: DataFrame,
+                                    batch: DataFrame,
+                                    minCosine: Double, dim: Int,
+                                    tables: Int = 48, bits: Int = 4, seed: Long = 42L,
+                                    maxBucket: Int = 100000,
+                                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ex = exVectors
+    val ba = prepVectors(batch, idCol, vecCol)
+    val exInv = Par.materialize(NearDup.pruneHotKeys(exPostings, "_tb", maxBucket))
+    val baInv = Par.materialize(bucketPostings(ba, dim, tables, bits, seed))
     // existing↔batch candidates: the batch's buckets probe the corpus index
     val crossIds = baInv.as("b").join(exInv.as("e"), col("b._tb") === col("e._tb"))
       .select(col("e._id").as("id_a"), col("b._id").as("id_b"))
@@ -523,12 +554,34 @@ object Similarity {
                        tables: Int = 48, bits: Int = 4, seed: Long = 42L,
                        maxBucket: Int = 100000,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val exIds = existing.select(col(idCol).as("_exid"))
     val pairs = Par.materialize(incrementalCosinePairs(existing, batch,
       minCosine, dim, tables, bits, seed, maxBucket, idCol, vecCol))
+    admitByPairs(batch, pairs, existing.select(col(idCol)), idCol)
+  }
+
+  /** [[admitVectorBatch]] against a persisted index (postings + vectors
+    * tables) — see [[incrementalCosinePairsIndexed]].
+    */
+  def admitVectorBatchIndexed(exPostings: DataFrame, exVectors: DataFrame,
+                              batch: DataFrame,
+                              minCosine: Double, dim: Int,
+                              tables: Int = 48, bits: Int = 4, seed: Long = 42L,
+                              maxBucket: Int = 100000,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = Par.materialize(incrementalCosinePairsIndexed(exPostings, exVectors,
+      batch, minCosine, dim, tables, bits, seed, maxBucket, idCol, vecCol))
+    admitByPairs(batch, pairs, exVectors.select(col("_id").as(idCol)), idCol)
+  }
+
+  /** The shared pair-local admission rule: a batch row drops iff it is the
+    * id_b (loser) side of any pair; existing ids are excluded defensively.
+    */
+  private def admitByPairs(batch: DataFrame, pairs: DataFrame,
+                           exIds: DataFrame, idCol: String): DataFrame = {
     val dropped = pairs.select(col("id_b").as(idCol)).distinct()
     batch.join(dropped, Seq(idCol), "left_anti")
-      .join(exIds, col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
+      .join(exIds.withColumnRenamed(idCol, "_exid"),
+        col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
   }
 
   /** Approximate cosine top-k via multi-table hyperplane LSH: queries and
