@@ -200,6 +200,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic maintenance: foreachBatch vector admission into the maintained index") {
+    // the streaming form of q120 — the embedding-space twin of the corpus
+    // maintenance test above: each micro-batch of vectors probes the
+    // persisted bucket-postings index (batch-vs-index join, never
+    // corpus×corpus), and only the admitted vectors append to the
+    // manifest-backed index tables
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.VectorIndex
+    val dir = Files.createTempDirectory("vecindex-stream").resolve("index").toString
+    val p = VectorIndex.Params(dim = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDS().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VectorIndex.admitAndAppend(batch.sparkSession, dir, batch,
+          minCosine = 0.4, p): Unit
+      }
+      .start()
+    try {
+      // batch 1: two distinct directions + an intra-batch near-dup of vec 1
+      mem.addData(
+        (1L, Array(1f, 0f, 0f, 0f)),
+        (2L, Array(0f, 1f, 0f, 0f)),
+        (3L, Array(0.95f, 0.1f, 0f, 0f))) // cos≈0.99 vs vec 1 → drops
+      q.processAllAvailable()
+      val after1 = VectorIndex.vectors(spark, dir).select($"_id").as[Long].collect().toSet
+      assert(after1 === Set(1L, 2L), s"batch 1 admitted $after1")
+      // batch 2: a near-dup of the STORED vec 1 (must be rejected against
+      // the persisted index, not just within its own batch) + one new
+      mem.addData(
+        (4L, Array(0.9f, 0.15f, 0f, 0f)), // cos≈0.99 vs stored vec 1 → drops
+        (5L, Array(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      val after2 = VectorIndex.vectors(spark, dir).select($"_id").as[Long].collect().toSet
+      assert(after2 === Set(1L, 2L, 5L), s"batch 2 left $after2")
+    } finally q.stop()
+  }
+
   test("streaming profile maintenance: per-batch states, replay-idempotent, equal the direct profile") {
     // the streaming form of q100: the state table keeps one moment row per
     // (batch_id, group) and each foreachBatch call REPLACES its own batch's
