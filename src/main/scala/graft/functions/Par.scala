@@ -51,13 +51,19 @@ object Par {
     *    allocation — at the cost of retaining lineage (iterative callers
     *    replan a growing logical tree each round, execution still reads the
     *    cache).
+    *  - `off`: no materialization — every reference recomputes its
+    *    derivation. Never the performance choice; exists so plan audits
+    *    and EXPLAIN can see one fully DECLARATIVE tree (a checkpoint
+    *    replaces its subplan with an opaque RDD scan, hiding the joins the
+    *    audit wants to pin).
     */
   def materialize(df: DataFrame): DataFrame =
     df.sparkSession.conf.get("spark.graft.materialize", "localCheckpoint") match {
       case "localCheckpoint" => df.localCheckpoint()
       case "persist" => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "off" => df
       case other => throw new IllegalArgumentException(
-        s"spark.graft.materialize must be localCheckpoint|persist, got '$other'")
+        s"spark.graft.materialize must be localCheckpoint|persist|off, got '$other'")
     }
 
   /** Drop every cached RDD in the session — the cleanup hook for `persist`

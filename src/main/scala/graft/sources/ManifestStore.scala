@@ -871,29 +871,53 @@ object ManifestStore {
       rel -> f.getFileStatus(new Path(dir, rel)).getLen
     }
     val small = sized.filter(_._2 < minFileBytes)
-    if (small.size < 2) return None // nothing to gain from a rewrite
-    val smallSet = small.map(_._1).toSet
-    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble
-      / targetFileBytes).toInt)
-    val raw = spark.read.schema(schema)
-      .parquet(small.map(s => new Path(dir, s._1).toString): _*)
-    // zorderCols turns the rewrite into OPTIMIZE ZORDER BY: the squashed
-    // rows are Morton-clustered (Landing.zorderValue's rank-normalized
-    // interleave) and range-partitioned on the z-value, so the compacted
-    // files' manifest stats become tight in EVERY listed dimension — the
-    // maintenance pass that makes pruneFiles/rangeScan/deleteRange/
-    // upsertKeyed progressively cheaper as a table ages, instead of
-    // inheriting whatever clustering the micro-batches arrived with
-    val df =
-      if (zorderCols.isEmpty) raw.coalesce(nOut)
-      else {
-        val z = Landing.zorderValue(raw, zorderCols)
-        raw.withColumn("_z", z)
-          .repartitionByRange(nOut, org.apache.spark.sql.functions.col("_z"))
-          .sortWithinPartitions("_z")
-          .drop("_z")
-      }
+    // PARTITION-AWARE grouping: rewriting across partition boundaries
+    // would erase the per-file partition values pruneFiles/deleteRange
+    // plan on (a mixed-partition output can only carry footer stats), so
+    // each partition-value group compacts to its own outputs, which keep
+    // the group's partition entry. Unpartitioned files form one group
+    // (empty value map) — the pre-partitioning behavior. Singleton groups
+    // gain nothing from a rewrite and are left alone, which also means
+    // compaction never consolidates ACROSS partitions — the deliberate
+    // tradeoff that preserves pruning metadata.
+    val groups = small
+      .groupBy(s => snap.parts.getOrElse(s._1, Map.empty[String, String]))
+      .filter(_._2.size >= 2).toSeq
+    if (groups.isEmpty) return None // nothing to gain from a rewrite
+    val smallSet = groups.flatMap(_._2.map(_._1)).toSet
     midFlight()
+    val freshAll = Seq.newBuilder[String]
+    val freshParts = Map.newBuilder[String, Map[String, String]]
+    groups.foreach { case (partVals, files) =>
+      val nOut = math.max(1, math.ceil(files.map(_._2).sum.toDouble
+        / targetFileBytes).toInt)
+      val raw = spark.read.schema(schema)
+        .parquet(files.map(s => new Path(dir, s._1).toString): _*)
+      // zorderCols turns the rewrite into OPTIMIZE ZORDER BY: the squashed
+      // rows are Morton-clustered (Landing.zorderValue's rank-normalized
+      // interleave) and range-partitioned on the z-value, so the compacted
+      // files' manifest stats become tight in EVERY listed dimension — the
+      // maintenance pass that makes pruneFiles/rangeScan/deleteRange/
+      // upsertKeyed progressively cheaper as a table ages, instead of
+      // inheriting whatever clustering the micro-batches arrived with
+      val df =
+        if (zorderCols.isEmpty) raw.coalesce(nOut)
+        else {
+          val z = Landing.zorderValue(raw, zorderCols)
+          raw.withColumn("_z", z)
+            .repartitionByRange(nOut, org.apache.spark.sql.functions.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        }
+      val nonce = java.util.UUID.randomUUID().toString.take(12)
+      val dataRel = s"d-$nonce"
+      df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+      val fresh = f.listStatus(new Path(dir, dataRel)).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .sorted.map(n => s"$dataRel/$n")
+      freshAll ++= fresh
+      if (partVals.nonEmpty) fresh.foreach(r => freshParts += r -> partVals)
+    }
     // combine runs against the snapshot at commit time (re-based on lost
     // races). A concurrent APPEND is fine — its files are not in the
     // compacted set and pass through untouched. A concurrent OVERWRITE (or
@@ -901,12 +925,13 @@ object ManifestStore {
     // those rows were deliberately dropped or already rewritten — swapping
     // in our rewrite would resurrect them, so the compaction aborts
     // instead (Delta's conflict rule for OPTIMIZE vs overwrite).
-    try Some(commit(df, dir, "compact", { (prev, fresh) =>
-      if (!smallSet.forall(prev.contains))
-        throw new java.util.ConcurrentModificationException(
-          "snapshot changed under compaction")
-      prev.filterNot(smallSet.contains) ++ fresh
-    }))
+    try Some(publishLoop(spark, dir, "compact", freshAll.result(),
+      { (prev, fresh) =>
+        if (!smallSet.forall(prev.contains))
+          throw new java.util.ConcurrentModificationException(
+            "snapshot changed under compaction")
+        prev.filterNot(smallSet.contains) ++ fresh
+      }, dfSchema = Some(schema), freshParts = freshParts.result()))
     catch { case _: java.util.ConcurrentModificationException => None }
   }
 

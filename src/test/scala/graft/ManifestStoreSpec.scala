@@ -648,6 +648,38 @@ class ManifestStoreSpec extends SparkSpec {
       Set((1L, "a", "en"), (2L, "b", "en"), (4L, "d", "fr")))
   }
 
+  test("compactSmall preserves partition values: groups per partition, never mixes") {
+    val dir = tmpDir()
+    val pschema = StructType.fromDDL("k BIGINT, v STRING, lang STRING")
+    // two commits → two small files per partition value
+    ManifestStore.appendPartitioned(
+      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("k", "v", "lang"), dir, Seq("lang"))
+    ManifestStore.appendPartitioned(
+      Seq((3L, "c", "en"), (4L, "d", "de")).toDF("k", "v", "lang"), dir, Seq("lang"))
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    assert(before.files.size === 4)
+    val v = ManifestStore.compactSmall(spark, dir, pschema, minFileBytes = 1L << 20)
+    assert(v.nonEmpty)
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    // one output per partition group, each still carrying its value
+    assert(after.files.size === 2, after.files.toString)
+    assert(after.files.forall(f => after.parts.get(f).exists(p =>
+      Set("en", "de").contains(p("lang")))), after.parts.toString)
+    // partition pruning still works from metadata alone after compaction
+    val noStats = after.copy(stats = Map.empty)
+    val enOnly = ManifestStore.pruneFiles(noStats, "lang", "en", "en")
+    assert(enOnly.size === 1 && after.parts(enOnly.head)("lang") === "en")
+    // and the data round-trips
+    assert(ManifestStore.read(spark, dir, pschema)
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "en"), (4L, "d", "de")))
+    // a lone small file per partition gains nothing: no-op, not a mix
+    val dir2 = tmpDir()
+    ManifestStore.appendPartitioned(
+      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("k", "v", "lang"), dir2, Seq("lang"))
+    assert(ManifestStore.compactSmall(spark, dir2, pschema, minFileBytes = 1L << 20).isEmpty)
+  }
+
   test("vacuum walks partitioned subtrees: orphans go, live nested files stay") {
     val dir = tmpDir()
     val pschema = StructType.fromDDL("k BIGINT, v STRING, lang STRING")

@@ -78,13 +78,19 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("incremental semantic admission probes the bucket index, never joins the corpus to itself") {
-    val p = plan("q120_semantic_admit")
-    // admission cost must be |batch| × bucket occupancy: candidates come
-    // from equality joins on the _tb bucket key (batch probes the corpus
-    // index), never an all-pairs corpus join — the q34/q65 scale contract
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "semantic admission regressed to an all-pairs join:\n" + p.take(800))
-    assert(p.contains("_tb"), "bucket-key equi-join missing from the plan:\n" + p.take(800))
+    // audit the fully DECLARATIVE plan: materialization checkpoints would
+    // replace the candidate subplans with opaque RDD scans and hide the
+    // joins this pin exists to see
+    spark.conf.set("spark.graft.materialize", "off")
+    try {
+      val p = plan("q120_semantic_admit")
+      // admission cost must be |batch| × bucket occupancy: candidates come
+      // from equality joins on the _tb bucket key (batch probes the corpus
+      // index), never an all-pairs corpus join — the q34/q65 scale contract
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "semantic admission regressed to an all-pairs join:\n" + p.take(800))
+      assert(p.contains("_tb"), "bucket-key equi-join missing from the plan:\n" + p.take(800))
+    } finally spark.conf.set("spark.graft.materialize", "localCheckpoint")
   }
 
   test("dup-span stats aggregates partially and never windows the gram stream") {
