@@ -68,13 +68,22 @@ class PlanAuditSpec extends SparkSpec {
       "q96_bm25" -> "1-row corpus-stats aggregate",
       // hybrid fusion: BM25's 1-row stats + the 1-row query vector
       "q97_hybrid_rrf" -> "1-row stats + 1-row query vector")
-    for ((name, fn) <- SparkEntry.queries) {
-      val p = fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))
-      if (!boundedBnljBuild.contains(name))
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a nested-loop broadcast join (all-pairs scale killer):\n" + p.take(800))
-    }
+    // materialize=off: an eager checkpoint EXECUTES its subplan during
+    // query construction and replaces it with an opaque RDD scan — a BNLJ
+    // hidden inside a materialized candidate stage would run for real yet
+    // never appear in the audited plan. Off-mode keeps every subplan in
+    // one declarative tree, so this sweep sees the joins inside the
+    // signature/candidate stages too.
+    spark.conf.set("spark.graft.materialize", "off")
+    try {
+      for ((name, fn) <- SparkEntry.queries) {
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n" + p.take(800))
+        if (!boundedBnljBuild.contains(name))
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"$name plans a nested-loop broadcast join (all-pairs scale killer):\n" + p.take(800))
+      }
+    } finally spark.conf.set("spark.graft.materialize", "localCheckpoint")
   }
 
   test("incremental semantic admission probes the bucket index, never joins the corpus to itself") {
