@@ -788,6 +788,16 @@ object SparkEntry {
         .select(col("vec_id"), col("label").cast("long").as("label"))
     }),
 
+    // Chunk→document mean-pooling: 8 consecutive chunk vectors average
+    // into one document vector (relational (doc, pos, mean) shape) — the
+    // pooling step between chunk encoding and document-level semantic
+    // ops. Engine-exact: components quantize to integer nano-units via
+    // the portable floor-form, sum as exact longs, divide once.
+    "q121_chunk_meanpool" -> ((s, dir) => {
+      graft.functions.Similarity.meanPool(
+        t(s, dir, "embeddings"), expr("vec_id div 8"))
+    }),
+
     // Deterministic salted train/val/test split (~90/5/5): assignment by
     // md5(id:salt) prefix — stable under repartitioning and re-runs, and
     // recomputable by any engine with md5 (unlike randomSplit, whose
@@ -2029,6 +2039,18 @@ object SparkEntry {
          dropped AS (SELECT vec_id FROM comp WHERE vec_id <> component)
          SELECT vec_id, CAST(label AS BIGINT) AS label FROM v
          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
+
+    // same nano-unit quantization (portable floor-form) → exact long sums
+    // → one division → portable 6-digit round; floats are exact in double
+    "q121_chunk_meanpool" ->
+      """SELECT vec_id // 8 AS doc, CAST(p.i - 1 AS BIGINT) AS pos,
+                floor((CAST(sum(CAST(floor(CAST(embedding[p.i] AS DOUBLE)
+                                           * 1000000000.0 + 0.5) AS BIGINT))
+                            AS DOUBLE)
+                       / (count(*) * 1000000000.0))
+                      * 1000000.0 + 0.5) / 1000000.0 AS mean
+         FROM embeddings, (SELECT unnest(range(1, 65)) AS i) p
+         GROUP BY 1, 2""",
 
     // batch vector admitted iff no exact-cosine pair >= 0.4 against any
     // existing vector or any smaller-id batch vector (q55's pair-local

@@ -584,6 +584,33 @@ object Similarity {
         col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
   }
 
+  /** Chunk→document mean-pooling: average the embedding vectors of a
+    * document's chunks into one document vector — the pooling step between
+    * chunk-level encoding and document-level semantic ops (dedup,
+    * retrieval, clustering). Output is relational (doc, pos, mean): one
+    * row per vector dimension, the join-ready shape for downstream
+    * per-dimension ops and for exact engine comparison.
+    *
+    * Exactness: each component is quantized to integer nano-units with the
+    * portable floor-form FIRST (float inputs are exact in double; the
+    * quantization is the same correctly-rounded IEEE ops on any engine),
+    * then summed as exact longs — so the mean is partition-order-free and
+    * engine-identical, the [[graft.functions.Corpus.tokenKlDrift]] sum
+    * discipline applied to vectors. Scale: one explode to
+    * |vectors|·dim rows, one partial-aggregated groupBy on (doc, pos) —
+    * map-side combined, never a collect.
+    */
+  def meanPool(df: DataFrame, docCol: Column,
+               vecCol: String = "embedding"): DataFrame = {
+    val exploded = df.select(docCol.as("doc"),
+      posexplode(asDouble(col(vecCol))).as(Seq("pos", "_x")))
+    exploded
+      .withColumn("_xq", floor(col("_x") * lit(1e9) + lit(0.5)))
+      .groupBy(col("doc"), col("pos").cast("long").as("pos"))
+      .agg(Portable.r6(sum(col("_xq")).cast("double") /
+        (count(lit(1)) * lit(1e9))).as("mean"))
+  }
+
   /** Approximate cosine top-k via multi-table hyperplane LSH: queries and
     * candidates are bucketed; only same-(table,bucket) pairs are scored.
     * Returns at most k neighbors per query (fewer if recall misses).
