@@ -204,6 +204,40 @@ object ManifestStore {
       }
     }
 
+  /** The file subset that can satisfy EVERY range of a conjunctive
+    * predicate (`column ∈ [lo, hi]` per entry) — the composite planner for
+    * the commonest real scan shape (partition + time range + key range):
+    * a file survives only if every range admits it, each decided by its
+    * partition value when recorded, else footer stats.
+    */
+  def pruneFilesWhere(snap: Snapshot, ranges: Seq[(String, Any, Any)]): Seq[String] =
+    snap.files.filter { rel =>
+      ranges.forall { case (column, lo, hi) =>
+        partitionAdmits(snap, rel, column, lo, hi)
+          .getOrElse(statsAdmit(snap, rel, column, lo, hi))
+      }
+    }
+
+  /** Conjunctive range read: scans only the files [[pruneFilesWhere]]
+    * keeps, then applies the exact row-level conjunction — identical
+    * results to a full scan + filter, minus the I/O for every file some
+    * range proves irrelevant.
+    */
+  def scanWhere(spark: SparkSession, dir: String, schema: StructType,
+                ranges: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    currentSnapshot(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(s) =>
+        val kept = pruneFilesWhere(s, ranges)
+        ranges.foldLeft(readSnapshot(spark, dir, s.copy(files = kept), schema)) {
+          case (df, (column, lo, hi)) =>
+            df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+        }
+    }
+  }
+
   /** Some(decision) when `rel` records a partition value for `column`;
     * None → fall through to footer stats. Values compare in the TABLE
     * SCHEMA's primitive space (the schema travels in the manifest).

@@ -648,6 +648,29 @@ class ManifestStoreSpec extends SparkSpec {
       Set((1L, "a", "en"), (2L, "b", "en"), (4L, "d", "fr")))
   }
 
+  test("scanWhere prunes on every conjunct: partition value AND key stats together") {
+    val dir = tmpDir()
+    val pschema = StructType.fromDDL("k BIGINT, v STRING, lang STRING")
+    // two partitions × two key ranges → four files, each prunable on a
+    // different conjunct
+    ManifestStore.appendPartitioned(
+      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("k", "v", "lang"), dir, Seq("lang"))
+    ManifestStore.appendPartitioned(
+      Seq((100L, "c", "en"), (200L, "d", "de")).toDF("k", "v", "lang"), dir, Seq("lang"))
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.files.size === 4)
+    // lang=en (partition metadata) AND k<=50 (footer stats) keeps ONE file
+    val kept = ManifestStore.pruneFilesWhere(snap,
+      Seq(("lang", "en", "en"), ("k", 0L, 50L)))
+    assert(kept.size === 1, kept.toString)
+    assert(ManifestStore.scanWhere(spark, dir, pschema,
+        Seq(("lang", "en", "en"), ("k", 0L, 50L)))
+      .as[(Long, String, String)].collect().toSet === Set((1L, "a", "en")))
+    // the composite result always equals full-scan + filter
+    assert(ManifestStore.scanWhere(spark, dir, pschema,
+        Seq(("k", 0L, 150L))).count() === 3)
+  }
+
   test("compactSmall preserves partition values: groups per partition, never mixes") {
     val dir = tmpDir()
     val pschema = StructType.fromDDL("k BIGINT, v STRING, lang STRING")
