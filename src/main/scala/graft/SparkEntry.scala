@@ -788,6 +788,16 @@ object SparkEntry {
         .select(col("vec_id"), col("label").cast("long").as("label"))
     }),
 
+    // DSIR importance weights: hashed-unigram likelihood ratios of the
+    // en-language slice (the target to upsample toward) vs the raw
+    // corpus — the data-selection score importance resampling samples
+    // proportionally to. Per-bucket log-ratios quantize once to integer
+    // 1e-10 units; per-doc scores are exact long sums.
+    "q122_dsir_weights" -> ((s, dir) => {
+      graft.functions.Corpus.dsirLogWeights(t(s, dir, "documents"),
+        "text", "doc_id", col("lang") === "en")
+    }),
+
     // Chunk→document mean-pooling: 8 consecutive chunk vectors average
     // into one document vector (relational (doc, pos, mean) shape) — the
     // pooling step between chunk encoding and document-level semantic
@@ -2039,6 +2049,39 @@ object SparkEntry {
          dropped AS (SELECT vec_id FROM comp WHERE vec_id <> component)
          SELECT vec_id, CAST(label AS BIGINT) AS label FROM v
          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
+
+    // per-bucket ln-ratio quantized to integer 1e-10 units via the
+    // portable floor-form (bucket = first two md5 hex chars of the
+    // token), per-doc score = exact integer sum — order-free both engines
+    "q122_dsir_weights" ->
+      """WITH tok AS (
+           SELECT doc_id, lang = 'en' AS is_t,
+                  unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                    x -> x <> '')) AS token
+           FROM documents),
+         b AS (
+           SELECT doc_id, is_t,
+                  ((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1))
+                    AS bk
+           FROM tok),
+         per_doc AS (SELECT doc_id, bk, count(*) AS c_db FROM b GROUP BY 1, 2),
+         per_bucket AS (
+           SELECT bk, count(*) AS c_r,
+                  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+           FROM b GROUP BY 1),
+         tot AS (SELECT sum(c_r) AS t_r, sum(c_t) AS t_t FROM per_bucket),
+         lr AS (
+           SELECT bk, CAST(floor(ln(
+                    ((c_t + 1) * 1.0 / (t.t_t + 256)) /
+                    ((c_r + 1) * 1.0 / (t.t_r + 256)))
+                  * 10000000000.0 + 0.5) AS BIGINT) AS lrq
+           FROM per_bucket CROSS JOIN tot t)
+         SELECT d.doc_id, CAST(sum(d.c_db) AS BIGINT) AS n_tokens,
+                floor((CAST(sum(d.c_db * l.lrq) AS DOUBLE) / 10000000000.0)
+                      * 1000000.0 + 0.5) / 1000000.0 AS log_weight
+         FROM per_doc d JOIN lr l USING (bk)
+         GROUP BY 1""",
 
     // same nano-unit quantization (portable floor-form) → exact long sums
     // → one division → portable 6-digit round; floats are exact in double

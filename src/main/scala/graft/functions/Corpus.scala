@@ -296,6 +296,55 @@ object Corpus {
     * (shuffles |groups·vocab| aggregate rows, never raw tokens), and group
     * totals are a |groups|-row broadcast.
     */
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-unigram features are under a TARGET
+    * corpus (rows where `targetPred` holds — the high-quality slice to
+    * upsample toward) than under the raw corpus. `log_weight` is the sum
+    * over token occurrences of `ln(p_target(bucket)/p_raw(bucket))` with
+    * Laplace-smoothed bucket probabilities — the importance-resampling key
+    * the selection step samples ∝ exp(log_weight).
+    *
+    * Portability discipline: buckets come from the first two md5 hex chars
+    * of each token (engine-recomputable, the q52/q110 rule); each bucket's
+    * log-ratio is quantized ONCE to integer 1e-10 units with the portable
+    * floor-form, so per-doc scores are exact long sums — partition-order
+    * free and engine-identical (the [[tokenKlDrift]] discipline).
+    *
+    * Scale: one explode into two partial-aggregated counts ((doc, bucket)
+    * and (bucket)), a 1-row totals broadcast, a `buckets`-row log-ratio
+    * broadcast joined back to the (doc, bucket) table, one per-doc agg —
+    * no shuffle ever carries raw tokens, and the only state is 2·buckets
+    * longs. Documents with zero tokens have no feature evidence and are
+    * absent from the output.
+    */
+  def dsirLogWeights(df: DataFrame, textCol: String, idCol: String,
+                     targetPred: Column, buckets: Int = 256): DataFrame = {
+    require(buckets == 256, "bucket count is pinned to 256 (two md5 hex chars)")
+    val tok = df.select(col(idCol).as("_id"), targetPred.as("_t"),
+      explode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("token"))
+    val withB = tok.withColumn("_b",
+      conv(substring(md5(col("token")), 1, 2), 16, 10).cast("long"))
+    val perDoc = withB.groupBy(col("_id"), col("_b"))
+      .agg(count(lit(1)).as("c_db"))
+    val perBucket = withB.groupBy(col("_b"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = perBucket.agg(sum(col("c_r")).as("t_r"), sum(col("c_t")).as("t_t"))
+    val lr = perBucket.crossJoin(broadcast(totals))
+      .withColumn("_lrq", floor(log(
+        ((col("c_t") + 1).cast("double") / (col("t_t") + lit(buckets)).cast("double")) /
+        ((col("c_r") + 1).cast("double") / (col("t_r") + lit(buckets)).cast("double")))
+        * lit(1e10) + lit(0.5)))
+      .select(col("_b"), col("_lrq"))
+    perDoc.join(broadcast(lr), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(sum(col("c_db")).as("n_tokens"),
+        sum(col("c_db") * col("_lrq")).as("_s"))
+      .select(col("_id").as(idCol), col("n_tokens"),
+        Portable.r6(col("_s").cast("double") / lit(1e10)).as("log_weight"))
+  }
+
   def tokenKlDrift(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
     val tok = df.select(col(groupCol),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))

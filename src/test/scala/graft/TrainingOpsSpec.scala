@@ -1070,6 +1070,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(admitted === batchIds -- droppedByPairs)
   }
 
+  test("DSIR importance weights upweight the target slice (sf0.01)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val w = Corpus.dsirLogWeights(docs, "text", "doc_id", $"lang" === "en")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"lang" === "en", $"log_weight").as[(Boolean, Double)].collect()
+    val (en, other) = w.partition(_._1)
+    assert(en.nonEmpty && other.nonEmpty)
+    val enMean = en.map(_._2).sum / en.size
+    val otherMean = other.map(_._2).sum / other.size
+    // the entire point of importance resampling: target-like documents
+    // must score strictly higher on average than the rest
+    assert(enMean > otherMean,
+      s"target slice not upweighted: en=$enMean other=$otherMean")
+    // per-token log-ratios are bounded (Laplace smoothing): no runaway
+    // weight can dominate a resample
+    val maxPerTok = w.map { case (_, lw) => math.abs(lw) }.max
+    assert(maxPerTok.isFinite)
+  }
+
   test("corpus pipeline end-to-end: filter → dedup → split → pack composes and conserves") {
     // the full training-data path as one composed flow over real testdata:
     // quality filter → near-dup canonical corpus → split assignment →
