@@ -808,6 +808,57 @@ object SparkEntry {
         t(s, dir, "embeddings"), expr("vec_id div 8"))
     }),
 
+    // Token-budget corpus selection: fill 40% of the corpus's tokens with
+    // the highest stopword-density documents (score = stopword hits per
+    // mille, an integral quantized quality proxy), priority (score desc,
+    // id asc). Two-level prefix sum — per-score-bucket cumulative sums in
+    // parallel, a window only over the |distinct scores| bucket table —
+    // never a global ordered window over the corpus.
+    "q123_budget_select" -> ((s, dir) => {
+      val m = graft.functions.TextAnalysis.qualityMetrics(coalesce(col("text"), lit("")))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), m("n_tokens").cast("long").as("_nt"),
+          m("n_stopwords").cast("long").as("_ns"))
+        .filter(col("_nt") > 0)
+        .select(col("doc_id"), col("_nt"),
+          floor((col("_ns") * lit(1000)).cast("double") / col("_nt").cast("double"))
+            .cast("long").as("_score"))
+      graft.functions.Corpus.budgetSelect(base, "doc_id", col("_nt"), col("_score"),
+        budgetNum = 2, budgetDen = 5)
+    }),
+
+    // Retrieval scorecard: recall@10 / MRR@10 / nDCG@10 of the BM25
+    // ranking against exact all-terms-present relevance, three fixed
+    // queries. DCG discounts are pre-quantized integer constants shared
+    // with the oracle (no runtime ln); top-10 via the bounded-heap
+    // aggregate, never a global sort.
+    "q124_retrieval_metrics" -> ((s, dir) =>
+      graft.functions.Retrieval.rankingMetrics(t(s, dir, "documents"),
+        "text", "doc_id",
+        Seq("q_spark_join" -> Seq("spark", "join"),
+          "q_filter_scan" -> Seq("filter", "scan"),
+          "q_query_table" -> Seq("query", "table")), k = 10)),
+
+    // k-anonymized metadata release: (source, lang, 200-char length band)
+    // quasi-identifiers, k = 20, local-recoding ladder — each row
+    // generalizes the fewest trailing attributes that put it in a crowd
+    // of >= 20. Prefix counts are tiny partial-agg tables broadcast back;
+    // no row-level window.
+    "q125_kanon_release" -> ((s, dir) =>
+      graft.functions.Privacy.kAnonymize(t(s, dir, "documents"), "doc_id",
+        Seq("source" -> col("source"), "lang" -> col("lang"),
+          "len_band" -> floor(col("n_chars").cast("double") / lit(200.0)).cast("long")),
+        k = 20)),
+
+    // Per-language epoch plan: temperature-flattened target shares
+    // (α = 0.3, the q107 rule) scheduled into a 100k-token budget with a
+    // 4-epoch repetition cap — the loader-facing schedule. |strata|-row
+    // aggregate; windows only over that.
+    "q126_epoch_plan" -> ((s, dir) =>
+      graft.functions.Corpus.epochPlan(t(s, dir, "documents"), Seq("lang"),
+        graft.functions.TextAnalysis.tokenCount(col("text")), alpha = 0.3,
+        budgetTokens = 100000L, maxEpochs = 4.0)),
+
     // Deterministic salted train/val/test split (~90/5/5): assignment by
     // md5(id:salt) prefix — stable under repartitioning and re-runs, and
     // recomputable by any engine with md5 (unlike randomSplit, whose
@@ -1559,7 +1610,78 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** q124's oracle, generated so the quantized DCG discount constants are
+    * interpolated from [[graft.functions.Retrieval.dcgGains]] — the SAME
+    * longs the Spark side ships; neither engine runs `ln` at query time.
+    * Per query-suffix CTE blocks share the corpus stats CTEs; ranking tie
+    * order is (bm25 DESC, doc_id DESC), the bounded-heap aggregate's
+    * total order.
+    */
+  private def retrievalMetricsOracle: String = {
+    val k = 10
+    val gl = graft.functions.Retrieval.dcgGains(k).mkString("[", ", ", "]")
+    val il = graft.functions.Retrieval.idcgTable(k).mkString("[", ", ", "]")
+    val queries = Seq(("q_spark_join", Seq("spark", "join")),
+      ("q_filter_scan", Seq("filter", "scan")),
+      ("q_query_table", Seq("query", "table")))
+    val blocks = queries.zipWithIndex.map { case ((_, terms), i) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""tf_$i AS (SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(ts) AS term FROM d)
+            WHERE term IN ($inList) GROUP BY 1, 2, 3),
+          dft_$i AS (SELECT term, count(*) AS df_t FROM tf_$i GROUP BY 1),
+          sc_$i AS (
+            SELECT t.doc_id,
+                   floor(CAST(sum(CAST(floor((
+                     ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df_t AS DOUBLE) + 0.5)
+                        / (CAST(f.df_t AS DOUBLE) + 0.5) + 1.0)
+                     * ((CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+                        / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                           * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                              + CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE) / s.avgdl))))
+                   * 10000000000.0 + 0.5) / 10000000000.0 AS DECIMAL(28,12)))
+                   AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+            FROM tf_$i t JOIN dft_$i f USING (term) CROSS JOIN st s GROUP BY 1),
+          rel_$i AS (SELECT doc_id FROM tf_$i GROUP BY doc_id
+                     HAVING count(*) = ${terms.size}),
+          topk_$i AS (
+            SELECT doc_id, r FROM (
+              SELECT doc_id, CAST(row_number() OVER
+                (ORDER BY bm25 DESC, doc_id DESC) AS BIGINT) AS r FROM sc_$i)
+            WHERE r <= $k),
+          hits_$i AS (SELECT t.r FROM topk_$i t JOIN rel_$i USING (doc_id)),
+          m_$i AS (SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM rel_$i) AS n_rel,
+            (SELECT CAST(count(*) AS BIGINT) FROM hits_$i) AS n_hits,
+            (SELECT coalesce(max(floor((1.0 / r) * 1000000.0 + 0.5) / 1000000.0), 0.0)
+             FROM hits_$i) AS mrr_k,
+            (SELECT coalesce(sum(($gl)[CAST(r AS INT)]), 0) FROM hits_$i) AS dcgq)"""
+    }
+    val selects = queries.zipWithIndex.map { case ((name, _), i) =>
+      s"""SELECT '$name' AS query, n_rel, n_hits,
+            CASE WHEN n_rel > 0
+                 THEN floor((CAST(n_hits AS DOUBLE) / n_rel) * 1000000.0 + 0.5) / 1000000.0
+                 ELSE 0.0 END AS recall_k,
+            mrr_k,
+            CASE WHEN n_rel > 0
+                 THEN floor((CAST(dcgq AS DOUBLE)
+                             / ($il)[CAST(least(n_rel, $k) AS INT)])
+                            * 1000000.0 + 0.5) / 1000000.0
+                 ELSE 0.0 END AS ndcg_k
+          FROM m_$i"""
+    }
+    s"""WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+          FROM documents),
+        d AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM tok),
+        st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+        ${blocks.mkString(",\n        ")}
+        ${selects.mkString("\n        UNION ALL\n        ")}"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q124_retrieval_metrics" -> retrievalMetricsOracle,
     "q14_watermark_advance" ->
       """SELECT greatest(max(ts), TIMESTAMP '2024-01-20 00:00:00') AS last_success_time
          FROM events""",
@@ -2094,6 +2216,91 @@ object SparkEntry {
                       * 1000000.0 + 0.5) / 1000000.0 AS mean
          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) p
          GROUP BY 1, 2""",
+
+    // greedy prefix under a 2/5-of-total token budget, priority
+    // (score DESC, doc_id ASC); the oracle's single global window mirrors
+    // the Spark side's two-level bucket prefix sum row-for-row
+    "q123_budget_select" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         b AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                  CAST(floor(len(list_filter(ts, x -> x IN
+                         ('the','a','an','and','of','to','in','is',
+                          'that','it','for','on'))) * 1000.0
+                       / len(ts)) AS BIGINT) AS score
+           FROM tok WHERE len(ts) > 0),
+         c AS (
+           SELECT doc_id, score, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+                  sum(n_tokens) OVER () AS total
+           FROM b)
+         SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM c WHERE cum_tokens <= total * 2 // 5""",
+
+    // local-recoding k-anonymity ladder (k = 20) over
+    // (source, lang, 200-char band): level = fewest trailing '*'s whose
+    // published prefix crowd reaches k, counted over the whole corpus
+    "q125_kanon_release" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(source AS VARCHAR) AS source,
+                  CAST(lang AS VARCHAR) AS lang,
+                  CAST(n_chars // 200 AS VARCHAR) AS len_band
+           FROM documents),
+         c0 AS (SELECT source, lang, len_band, count(*) AS n0 FROM b GROUP BY 1, 2, 3),
+         c1 AS (SELECT source, lang, count(*) AS n1 FROM b GROUP BY 1, 2),
+         c2 AS (SELECT source, count(*) AS n2 FROM b GROUP BY 1),
+         c3 AS (SELECT count(*) AS n3 FROM b),
+         lv AS (
+           SELECT doc_id, b.source, b.lang, b.len_band,
+                  CASE WHEN n0 >= 20 THEN 0 WHEN n1 >= 20 THEN 1
+                       WHEN n2 >= 20 THEN 2 ELSE 3 END AS lvl
+           FROM b
+           JOIN c0 USING (source, lang, len_band)
+           JOIN c1 USING (source, lang)
+           JOIN c2 USING (source)
+           CROSS JOIN c3)
+         SELECT doc_id,
+                CASE WHEN lvl <= 2 THEN source ELSE '*' END AS source,
+                CASE WHEN lvl <= 1 THEN lang ELSE '*' END AS lang,
+                CASE WHEN lvl <= 0 THEN len_band ELSE '*' END AS len_band,
+                CAST(lvl AS INT) AS anon_level
+         FROM lv""",
+
+    // q107's temperature CTE (α = 0.3) scheduled into a 100k-token budget
+    // with a 4-epoch cap; planned_tokens derives from the ALREADY-rounded
+    // epochs so the columns cannot disagree
+    "q126_epoch_plan" ->
+      """WITH s AS (
+           SELECT lang, count(*) AS n_docs,
+                  sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                    AS n_tokens
+           FROM documents GROUP BY lang),
+         p AS (
+           SELECT lang, n_docs, n_tokens,
+                  CASE WHEN n_tokens > 0
+                       THEN pow(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 0.3)
+                       ELSE 0.0 END AS powed
+           FROM s),
+         e AS (
+           SELECT lang, n_docs, n_tokens,
+                  floor((powed / sum(powed) OVER ())
+                        * 1000000.0 + 0.5) / 1000000.0 AS target_share,
+                  CASE WHEN n_tokens > 0
+                       THEN floor(least(CAST(4.0 AS DOUBLE),
+                                        CAST(100000 AS DOUBLE)
+                                        * (powed / sum(powed) OVER ())
+                                        / CAST(n_tokens AS DOUBLE))
+                                  * 1000000.0 + 0.5) / 1000000.0
+                       END AS epochs
+           FROM p)
+         SELECT lang, n_docs, n_tokens, target_share, epochs,
+                CAST(floor(epochs * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+                  AS planned_tokens
+         FROM e""",
 
     // batch vector admitted iff no exact-cosine pair >= 0.4 against any
     // existing vector or any smaller-id batch vector (q55's pair-local

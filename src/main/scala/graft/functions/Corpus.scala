@@ -839,6 +839,84 @@ object Corpus {
       .drop("_h")
   }
 
+  /** Token-budget corpus selection: keep the best-scoring documents whose
+    * cumulative token count fits a global budget — the final carve of a
+    * curation pipeline ("fill 2 T tokens with the highest-quality data").
+    * Priority order is (`scoreCol` desc, `idCol` asc); a document is kept
+    * iff the cumulative token total through itself (inclusive) stays
+    * ≤ budget, where budget = ⌊total_tokens · num / den⌋ — fractional so
+    * the same query is meaningful at any corpus scale.
+    *
+    * `scoreCol` must be an INTEGRAL quality score of bounded cardinality
+    * (a quantized density, e.g. stopword hits per mille) — it doubles as
+    * the prefix-sum bucket key. The naive form of this operator is one
+    * global ordered window: every row through a single partition, the
+    * worst plan at 100 TB. This is the [[tokenOffsets]] two-level form
+    * instead: a per-score-bucket cumulative sum (parallel, shuffled on
+    * the score), bucket totals collapsed to |distinct scores| rows, a
+    * window over THAT tiny table for the bucket base offsets, and a
+    * broadcast join back. The budget itself derives from the same
+    * |scores|-row aggregate — no extra corpus pass.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, tokensCol: Column,
+                   scoreCol: Column, budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget fraction must be >= 0")
+    val base = df.select(col(idCol).as("_id"), tokensCol.cast("long").as("n_tokens"),
+      scoreCol.cast("long").as("score"))
+    val wIntra = Window.partitionBy(col("score")).orderBy(col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val intra = base.withColumn("_cum_in", sum(col("n_tokens")).over(wIntra))
+    val buckets = base.groupBy(col("score")).agg(sum(col("n_tokens")).as("_bt"))
+    // exclusive prefix over buckets in priority order (score DESC), plus
+    // the grand total for the fractional budget — both over |scores| rows
+    val wBase = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val based = buckets
+      .withColumn("_base", coalesce(sum(col("_bt")).over(wBase), lit(0L)))
+      .withColumn("_total", sum(col("_bt")).over(Window.partitionBy()))
+      .select(col("score"), col("_base"),
+        (col("_total") * lit(budgetNum) / lit(budgetDen)).cast("long").as("_budget"))
+    intra.join(broadcast(based), Seq("score"))
+      .withColumn("cum_tokens", col("_base") + col("_cum_in"))
+      .filter(col("cum_tokens") <= col("_budget"))
+      .select(col("_id").as(idCol), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Per-stratum epoch plan: how many passes over each stratum a training
+    * run should take to realize a temperature-flattened target mixture
+    * within a global token budget — the schedule consumed by the data
+    * loader ("en: 1.2 epochs, got: 4 epochs"). Target share ∝
+    * observed_shareᵅ (the [[temperatureWeights]] rule); `epochs` =
+    * min(maxEpochs, budget · target_share / stratum_tokens), capped so a
+    * tiny stratum is repeated at most `maxEpochs` times rather than
+    * memorized; `planned_tokens` = ⌊epochs · stratum_tokens⌋ is the
+    * resulting actual token draw.
+    *
+    * Scale: identical to [[temperatureWeights]] — one partial-agg pass to
+    * |strata| rows; every window below runs on that tiny table.
+    */
+  def epochPlan(df: DataFrame, strataCols: Seq[String], tokensCol: Column,
+                alpha: Double, budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0 && maxEpochs > 0, "budget and epoch cap must be positive")
+    val agg = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol.cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+    val share = col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)
+    val powed = when(col("n_tokens") > 0, pow(share, lit(alpha))).otherwise(lit(0.0))
+    val targetShare = powed / sum(powed).over(all)
+    // quantize epochs ONCE (portable floor-form; the q107 pow discipline),
+    // then derive planned_tokens from the already-quantized epochs so the
+    // two output columns cannot disagree in the last ulp
+    val epochs = when(col("n_tokens") > 0,
+      Portable.r6(least(lit(maxEpochs),
+        lit(budgetTokens.toDouble) * targetShare / col("n_tokens").cast("double"))))
+    agg
+      .withColumn("target_share", when(sum(powed).over(all) > 0, Portable.r6(targetShare)))
+      .withColumn("epochs", epochs)
+      .withColumn("planned_tokens",
+        floor(col("epochs") * col("n_tokens").cast("double")).cast("long"))
+  }
+
   /** Mergeable per-group profile state: `(n, s1, s2, mn, mx)` — count, sum,
     * sum of squares, min, max of `valueCol` per group. These are the
     * parallel-mergeable moments: states from disjoint batches combine by

@@ -30,7 +30,16 @@ object Retrieval {
     * least one term, rounded to 6.
     */
   def bm25Scores(df: DataFrame, textCol: String, idCol: String,
-                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredWithHits(df, textCol, idCol, terms, k1, b)
+      .select(col("_id").as(idCol), col("bm25"))
+
+  /** [[bm25Scores]] plus `n_terms_hit` (how many DISTINCT query terms the
+    * document contains) — the relevance side-channel [[rankingMetrics]]
+    * reads; kept internal so the public scoring surface stays minimal.
+    */
+  private def scoredWithHits(df: DataFrame, textCol: String, idCol: String,
+                             terms: Seq[String], k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
     // NULL text counts as an empty document (dl = 0, included in avgdl) —
     // the oracle's coalesce(text, '') does the same; letting size(null)
@@ -55,8 +64,83 @@ object Retrieval {
     // portable floor-form rounding at term + output (see Portable.scala)
     val term = Portable.roundPortable(idf * norm, 10).cast("decimal(28,12)")
     scored.groupBy(col("_id"))
-      .agg(Portable.r6(sum(term).cast("double")).as("bm25"))
-      .withColumnRenamed("_id", idCol)
+      .agg(Portable.r6(sum(term).cast("double")).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** DCG discount table g(r) = round(1e10 / log2(r+1)) as integer 1e-10
+    * units, and its prefix sums (the ideal DCG for m relevant docs).
+    * Public so an oracle can interpolate the SAME constants into its SQL —
+    * the one place `ln` runs is here, on the driver, once; neither engine
+    * recomputes it.
+    */
+  def dcgGains(k: Int): Seq[Long] = (1 to k).map(r =>
+    math.floor(1e10 * math.log(2.0) / math.log(r + 1.0) + 0.5).toLong)
+
+  def idcgTable(k: Int): Seq[Long] = dcgGains(k).scanLeft(0L)(_ + _).tail
+
+  /** Ranking-quality evaluation of the BM25 retriever against an implicit
+    * exact-match relevance oracle: for each named query (a bag of terms),
+    * rank the corpus by ([[bm25Scores]] desc, id desc), call a document
+    * relevant iff it contains EVERY query term, and report the standard
+    * retrieval metrics at cutoff `k` — recall@k, MRR@k (reciprocal rank of
+    * the first relevant hit, 0 if none ranks), and nDCG@k. One output row
+    * per query — the regression scorecard a corpus-curation retriever is
+    * tracked by.
+    *
+    * Exactness: the DCG discount table 1/log2(r+1) is pre-quantized to
+    * integer 1e-10 units via [[dcgGains]] and shipped as the SAME literal
+    * constants to both engines (the k1/b constant discipline — no runtime
+    * `ln` whose last ulp could differ between libm and the JVM); DCG/IDCG
+    * are exact integer sums of those constants, divided once and portably
+    * rounded.
+    *
+    * Scale: per query, scoring is [[bm25Scores]]'s plan (query-term filter
+    * before any shuffle); the top-k comes from the bounded-heap
+    * [[graft.plans.GraftFunctions.topkPairs]] aggregate (≤ k pairs per
+    * partition cross the exchange — never a global sort), relevance totals
+    * are a 1-row aggregate, and the k-row ranked list joins by broadcast.
+    * Queries are independent single-pass pipelines unioned at the end.
+    */
+  def rankingMetrics(df: DataFrame, textCol: String, idCol: String,
+                     queries: Seq[(String, Seq[String])], k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query")
+    require(k >= 1 && k <= 1000, "cutoff k must be in [1, 1000]")
+    // quantized discount table and its prefix sums — literal longs on both
+    // the Spark and oracle sides by construction (see [[dcgGains]])
+    val gains: Seq[Long] = dcgGains(k)
+    val idcg: Seq[Long] = idcgTable(k)
+    val perQuery = queries.map { case (name, terms) =>
+      require(terms.distinct.size == terms.size, s"duplicate terms in query '$name'")
+      val scored = scoredWithHits(df, textCol, idCol, terms, k1, b)
+        .withColumn("_rel", (col("n_terms_hit") === terms.size).cast("int"))
+      val relTotal = scored.agg(coalesce(sum(col("_rel")), lit(0)).cast("long").as("n_rel"))
+      val ranked = scored
+        .agg(graft.plans.GraftFunctions.topkPairs(scored, col("bm25"),
+          col("_id").cast("long"), k).as("_topk"))
+        .select(posexplode(col("_topk")).as(Seq("_pos", "_pair")))
+        .select((col("_pos") + 1).as("_rank"), col("_pair.id").as("_id"))
+      val hits = ranked
+        .join(broadcast(scored.filter(col("_rel") === 1).select(col("_id"))
+          .withColumn("_hit", lit(1))), Seq("_id"), "left")
+      val gainCol = element_at(lit(gains.toArray), col("_rank").cast("int"))
+      hits
+        .agg(coalesce(sum(coalesce(col("_hit"), lit(0))), lit(0)).cast("long").as("n_hits"),
+          max(when(col("_hit") === 1,
+            Portable.r6(lit(1.0) / col("_rank").cast("double")))).as("_mrr"),
+          coalesce(sum(when(col("_hit") === 1, gainCol).otherwise(lit(0L))), lit(0L))
+            .as("_dcgq"))
+        .crossJoin(broadcast(relTotal))
+        .select(lit(name).as("query"), col("n_rel"), col("n_hits"),
+          when(col("n_rel") > 0, Portable.r6(col("n_hits").cast("double") /
+            col("n_rel").cast("double"))).otherwise(lit(0.0)).as("recall_k"),
+          coalesce(col("_mrr"), lit(0.0)).as("mrr_k"),
+          when(col("n_rel") > 0, Portable.r6(col("_dcgq").cast("double") /
+            element_at(lit(idcg.toArray), least(col("n_rel"), lit(k.toLong)).cast("int"))
+              .cast("double"))).otherwise(lit(0.0)).as("ndcg_k"))
+    }
+    perQuery.reduce(_.unionByName(_))
   }
 
   /** Reciprocal-rank fusion of two ranked lists (id, rank): score =

@@ -67,7 +67,16 @@ class PlanAuditSpec extends SparkSpec {
       // BM25 needs (N, avgdl) on every (doc, term) row: 1-row aggregate
       "q96_bm25" -> "1-row corpus-stats aggregate",
       // hybrid fusion: BM25's 1-row stats + the 1-row query vector
-      "q97_hybrid_rrf" -> "1-row stats + 1-row query vector")
+      "q97_hybrid_rrf" -> "1-row stats + 1-row query vector",
+      // DSIR log-ratios need the corpus/target token totals on every
+      // bucket row: the broadcast side is that 1-row totals aggregate
+      "q122_dsir_weights" -> "1-row totals aggregate",
+      // metrics need each query's 1-row relevance total on its single
+      // metrics row; BM25's 1-row stats as in q96
+      "q124_retrieval_metrics" -> "1-row stats + relevance totals",
+      // the ladder's last rung is the empty prefix: its crowd is the
+      // 1-row corpus count
+      "q125_kanon_release" -> "1-row corpus-count aggregate")
     // materialize=off: an eager checkpoint EXECUTES its subplan during
     // query construction and replaces it with an opaque RDD scan — a BNLJ
     // hidden inside a materialized candidate stage would run for real yet

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Corpus, Multimodal, NearDup, Similarity, TextAnalysis}
+import graft.functions.{Corpus, Multimodal, NearDup, Privacy, Retrieval, Similarity, TextAnalysis}
 
 /** Training-data ops: text analysis, near-dup family, similarity search,
   * multimodal plumbing. The approximate paths (MinHash, SimHash, LSH-ANN)
@@ -2088,6 +2088,107 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r.getLong(1) === 2L && r.getLong(2) === 6L)
     assert(r.getDouble(3) === 3.0 && r.getDouble(4) === 1.0) // mean 3, popvar 1
     assert(r.getLong(5) === 2L && r.getLong(6) === 4L)
+  }
+
+  test("budgetSelect: greedy prefix equals the naive global-window form") {
+    // priority (score desc, id asc); budget = 2/5 of 60 total = 24 tokens:
+    // picks id2(s9,t10) cum10, id5(s9,t8) cum18, id1(s7,t6) cum24 — id4
+    // (s7 but larger id, t20) overflows, and everything after is out too
+    val docs = Seq(
+      (1L, 6L, 7L), (2L, 10L, 9L), (3L, 16L, 3L),
+      (4L, 20L, 7L), (5L, 8L, 9L)).toDF("doc_id", "n_tokens", "score")
+    val kept = Corpus.budgetSelect(docs, "doc_id", $"n_tokens", $"score", 2, 5)
+      .orderBy($"cum_tokens").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(kept.toSeq === Seq((2L, 10L), (5L, 18L), (1L, 24L)))
+    // equivalence against the naive single-partition window on real data
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+        (TextAnalysis.tokenCount($"text") % 17).cast("long").as("score"))
+      .filter($"n_tokens" > 0)
+    val fast = Corpus.budgetSelect(real, "doc_id", $"n_tokens", $"score", 1, 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = real.agg(sum($"n_tokens")).head().getLong(0)
+    val naive = real.withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= lit(total / 3))
+      .select($"doc_id", $"score", $"n_tokens", $"cum_tokens")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("epochPlan: cap binds tiny strata, planned tokens derive from rounded epochs") {
+    val docs = Seq.fill(90)(("en", 100L)) ++ Seq.fill(2)(("mi", 5L))
+    val out = Corpus.epochPlan(docs.toDF("lang", "n_tok"), Seq("lang"), $"n_tok",
+      alpha = 0.3, budgetTokens = 9000L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(4), r.getLong(5)))).toMap
+    // the 10-token stratum would get far more than 4 epochs from its
+    // flattened share — the cap must bind, and planned = floor(4.0 * 10)
+    assert(out("mi")._1 === 10L && out("mi")._2 === 4.0 && out("mi")._3 === 40L)
+    val en = out("en")
+    assert(en._1 === 9000L && en._2 < 4.0 && en._2 > 0.0)
+    assert(en._3 === math.floor(en._2 * 9000.0).toLong)
+  }
+
+  test("kAnonymize: ladder generalizes just far enough; published prefixes crowd >= k") {
+    // (src, lang): A/en x5 passes whole; A/de x2 coarsens lang (A total 7);
+    // B/en x1 coarsens lang, but B total 1 < 3 -> fully suppressed
+    val rows = Seq.fill(5)(("A", "en")) ++ Seq.fill(2)(("A", "de")) ++ Seq(("B", "en"))
+    val df = rows.zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("id", "src", "lang")
+    val out = Privacy.kAnonymize(df, "id",
+      Seq("src" -> $"src", "lang" -> $"lang"), k = 3)
+    val byLevel = out.groupBy($"anon_level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byLevel === Map(0 -> 5L, 1 -> 2L, 2 -> 1L))
+    assert(out.filter($"anon_level" === 1 && ($"src" =!= "A" || $"lang" =!= "*"))
+      .isEmpty)
+    assert(out.filter($"anon_level" === 2 && ($"src" =!= "*" || $"lang" =!= "*"))
+      .isEmpty)
+    // the k-anonymity property itself, checked mechanically on real data:
+    // every published (non-*) prefix is shared by >= k corpus rows
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val anon = Privacy.kAnonymize(docs, "doc_id",
+      Seq("source" -> $"source", "lang" -> $"lang",
+        "len_band" -> floor($"n_chars".cast("double") / lit(200.0)).cast("long")),
+      k = 5)
+    // level is a function of the base tuple, so every fully-published
+    // triple's count IS its corpus crowd — must reach k
+    val crowd = anon
+      .filter($"source" =!= "*" && $"lang" =!= "*" && $"len_band" =!= "*")
+      .groupBy($"source", $"lang", $"len_band").count().filter($"count" < 5)
+    assert(crowd.isEmpty, crowd.collect().mkString("; "))
+    val prefixOk = anon.select($"source").filter($"source" =!= "*")
+      .groupBy($"source").count().filter($"count" < 5)
+    assert(prefixOk.isEmpty, prefixOk.collect().mkString("; "))
+    assert(anon.count() === docs.count())
+  }
+
+  test("rankingMetrics: hand-checkable recall/MRR/nDCG at k") {
+    // corpus: d1 contains both terms twice (top score), d2 both once,
+    // d3 only 'spark' (scored but NOT relevant), d4 neither (absent)
+    val docs = Seq(
+      (1L, "spark join spark join fast"),
+      (2L, "spark join slow"),
+      (3L, "spark only here"),
+      (4L, "nothing at all")).toDF("doc_id", "text")
+    val m = Retrieval.rankingMetrics(docs, "text", "doc_id",
+      Seq("q" -> Seq("spark", "join")), k = 2).head()
+    assert(m.getString(0) === "q")
+    assert(m.getLong(1) === 2L) // n_rel: d1, d2
+    assert(m.getLong(2) === 2L) // both ranked in top-2
+    assert(m.getDouble(3) === 1.0) // recall
+    assert(m.getDouble(4) === 1.0) // first hit at rank 1
+    assert(m.getDouble(5) === 1.0) // ideal ordering -> nDCG 1
+    // drop d2 out of the cutoff: k=1 sees only d1 -> recall 1/2, nDCG =
+    // g(1)/(g(1)+g(2)) with the quantized gain table
+    val m1 = Retrieval.rankingMetrics(docs, "text", "doc_id",
+      Seq("q" -> Seq("spark", "join")), k = 1).head()
+    assert(m1.getLong(2) === 1L && m1.getDouble(4) === 1.0)
+    assert(m1.getDouble(3) === 0.5)
+    val g = Retrieval.dcgGains(2)
+    val expected = math.floor(g(0).toDouble / g(0).toDouble * 1e6 + 0.5) / 1e6
+    assert(m1.getDouble(5) === expected) // idcg truncates at k -> 1.0 here
   }
 
   test("canonicalize: case, punctuation, whitespace runs, null text") {
