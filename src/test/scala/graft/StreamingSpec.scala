@@ -200,6 +200,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming expectations gate: violators quarantine per batch, the stream never stalls") {
+    // the table-boundary quality contract under streaming ingest: each
+    // micro-batch passes through Expectations.appendChecked in Quarantine
+    // mode — clean rows commit to the corpus table, violators dead-letter
+    // into the sibling quarantine table tagged with their batch id, and a
+    // batch of pure violations must not break the stream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{Expectations, ManifestStore}
+    import graft.sources.Expectations.{Expectation, Quarantine}
+    val dir = Files.createTempDirectory("expect-stream").resolve("t").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, score BIGINT")
+    val qSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, score BIGINT, _failed_expectations STRING, _batch_label STRING")
+    val exps = Seq(Expectation("score_nonneg", col("score") >= 0))
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDS().toDF("id", "score").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Expectations.appendChecked(batch, dir, exps, Quarantine,
+          batchLabel = s"b$bid"): Unit
+      }
+      .start()
+    try {
+      mem.addData((1L, 5L), (2L, -1L))
+      q.processAllAvailable()
+      mem.addData((3L, -9L)) // all-violating batch: nothing commits
+      q.processAllAvailable()
+      mem.addData((4L, 7L))
+      q.processAllAvailable()
+      val kept = ManifestStore.read(spark, dir, schema)
+        .select($"id").as[Long].collect().toSet
+      assert(kept === Set(1L, 4L), s"committed $kept")
+      val quarantined = ManifestStore.read(spark, dir + "_quarantine", qSchema)
+        .select($"id", $"_failed_expectations").as[(Long, String)].collect().toMap
+      assert(quarantined === Map(2L -> "score_nonneg", 3L -> "score_nonneg"))
+    } finally q.stop()
+  }
+
   test("streaming semantic maintenance: foreachBatch vector admission into the maintained index") {
     // the streaming form of q120 — the embedding-space twin of the corpus
     // maintenance test above: each micro-batch of vectors probes the
