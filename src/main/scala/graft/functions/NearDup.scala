@@ -378,18 +378,40 @@ object NearDup {
   def incrementalJaccardPairs(existing: DataFrame, batch: DataFrame,
                               textCol: String, idCol: String, n: Int,
                               minJaccard: Double, maxBucket: Int = 1000): DataFrame = {
-    def shingled(df: DataFrame): DataFrame = {
-      val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
-      Par.materialize(base.select(col("_id"),
-        graft.plans.GraftFunctions.wordShingleHashes(base, col("_text"), n).as("_sh")))
-    }
-    val ex = shingled(existing)
-    val ba = shingled(batch)
+    val ex = shingleDocs(existing, textCol, idCol, n)
+    incrementalJaccardPairsIndexed(
+      ex.select(col("_id"), explode(col("_sh")).as("_h")), ex,
+      batch, textCol, idCol, n, minJaccard, maxBucket)
+  }
+
+  /** (_id, _sh) shingle-hash sets of a document table — the stored shape of
+    * the maintained Jaccard index ([[graft.pipeline.ShingleIndex]]).
+    */
+  private[graft] def shingleDocs(df: DataFrame, textCol: String,
+                                 idCol: String, n: Int): DataFrame = {
+    val base = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
+    Par.materialize(base.select(col("_id"),
+      graft.plans.GraftFunctions.wordShingleHashes(base, col("_text"), n).as("_sh")))
+  }
+
+  /** [[incrementalJaccardPairs]] against a PREBUILT corpus index:
+    * `exPostings` is the corpus's exploded `(_id, _h)` fingerprint
+    * postings, `exShingles` its `(_id, _sh)` shingle-set table (exact
+    * verification side) — the maintained-table shape where the pipeline
+    * appends to persisted index tables instead of re-deriving them per
+    * batch. Only the BATCH is shingled here; semantics equal
+    * [[incrementalJaccardPairs]] over whatever corpus the index holds.
+    */
+  def incrementalJaccardPairsIndexed(exPostings: DataFrame, exShingles: DataFrame,
+                                     batch: DataFrame, textCol: String,
+                                     idCol: String, n: Int, minJaccard: Double,
+                                     maxBucket: Int = 1000): DataFrame = {
+    val ba = shingleDocs(batch, textCol, idCol, n)
     // hot-key prune applies to the CORPUS index (its posting lists are what
     // amplify the cross join); the batch index needs none — batch-internal
     // fan-out is bounded by the batch size
     val exInv = pruneHotKeys(
-      ex.select(col("_id"), explode(col("_sh")).as("_h")), "_h", maxBucket)
+      exPostings.select(col("_id"), col("_h")), "_h", maxBucket)
     val baInv = ba.select(col("_id"), explode(col("_sh")).as("_h"))
     // existing↔batch candidates: batch index joins the corpus index by key
     val crossIds = baInv.as("b").join(exInv.as("e"), col("b._h") === col("e._h"))
@@ -401,7 +423,7 @@ object NearDup {
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyJaccard(crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b"),
-      ex.unionByName(ba), minJaccard)
+      exShingles.unionByName(ba), minJaccard)
   }
 
   /** Benchmark decontamination pairs: every (eval doc, corpus doc) pair
@@ -614,9 +636,22 @@ object NearDup {
   def admitBatch(existing: DataFrame, batch: DataFrame, textCol: String,
                  idCol: String, n: Int, minJaccard: Double,
                  maxBucket: Int = 1000): DataFrame = {
-    val exIds = existing.select(col(idCol).as("_exid"))
-    val pairs = Par.materialize(
-      incrementalJaccardPairs(existing, batch, textCol, idCol, n, minJaccard, maxBucket))
+    val ex = shingleDocs(existing, textCol, idCol, n)
+    admitBatchIndexed(ex.select(col("_id"), explode(col("_sh")).as("_h")), ex,
+      batch, textCol, idCol, n, minJaccard, maxBucket)
+  }
+
+  /** [[admitBatch]] against a prebuilt corpus index (see
+    * [[incrementalJaccardPairsIndexed]] for the two index tables) — the
+    * [[graft.pipeline.ShingleIndex]] admission path.
+    */
+  def admitBatchIndexed(exPostings: DataFrame, exShingles: DataFrame,
+                        batch: DataFrame, textCol: String, idCol: String,
+                        n: Int, minJaccard: Double,
+                        maxBucket: Int = 1000): DataFrame = {
+    val exIds = exShingles.select(col("_id").as("_exid"))
+    val pairs = Par.materialize(incrementalJaccardPairsIndexed(
+      exPostings, exShingles, batch, textCol, idCol, n, minJaccard, maxBucket))
     // a pair's batch-side loser: id_b for existing↔batch (id_b is the batch
     // doc) and for batch-internal (id_b is the larger id)
     val dropped = pairs.select(col("id_b").as(idCol)).distinct()

@@ -200,6 +200,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lexical maintenance: foreachBatch admission through the persisted shingle index") {
+    // the maintained-index twin of the corpus-maintenance test above: each
+    // micro-batch probes the PERSISTED postings table (batch×index join,
+    // the corpus is never re-shingled) and only admitted docs' fingerprints
+    // append — the ShingleIndex production loop under streaming ingest
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.ShingleIndex
+    val dir = Files.createTempDirectory("shindex-stream").resolve("index").toString
+    val p = ShingleIndex.Params(n = 3, minJaccard = 0.5)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ShingleIndex.admitAndAppend(batch.sparkSession, dir, batch, p): Unit
+      }
+      .start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "an entirely different document about spark engines and joins"),
+        (3L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+      val after1 = ShingleIndex.shingles(spark, dir).select($"_id").as[Long].collect().toSet
+      assert(after1 === Set(1L, 2L), s"batch 1 admitted $after1")
+      // a near-dup of the STORED doc 1 must be rejected against the
+      // persisted index, not just within its own batch
+      mem.addData(
+        (4L, "the quick brown fox jumps over the lazy dog yesterday"),
+        (5L, "completely unrelated text with no overlap whatsoever here"))
+      q.processAllAvailable()
+      val after2 = ShingleIndex.shingles(spark, dir).select($"_id").as[Long].collect().toSet
+      assert(after2 === Set(1L, 2L, 5L), s"batch 2 left $after2")
+    } finally q.stop()
+  }
+
   test("streaming expectations gate: violators quarantine per batch, the stream never stalls") {
     // the table-boundary quality contract under streaming ingest: each
     // micro-batch passes through Expectations.appendChecked in Quarantine
