@@ -859,6 +859,31 @@ object SparkEntry {
         graft.functions.TextAnalysis.tokenCount(col("text")), alpha = 0.3,
         budgetTokens = 100000L, maxEpochs = 4.0)),
 
+    // Bigram-LM surprisal (second-order q93): per-doc mean
+    // −ln p(w2|w1) under the corpus's own bigram MLE — fluency scoring
+    // that sees word ORDER. Per-bigram ln-ratios quantize once to integer
+    // 1e-10 units; per-doc scores are exact long sums.
+    "q127_bigram_surprisal" -> ((s, dir) =>
+      graft.functions.Corpus.bigramSurprisal(
+        t(s, dir, "documents"), "text", "doc_id")),
+
+    // Cross-lingual leakage pairs: embedding near-dups (the q50 LSH
+    // candidate path + exact verify) whose documents carry DIFFERENT
+    // language labels — translated/copied content across language slices,
+    // the pairs a per-language dedup can never see. Oracle is the exact
+    // all-pairs SQL (valid per the q50 recall argument); the lang join is
+    // an id equi-join on the pair list, not the corpus.
+    "q128_crosslingual_pairs" -> ((s, dir) => {
+      val pairs = graft.functions.Similarity.cosineNearDupPairsLsh(
+        t(s, dir, "embeddings"), minCosine = 0.4, dim = 64)
+      val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      pairs
+        .join(langs.withColumnsRenamed(Map("doc_id" -> "id_a", "lang" -> "lang_a")), Seq("id_a"))
+        .join(langs.withColumnsRenamed(Map("doc_id" -> "id_b", "lang" -> "lang_b")), Seq("id_b"))
+        .filter(col("lang_a") =!= col("lang_b"))
+        .select(col("id_a"), col("id_b"), col("sim"), col("lang_a"), col("lang_b"))
+    }),
+
     // Deterministic salted train/val/test split (~90/5/5): assignment by
     // md5(id:salt) prefix — stable under repartitioning and re-runs, and
     // recomputable by any engine with md5 (unlike randomSplit, whose
@@ -2269,6 +2294,50 @@ object SparkEntry {
                 CASE WHEN lvl <= 0 THEN len_band ELSE '*' END AS len_band,
                 CAST(lvl AS INT) AS anon_level
          FROM lv""",
+
+    // per-bigram ln(c_b / c_w1·) quantized to integer 1e-10 units (CAST
+    // BIGINT is load-bearing: DuckDB floor returns DOUBLE, and a double
+    // sum of quantized terms is partition-order-sensitive again)
+    "q127_bigram_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+           FROM documents),
+         bg0 AS (
+           SELECT doc_id, ts,
+                  unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+           FROM tok),
+         bg AS (
+           SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS bigram
+           FROM bg0),
+         cdb AS (SELECT doc_id, w1, bigram, count(*) AS c_db
+                 FROM bg GROUP BY 1, 2, 3),
+         cb AS (SELECT bigram, sum(c_db) AS c_b FROM cdb GROUP BY 1),
+         c1 AS (SELECT w1, sum(c_db) AS c_1 FROM cdb GROUP BY 1),
+         term AS (
+           SELECT d.doc_id, d.c_db,
+                  CAST(floor(ln(CAST(b.c_b AS DOUBLE) / CAST(u.c_1 AS DOUBLE))
+                             * 10000000000.0 + 0.5) AS BIGINT) AS lnq
+           FROM cdb d JOIN cb b USING (bigram) JOIN c1 u USING (w1))
+         SELECT doc_id, CAST(sum(c_db) AS BIGINT) AS n_bigrams,
+                floor((CAST(-sum(c_db * lnq) AS DOUBLE) / 10000000000.0
+                       / sum(c_db))
+                      * 1000000.0 + 0.5) / 1000000.0 AS mean_surprisal
+         FROM term GROUP BY 1""",
+
+    // exact all-pairs oracle (q50 recall argument); lang via id equi-join
+    "q128_crosslingual_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_cosine_similarity(a.ev, b.ev), 6) AS sim
+           FROM v a JOIN v b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= CAST(0.4 AS DOUBLE))
+         SELECT p.id_a, p.id_b, p.sim, da.lang AS lang_a, db.lang AS lang_b
+         FROM pairs p
+         JOIN documents da ON p.id_a = da.doc_id
+         JOIN documents db ON p.id_b = db.doc_id
+         WHERE da.lang <> db.lang""",
 
     // q107's temperature CTE (α = 0.3) scheduled into a 100k-token budget
     // with a 4-epoch cap; planned_tokens derives from the ALREADY-rounded

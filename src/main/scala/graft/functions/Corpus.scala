@@ -623,6 +623,49 @@ object Corpus {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Per-document mean BIGRAM surprisal under the corpus's unsmoothed
+    * bigram LM — the second-order sibling of [[unigramSurprisal]]:
+    * surprisal of an observed bigram (w1, w2) is −ln(c(w1 w2) / c(w1·)),
+    * its conditional MLE probability (observed bigrams always have count
+    * ≥ 1, so no smoothing is needed for scoring the corpus against
+    * itself). Low scorers are template/boilerplate text whose word
+    * transitions the corpus has memorized; high scorers have locally
+    * improbable transitions — a sharper fluency lens than unigram
+    * frequency, which cannot see word ORDER at all.
+    *
+    * Exactness: each distinct bigram's ln-ratio quantizes ONCE to integer
+    * 1e-10 units (portable floor-form) — per-doc scores are exact long
+    * sums, partition-order-free and engine-identical (the q122/q93
+    * discipline). Scale: one explode into a (doc, bigram) partial-agg;
+    * bigram and first-word totals are windows over the AGGREGATED
+    * (doc, bigram) table keyed on bigram/w1 — the raw token stream never
+    * crosses an exchange. Documents with < 2 tokens have no bigrams and
+    * are absent from the output.
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    val cdb = df
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.shingles(toks, 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .groupBy(col("_id"), col("w1"), col("bigram")).agg(count(lit(1)).as("c_db"))
+    val withTotals = cdb
+      .withColumn("c_b", sum(col("c_db")).over(Window.partitionBy(col("bigram"))))
+      .withColumn("c_1", sum(col("c_db")).over(Window.partitionBy(col("w1"))))
+    // cast to LONG before the sum: an exact integer sum is order-free;
+    // a double sum of quantized terms would reintroduce the
+    // partition-order sensitivity the quantization exists to kill
+    val lnq = floor(log(col("c_b").cast("double") / col("c_1").cast("double"))
+      * lit(1e10) + lit(0.5)).cast("long")
+    withTotals
+      .withColumn("_lnq", lnq)
+      .groupBy(col("_id"))
+      .agg(sum(col("c_db")).as("n_bigrams"),
+        Portable.r6((-sum(col("c_db") * col("_lnq"))).cast("double") / lit(1e10) /
+          sum(col("c_db")).cast("double")).as("mean_surprisal"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Shared closed form over a (len, n) size-class histogram: for each
     * pct, the fewest units (largest classes first) whose summed sizes
     * reach pct% of the total — `k = ⌈needed/len⌉` inside the boundary

@@ -2191,6 +2191,44 @@ class TrainingOpsSpec extends SparkSpec {
     assert(m1.getDouble(5) === expected) // idcg truncates at k -> 1.0 here
   }
 
+  test("bigramSurprisal: memorized transitions score zero, rare ones ln(c1/cb)") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // every transition deterministic given w1
+      (2L, "a c"),         // a->c once among 4 a-starts
+      (3L, "z")).toDF("doc_id", "text") // single token: no bigrams, absent
+    val out = Corpus.bigramSurprisal(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc1: c(a b)=3 over c(a.)=4 -> -ln(3/4); c(b a)=2 over c(b.)=2 -> 0;
+    // mean over 5 bigrams, through the exact engine formula (quantize the
+    // SIGNED ln first, negate the integer sum after — mirroring the plan)
+    val lnq34 = math.floor(math.log(3.0 / 4.0) * 1e10 + 0.5)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1L)._1 === 5L)
+    assert(out(1L)._2 === r6(-(3.0 * lnq34) / 1e10 / 5.0))
+    // doc2: p(c|a) = 1/4 -> ln 4
+    val lnq14 = math.floor(math.log(1.0 / 4.0) * 1e10 + 0.5)
+    assert(out(2L) === ((1L, r6(-lnq14 / 1e10))))
+    assert(!out.contains(3L))
+  }
+
+  test("cross-group near-dup pairs: only cross-language pairs survive the label filter") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),  // ~dup of 1, other lang
+      (3L, Array(0.98f, 0.15f, 0f, 0f)), // ~dup of 1, SAME lang as 1
+      (4L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val langs = Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr"))
+      .toDF("doc_id", "lang")
+    val pairs = Similarity.cosineNearDupPairsLsh(vecs, minCosine = 0.9, dim = 4)
+    val cross = pairs
+      .join(langs.withColumnsRenamed(Map("doc_id" -> "id_a", "lang" -> "lang_a")), Seq("id_a"))
+      .join(langs.withColumnsRenamed(Map("doc_id" -> "id_b", "lang" -> "lang_b")), Seq("id_b"))
+      .filter($"lang_a" =!= $"lang_b")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // (1,3) is a near-dup but same-language; (1,2) and (2,3) cross
+    assert(cross === Set((1L, 2L), (2L, 3L)))
+  }
+
   test("canonicalize: case, punctuation, whitespace runs, null text") {
     val df = Seq(
       ("Hello, World!!", "hello world"),
