@@ -859,6 +859,18 @@ object SparkEntry {
         graft.functions.TextAnalysis.tokenCount(col("text")), alpha = 0.3,
         budgetTokens = 100000L, maxEpochs = 4.0)),
 
+    // Per-source percentile-rank score normalization: token count ranked
+    // within each source to a [0,1] percentile — the calibration that
+    // makes "top 30% of every source" one global predicate. Exact integer
+    // ranks (q115/q119 discipline); one stratum-keyed window.
+    "q129_rank_normalize" -> ((s, dir) => {
+      graft.functions.Corpus.rankNormalize(
+        t(s, dir, "documents"), Seq("source"),
+        graft.functions.TextAnalysis.tokenCount(
+          coalesce(col("text"), lit(""))), "doc_id")
+        .select(col("doc_id"), col("source"), col("score"), col("pct"))
+    }),
+
     // Bigram-LM surprisal (second-order q93): per-doc mean
     // −ln p(w2|w1) under the corpus's own bigram MLE — fluency scoring
     // that sees word ORDER. Per-bigram ln-ratios quantize once to integer
@@ -2294,6 +2306,27 @@ object SparkEntry {
                 CASE WHEN lvl <= 0 THEN len_band ELSE '*' END AS len_band,
                 CAST(lvl AS INT) AS anon_level
          FROM lv""",
+
+    // exact integer ranks over (score, doc_id) per source; 1-row strata
+    // pin pct to 0.0
+    "q129_rank_normalize" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                    x -> x <> '')) AS BIGINT) AS score
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, score,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY score ASC, doc_id ASC) AS rk,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM b)
+         SELECT doc_id, source, score,
+                CASE WHEN n > 1
+                     THEN floor((CAST(rk - 1 AS DOUBLE) / (n - 1))
+                                * 1000000.0 + 0.5) / 1000000.0
+                     ELSE 0.0 END AS pct
+         FROM r""",
 
     // per-bigram ln(c_b / c_w1·) quantized to integer 1e-10 units (CAST
     // BIGINT is load-bearing: DuckDB floor returns DOUBLE, and a double

@@ -960,6 +960,35 @@ object Corpus {
         floor(col("epochs") * col("n_tokens").cast("double")).cast("long"))
   }
 
+  /** Per-stratum percentile-rank normalization of a score column — the
+    * calibration step before cross-source comparisons or mixture-weighted
+    * selection: raw quality scores are incomparable across sources (each
+    * source has its own scale/offset), but the percentile of a document
+    * WITHIN its source is. `pct` = (rank − 1)/(n − 1) over the total order
+    * (`score` asc, `idCol` asc) inside each stratum (0 for a 1-row
+    * stratum), so the best document of every source lands at 1.0 and
+    * thresholds like "keep each source's top 30%" become a single global
+    * predicate. Rank-based (the q115/q119 discipline): exact integer
+    * ranks, one division, portable rounding — no interpolation, identical
+    * on any engine.
+    *
+    * Scale: one row-level window keyed on the stratum — the same single
+    * exchange a per-source groupBy would pay; nothing global.
+    */
+  def rankNormalize(df: DataFrame, strataCols: Seq[String], scoreCol: Column,
+                    idCol: String): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column")
+    // rank over the INTEGRAL score (the same value the output carries), so
+    // the order the percentile encodes is exactly the order a reader sees
+    val base = df.withColumn("score", scoreCol.cast("long"))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("score").asc, col(idCol).asc)
+    val n = count(lit(1)).over(Window.partitionBy(strataCols.map(col): _*))
+    base.withColumn("pct",
+      when(n > 1, Portable.r6((row_number().over(w) - lit(1)).cast("double") /
+        (n - lit(1)).cast("double"))).otherwise(lit(0.0)))
+  }
+
   /** Mergeable per-group profile state: `(n, s1, s2, mn, mx)` — count, sum,
     * sum of squares, min, max of `valueCol` per group. These are the
     * parallel-mergeable moments: states from disjoint batches combine by

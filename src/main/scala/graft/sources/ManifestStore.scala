@@ -101,6 +101,92 @@ object ManifestStore {
   private def manifestPath(dir: String, version: Long) =
     new Path(manifestDir(dir), f"v$version%08d.json")
 
+  private def tagsDir(dir: String) = new Path(manifestDir(dir), "tags")
+
+  private def tagPath(dir: String, name: String) = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"tag name '$name' must be [A-Za-z0-9][A-Za-z0-9._-]*")
+    new Path(tagsDir(dir), s"$name.json")
+  }
+
+  /** Pin `version` under a NAMED tag — the release-discipline primitive
+    * ("the snapshot run 2024-07-01 trained on"): a tag resolves through
+    * [[readTag]] for the table's lifetime, and [[vacuum]] treats every
+    * tagged version as live — its manifest is never dropped and its data
+    * files never collected, however old — so a tag is a durable pin, not a
+    * bookmark that silently dangles once retention passes. Tags are
+    * create-only unless `retag` (mirroring the immutable-snapshot
+    * discipline); deleting the tag releases the pin at the next vacuum.
+    */
+  def tag(spark: SparkSession, dir: String, name: String, version: Long,
+          retag: Boolean = false): Unit = {
+    val f = fs(spark, dir)
+    val p = tagPath(dir, name)
+    require(f.exists(manifestPath(dir, version)),
+      s"cannot tag version $version: no such manifest")
+    if (!retag && f.exists(p))
+      throw new IllegalStateException(s"tag '$name' already exists (use retag)")
+    f.mkdirs(tagsDir(dir))
+    val body = s"""{"name":"$name","version":$version,""" +
+      s""""created_ms":${System.currentTimeMillis()}}"""
+    // stage + rename: a reader never sees a half-written tag body
+    val tmp = new Path(tagsDir(dir), s".$name.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"tag '$name' rename failed")
+    }
+  }
+
+  /** All tags of a table: name → pinned version. Unreadable/half-written
+    * tag files are skipped (same reader resilience as manifests).
+    */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val f = fs(spark, dir)
+    val td = tagsDir(dir)
+    if (!f.exists(td)) return Map.empty
+    f.listStatus(td).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json"))
+      .flatMap { s =>
+        scala.util.Try {
+          val body = readFully(f, s.getPath)
+          val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+            .map(_.group(1).toLong).get
+          s.getPath.getName.stripSuffix(".json") -> v
+        }.toOption
+      }.toMap
+  }
+
+  /** The version a tag pins, if the tag exists and parses. */
+  def tagVersion(spark: SparkSession, dir: String, name: String): Option[Long] =
+    tags(spark, dir).get(name)
+
+  /** Time travel by tag name. Throws if the tag does not exist. */
+  def readTag(spark: SparkSession, dir: String, name: String,
+              schema: StructType): DataFrame = {
+    val v = tagVersion(spark, dir, name).getOrElse(
+      throw new NoSuchElementException(s"no tag '$name'"))
+    readVersion(spark, dir, v, schema)
+  }
+
+  /** Drop a tag (releases its vacuum pin). Returns whether it existed. */
+  def deleteTag(spark: SparkSession, dir: String, name: String): Boolean =
+    fs(spark, dir).delete(tagPath(dir, name), false)
+
+  private def readFully(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Latest committed snapshot, or None for an empty/uninitialized table.
     *
     * Reader resilience: the newest manifest may be mid-write (create is the
@@ -1137,7 +1223,12 @@ object ManifestStore {
       case manifestName(v) => Some(v.toLong)
       case _ => None
     }).sorted
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    // tagged versions are LIVE whatever their age: their manifests stay,
+    // their files count toward the live set — a tag is a durable pin
+    val tagged = tags(spark, dir).values.toSet
+    val (dropCand, keepTail) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val drop = dropCand.filterNot(tagged)
+    val keep = dropCand.filter(tagged) ++ keepTail
     // Read every KEPT manifest; if any fails (crashed writer's half-write
     // OR a transient store error), data-file deletion is skipped entirely
     // this run. Folding a failed read into an empty file list would remove

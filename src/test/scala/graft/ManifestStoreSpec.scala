@@ -23,6 +23,41 @@ class ManifestStoreSpec extends SparkSpec {
   private def contents(dir: String): Set[(Long, String)] =
     ManifestStore.read(spark, dir, schema).as[(Long, String)].collect().toSet
 
+  test("tags pin versions: readTag resolves, vacuum never collects a tagged snapshot") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a"), dir) // v1
+    ManifestStore.append(df(2L -> "b"), dir) // v2
+    ManifestStore.tag(spark, dir, "release-1", 1L)
+    intercept[IllegalStateException] {
+      ManifestStore.tag(spark, dir, "release-1", 2L) // create-only
+    }
+    ManifestStore.overwrite(df(9L -> "z"), dir) // v3 drops v1/v2 files from HEAD
+    assert(ManifestStore.tags(spark, dir) === Map("release-1" -> 1L))
+    assert(ManifestStore.readTag(spark, dir, "release-1", schema)
+      .as[(Long, String)].collect().toSet === Set(1L -> "a"))
+    Thread.sleep(20)
+    // aggressive vacuum: keep only HEAD — but the tagged v1 must survive
+    // whole (manifest AND data), while untagged v2 goes
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    assert(ManifestStore.readTag(spark, dir, "release-1", schema)
+      .as[(Long, String)].collect().toSet === Set(1L -> "a"))
+    assert(contents(dir) === Set(9L -> "z"))
+    intercept[Exception] { ManifestStore.readManifest(spark, dir, 2L) }
+    // retag moves the pin; deleting the tag releases it at the next vacuum
+    ManifestStore.tag(spark, dir, "release-1", 3L, retag = true)
+    assert(ManifestStore.tagVersion(spark, dir, "release-1") === Some(3L))
+    assert(ManifestStore.deleteTag(spark, dir, "release-1"))
+    Thread.sleep(20)
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    intercept[Exception] { ManifestStore.readManifest(spark, dir, 1L) }
+    assert(ManifestStore.tags(spark, dir) === Map.empty)
+    assert(contents(dir) === Set(9L -> "z"))
+    // tagging a nonexistent version is refused up front
+    intercept[IllegalArgumentException] {
+      ManifestStore.tag(spark, dir, "bogus", 99L)
+    }
+  }
+
   test("append and overwrite round-trip with monotonically growing versions") {
     val dir = tmpDir()
     assert(ManifestStore.read(spark, dir, schema).isEmpty)

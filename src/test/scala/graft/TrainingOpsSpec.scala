@@ -2191,6 +2191,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(m1.getDouble(5) === expected) // idcg truncates at k -> 1.0 here
   }
 
+  test("rankNormalize: per-stratum percentiles, id tiebreak, 1-row stratum pins 0") {
+    val df = Seq(
+      (1L, "A", 10L), (2L, "A", 30L), (3L, "A", 20L), (4L, "A", 20L),
+      (5L, "B", 99L)).toDF("id", "src", "sc")
+    val out = Corpus.rankNormalize(df, Seq("src"), $"sc", "id")
+      .select($"id", $"pct").as[(Long, Double)].collect().toMap
+    // A ranks: 10<20(id3)<20(id4)<30 -> pcts 0, 1/3, 2/3, 1
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1L) === 0.0 && out(3L) === r6(1.0 / 3) &&
+      out(4L) === r6(2.0 / 3) && out(2L) === 1.0)
+    assert(out(5L) === 0.0) // singleton stratum
+  }
+
   test("bigramSurprisal: memorized transitions score zero, rare ones ln(c1/cb)") {
     val docs = Seq(
       (1L, "a b a b a b"), // every transition deterministic given w1
