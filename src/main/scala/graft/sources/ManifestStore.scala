@@ -903,6 +903,101 @@ object ManifestStore {
       s"manifest commit on $dir lost $maxAttempts straight races — aborting")
   }
 
+  /** Zero-copy fork: commit a NEW table at `dstDir` whose v1 manifest
+    * references `srcDir`'s data files IN PLACE (as fully-qualified URIs) —
+    * Delta's SHALLOW CLONE, the experimentation primitive ("try the new
+    * dedup threshold against yesterday's 100 TB snapshot") at metadata
+    * cost: no data moves, stats/row-counts/schema/partition values carry
+    * over, and the clone then lives its own life — appends land as
+    * dst-local files, compaction/MERGE rewrite referenced source files
+    * into dst-local ones, vacuum on the CLONE never touches source data
+    * (foreign URIs match no local directory walk).
+    *
+    * The classic shallow-clone hazard — vacuum on the SOURCE collecting
+    * files a clone still references — is closed structurally: the clone
+    * first pins its source version under an auto-generated source tag
+    * (`clone-<nonce>`, recorded in the clone's `op` string), and [[vacuum]]
+    * keeps every tagged version whole. Dropping the clone = deleting its
+    * directory + [[deleteTag]] on the source to release the pin.
+    */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+                   version: Option[Long] = None): Long = {
+    val srcFs = fs(spark, srcDir)
+    val snap = version.map(readManifest(spark, srcDir, _))
+      .orElse(currentSnapshot(spark, srcDir))
+      .getOrElse(throw new IllegalStateException(s"no committed version at $srcDir"))
+    require(maxClaimedVersion(fs(spark, dstDir), dstDir) == 0L,
+      s"clone target $dstDir already has commits")
+    // pin FIRST: between this tag and the dst commit the clone is
+    // over-protected, never under-protected
+    val tagName = s"clone-${java.util.UUID.randomUUID().toString.take(12)}"
+    tag(spark, srcDir, tagName, snap.version)
+    val srcBase = srcFs.makeQualified(new Path(srcDir))
+    val rekey = snap.files.map(rel => rel -> new Path(srcBase, rel).toString).toMap
+    publishExternal(spark, dstDir,
+      op = s"clone:$srcDir@${snap.version}#$tagName",
+      files = snap.files.map(rekey),
+      stats = snap.stats.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
+      rows = snap.rows.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
+      schema = snap.schema,
+      parts = snap.parts.flatMap { case (k, v) => rekey.get(k).map(_ -> v) })
+  }
+
+  /** Publish a manifest with EXTERNALLY-supplied content (no footer
+    * harvesting, no previous-snapshot merge) as the FIRST version of an
+    * empty table — the clone commit path. Same claim/publish discipline
+    * as [[publishLoop]].
+    */
+  private def publishExternal(spark: SparkSession, dir: String, op: String,
+                              files: Seq[String],
+                              stats: Map[String, Map[String, ColStats]],
+                              rows: Map[String, Long],
+                              schema: Option[StructType],
+                              parts: Map[String, Map[String, String]],
+                              maxAttempts: Int = 10): Long = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val version = math.max(maxClaimedVersion(f, dir),
+        currentSnapshot(spark, dir).map(_.version).getOrElse(0L)) + 1
+      require(version == 1L, s"external publish into non-empty table $dir")
+      val body = mapper.createObjectNode()
+      body.put("version", version)
+      body.put("op", op)
+      val arr = body.putArray("files")
+      files.foreach(arr.add)
+      val statsNode = body.putObject("stats")
+      files.foreach { rel =>
+        stats.get(rel).filter(_.nonEmpty).foreach { cols =>
+          val fNode = statsNode.putObject(rel)
+          cols.foreach { case (c, cs) =>
+            val cn = fNode.putObject(c)
+            cn.put("t", cs.typ)
+            cs.min.foreach(cn.put("min", _))
+            cs.max.foreach(cn.put("max", _))
+            cn.put("nulls", cs.nullCount): Unit
+          }
+        }
+      }
+      val rowsNode = body.putObject("rows")
+      files.foreach(rel => rows.get(rel).foreach(rowsNode.put(rel, _)))
+      schema.foreach(s => body.put("schema", s.json))
+      val partsWritten = files.flatMap(rel =>
+        parts.get(rel).filter(_.nonEmpty).map(rel -> _))
+      if (partsWritten.nonEmpty) {
+        val partsNode = body.putObject("parts")
+        partsWritten.foreach { case (rel, kvs) =>
+          val n = partsNode.putObject(rel)
+          kvs.foreach { case (k, v) => n.put(k, v): Unit }
+        }
+      }
+      if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"manifest commit on $dir lost $maxAttempts straight races — aborting")
+  }
+
   private def maxClaimedVersion(f: FileSystem, dir: String): Long = {
     val md = manifestDir(dir)
     if (!f.exists(md)) return 0L

@@ -97,6 +97,88 @@ class CorpusPropertySpec extends SparkSpec {
     }
   }
 
+  test("budgetSelect invariants: prefix-closed, within budget, monotone in budget, order-blind") {
+    (1 to 5).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val rows = (1L to 80L).map(i =>
+        (i, 1L + r.nextInt(40).toLong, r.nextInt(12).toLong))
+      val df = rows.toDF("doc_id", "n_tokens", "score")
+      val kept = Corpus.budgetSelect(df, "doc_id", $"n_tokens", $"score", 1, 3)
+        .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+      val total = rows.map(_._2).sum
+      // within budget, and cum matches the brute-force prefix order
+      val order = rows.sortBy { case (id, _, sc) => (-sc, id) }
+      var cum = 0L
+      val expect = scala.collection.mutable.Map[Long, Long]()
+      order.foreach { case (id, nt, _) =>
+        cum += nt; if (cum <= total / 3) expect(id) = cum
+      }
+      assert(kept === expect.toMap, s"seed $seed")
+      // a larger budget keeps a superset
+      val keptBig = Corpus.budgetSelect(df, "doc_id", $"n_tokens", $"score", 2, 3)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept.keySet.subsetOf(keptBig), s"seed $seed: not monotone")
+      // partitioning/order blind
+      val shuffled = Corpus.budgetSelect(df.repartition(7).sortWithinPartitions($"n_tokens"),
+        "doc_id", $"n_tokens", $"score", 1, 3)
+        .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+      assert(shuffled === kept, s"seed $seed: order-dependent")
+    }
+  }
+
+  test("kAnonymize invariants: k-guarantee on published prefixes, row count preserved, order-blind") {
+    import graft.functions.Privacy
+    (1 to 4).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val rows = (1L to 100L).map { i =>
+        (i, s"s${r.nextInt(4)}", s"l${r.nextInt(5)}") }
+      val df = rows.toDF("id", "src", "lang")
+      val k = 7
+      val out = Privacy.kAnonymize(df, "id",
+        Seq("src" -> $"src", "lang" -> $"lang"), k)
+      assert(out.count() === rows.size.toLong)
+      // every non-* (src, lang) pair and every non-* src prefix crowds >= k
+      assert(out.filter($"src" =!= "*" && $"lang" =!= "*")
+        .groupBy($"src", $"lang").count().filter($"count" < k).isEmpty, s"seed $seed")
+      assert(out.filter($"src" =!= "*")
+        .groupBy($"src").count().filter($"count" < k).isEmpty, s"seed $seed")
+      // a row is generalized the MINIMAL amount: level-1 rows' base pair
+      // must genuinely crowd < k in the raw data
+      val pairCounts = rows.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+      val lvl1 = out.filter($"anon_level" === 1).select($"id").as[Long].collect().toSet
+      rows.filter(t => lvl1(t._1)).foreach { t =>
+        assert(pairCounts((t._2, t._3)) < k, s"seed $seed: over-generalized ${t._1}")
+      }
+      val shuffled = Privacy.kAnonymize(df.repartition(5), "id",
+        Seq("src" -> $"src", "lang" -> $"lang"), k)
+      assert(out.exceptAll(shuffled).isEmpty && shuffled.exceptAll(out).isEmpty,
+        s"seed $seed: order-dependent")
+    }
+  }
+
+  test("rankNormalize invariants: pct in [0,1], strictly increasing in (score,id), order-blind") {
+    (1 to 4).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val rows = (1L to 60L).map(i => (i, s"g${r.nextInt(3)}", r.nextInt(9).toLong))
+      val df = rows.toDF("id", "g", "sc")
+      val out = Corpus.rankNormalize(df, Seq("g"), $"sc", "id")
+        .select($"id", $"g", $"score", $"pct").as[(Long, String, Long, Double)].collect()
+      assert(out.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
+      out.groupBy(_._2).foreach { case (_, grp) =>
+        val sorted = grp.sortBy(t => (t._3, t._1))
+        // pct strictly increases along the stratum's total order
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 < b._4, s"seed $seed")
+          case _ =>
+        }
+        assert(sorted.head._4 === 0.0 && (grp.length == 1 || sorted.last._4 === 1.0))
+      }
+      val shuffled = Corpus.rankNormalize(df.repartition(6), Seq("g"), $"sc", "id")
+        .select($"id", $"pct").as[(Long, Double)].collect().toMap
+      assert(shuffled === out.map(t => t._1 -> t._4).toMap, s"seed $seed")
+    }
+  }
+
   test("dup-span stats invariants: bounded fractions, blind to doc order, short docs null") {
     (1 to 4).foreach { seed =>
       val docs = randomDocs(seed, n = 30).toDF("doc_id", "text")

@@ -58,6 +58,47 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("shallow clone: zero-copy fork reads in place, auto-tag pins the source, clone diverges freely") {
+    val src = tmpDir(); val dst = tmpDir() + "/clone"
+    ManifestStore.append(df(1L -> "a", 2L -> "b"), src)
+    ManifestStore.append(df(3L -> "c"), src)
+    assert(ManifestStore.cloneShallow(spark, src, dst) === 1L)
+    // reads the SOURCE's files in place — no data was copied
+    assert(contents(dst) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(ManifestStore.countRows(spark, dst) === Some(3L)) // carried row counts
+    val snap = ManifestStore.currentSnapshot(spark, dst).get
+    assert(snap.op.startsWith(s"clone:$src@2#clone-"), snap.op)
+    assert(snap.schema.isDefined) // schema carried: self-describing reads
+    assert(ManifestStore.readLatest(spark, dst).count() === 3L)
+    // the source got pinned at the cloned version by the auto tag
+    val tagName = snap.op.split("#").last
+    assert(ManifestStore.tagVersion(spark, src, tagName) === Some(2L))
+    // the clone lives its own life without touching the source
+    ManifestStore.append(df(4L -> "d"), dst)
+    assert(contents(dst) === Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(contents(src) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // the source evolves away and vacuums aggressively — the pin keeps the
+    // clone's files alive
+    ManifestStore.overwrite(df(9L -> "z"), src)
+    Thread.sleep(20)
+    ManifestStore.vacuum(spark, src, keepVersions = 1, retainMillis = 0L)
+    assert(contents(dst) === Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // vacuum on the CLONE must never touch foreign (source) files
+    Thread.sleep(20)
+    ManifestStore.vacuum(spark, dst, keepVersions = 1, retainMillis = 0L)
+    assert(contents(dst) === Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(contents(src) === Set(9L -> "z"))
+    // compaction localizes the foreign references into dst-owned files
+    ManifestStore.compactSmall(spark, dst, schema, minFileBytes = Long.MaxValue)
+    val files = ManifestStore.currentSnapshot(spark, dst).get.files
+    assert(files.forall(!_.contains(src)), files.mkString(", "))
+    assert(contents(dst) === Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // cloning into a table that already has commits is refused
+    intercept[IllegalArgumentException] {
+      ManifestStore.cloneShallow(spark, src, dst)
+    }
+  }
+
   test("append and overwrite round-trip with monotonically growing versions") {
     val dir = tmpDir()
     assert(ManifestStore.read(spark, dir, schema).isEmpty)

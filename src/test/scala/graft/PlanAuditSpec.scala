@@ -154,6 +154,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("budget select: score-bucketed prefix sums + broadcast bases, no corpus-global window") {
+    val p = plan("q123_budget_select")
+    // the corpus-sized window (intra-bucket cumulative sum) must be
+    // partitioned on the score bucket; only the |distinct scores| base
+    // table may use an unpartitioned window spec
+    val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(winSpecs.exists(s => "windowspecdefinition\\(_?score#\\d+L?,".r
+        .findFirstIn(s).isDefined),
+      s"intra-bucket cumsum must PARTITION on score:\n${winSpecs.mkString("\n")}")
+    // bucket bases join back by broadcast, never a sort-merge of the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("bigram surprisal windows run over the aggregated bigram table, not the raw stream") {
+    val p = plan("q127_bigram_surprisal")
+    // partial/final pair for the (doc, bigram) counts BEFORE any window
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    // both totals windows keyed (bigram / w1) — an unpartitioned window
+    // here would funnel the whole bigram table through one partition
+    val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(s =>
+        "windowspecdefinition\\((bigram|w1)#\\d+,".r.findFirstIn(s).isDefined),
+      s"totals windows must PARTITION on bigram/w1:\n${winSpecs.mkString("\n")}")
+  }
+
   test("padding audit windows stay shard-partitioned; totals aggregate partially") {
     val p = plan("q108_padding_audit")
     val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
