@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft-manifest")` — the [[ManifestStore]] table format as a
+  * first-class Spark data sink.
+  *
+  * Batch:
+  * {{{
+  * df.write.format("graft-manifest").mode("append").save(dir)
+  * }}}
+  * maps SaveMode onto manifest commits (append/overwrite/error/ignore).
+  *
+  * Streaming:
+  * {{{
+  * stream.writeStream.format("graft-manifest")
+  *   .option("checkpointLocation", cp).option("appId", "ingest-1")
+  *   .start(dir)
+  * }}}
+  * Every micro-batch commits through [[ManifestStore.appendIdempotent]]
+  * keyed by (`appId`, batchId) — a replayed batch (sink crashed after the
+  * manifest commit but before the checkpoint advanced) is recognized by
+  * the lineage's `stream:` op high water and SKIPPED, so an
+  * at-least-once stream becomes exactly-once table delivery without the
+  * hand-rolled foreachBatch dedup every ad-hoc sink reimplements.
+  *
+  * Reads stay on [[ManifestStore.read]]/`readLatest` (full parquet scan
+  * pushdown, snapshot isolation, time travel) — the sink is the write
+  * surface of the same table.
+  */
+class ManifestSinkProvider extends StreamSinkProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("Path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest needs a table path — .save(dir) / .start(dir)"))
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-manifest sink is append-only (got $outputMode) — aggregate " +
+        "maintenance belongs in foreachBatch upserts or Ivm")
+    require(partitionColumns.isEmpty,
+      "partitionBy is not supported on the streaming sink — use " +
+        "ManifestStore.appendPartitioned in foreachBatch")
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    new ManifestSink(pathOf(parameters ++ ci), ci.getOrElse("appid", "default"))
+  }
+
+  override def createRelation(sqlContext0: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val dir = pathOf(parameters)
+    mode match {
+      case SaveMode.Append => ManifestStore.append(data, dir)
+      case SaveMode.Overwrite => ManifestStore.overwrite(data, dir)
+      case SaveMode.ErrorIfExists =>
+        if (ManifestStore.currentSnapshot(data.sparkSession, dir).isDefined)
+          throw new IllegalStateException(s"manifest table $dir already has commits")
+        ManifestStore.append(data, dir)
+      case SaveMode.Ignore =>
+        if (ManifestStore.currentSnapshot(data.sparkSession, dir).isEmpty)
+          ManifestStore.append(data, dir)
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = sqlContext0
+      override def schema: StructType = data.schema
+    }
+  }
+}
+
+/** The streaming sink instance: one per (query run, path). */
+class ManifestSink(dir: String, appId: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val spark = data.sparkSession
+    // the micro-batch Dataset is streaming-tagged — the engine refuses a
+    // plain .write/.rdd on it. Its QueryExecution, though, is the already-
+    // planned batch over exactly this micro-batch's data: lift the
+    // InternalRow RDD out (copying — the scan reuses row buffers) and
+    // rebuild an ordinary batch frame over it.
+    val schema = data.schema
+    val internal = data.queryExecution.toRdd.map(_.copy())
+    val rows = internal.mapPartitions { it =>
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema)
+      it.map(ir => conv(ir).asInstanceOf[Row])
+    }
+    val plain = spark.createDataFrame(rows, schema)
+    if (!plain.isEmpty)
+      ManifestStore.appendIdempotent(plain, dir, appId, batchId): Unit
+  }
+
+  override def name(): String = s"graft-manifest[$dir]"
+}

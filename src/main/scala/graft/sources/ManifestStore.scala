@@ -587,6 +587,44 @@ object ManifestStore {
   def append(df: DataFrame, dir: String): Long =
     commit(df, dir, "append", (prev, fresh) => prev ++ fresh)
 
+  /** Idempotent streaming-batch append, keyed by (appId, batchId): commits
+    * under op `stream:<appId>:<batchId>`; a batch at or below the app's
+    * committed high water is SKIPPED (returns None) — so an at-least-once
+    * micro-batch replay (sink crash after commit, before checkpoint)
+    * becomes exactly-once table delivery, the Delta `txnAppId`/`txnVersion`
+    * discipline. One writer per appId (the streaming engine runs one
+    * instance of a query); concurrent DIFFERENT appIds interleave safely
+    * through the normal optimistic protocol.
+    */
+  def appendIdempotent(df: DataFrame, dir: String, appId: String,
+                       batchId: Long): Option[Long] = {
+    require(!appId.contains(":"), "appId must not contain ':'")
+    if (batchId <= streamBatchHighWater(df.sparkSession, dir, appId)) None
+    else Some(commit(df, dir, s"stream:$appId:$batchId", (prev, fresh) => prev ++ fresh))
+  }
+
+  /** The highest batchId `appId` has committed to this table (−1 if none):
+    * the newest manifest whose op carries the app's stream key — later
+    * commits by the same app always carry later batchIds, so the first hit
+    * walking the lineage downward is the high water. Cost: one JSON read
+    * per non-matching newer commit, bounded by the retention window.
+    */
+  def streamBatchHighWater(spark: SparkSession, dir: String, appId: String): Long = {
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    if (!f.exists(md)) return -1L
+    val versions = f.listStatus(md).toSeq.flatMap(s => s.getPath.getName match {
+      case manifestName(v) => Some(v.toLong)
+      case _ => None
+    }).sorted.reverse
+    val prefix = s"stream:$appId:"
+    versions.iterator
+      .flatMap(v => scala.util.Try(readManifest(spark, dir, v).op).toOption)
+      .collectFirst { case op if op.startsWith(prefix) =>
+        op.stripPrefix(prefix).toLong }
+      .getOrElse(-1L)
+  }
+
   /** Hive value escaped by Spark's partitioned writer for a null value. */
   private val hiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
 

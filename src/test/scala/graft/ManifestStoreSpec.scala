@@ -23,6 +23,38 @@ class ManifestStoreSpec extends SparkSpec {
   private def contents(dir: String): Set[(Long, String)] =
     ManifestStore.read(spark, dir, schema).as[(Long, String)].collect().toSet
 
+  test("idempotent stream-batch append: replays skip, apps interleave, batch save modes map") {
+    val dir = tmpDir()
+    assert(ManifestStore.appendIdempotent(df(1L -> "a"), dir, "app1", 0L) === Some(1L))
+    assert(ManifestStore.appendIdempotent(df(2L -> "b"), dir, "app1", 1L) === Some(2L))
+    // the at-least-once replay: same batch again must be a no-op
+    assert(ManifestStore.appendIdempotent(df(2L -> "b"), dir, "app1", 1L) === None)
+    assert(ManifestStore.appendIdempotent(df(9L -> "x"), dir, "app1", 0L) === None)
+    assert(contents(dir) === Set(1L -> "a", 2L -> "b"))
+    // a DIFFERENT app has its own high water
+    assert(ManifestStore.streamBatchHighWater(spark, dir, "app1") === 1L)
+    assert(ManifestStore.streamBatchHighWater(spark, dir, "app2") === -1L)
+    assert(ManifestStore.appendIdempotent(df(3L -> "c"), dir, "app2", 0L) === Some(3L))
+    // an interleaved foreign commit does not hide app1's high water
+    ManifestStore.append(df(4L -> "d"), dir)
+    assert(ManifestStore.streamBatchHighWater(spark, dir, "app1") === 1L)
+    assert(ManifestStore.appendIdempotent(df(5L -> "e"), dir, "app1", 2L) === Some(5L))
+    assert(contents(dir) ===
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
+    // batch DataFrameWriter surface: SaveMode maps onto manifest commits
+    val dir2 = tmpDir()
+    df(1L -> "a").write.format("graft-manifest").mode("append").save(dir2)
+    df(2L -> "b").write.format("graft-manifest").mode("append").save(dir2)
+    assert(contents(dir2) === Set(1L -> "a", 2L -> "b"))
+    df(9L -> "z").write.format("graft-manifest").mode("overwrite").save(dir2)
+    assert(contents(dir2) === Set(9L -> "z"))
+    df(7L -> "i").write.format("graft-manifest").mode("ignore").save(dir2)
+    assert(contents(dir2) === Set(9L -> "z")) // table exists: ignored
+    intercept[Exception] {
+      df(8L -> "e").write.format("graft-manifest").mode("errorifexists").save(dir2)
+    }
+  }
+
   test("tags pin versions: readTag resolves, vacuum never collects a tagged snapshot") {
     val dir = tmpDir()
     ManifestStore.append(df(1L -> "a"), dir) // v1

@@ -200,6 +200,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-manifest streaming sink: micro-batches commit exactly-once into the table format") {
+    // the first-class sink surface: writeStream.format("graft-manifest")
+    // commits every micro-batch through the idempotent (appId, batchId)
+    // protocol — no hand-rolled foreachBatch plumbing
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ManifestStore
+    val root = Files.createTempDirectory("manifest-sink")
+    val dir = root.resolve("t").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("id", "v").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .option("appId", "ingest-test")
+      .start(dir)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = ManifestStore.read(spark, dir, schema)
+        .as[(Long, String)].collect().toSet
+      assert(got === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+      // commits carry the stream op key; replaying batch 0 by hand is a no-op
+      assert(ManifestStore.streamBatchHighWater(spark, dir, "ingest-test") >= 1L)
+      assert(ManifestStore.appendIdempotent(
+        Seq((1L, "a")).toDF("id", "v"), dir, "ingest-test", 0L) === None)
+    } finally q.stop()
+  }
+
   test("streaming lexical maintenance: foreachBatch admission through the persisted shingle index") {
     // the maintained-index twin of the corpus-maintenance test above: each
     // micro-batch probes the PERSISTED postings table (batch×index join,
