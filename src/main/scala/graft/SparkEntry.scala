@@ -859,6 +859,26 @@ object SparkEntry {
         graft.functions.TextAnalysis.tokenCount(col("text")), alpha = 0.3,
         budgetTokens = 100000L, maxEpochs = 4.0)),
 
+    // Multi-benchmark contamination report: ONE corpus-index pass screens
+    // against every eval set at once (set label rides the eval rows; the
+    // expensive join is shared), then per-(corpus doc, set) overlap counts
+    // and worst Jaccard — the screening matrix a release review reads.
+    // Production pipelines screen dozens of benchmarks; re-running q59
+    // per set would pay the index join N times.
+    "q130_multiset_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 13 === 0)
+      val labels = evalSet.select(col("doc_id").as("id_a"),
+        when(col("doc_id") % 26 === 0, "benchA").otherwise("benchB").as("eval_set"))
+      val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+      graft.functions.NearDup.contaminationPairs(corpus, evalSet,
+          "text", "doc_id", n = 3, minJaccard = 0.03)
+        .join(labels, Seq("id_a"))
+        .groupBy(col("id_b").as("doc_id"), col("eval_set"))
+        .agg(count(lit(1)).cast("long").as("n_overlaps"),
+          max(col("jaccard")).as("max_jaccard"))
+    }),
+
     // Per-source percentile-rank score normalization: token count ranked
     // within each source to a [0,1] percentile — the calibration that
     // makes "top 30% of every source" one global predicate. Exact integer
@@ -2306,6 +2326,39 @@ object SparkEntry {
                 CASE WHEN lvl <= 0 THEN len_band ELSE '*' END AS len_band,
                 CAST(lvl AS INT) AS anon_level
          FROM lv""",
+
+    // q59's eval×corpus CTEs with the set label folded into the final
+    // per-(corpus doc, set) aggregate; round(…,4) on positive Jaccards
+    // matches the portable floor-form byte-for-byte
+    "q130_multiset_contamination" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         cand AS (
+           SELECT e.doc_id AS id_a, c.doc_id AS id_b, count(*) AS common
+           FROM inv e JOIN inv c ON e.shingle = c.shingle
+            AND e.doc_id % 13 = 0 AND c.doc_id % 13 <> 0
+           GROUP BY 1, 2),
+         pr AS (
+           SELECT id_a, id_b,
+                  round(common * 1.0 / (se.sz + sc.sz - common), 4) AS j
+           FROM cand
+           JOIN sizes se ON se.doc_id = id_a
+           JOIN sizes sc ON sc.doc_id = id_b
+           WHERE round(common * 1.0 / (se.sz + sc.sz - common), 4)
+                   >= CAST(0.03 AS DOUBLE))
+         SELECT id_b AS doc_id,
+                CASE WHEN id_a % 26 = 0 THEN 'benchA' ELSE 'benchB' END AS eval_set,
+                CAST(count(*) AS BIGINT) AS n_overlaps,
+                max(j) AS max_jaccard
+         FROM pr GROUP BY 1, 2""",
 
     // exact integer ranks over (score, doc_id) per source; 1-row strata
     // pin pct to 0.0
