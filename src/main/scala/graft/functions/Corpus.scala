@@ -904,7 +904,11 @@ object Corpus {
   def budgetSelect(df: DataFrame, idCol: String, tokensCol: Column,
                    scoreCol: Column, budgetNum: Long, budgetDen: Long): DataFrame = {
     require(budgetNum >= 0 && budgetDen > 0, "budget fraction must be >= 0")
-    val base = df.select(col(idCol).as("_id"), tokensCol.cast("long").as("n_tokens"),
+    // NULL tokens count as 0 (the doc costs nothing against the budget);
+    // a NULL score has no defined priority — such rows are absent from
+    // the output (the bucket join has nothing to key them by)
+    val base = df.select(col(idCol).as("_id"),
+      coalesce(tokensCol.cast("long"), lit(0L)).as("n_tokens"),
       scoreCol.cast("long").as("score"))
     val wIntra = Window.partitionBy(col("score")).orderBy(col("_id").asc)
       .rowsBetween(Window.unboundedPreceding, 0)

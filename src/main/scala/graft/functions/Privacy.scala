@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale: prefix population counts are one partially-aggregated groupBy per
   * ladder level (|levels| = |quasi attributes|, a handful), each collapsing
-  * to at most the attribute-combination cardinality — tiny next to the
-  * corpus — and joined back by broadcast. No window ever touches row-level
-  * data; the corpus is scanned once per level for the count and once for
-  * the final labeling.
+  * to at most the attribute-combination cardinality. Coarser prefixes
+  * broadcast back; the full-tuple count joins by key (AQE broadcasts it
+  * when genuinely small — a high-cardinality combination must not be
+  * forced into executor memory). No window ever touches row-level data;
+  * the corpus is scanned once per level for the count and once for the
+  * final labeling.
   */
 object Privacy {
 
@@ -47,14 +49,20 @@ object Privacy {
     // per-level prefix population counts: level j keeps the first
     // (|quasi| - j) attributes; j = |quasi| is the empty prefix (1 row).
     // Each count is a partial-aggregated groupBy to attribute-combination
-    // cardinality, broadcast back — never a row-level window.
+    // cardinality — never a row-level window. Coarser prefixes (j ≥ 1)
+    // are bounded by shrinking attribute domains and broadcast outright;
+    // the FULL-tuple count (j = 0) can be large on a high-cardinality
+    // combination, so it joins by key and AQE broadcasts it only when it
+    // is genuinely small.
     val counted = (0 to names.size).foldLeft(base) { (acc, j) =>
       val prefix = names.dropRight(j)
       if (prefix.isEmpty)
         acc.crossJoin(broadcast(base.agg(count(lit(1)).as(s"_n$j"))))
-      else
-        acc.join(broadcast(
-          base.groupBy(prefix.map(col): _*).agg(count(lit(1)).as(s"_n$j"))), prefix)
+      else {
+        val cnt = base.groupBy(prefix.map(col): _*).agg(count(lit(1)).as(s"_n$j"))
+        if (j == 0) acc.join(cnt, prefix)
+        else acc.join(broadcast(cnt), prefix)
+      }
     }
     // lowest level whose prefix crowd reaches k (fully suppressed if none)
     val level = (0 to names.size).reverse.foldLeft(lit(names.size)) {

@@ -957,6 +957,11 @@ object ManifestStore {
     * (`clone-<nonce>`, recorded in the clone's `op` string), and [[vacuum]]
     * keeps every tagged version whole. Dropping the clone = deleting its
     * directory + [[deleteTag]] on the source to release the pin.
+    *
+    * Cloning a CLONE pins only the intermediate (whose files are mostly
+    * foreign references): the chain's tags must stay alive as long as any
+    * descendant does — release pins leaf-to-root when dismantling a clone
+    * lineage.
     */
   def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
                    version: Option[Long] = None): Long = {
