@@ -61,7 +61,49 @@ object ManifestStore {
                             stats: Map[String, Map[String, ColStats]] = Map.empty,
                             rows: Map[String, Long] = Map.empty,
                             schema: Option[StructType] = None,
-                            parts: Map[String, Map[String, String]] = Map.empty)
+                            parts: Map[String, Map[String, String]] = Map.empty,
+                            blooms: Map[String, Map[String, BloomIndex]] = Map.empty)
+
+  /** Per-file bloom filter over one column's values — the point-lookup
+    * companion to min/max [[ColStats]]: range stats prune a key-CLUSTERED
+    * table well, but on a table whose key arrives unclustered (every
+    * append covers the whole key space) min/max admit every file and a
+    * `key = v` lookup scans the lake. A bloom answers "can this file
+    * contain v?" probabilistically — no false negatives (a kept bit is
+    * proof of possible presence; pruning on a clear bit is always safe),
+    * a ~1% false-positive rate at the default 10 bits/key (k = 5).
+    *
+    * Hashing is the repo's PORTABLE md5 discipline (BASELINE.md): both the
+    * executor-side build ([[buildBlooms]]) and the driver-side probe
+    * ([[BloomIndex.contains]]) derive the k bit positions from the same
+    * md5 hex of the value's canonical string (`CAST(col AS STRING)` ≡
+    * JVM `toString` for the permitted long/int/string column types), so
+    * build and probe agree bit-for-bit with no engine-private hash.
+    * `words` is the bitset as little-endian 64-bit words.
+    */
+  final case class BloomIndex(bits: Int, k: Int, words: Array[Long]) {
+    def contains(canonical: String): Boolean = {
+      val hex = BloomIndex.md5Hex(canonical)
+      var i = 0
+      while (i < k) {
+        val pos = Integer.parseInt(hex.substring(6 * i, 6 * i + 6), 16) % bits
+        if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  object BloomIndex {
+    /** Lowercase md5 hex — byte-identical to Spark SQL's `md5()`. */
+    private[sources] def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+      val sb = new StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+  }
 
   /** Per-file column statistics harvested from the parquet footer at commit
     * time (metadata-only — no data read). `min`/`max` are the column's
@@ -241,8 +283,21 @@ object ManifestStore {
       e.getKey -> e.getValue.properties().asScala.iterator
         .map(c => c.getKey -> c.getValue.asText()).toMap
     }.toMap
+    val bloomsNode = root.path("blooms")
+    val blooms = if (bloomsNode.isMissingNode) Map.empty[String, Map[String, BloomIndex]]
+    else bloomsNode.properties().asScala.iterator.map { e =>
+      e.getKey -> e.getValue.properties().asScala.iterator.map { c =>
+        val v = c.getValue
+        val raw = java.util.Base64.getDecoder.decode(v.path("b64").asText())
+        val bb = java.nio.ByteBuffer.wrap(raw)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val words = new Array[Long](raw.length / 8)
+        bb.asLongBuffer().get(words)
+        c.getKey -> BloomIndex(v.path("m").asInt(), v.path("k").asInt(), words)
+      }.toMap
+    }.toMap
     Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
-      stats, rows, schema, parts)
+      stats, rows, schema, parts, blooms)
   }
 
   /** The latest version under the manifest-recorded schema — the
@@ -287,7 +342,7 @@ object ManifestStore {
     snap.files.filter { rel =>
       partitionAdmits(snap, rel, column, lo, hi).getOrElse {
         statsAdmit(snap, rel, column, lo, hi)
-      }
+      } && bloomAdmits(snap, rel, column, lo, hi)
     }
 
   /** The file subset that can satisfy EVERY range of a conjunctive
@@ -299,10 +354,43 @@ object ManifestStore {
   def pruneFilesWhere(snap: Snapshot, ranges: Seq[(String, Any, Any)]): Seq[String] =
     snap.files.filter { rel =>
       ranges.forall { case (column, lo, hi) =>
-        partitionAdmits(snap, rel, column, lo, hi)
-          .getOrElse(statsAdmit(snap, rel, column, lo, hi))
+        (partitionAdmits(snap, rel, column, lo, hi)
+          .getOrElse(statsAdmit(snap, rel, column, lo, hi))) &&
+          bloomAdmits(snap, rel, column, lo, hi)
       }
     }
+
+  /** Bloom evidence for a POINT predicate (`lo` and `hi` canonicalize to
+    * the same value): a file whose bloom proves the value absent is
+    * dropped. Ranges, files without a bloom for `column`, and types
+    * blooms don't cover all admit — independent, conjunctive evidence on
+    * top of partition values and footer stats, never a replacement.
+    */
+  private def bloomAdmits(snap: Snapshot, rel: String, column: String,
+                          lo: Any, hi: Any): Boolean =
+    snap.blooms.get(rel).flatMap(_.get(column)) match {
+      case None => true
+      case Some(b) => canonicalProbe(snap, column, lo) match {
+        case Some(c) if canonicalProbe(snap, column, hi).contains(c) =>
+          b.contains(c)
+        case _ => true
+      }
+    }
+
+  /** The probe value's canonical string in the repo's portable-md5 space:
+    * integral columns render as the decimal string `CAST(col AS STRING)`
+    * produces (probe Ints/Timestamps coerce through [[toLong]] first, the
+    * same coercion the stat pruners use), strings are themselves. `None`
+    * for column types blooms don't cover — the caller must keep the file.
+    */
+  private def canonicalProbe(snap: Snapshot, column: String, v: Any): Option[String] =
+    snap.schema.flatMap(_.fields.find(_.name == column))
+      .flatMap(_.dataType.typeName match {
+        case "long" | "integer" | "short" | "byte" =>
+          scala.util.Try(toLong(v).toString).toOption
+        case "string" => Some(v.toString)
+        case _ => None
+      })
 
   /** Conjunctive range read: scans only the files [[pruneFilesWhere]]
     * keeps, then applies the exact row-level conjunction — identical
@@ -440,6 +528,98 @@ object ManifestStore {
         readSnapshot(spark, dir, s.copy(files = kept), schema)
           .filter(col(column).isin(values.map(lit): _*))
     }
+  }
+
+  /** Build per-file [[BloomIndex]]es for `columns` and commit them as a
+    * metadata-only version (op = `bloom`, no data files written) — the
+    * maintenance pass that makes `key = v` lookups on an UNCLUSTERED table
+    * prune files the way min/max stats never can (every append covering
+    * the key space admits every file by range). INCREMENTAL: only files
+    * missing a bloom for some requested column are scanned — the steady-
+    * state cost after each append batch is one scan of that batch's files,
+    * independent of table size (the same admission discipline as the
+    * near-dup index). Rewritten files (compaction, MERGE) drop their
+    * blooms and are picked up by the next pass.
+    *
+    * Sizing: one shared bit width per pass — the next power of two ≥
+    * `bitsPerKey ×` the largest scanned file's row count, clamped to
+    * [256, 2^20] bits (≤ 128 KiB per file·column in the manifest; at the
+    * 10 bits/key default the false-positive rate is ~1%, degrading
+    * gracefully if a file outgrows the clamp). The driver materializes
+    * ≤ files × columns × bits/64 bitset words from the build scan —
+    * metadata-bounded control plane, like the footer-stats harvest; a
+    * bulk backfill over millions of files should batch by file range.
+    *
+    * Columns must be integral or string (the canonical-string hash
+    * space); rows with a NULL value hash nothing — a value probe can
+    * never match a null row. Returns the committed version (the current
+    * one if every file already has its blooms).
+    */
+  def buildBlooms(spark: SparkSession, dir: String, columns: Seq[String],
+                  bitsPerKey: Int = 10): Long = {
+    import org.apache.spark.sql.functions._
+    require(columns.nonEmpty, "buildBlooms needs at least one column")
+    val snap = currentSnapshot(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"manifest v${snap.version} at $dir records no schema — blooms need it"))
+    columns.foreach { c =>
+      val t = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column '$c' in table schema"))
+        .dataType.typeName
+      require(Set("long", "integer", "short", "byte", "string")(t),
+        s"bloom column '$c' must be integral or string (got $t)")
+    }
+    val todo = snap.files.filterNot(rel =>
+      columns.forall(c => snap.blooms.get(rel).exists(_.contains(c))))
+    if (todo.isEmpty) return snap.version
+    // rows map back to manifest entries by parquet file NAME (globally
+    // unique: every commit writes under a fresh d-<nonce>/ prefix and part
+    // files carry task UUIDs) — immune to URI-escaping drift between
+    // input_file_name() and the manifest's hive-escaped relative paths
+    val nameToRel = todo.map(rel => rel.substring(rel.lastIndexOf('/') + 1) -> rel).toMap
+    require(nameToRel.size == todo.size,
+      s"duplicate parquet file names across $dir — cannot key blooms by name")
+    val maxRows = todo.flatMap(snap.rows.get).foldLeft(1L)(math.max)
+    val k = 5
+    var bits = 256
+    while (bits < bitsPerKey.toLong * maxRows && bits < (1 << 20)) bits <<= 1
+    val paths = todo.map(new Path(dir, _).toString)
+    val base = spark.read.schema(schema).parquet(paths: _*)
+      .withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
+    // one md5 per (row, column); k 24-bit slices of the hex are the k
+    // bit positions — the identical derivation BloomIndex.contains probes
+    val hashed = columns.map { c =>
+      base.filter(col(c).isNotNull)
+        .select(col("__file"), lit(c).as("__col"),
+          md5(col(c).cast("string")).as("__h"))
+    }.reduce(_ union _)
+    val wordRows = hashed
+      .select(col("__file"), col("__col"),
+        explode(array((0 until k).map(lit): _*)).as("__i"), col("__h"))
+      .select(col("__file"), col("__col"),
+        (conv(expr("substring(__h, __i * 6 + 1, 6)"), 16, 10)
+          .cast("long") % bits).as("__pos"))
+      .groupBy(col("__file"), col("__col"),
+        expr("CAST(__pos DIV 64 AS INT)").as("__w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(__pos % 64 AS INT)))").as("__word"))
+      .collect()
+    val acc = scala.collection.mutable.Map[(String, String), Array[Long]]()
+    wordRows.foreach { r =>
+      val rel = nameToRel(r.getString(0))
+      val arr = acc.getOrElseUpdate((rel, r.getString(1)), new Array[Long](bits / 64))
+      arr(r.getInt(2)) |= r.getLong(3)
+    }
+    // merge with any blooms these files already carry for OTHER columns;
+    // a scanned file with no rows for a column gets the all-zero bloom
+    // (provably contains nothing — prunes every probe, correctly)
+    val fresh = todo.map { rel =>
+      rel -> (snap.blooms.getOrElse(rel, Map.empty) ++ columns.map(c =>
+        c -> BloomIndex(bits, k,
+          acc.getOrElse((rel, c), new Array[Long](bits / 64)))).toMap)
+    }.toMap
+    publishLoop(spark, dir, "bloom", Nil, (prev, _) => prev,
+      freshBlooms = fresh)
   }
 
   /** Time travel: the table exactly as of `version`. */
@@ -845,6 +1025,31 @@ object ManifestStore {
       .map(_.copy(nullable = true)))
   }
 
+  /** Serialize the bloom entries of `files` into the manifest body —
+    * shared by [[publishLoop]] (lineage carry) and [[publishExternal]]
+    * (clone rekey).
+    */
+  private def writeBloomsNode(body: com.fasterxml.jackson.databind.node.ObjectNode,
+                              files: Seq[String],
+                              blooms: Map[String, Map[String, BloomIndex]]): Unit = {
+    val written = files.flatMap(rel => blooms.get(rel).filter(_.nonEmpty).map(rel -> _))
+    if (written.nonEmpty) {
+      val node = body.putObject("blooms")
+      written.foreach { case (rel, cols) =>
+        val fNode = node.putObject(rel)
+        cols.foreach { case (c, b) =>
+          val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.words.foreach(bb.putLong)
+          val cn = fNode.putObject(c)
+          cn.put("m", b.bits)
+          cn.put("k", b.k)
+          cn.put("b64", java.util.Base64.getEncoder.encodeToString(bb.array())): Unit
+        }
+      }
+    }
+  }
+
   /** The optimistic slot-claim loop, separated from the data write so ops
     * that only DROP files (a delete whose matches cover whole files) can
     * commit with `fresh = Nil` and no data job at all.
@@ -854,7 +1059,8 @@ object ManifestStore {
                           combine: (Seq[String], Seq[String]) => Seq[String],
                           maxAttempts: Int = 10,
                           dfSchema: Option[StructType] = None,
-                          freshParts: Map[String, Map[String, String]] = Map.empty): Long = {
+                          freshParts: Map[String, Map[String, String]] = Map.empty,
+                          freshBlooms: Map[String, Map[String, BloomIndex]] = Map.empty): Long = {
     val f = fs(spark, dir)
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
@@ -933,6 +1139,11 @@ object ManifestStore {
             kvs.foreach { case (k, v) => n.put(k, v): Unit }
           }
         }
+        // blooms travel with the lineage like stats: surviving files keep
+        // theirs, rewritten files (compaction, MERGE) drop out and stay
+        // un-bloomed (= un-prunable, safe) until the next buildBlooms pass
+        val carriedBlooms = prev.map(_.blooms).getOrElse(Map.empty) ++ freshBlooms
+        writeBloomsNode(body, files, carriedBlooms)
         if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
         attempt += 1
       }
@@ -983,7 +1194,8 @@ object ManifestStore {
       stats = snap.stats.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
       rows = snap.rows.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
       schema = snap.schema,
-      parts = snap.parts.flatMap { case (k, v) => rekey.get(k).map(_ -> v) })
+      parts = snap.parts.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
+      blooms = snap.blooms.flatMap { case (k, v) => rekey.get(k).map(_ -> v) })
   }
 
   /** Publish a manifest with EXTERNALLY-supplied content (no footer
@@ -997,6 +1209,7 @@ object ManifestStore {
                               rows: Map[String, Long],
                               schema: Option[StructType],
                               parts: Map[String, Map[String, String]],
+                              blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
                               maxAttempts: Int = 10): Long = {
     val f = fs(spark, dir)
     var attempt = 0
@@ -1034,6 +1247,7 @@ object ManifestStore {
           kvs.foreach { case (k, v) => n.put(k, v): Unit }
         }
       }
+      writeBloomsNode(body, files, blooms)
       if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
       attempt += 1
     }
