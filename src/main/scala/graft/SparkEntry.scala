@@ -879,6 +879,98 @@ object SparkEntry {
           max(col("jaccard")).as("max_jaccard"))
     }),
 
+    // Per-language verbosity/fertility profile: exact corpus char and word
+    // totals and the chars-per-word ratio — the cross-lingual cost proxy a
+    // mixture planner reads next to q62's token shares (a tokenizer's
+    // bytes-per-token varies by script; this is its exact corpus-level
+    // numerator/denominator). Map-side partial agg to |langs| rows; the
+    // ratio of exact long sums goes through the portable floor-round.
+    "q131_char_fertility" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_words"))
+        .withColumn("chars_per_word", when(col("n_words") > 0,
+          graft.functions.Portable.r6(
+            col("n_chars").cast("double") / col("n_words").cast("double"))))
+    }),
+
+    // Duplicate-cluster size histogram: how big do near-dup clusters get —
+    // the release-review readout over q48's connected components (a fat
+    // tail here means one template dominates the corpus and keep-one
+    // dedup will delete in bulk). Cost: the q48 pair-gen + CC, then two
+    // tiny aggregations.
+    "q132_cluster_size_hist" -> ((s, dir) => {
+      val pairs = graft.functions.NearDup.ngramJaccardPairs(
+        t(s, dir, "documents"), "text", "doc_id", n = 3, minJaccard = 0.2)
+      graft.functions.NearDup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+    }),
+
+    // Cross-source template matrix: for each source pair, how many
+    // distinct 20-token document PREFIXES they share — the syndication/
+    // boilerplate-reuse signal exact-duplicate fingerprints miss (the
+    // bodies diverge; the injected header does not). Distinct (prefix,
+    // source) first, then an equi-join on the prefix hash: per-hash
+    // groups are bounded by the source count, so the join cannot
+    // quadratic-blow on a hot key.
+    "q133_template_sources" -> ((s, dir) => {
+      val pfx = t(s, dir, "documents")
+        .select(md5(array_join(
+          slice(graft.functions.TextAnalysis.tokens(col("text")), 1, 20), " "))
+          .as("prefix_hash"), col("source"))
+        .distinct()
+      pfx.as("a").join(pfx.as("b"),
+          col("a.prefix_hash") === col("b.prefix_hash") &&
+            col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared_prefixes"))
+    }),
+
+    // Shared-prefix duplicate groups: documents whose first 20 tokens
+    // coincide exactly (crawl templates, mirrored headers) with the group
+    // size and an exemplar id — the cheap pre-filter a near-dup pass runs
+    // first, one hash + one groupBy, no pair generation at all.
+    "q134_prefix_dup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(array_join(
+          slice(graft.functions.TextAnalysis.tokens(col("text")), 1, 20), " "))
+          .as("prefix_hash"))
+        .groupBy(col("prefix_hash"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("doc_id")).as("exemplar"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // Per-source token-count Gini: document-length inequality within each
+    // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
+    // corpus-balance audit that flags sources where a few huge documents
+    // carry nearly all tokens (q92's concentration curve, reduced to one
+    // comparable scalar per source). Rank weights are exact integer sums;
+    // only the final scalar ratio is floating point, through the portable
+    // floor-round. One per-source window sort + partial agg.
+    "q135_token_gini" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("tok").asc, col("doc_id").asc)
+      docs.select(col("source"), col("tok"),
+          row_number().over(w).cast("long").as("rk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          sum(col("rk") * col("tok")).as("rank_weighted"))
+        .withColumn("gini", when(col("n_tokens") > 0,
+          graft.functions.Portable.r6(
+            (lit(2.0) * col("rank_weighted").cast("double")) /
+              (col("n_docs").cast("double") * col("n_tokens").cast("double")) -
+              (col("n_docs").cast("double") + lit(1.0)) /
+                col("n_docs").cast("double"))))
+    }),
+
     // Per-source percentile-rank score normalization: token count ranked
     // within each source to a [0,1] percentile — the calibration that
     // makes "top 30% of every source" one global predicate. Exact integer
@@ -2359,6 +2451,109 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_overlaps,
                 max(j) AS max_jaccard
          FROM pr GROUP BY 1, 2""",
+
+    // exact long sums; the scalar ratio through the shared floor-round
+    "q131_char_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+                sum(length(text)) AS n_chars,
+                sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                  AS n_words,
+                CASE WHEN sum(len(list_filter(string_split(text, ' '),
+                                              x -> x <> ''))) > 0 THEN
+                  floor((CAST(sum(length(text)) AS DOUBLE)
+                         / CAST(sum(len(list_filter(string_split(text, ' '),
+                                                    x -> x <> ''))) AS DOUBLE))
+                        * 1000000.0 + 0.5) / 1000000.0
+                END AS chars_per_word
+         FROM documents GROUP BY lang""",
+
+    // q48's clusters (shared CTE chain), histogrammed by size
+    "q132_cluster_size_hist" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         inv0 AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         inv AS (SELECT * FROM inv0 WHERE shingle IN (
+                   SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 1000)),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+         jp AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+                    len(list_intersect(sa.shs, sb.shs)) AS common,
+                    len(sa.shs) AS sza, len(sb.shs) AS szb
+             FROM cand
+             JOIN sh sa ON sa.doc_id = id_a
+             JOIN sh sb ON sb.doc_id = id_b)
+           WHERE round(common * 1.0 / (sza + szb - common), 4) >= 0.2),
+         edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a)
+         SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                CAST(count(*) AS BIGINT) AS n_clusters
+         FROM (SELECT cluster_id, count(*) AS cluster_size
+               FROM cl GROUP BY cluster_id)
+         GROUP BY cluster_size""",
+
+    "q133_template_sources" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         p AS (SELECT DISTINCT md5(array_to_string(ts[1:20], ' ')) AS pfx, source
+               FROM tok)
+         SELECT a.source AS source_a, b.source AS source_b,
+                CAST(count(*) AS BIGINT) AS n_shared_prefixes
+         FROM p a JOIN p b ON a.pfx = b.pfx AND a.source < b.source
+         GROUP BY 1, 2""",
+
+    "q134_prefix_dup" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents)
+         SELECT md5(array_to_string(ts[1:20], ' ')) AS prefix_hash,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                min(doc_id) AS exemplar
+         FROM tok GROUP BY 1 HAVING count(*) > 1""",
+
+    // rank-weighted exact integer sums; identical double op order to the
+    // Spark side ((2·rw)/(n·s) − (n+1)/n), then the shared floor-round
+    "q135_token_gini" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS BIGINT) AS tok
+           FROM documents),
+         r AS (
+           SELECT source, tok,
+                  CAST(row_number() OVER (PARTITION BY source
+                                          ORDER BY tok ASC, doc_id ASC)
+                       AS BIGINT) AS rk
+           FROM b),
+         g AS (
+           SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens,
+                  sum(rk * tok) AS rank_weighted
+           FROM r GROUP BY source)
+         SELECT source, n_docs, n_tokens, rank_weighted,
+                CASE WHEN n_tokens > 0 THEN
+                  floor(((2.0 * CAST(rank_weighted AS DOUBLE))
+                         / (CAST(n_docs AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                         - (CAST(n_docs AS DOUBLE) + 1.0)
+                           / CAST(n_docs AS DOUBLE))
+                        * 1000000.0 + 0.5) / 1000000.0
+                END AS gini
+         FROM g""",
 
     // exact integer ranks over (score, doc_id) per source; 1-row strata
     // pin pct to 0.0
