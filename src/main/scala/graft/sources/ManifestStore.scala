@@ -8,7 +8,7 @@ import scala.util.matching.Regex
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Manifest-backed table: the object-store-safe successor to
@@ -62,7 +62,29 @@ object ManifestStore {
                             rows: Map[String, Long] = Map.empty,
                             schema: Option[StructType] = None,
                             parts: Map[String, Map[String, String]] = Map.empty,
-                            blooms: Map[String, Map[String, BloomIndex]] = Map.empty)
+                            blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
+                            dvs: Map[String, DvRef] = Map.empty)
+
+  /** A data file's DELETION VECTOR state: `files` are the dv parquet
+    * sidecars (rows `(f: file name, i: row index)`) whose tombstones apply
+    * to it, `deleted` the file's total tombstoned rows (for the
+    * metadata-only COUNT(*)). Merge-on-read deletes ([[deleteWhere]])
+    * append tombstones here instead of rewriting data files — the
+    * GDPR-point-delete shape for a 100 TB table where [[deleteRange]]'s
+    * copy-on-write would rewrite terabytes to drop kilobytes. Readers
+    * anti-join `(_metadata.file_path name, _metadata.row_index)` against
+    * the live dv union; rewrites (compaction, MERGE, deleteRange partials)
+    * read through the same logical view, so their outputs MATERIALIZE the
+    * deletions and the rewritten files' dv entries drop out of the
+    * lineage with them.
+    */
+  final case class DvRef(files: Seq[String], deleted: Long)
+
+  /** Helper-column names for the dv row-identity join — namespaced so they
+    * can never collide with a user schema.
+    */
+  private val dvNameCol = "__graft_dv_file"
+  private val dvIdxCol = "__graft_dv_idx"
 
   /** Per-file bloom filter over one column's values — the point-lookup
     * companion to min/max [[ColStats]]: range stats prune a key-CLUSTERED
@@ -296,8 +318,16 @@ object ManifestStore {
         c.getKey -> BloomIndex(v.path("m").asInt(), v.path("k").asInt(), words)
       }.toMap
     }.toMap
+    val dvsNode = root.path("dvs")
+    val dvs = if (dvsNode.isMissingNode) Map.empty[String, DvRef]
+    else dvsNode.properties().asScala.iterator.map { e =>
+      val v = e.getValue
+      val fl = (0 until v.path("files").size())
+        .map(v.path("files").get(_).asText())
+      e.getKey -> DvRef(fl, v.path("deleted").asLong())
+    }.toMap
     Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
-      stats, rows, schema, parts, blooms)
+      stats, rows, schema, parts, blooms, dvs)
   }
 
   /** The latest version under the manifest-recorded schema — the
@@ -636,7 +666,9 @@ object ManifestStore {
     */
   def countRows(spark: SparkSession, dir: String): Option[Long] =
     currentSnapshot(spark, dir).flatMap { s =>
-      if (s.files.forall(s.rows.contains)) Some(s.files.map(s.rows).sum)
+      if (s.files.forall(s.rows.contains))
+        Some(s.files.map(r =>
+          s.rows(r) - s.dvs.get(r).map(_.deleted).getOrElse(0L)).sum)
       else None
     }
 
@@ -658,10 +690,43 @@ object ManifestStore {
     }).maxOption
   }
 
+  /** Expose each row's physical identity: the parquet file's NAME
+    * (globally unique — every commit writes under a fresh `d-<nonce>/`
+    * prefix and part files carry task UUIDs) and its `row_index` within
+    * that file. This pair is what deletion vectors tombstone.
+    */
+  private def withRowIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    df.withColumn(dvNameCol,
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+      .withColumn(dvIdxCol, col("_metadata.row_index"))
+  }
+
+  /** The dv sidecar rows `(f, i)` keyed for the row-identity join. */
+  private def readDvPairs(spark: SparkSession, dir: String,
+                          dvFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(dvFiles.map(new Path(dir, _).toString): _*)
+      .select(col("f").as(dvNameCol), col("i").as(dvIdxCol))
+  }
+
   private def readSnapshot(spark: SparkSession, dir: String, s: Snapshot,
                            schema: StructType): DataFrame =
     if (s.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(s.files.map(new Path(dir, _).toString): _*)
+    else {
+      import org.apache.spark.sql.functions.col
+      val base = spark.read.schema(schema)
+        .parquet(s.files.map(new Path(dir, _).toString): _*)
+      // merge-on-read: anti-join the live files' tombstones. The dv union
+      // is sized by what deletes touched, not the table — AQE broadcasts
+      // it; the no-dv path (every append-only and freshly-compacted
+      // table) stays the plain scan with zero overhead.
+      val dvFiles = s.files.flatMap(s.dvs.get).flatMap(_.files).distinct
+      if (dvFiles.isEmpty) base
+      else withRowIds(base)
+        .join(readDvPairs(spark, dir, dvFiles), Seq(dvNameCol, dvIdxCol), "left_anti")
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    }
 
   /** Change-data-feed: the row-level changes the table underwent in versions
     * `(fromVersion, toVersion]`, as `schema`'s columns plus `_change_type`
@@ -699,25 +764,51 @@ object ManifestStore {
     def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     def snap(v: Long): Snapshot =
       if (v == 0L) Snapshot(0L, Nil, "none") else readManifest(spark, dir, v)
-    def rd(fl: Seq[String]): DataFrame =
-      if (fl.isEmpty) empty
-      else spark.read.schema(schema).parquet(fl.map(new Path(dir, _).toString): _*)
     def tag(df: DataFrame, t: String, v: Long, op: String): DataFrame = df
       .withColumn("_change_type", lit(t))
       .withColumn("_commit_version", lit(v))
       .withColumn("_commit_op", lit(op))
     val perVersion = ((fromVersion + 1) to toVersion).map { v =>
       val cur = snap(v)
-      val prevFiles = snap(v - 1).files
-      val prevSet = prevFiles.toSet
+      val prev = snap(v - 1)
+      val prevSet = prev.files.toSet
       val curSet = cur.files.toSet
       val added = cur.files.filterNot(prevSet)
-      val removed = prevFiles.filterNot(curSet)
+      val removed = prev.files.filterNot(curSet)
+      // LOGICAL state of a file set at a version (its dv tombstones
+      // applied): a removed file's prior rows exclude what was already
+      // dv-deleted, so a rewrite after merge-on-read deletes never
+      // re-reports them
+      def rdL(s: Snapshot, fl: Seq[String]): DataFrame =
+        if (fl.isEmpty) empty else readSnapshot(spark, dir, s.copy(files = fl), schema)
+      // dv sidecars this commit ADDED per file (a delete-dv commit;
+      // file-list commits never change dv refs in the same version)
+      val dvAdded = cur.files.flatMap { rel =>
+        val now = cur.dvs.get(rel).map(_.files.toSet).getOrElse(Set.empty)
+        val before = prev.dvs.get(rel).map(_.files.toSet).getOrElse(Set.empty)
+        val fresh = now -- before
+        if (fresh.isEmpty) None else Some(rel -> fresh)
+      }
       val (ins, del) =
         if (cur.op == "compact") (empty, empty)
-        else if (removed.isEmpty) (rd(added), empty)
-        else if (added.isEmpty) (empty, rd(removed))
-        else (rd(added).exceptAll(rd(removed)), rd(removed).exceptAll(rd(added)))
+        else if (cur.op == "delete-dv" && dvAdded.nonEmpty) {
+          // tombstoned rows only: physical rows of the touched files
+          // matching the FRESH sidecar pairs (disjoint from prior
+          // tombstones by deleteWhere's live-rows-only construction)
+          val touched = dvAdded.map(_._1)
+          val freshDv = dvAdded.flatMap(_._2).distinct
+          val phys = withRowIds(spark.read.schema(schema)
+            .parquet(touched.map(new Path(dir, _).toString): _*))
+          val deleted = phys
+            .join(readDvPairs(spark, dir, freshDv), Seq(dvNameCol, dvIdxCol), "left_semi")
+            .select(schema.fieldNames.toIndexedSeq
+              .map(org.apache.spark.sql.functions.col): _*)
+          (empty, deleted)
+        }
+        else if (removed.isEmpty) (rdL(cur, added), empty)
+        else if (added.isEmpty) (empty, rdL(prev, removed))
+        else (rdL(cur, added).exceptAll(rdL(prev, removed)),
+          rdL(prev, removed).exceptAll(rdL(cur, added)))
       tag(ins, "insert", v, cur.op).unionAll(tag(del, "delete", v, cur.op))
     }
     perVersion.reduceOption(_ unionAll _)
@@ -980,7 +1071,8 @@ object ManifestStore {
 
   private def commit(df: DataFrame, dir: String, op: String,
                      combine: (Seq[String], Seq[String]) => Seq[String],
-                     maxAttempts: Int = 10): Long = {
+                     maxAttempts: Int = 10,
+                     guard: Option[Snapshot => Unit] = None): Long = {
     val spark = df.sparkSession
     // 1. write the new data files once, under a unique never-renamed prefix
     val nonce = java.util.UUID.randomUUID().toString.take(12)
@@ -990,7 +1082,8 @@ object ManifestStore {
     val fresh = f.listStatus(new Path(dir, dataRel)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .sorted.map(n => s"$dataRel/$n")
-    publishLoop(spark, dir, op, fresh, combine, maxAttempts, Some(df.schema))
+    publishLoop(spark, dir, op, fresh, combine, maxAttempts, Some(df.schema),
+      guard = guard)
   }
 
   /** Widening-only schema evolution rule: columns present in both must
@@ -1050,6 +1143,22 @@ object ManifestStore {
     }
   }
 
+  /** Serialize the dv refs of `files` into the manifest body. */
+  private def writeDvsNode(body: com.fasterxml.jackson.databind.node.ObjectNode,
+                           files: Seq[String],
+                           dvs: Map[String, DvRef]): Unit = {
+    val written = files.flatMap(rel => dvs.get(rel).filter(_.files.nonEmpty).map(rel -> _))
+    if (written.nonEmpty) {
+      val node = body.putObject("dvs")
+      written.foreach { case (rel, ref) =>
+        val n = node.putObject(rel)
+        val arr = n.putArray("files")
+        ref.files.foreach(arr.add)
+        n.put("deleted", ref.deleted): Unit
+      }
+    }
+  }
+
   /** The optimistic slot-claim loop, separated from the data write so ops
     * that only DROP files (a delete whose matches cover whole files) can
     * commit with `fresh = Nil` and no data job at all.
@@ -1060,7 +1169,9 @@ object ManifestStore {
                           maxAttempts: Int = 10,
                           dfSchema: Option[StructType] = None,
                           freshParts: Map[String, Map[String, String]] = Map.empty,
-                          freshBlooms: Map[String, Map[String, BloomIndex]] = Map.empty): Long = {
+                          freshBlooms: Map[String, Map[String, BloomIndex]] = Map.empty,
+                          freshDvDeltas: Map[String, DvRef] = Map.empty,
+                          guard: Option[Snapshot => Unit] = None): Long = {
     val f = fs(spark, dir)
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
@@ -1090,6 +1201,10 @@ object ManifestStore {
         Thread.sleep(20L << math.min(attempt, 4))
         attempt += 1
       } else {
+        // conflict guard against the CURRENT snapshot (re-read each
+        // attempt): a writer whose plan depends on more than the file list
+        // (dv refs) re-validates here and aborts loudly on interference
+        guard.foreach(g => g(prev.getOrElse(Snapshot(0L, Nil, "none"))))
         val version = math.max(claimed, prevV) + 1
         val files = combine(prev.map(_.files).getOrElse(Nil), fresh)
         val body = mapper.createObjectNode()
@@ -1144,6 +1259,15 @@ object ManifestStore {
         // un-bloomed (= un-prunable, safe) until the next buildBlooms pass
         val carriedBlooms = prev.map(_.blooms).getOrElse(Map.empty) ++ freshBlooms
         writeBloomsNode(body, files, carriedBlooms)
+        // dv refs: carried like stats; deltas APPEND to the current ref
+        // (the deleteWhere guard proves the base unchanged, so append is
+        // exact); rewritten files drop their entries with themselves
+        val prevDvs = prev.map(_.dvs).getOrElse(Map.empty)
+        val carriedDvs = prevDvs ++ freshDvDeltas.map { case (rel, d) =>
+          val ex = prevDvs.getOrElse(rel, DvRef(Nil, 0L))
+          rel -> DvRef(ex.files ++ d.files, ex.deleted + d.deleted)
+        }
+        writeDvsNode(body, files, carriedDvs)
         if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
         attempt += 1
       }
@@ -1195,7 +1319,12 @@ object ManifestStore {
       rows = snap.rows.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
       schema = snap.schema,
       parts = snap.parts.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
-      blooms = snap.blooms.flatMap { case (k, v) => rekey.get(k).map(_ -> v) })
+      blooms = snap.blooms.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
+      dvs = snap.dvs.flatMap { case (k, v) =>
+        // dv sidecars rekey to absolute source URIs like the data files
+        rekey.get(k).map(_ -> v.copy(files = v.files.map(r =>
+          new Path(srcBase, r).toString)))
+      })
   }
 
   /** Publish a manifest with EXTERNALLY-supplied content (no footer
@@ -1210,6 +1339,7 @@ object ManifestStore {
                               schema: Option[StructType],
                               parts: Map[String, Map[String, String]],
                               blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
+                              dvs: Map[String, DvRef] = Map.empty,
                               maxAttempts: Int = 10): Long = {
     val f = fs(spark, dir)
     var attempt = 0
@@ -1248,6 +1378,7 @@ object ManifestStore {
         }
       }
       writeBloomsNode(body, files, blooms)
+      writeDvsNode(body, files, dvs)
       if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
       attempt += 1
     }
@@ -1363,8 +1494,11 @@ object ManifestStore {
     groups.foreach { case (partVals, files) =>
       val nOut = math.max(1, math.ceil(files.map(_._2).sum.toDouble
         / targetFileBytes).toInt)
-      val raw = spark.read.schema(schema)
-        .parquet(files.map(s => new Path(dir, s._1).toString): _*)
+      // LOGICAL read (dv tombstones applied): compaction materializes
+      // merge-on-read deletes; the dv guard below aborts if new tombstones
+      // land on these files after this read
+      val raw = readSnapshot(spark, dir,
+        snap.copy(files = files.map(_._1)), schema)
       // zorderCols turns the rewrite into OPTIMIZE ZORDER BY: the squashed
       // rows are Morton-clustered (Landing.zorderValue's rank-normalized
       // interleave) and range-partitioned on the z-value, so the compacted
@@ -1403,7 +1537,8 @@ object ManifestStore {
           throw new java.util.ConcurrentModificationException(
             "snapshot changed under compaction")
         prev.filterNot(smallSet.contains) ++ fresh
-      }, dfSchema = Some(schema), freshParts = freshParts.result()))
+      }, dfSchema = Some(schema), freshParts = freshParts.result(),
+      guard = Some(dvUnchangedGuard(snap, smallSet))))
     catch { case _: java.util.ConcurrentModificationException => None }
   }
 
@@ -1467,15 +1602,104 @@ object ManifestStore {
           abort(prev); prev.filterNot(gone.contains)
         }))
       else {
-        val survivors = spark.read.schema(schema)
-          .parquet(partial.map(p => new Path(dir, p).toString): _*)
-          .filter(!(col(column) >= lit(lo) && col(column) <= lit(hi)) ||
-            col(column).isNull)
+        // LOGICAL read of the partial files (their dv tombstones applied):
+        // the rewrite materializes prior merge-on-read deletes instead of
+        // resurrecting them, and the dv guard aborts if a concurrent
+        // deleteWhere tombstoned these files after planning
+        val survivors =
+          readSnapshot(spark, dir, snap.copy(files = partial), schema)
+            .filter(!(col(column) >= lit(lo) && col(column) <= lit(hi)) ||
+              col(column).isNull)
         Some(commit(survivors, dir, "delete", { (prev, fresh) =>
           abort(prev); prev.filterNot(gone.contains) ++ fresh
-        }))
+        }, guard = Some(dvUnchangedGuard(snap, partial))))
       }
     } catch { case _: java.util.ConcurrentModificationException => None }
+  }
+
+  /** A [[publishLoop]] guard proving the dv refs of `files` did not change
+    * since `planned` — the conflict rule for every rewrite that READ those
+    * files' logical rows: a concurrent [[deleteWhere]] tombstone landing
+    * after the read would be silently resurrected by the rewrite, so the
+    * commit aborts instead and the caller retries against the new state.
+    */
+  private def dvUnchangedGuard(planned: Snapshot,
+                               files: Iterable[String]): Snapshot => Unit = {
+    val basis = files.map(r => r -> planned.dvs.getOrElse(r, DvRef(Nil, 0L))).toMap
+    prev => basis.foreach { case (rel, ref) =>
+      if (prev.dvs.getOrElse(rel, DvRef(Nil, 0L)) != ref)
+        throw new java.util.ConcurrentModificationException(
+          s"deletion vectors changed under rewrite on $rel")
+    }
+  }
+
+  /** MERGE-ON-READ delete: tombstone every current row matching
+    * `predicate` in a deletion-vector sidecar instead of rewriting data
+    * files — the point-delete shape ([[deleteRange]] is its copy-on-write
+    * sibling for contiguous ranges). One logical scan finds the doomed
+    * `(file, row_index)` pairs; the commit is then metadata-only: data
+    * files keep their identity, stats, partition values and blooms, and
+    * the table's write amplification for deleting k rows is O(k), not
+    * O(files touched × file size). Readers pay one anti-join against the
+    * dv union until compaction materializes the deletions away.
+    *
+    * Contracts: only LIVE rows tombstone (the scan applies existing dvs,
+    * so repeated deletes never double-count and [[countRows]] stays
+    * exact); a concurrent commit that rewrites or re-tombstones a touched
+    * file aborts with None (the caller retries — same OCC discipline as
+    * [[upsertKeyed]]); [[changes]] reports exactly the tombstoned rows as
+    * row-level deletes; time travel to a pre-delete version still sees
+    * the rows. Returns the new version, Some(current) when nothing
+    * matched, None on a lost conflict.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, schema: StructType,
+                  predicate: Column): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val snap = currentSnapshot(spark, dir).getOrElse(return None)
+    if (snap.files.isEmpty) return Some(snap.version)
+    val nameToRel = snap.files.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    require(nameToRel.size == snap.files.size,
+      s"duplicate parquet file names across $dir — dv row identity needs unique names")
+    // live rows only: row ids exposed, existing tombstones anti-joined
+    val ided = withRowIds(spark.read.schema(schema)
+      .parquet(snap.files.map(new Path(dir, _).toString): _*))
+    val dvFiles = snap.files.flatMap(snap.dvs.get).flatMap(_.files).distinct
+    val live = if (dvFiles.isEmpty) ided
+      else ided.join(readDvPairs(spark, dir, dvFiles),
+        Seq(dvNameCol, dvIdxCol), "left_anti")
+    val doomed = live.filter(predicate)
+      .select(col(dvNameCol).as("f"), col(dvIdxCol).cast("long").as("i"))
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val dvRel = s"d-dv-$nonce"
+    doomed.write.mode("error").parquet(new Path(dir, dvRel).toString)
+    val parts = f.listStatus(new Path(dir, dvRel)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .sorted.map(n => s"$dvRel/$n")
+    // per-file tombstone counts from the (tiny) sidecar just written
+    val counts = spark.read.parquet(new Path(dir, dvRel).toString)
+      .groupBy(col("f")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) { // nothing matched: no commit, no sidecar
+      f.delete(new Path(dir, dvRel), true)
+      return Some(snap.version)
+    }
+    val deltas = counts.map { case (name, n) => nameToRel(name) -> DvRef(parts, n) }
+    val guard = dvUnchangedGuard(snap, deltas.keys)
+    val fileGuard: Snapshot => Unit = { prev =>
+      deltas.keys.foreach { rel =>
+        if (!prev.files.contains(rel))
+          throw new java.util.ConcurrentModificationException(
+            s"file $rel rewritten under deleteWhere")
+      }
+      guard(prev)
+    }
+    try Some(publishLoop(spark, dir, "delete-dv", Nil, (prev, _) => prev,
+      freshDvDeltas = deltas, guard = Some(fileGuard)))
+    catch { case _: java.util.ConcurrentModificationException =>
+      // the orphaned sidecar is unreferenced; vacuum collects it
+      None
+    }
   }
 
   /** Keyed copy-on-write upsert — the MERGE write shape: every batch row
@@ -1539,13 +1763,12 @@ object ManifestStore {
     try {
       val fresh =
         if (touched.isEmpty) batch
-        else spark.read.schema(schema)
-          .parquet(touched.map(p => new Path(dir, p).toString): _*)
+        else readSnapshot(spark, dir, snap.copy(files = touched), schema)
           .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(batch)
       Some(commit(fresh, dir, "upsert", { (prev, freshFiles) =>
         abort(prev); prev.filterNot(touchedSet.contains) ++ freshFiles
-      }))
+      }, guard = Some(dvUnchangedGuard(snap, touched))))
     } catch { case _: java.util.ConcurrentModificationException => None }
   }
 
@@ -1589,7 +1812,11 @@ object ManifestStore {
     // costs nothing (the next vacuum retries) and old-manifest dropping
     // below stays safe either way (readers fall back within the keep
     // window, never to a dropped version).
-    val reads = keep.map(v => scala.util.Try(readManifest(spark, dir, v).files))
+    val reads = keep.map(v => scala.util.Try {
+      val s = readManifest(spark, dir, v)
+      // dv sidecars referenced by a live manifest are live data too
+      s.files ++ s.dvs.values.flatMap(_.files)
+    })
     val allKeptReadable = reads.forall(_.isSuccess)
     val live = reads.flatMap(_.getOrElse(Seq.empty)).toSet
     var dataDeleted = 0

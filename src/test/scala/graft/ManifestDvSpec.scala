@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.ManifestStore
+
+/** Merge-on-read deletion vectors ([[ManifestStore.deleteWhere]]).
+  * Contracts pinned here: a delete commit is metadata + sidecar only (data
+  * files keep their identity), reads/counts are exact and cumulative
+  * deletes never double-count, [[ManifestStore.changes]] reports exactly
+  * the tombstoned rows, every rewrite path (compact, compactSmall,
+  * upsertKeyed, deleteRange) reads the LOGICAL view and so materializes
+  * tombstones instead of resurrecting them, concurrent tombstones abort
+  * rewrites through the dv guard, clones carry dvs, and vacuum keeps live
+  * sidecars while collecting orphaned ones.
+  */
+class ManifestDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL("k BIGINT, v STRING")
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-dv").toString
+
+  private def strideDf(start: Int) =
+    (start until 300 by 3).map(i => (i.toLong, s"s$i")).toDF("k", "v").repartition(1)
+
+  private def snap(dir: String) = ManifestStore.currentSnapshot(spark, dir).get
+
+  private def keys(dir: String): Set[Long] =
+    ManifestStore.read(spark, dir, schema).as[(Long, String)].collect().map(_._1).toSet
+
+  private def threeFileTable(): String = {
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    ManifestStore.append(strideDf(1), dir)
+    ManifestStore.append(strideDf(2), dir)
+    dir
+  }
+
+  test("deleteWhere tombstones without rewriting; counts exact and cumulative") {
+    val dir = threeFileTable()
+    val before = snap(dir)
+    val all = (0L until 300L).toSet
+    assert(ManifestStore.countRows(spark, dir) === Some(300L))
+
+    val v1 = ManifestStore.deleteWhere(spark, dir, schema, col("k") % 7 === 0)
+    assert(v1.isDefined)
+    val s1 = snap(dir)
+    assert(s1.op === "delete-dv")
+    assert(s1.files === before.files) // no data file rewritten
+    val afterFirst = all.filterNot(_ % 7 == 0)
+    assert(keys(dir) === afterFirst)
+    assert(ManifestStore.countRows(spark, dir) === Some(afterFirst.size.toLong))
+    // stats/blooms/partition metadata survive untouched
+    assert(s1.stats === before.stats && s1.rows === before.rows)
+
+    // second delete overlaps the first at multiples of 35: only LIVE rows
+    // tombstone, so counts stay exact
+    val v2 = ManifestStore.deleteWhere(spark, dir, schema, col("k") % 5 === 0)
+    assert(v2.get > v1.get)
+    val afterSecond = afterFirst.filterNot(_ % 5 == 0)
+    assert(keys(dir) === afterSecond)
+    assert(ManifestStore.countRows(spark, dir) === Some(afterSecond.size.toLong))
+    // per-file refs accumulate sidecars
+    assert(snap(dir).dvs.values.exists(_.files.size >= 2))
+
+    // a no-match delete is a no-op returning the current version
+    assert(ManifestStore.deleteWhere(spark, dir, schema, col("k") > 1000L)
+      === Some(v2.get))
+    assert(snap(dir).version === v2.get)
+
+    // time travel still sees the rows
+    assert(ManifestStore.readVersion(spark, dir, before.version, schema)
+      .count() === 300L)
+  }
+
+  test("changes reports exactly the tombstoned rows; compaction materializes") {
+    val dir = threeFileTable()
+    val v0 = snap(dir).version
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") % 7 === 0)
+    val v1 = snap(dir).version
+    val feed = ManifestStore.changes(spark, dir, v0, v1, schema)
+      .select(col("k"), col("_change_type"), col("_commit_op")).collect()
+    assert(feed.forall(r => r.getString(1) == "delete" && r.getString(2) == "delete-dv"))
+    assert(feed.map(_.getLong(0)).toSet === (0L until 300L).filter(_ % 7 == 0).toSet)
+
+    // clone carries the tombstones
+    val cl = tmpDir()
+    ManifestStore.cloneShallow(spark, dir, cl)
+    assert(keys(cl) === (0L until 300L).filterNot(_ % 7 == 0).toSet)
+
+    // compaction reads the logical view: dvs drop, rows stay correct
+    ManifestStore.compact(spark, dir, schema, numFiles = 1)
+    val sc = snap(dir)
+    assert(sc.dvs.isEmpty)
+    assert(keys(dir) === (0L until 300L).filterNot(_ % 7 == 0).toSet)
+    assert(ManifestStore.countRows(spark, dir) === Some(257L))
+    // the compact commit stays silent in the feed (logically neutral)
+    assert(ManifestStore.changes(spark, dir, v1, sc.version, schema).count() === 0L)
+  }
+
+  test("rewrite paths read the logical view; concurrent tombstones abort them") {
+    val dir = threeFileTable()
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") === 9L)
+    // upsertKeyed through the dv: replaced row updates, tombstone stays dead
+    val up = ManifestStore.upsertKeyed(spark, dir, schema,
+      Seq((12L, "NEW"), (9L, "RESURRECT?")).toDF("k", "v"), "k")
+    assert(up.isDefined)
+    val rows = ManifestStore.read(spark, dir, schema).as[(Long, String)]
+      .collect().toMap
+    assert(rows(12L) === "NEW")
+    assert(rows(9L) === "RESURRECT?") // an upsert INSERTS a dead key anew
+    assert(rows.size === 300) // 300 - 1 tombstone + 1 re-insert
+
+    // deleteRange partial rewrite keeps prior tombstones dead
+    val dir2 = threeFileTable()
+    ManifestStore.deleteWhere(spark, dir2, schema, col("k") === 4L)
+    ManifestStore.deleteRange(spark, dir2, schema, "k", 0L, 9L)
+    assert(keys(dir2) === (10L until 300L).toSet)
+
+    // a tombstone landing mid-rewrite aborts the rewrite (dv guard)
+    val dir3 = threeFileTable()
+    val aborted = ManifestStore.upsertKeyed(spark, dir3, schema,
+      Seq((3L, "X")).toDF("k", "v"), "k",
+      midFlight = () => {
+        ManifestStore.deleteWhere(spark, dir3, schema, col("k") === 6L): Unit
+      })
+    assert(aborted.isEmpty)
+    assert(keys(dir3) === (0L until 300L).toSet - 6L) // delete won, upsert aborted
+  }
+
+  test("vacuum keeps live sidecars, collects them once compaction drops the refs") {
+    val dir = threeFileTable()
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") % 2 === 0)
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    // live dv sidecars survived the vacuum: reads stay exact
+    assert(keys(dir) === (0L until 300L).filter(_ % 2 == 1).toSet)
+    assert(snap(dir).dvs.nonEmpty)
+
+    ManifestStore.compact(spark, dir, schema, numFiles = 1)
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    // refs gone and sidecar files physically collected
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dvDirs = f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-dv-"))
+      .filter(d => f.listStatus(d.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+    assert(dvDirs.isEmpty)
+    assert(keys(dir) === (0L until 300L).filter(_ % 2 == 1).toSet)
+  }
+}
