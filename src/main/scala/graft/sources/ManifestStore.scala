@@ -1653,18 +1653,28 @@ object ManifestStore {
     * matched, None on a lost conflict.
     */
   def deleteWhere(spark: SparkSession, dir: String, schema: StructType,
-                  predicate: Column): Option[Long] = {
+                  predicate: Column,
+                  planRanges: Seq[(String, Any, Any)] = Nil): Option[Long] = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, dir)
     val snap = currentSnapshot(spark, dir).getOrElse(return None)
     if (snap.files.isEmpty) return Some(snap.version)
-    val nameToRel = snap.files.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
-    require(nameToRel.size == snap.files.size,
+    // stats planning: `planRanges` are conjunctive bounds the caller
+    // asserts the predicate IMPLIES (`user_id = x` → (("user_id", x, x)))
+    // — files the manifest (stats, partition values, blooms) proves
+    // outside them cannot hold a match and are not scanned, so a planned
+    // point delete on a clustered/bloomed 100 TB table touches a handful
+    // of files. Empty = scan everything (arbitrary predicate).
+    val cand =
+      if (planRanges.isEmpty) snap.files else pruneFilesWhere(snap, planRanges)
+    if (cand.isEmpty) return Some(snap.version)
+    val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    require(nameToRel.size == cand.size,
       s"duplicate parquet file names across $dir — dv row identity needs unique names")
     // live rows only: row ids exposed, existing tombstones anti-joined
     val ided = withRowIds(spark.read.schema(schema)
-      .parquet(snap.files.map(new Path(dir, _).toString): _*))
-    val dvFiles = snap.files.flatMap(snap.dvs.get).flatMap(_.files).distinct
+      .parquet(cand.map(new Path(dir, _).toString): _*))
+    val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
     val live = if (dvFiles.isEmpty) ided
       else ided.join(readDvPairs(spark, dir, dvFiles),
         Seq(dvNameCol, dvIdxCol), "left_anti")

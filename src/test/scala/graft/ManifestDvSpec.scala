@@ -133,6 +133,27 @@ class ManifestDvSpec extends SparkSpec {
     assert(keys(dir3) === (0L until 300L).toSet - 6L) // delete won, upsert aborted
   }
 
+  test("planned deleteWhere prunes candidates via ranges and blooms") {
+    val dir = threeFileTable()
+    val v = ManifestStore.deleteWhere(spark, dir, schema, col("k") === 4L,
+      planRanges = Seq(("k", 4L, 4L)))
+    assert(v.isDefined)
+    assert(keys(dir) === (0L until 300L).toSet - 4L)
+    // with blooms built the plan prunes to the single holding file and the
+    // dv lands on it alone
+    ManifestStore.buildBlooms(spark, dir, Seq("k"))
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") === 7L,
+      planRanges = Seq(("k", 7L, 7L)))
+    assert(keys(dir) === (0L until 300L).toSet - 4L - 7L)
+    val s = snap(dir)
+    assert(s.dvs.keySet.size <= 2) // tombstones touch at most the holding files
+    // a provably-empty plan commits nothing
+    val before = snap(dir).version
+    assert(ManifestStore.deleteWhere(spark, dir, schema, col("k") === 5000L,
+      planRanges = Seq(("k", 5000L, 5000L))) === Some(before))
+    assert(snap(dir).version === before)
+  }
+
   test("vacuum keeps live sidecars, collects them once compaction drops the refs") {
     val dir = threeFileTable()
     ManifestStore.deleteWhere(spark, dir, schema, col("k") % 2 === 0)
