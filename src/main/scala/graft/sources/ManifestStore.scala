@@ -789,22 +789,25 @@ object ManifestStore {
         val fresh = now -- before
         if (fresh.isEmpty) None else Some(rel -> fresh)
       }
+      // tombstoned rows of a dv-writing commit: physical rows of the
+      // touched files matching the FRESH sidecar pairs (disjoint from
+      // prior tombstones by the live-rows-only construction)
+      def tombstoned: DataFrame = {
+        val touched = dvAdded.map(_._1)
+        val freshDv = dvAdded.flatMap(_._2).distinct
+        withRowIds(spark.read.schema(schema)
+          .parquet(touched.map(new Path(dir, _).toString): _*))
+          .join(readDvPairs(spark, dir, freshDv), Seq(dvNameCol, dvIdxCol), "left_semi")
+          .select(schema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+      }
       val (ins, del) =
         if (cur.op == "compact") (empty, empty)
-        else if (cur.op == "delete-dv" && dvAdded.nonEmpty) {
-          // tombstoned rows only: physical rows of the touched files
-          // matching the FRESH sidecar pairs (disjoint from prior
-          // tombstones by deleteWhere's live-rows-only construction)
-          val touched = dvAdded.map(_._1)
-          val freshDv = dvAdded.flatMap(_._2).distinct
-          val phys = withRowIds(spark.read.schema(schema)
-            .parquet(touched.map(new Path(dir, _).toString): _*))
-          val deleted = phys
-            .join(readDvPairs(spark, dir, freshDv), Seq(dvNameCol, dvIdxCol), "left_semi")
-            .select(schema.fieldNames.toIndexedSeq
-              .map(org.apache.spark.sql.functions.col): _*)
-          (empty, deleted)
-        }
+        else if (cur.op == "delete-dv" && dvAdded.nonEmpty) (empty, tombstoned)
+        else if (cur.op == "update-dv" && dvAdded.nonEmpty)
+          // one commit, both sides: deletes are the tombstoned originals,
+          // inserts the freshly-written updated copies
+          (rdL(cur, added), tombstoned)
         else if (removed.isEmpty) (rdL(cur, added), empty)
         else if (added.isEmpty) (empty, rdL(prev, removed))
         else (rdL(cur, added).exceptAll(rdL(prev, removed)),
@@ -1710,6 +1713,88 @@ object ManifestStore {
       // the orphaned sidecar is unreferenced; vacuum collects it
       None
     }
+  }
+
+  /** MERGE-ON-READ update: rewrite every current row matching `predicate`
+    * with `set`'s column expressions — as ONE atomic commit that
+    * tombstones the originals ([[deleteWhere]]'s sidecar mechanics) and
+    * appends the updated copies as fresh files. Write amplification is
+    * O(matched rows), not O(touched files × file size): the untouched
+    * 99% of a hot file's rows stay where they are, keeping their stats,
+    * partition values and blooms — the "fix one column on k scattered
+    * rows of a 100 TB table" shape copy-on-write MERGE handles worst.
+    *
+    * `set` maps column names (existing columns only) to their new value
+    * expressions, evaluated against the old row. `planRanges` prunes
+    * candidate files like [[deleteWhere]]. [[changes]] reports the commit
+    * as exact row-level delete (old image) + insert (new image) —
+    * [[changesKeyed]] pairs them into update_pre/postimage on a key.
+    * Same OCC discipline: concurrent rewrites or tombstones on touched
+    * files abort with None. Returns Some(current) when nothing matched.
+    */
+  def updateWhere(spark: SparkSession, dir: String, schema: StructType,
+                  predicate: Column, set: Map[String, Column],
+                  planRanges: Seq[(String, Any, Any)] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"SET column '$c' is not in the table schema (no implicit column adds)"))
+    val f = fs(spark, dir)
+    val snap = currentSnapshot(spark, dir).getOrElse(return None)
+    if (snap.files.isEmpty) return Some(snap.version)
+    val cand =
+      if (planRanges.isEmpty) snap.files else pruneFilesWhere(snap, planRanges)
+    if (cand.isEmpty) return Some(snap.version)
+    val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    require(nameToRel.size == cand.size,
+      s"duplicate parquet file names across $dir — dv row identity needs unique names")
+    def liveIded = {
+      val ided = withRowIds(spark.read.schema(schema)
+        .parquet(cand.map(new Path(dir, _).toString): _*))
+      val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
+      if (dvFiles.isEmpty) ided
+      else ided.join(readDvPairs(spark, dir, dvFiles),
+        Seq(dvNameCol, dvIdxCol), "left_anti")
+    }
+    // 1. tombstone sidecar for the old images
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val dvRel = s"d-dv-$nonce"
+    liveIded.filter(predicate)
+      .select(col(dvNameCol).as("f"), col(dvIdxCol).cast("long").as("i"))
+      .write.mode("error").parquet(new Path(dir, dvRel).toString)
+    val parts = f.listStatus(new Path(dir, dvRel)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .sorted.map(n => s"$dvRel/$n")
+    val counts = spark.read.parquet(new Path(dir, dvRel).toString)
+      .groupBy(col("f")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) {
+      f.delete(new Path(dir, dvRel), true)
+      return Some(snap.version)
+    }
+    // 2. fresh files with the new images (immutable inputs: this second
+    // scan selects exactly the rows the sidecar tombstoned)
+    val dataRel = s"d-$nonce"
+    liveIded.filter(predicate).withColumns(set)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .write.mode("error").parquet(new Path(dir, dataRel).toString)
+    val freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .sorted.map(n => s"$dataRel/$n")
+    val deltas = counts.map { case (name, n) => nameToRel(name) -> DvRef(parts, n) }
+    val guard = dvUnchangedGuard(snap, deltas.keys)
+    val fileGuard: Snapshot => Unit = { prev =>
+      deltas.keys.foreach { rel =>
+        if (!prev.files.contains(rel))
+          throw new java.util.ConcurrentModificationException(
+            s"file $rel rewritten under updateWhere")
+      }
+      guard(prev)
+    }
+    try Some(publishLoop(spark, dir, "update-dv", freshFiles,
+      (prev, fresh) => prev ++ fresh, dfSchema = Some(schema),
+      freshDvDeltas = deltas, guard = Some(fileGuard)))
+    catch { case _: java.util.ConcurrentModificationException => None }
   }
 
   /** Keyed copy-on-write upsert — the MERGE write shape: every batch row

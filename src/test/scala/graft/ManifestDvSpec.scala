@@ -154,6 +154,46 @@ class ManifestDvSpec extends SparkSpec {
     assert(snap(dir).version === before)
   }
 
+  test("updateWhere: tombstone + fresh copies in one commit; CDC pairs them") {
+    val dir = threeFileTable()
+    val v0 = snap(dir).version
+    val up = ManifestStore.updateWhere(spark, dir, schema,
+      col("k") % 50 === 0, Map("v" -> concat(col("v"), lit("!"))))
+    assert(up.isDefined)
+    val s = snap(dir)
+    assert(s.op === "update-dv")
+    assert(ManifestStore.countRows(spark, dir) === Some(300L))
+    val rows = ManifestStore.read(spark, dir, schema).as[(Long, String)]
+      .collect().toMap
+    assert(rows.size === 300)
+    (0L until 300L).foreach { k =>
+      assert(rows(k) === (if (k % 50 == 0) s"s$k!" else s"s$k"))
+    }
+    // the original files all survive; updated copies landed as fresh files
+    assert((0L until 300L by 50L).size === 6)
+    assert(s.dvs.values.map(_.deleted).sum === 6L)
+
+    // CDC: exact old images deleted, new images inserted; keyed
+    // classification pairs them as an update
+    val feed = ManifestStore.changes(spark, dir, v0, s.version, schema)
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("insert" -> 6L, "delete" -> 6L))
+    val keyed = ManifestStore.changesKeyed(spark, dir, v0, s.version, schema, "k")
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keyed === Map("update_preimage" -> 6L, "update_postimage" -> 6L))
+
+    // no-match update: no commit
+    assert(ManifestStore.updateWhere(spark, dir, schema, col("k") > 999L,
+      Map("v" -> lit("x"))) === Some(s.version))
+    // compaction materializes the update
+    ManifestStore.compact(spark, dir, schema, numFiles = 1)
+    assert(snap(dir).dvs.isEmpty)
+    assert(ManifestStore.read(spark, dir, schema).as[(Long, String)]
+      .collect().toMap.apply(100L) === "s100!")
+  }
+
   test("vacuum keeps live sidecars, collects them once compaction drops the refs") {
     val dir = threeFileTable()
     ManifestStore.deleteWhere(spark, dir, schema, col("k") % 2 === 0)
