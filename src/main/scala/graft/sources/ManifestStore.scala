@@ -657,6 +657,24 @@ object ManifestStore {
                   schema: StructType): DataFrame =
     readSnapshot(spark, dir, readManifest(spark, dir, version), schema)
 
+  /** ROLL BACK the table to `version` — as a NEW commit whose manifest
+    * re-references that snapshot's files, stats, partition values, blooms
+    * and deletion vectors verbatim (Delta's RESTORE): no data moves, the
+    * rolled-back versions stay time-travelable, and [[changes]] reports
+    * the restore as the exact row-level diff between the current and
+    * restored states (an incremental consumer follows a rollback like any
+    * other commit). Only meaningful within the vacuum retention or under
+    * a tag pin: vacuum may already have collected a dropped version's
+    * data files even though its manifest parses. Returns the new version.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val snap = readManifest(spark, dir, version)
+    publishExternal(spark, dir, op = s"restore:$version", files = snap.files,
+      stats = snap.stats, rows = snap.rows, schema = snap.schema,
+      parts = snap.parts, blooms = snap.blooms, dvs = snap.dvs,
+      firstVersionOnly = false)
+  }
+
   /** Metadata-only `COUNT(*)`: the table's exact row count from the
     * manifest's per-file counts — zero data I/O, zero Spark jobs. `None`
     * when any current file predates row-count recording (an append through
@@ -804,9 +822,9 @@ object ManifestStore {
       val (ins, del) =
         if (cur.op == "compact") (empty, empty)
         else if (cur.op == "delete-dv" && dvAdded.nonEmpty) (empty, tombstoned)
-        else if (cur.op == "update-dv" && dvAdded.nonEmpty)
+        else if ((cur.op == "update-dv" || cur.op == "upsert-dv") && dvAdded.nonEmpty)
           // one commit, both sides: deletes are the tombstoned originals,
-          // inserts the freshly-written updated copies
+          // inserts the freshly-written updated copies / batch rows
           (rdL(cur, added), tombstoned)
         else if (removed.isEmpty) (rdL(cur, added), empty)
         else if (added.isEmpty) (empty, rdL(prev, removed))
@@ -1343,13 +1361,15 @@ object ManifestStore {
                               parts: Map[String, Map[String, String]],
                               blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
                               dvs: Map[String, DvRef] = Map.empty,
+                              firstVersionOnly: Boolean = true,
                               maxAttempts: Int = 10): Long = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxAttempts) {
       val version = math.max(maxClaimedVersion(f, dir),
         currentSnapshot(spark, dir).map(_.version).getOrElse(0L)) + 1
-      require(version == 1L, s"external publish into non-empty table $dir")
+      require(!firstVersionOnly || version == 1L,
+        s"external publish into non-empty table $dir")
       val body = mapper.createObjectNode()
       body.put("version", version)
       body.put("op", op)
@@ -1865,6 +1885,84 @@ object ManifestStore {
         abort(prev); prev.filterNot(touchedSet.contains) ++ freshFiles
       }, guard = Some(dvUnchangedGuard(snap, touched))))
     } catch { case _: java.util.ConcurrentModificationException => None }
+  }
+
+  /** MERGE-ON-READ keyed upsert — [[upsertKeyed]]'s deletion-vector
+    * sibling: rows whose key the batch replaces TOMBSTONE in a sidecar
+    * and the batch appends as fresh files, one atomic `upsert-dv` commit.
+    * Write amplification is O(batch), independent of how many files the
+    * batch's keys scatter across — the daily-increment shape for an
+    * UNCLUSTERED 100 TB latest-state table, where the copy-on-write form
+    * would rewrite nearly every file (each one holds a few of the batch's
+    * keys). The tradeoff is the read-side anti-join until compaction;
+    * key-clustered tables should prefer [[upsertKeyed]], whose rewrite
+    * keeps files tight.
+    *
+    * Same contracts as [[upsertKeyed]]: key-unique batch, null keys
+    * always insert, strict OCC (any concurrent commit aborts with None —
+    * an interleaved append could carry a duplicate key), exact
+    * [[changes]] (old images delete, batch rows insert;
+    * [[changesKeyed]] pairs them). Stats/bloom pruning narrows the
+    * key-probe scan, not correctness.
+    */
+  def upsertKeyedDv(spark: SparkSession, dir: String, schema: StructType,
+                    batch: DataFrame, keyCol: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
+    val dupKeys = batch.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(fcount(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).count()
+    require(dupKeys == 0L, s"upsert batch has duplicate keys on $keyCol")
+    val f = fs(spark, dir)
+    val snap = currentSnapshot(spark, dir).getOrElse {
+      return Some(commit(batch, dir, "upsert-dv", (_, fresh) => fresh))
+    }
+    val b = batch.agg(fmin(col(keyCol)), fmax(col(keyCol))).head
+    val cand =
+      if (b.isNullAt(0)) Seq.empty // all-null-key batch: pure insert
+      else pruneFiles(snap, keyCol, b.get(0), b.get(1))
+    val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    require(nameToRel.size == cand.size,
+      s"duplicate parquet file names across $dir — dv row identity needs unique names")
+    val abort: Snapshot => Unit = { prev =>
+      if (prev.files != snap.files || prev.dvs != snap.dvs)
+        throw new java.util.ConcurrentModificationException(
+          "snapshot changed under upsertKeyedDv")
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    var deltas = Map.empty[String, DvRef]
+    if (cand.nonEmpty) {
+      // live rows in candidate files whose key the batch carries
+      val ided = withRowIds(spark.read.schema(schema)
+        .parquet(cand.map(new Path(dir, _).toString): _*))
+      val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
+      val live = if (dvFiles.isEmpty) ided
+        else ided.join(readDvPairs(spark, dir, dvFiles),
+          Seq(dvNameCol, dvIdxCol), "left_anti")
+      val dvRel = s"d-dv-$nonce"
+      live.join(batch.select(col(keyCol)).filter(col(keyCol).isNotNull),
+          Seq(keyCol), "left_semi")
+        .select(col(dvNameCol).as("f"), col(dvIdxCol).cast("long").as("i"))
+        .write.mode("error").parquet(new Path(dir, dvRel).toString)
+      val parts = f.listStatus(new Path(dir, dvRel)).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .sorted.map(n => s"$dvRel/$n")
+      val counts = spark.read.parquet(new Path(dir, dvRel).toString)
+        .groupBy(col("f")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) f.delete(new Path(dir, dvRel), true)
+      else deltas = counts.map { case (name, n) =>
+        nameToRel(name) -> DvRef(parts, n)
+      }
+    }
+    val dataRel = s"d-$nonce"
+    batch.write.mode("error").parquet(new Path(dir, dataRel).toString)
+    val freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .sorted.map(n => s"$dataRel/$n")
+    try Some(publishLoop(spark, dir, "upsert-dv", freshFiles,
+      (prev, fresh) => prev ++ fresh, dfSchema = Some(batch.schema),
+      freshDvDeltas = deltas, guard = Some(abort)))
+    catch { case _: java.util.ConcurrentModificationException => None }
   }
 
   /** Drop versions older than the latest `keepVersions`, then delete every

@@ -194,6 +194,64 @@ class ManifestDvSpec extends SparkSpec {
       .collect().toMap.apply(100L) === "s100!")
   }
 
+  test("upsertKeyedDv: replaced keys tombstone, batch appends, O(batch) commit") {
+    val dir = threeFileTable()
+    val v0 = snap(dir).version
+    val v = ManifestStore.upsertKeyedDv(spark, dir, schema,
+      Seq((4L, "NEW4"), (1000L, "FRESH")).toDF("k", "v"), "k")
+    assert(v.isDefined)
+    val s = snap(dir)
+    assert(s.op === "upsert-dv")
+    val rows = ManifestStore.read(spark, dir, schema).as[(Long, String)]
+      .collect().toMap
+    assert(rows(4L) === "NEW4" && rows(1000L) === "FRESH" && rows.size === 301)
+    assert(ManifestStore.countRows(spark, dir) === Some(301L))
+    assert(s.dvs.values.map(_.deleted).sum === 1L) // only key 4 replaced
+    val keyed = ManifestStore.changesKeyed(spark, dir, v0, s.version, schema, "k")
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keyed === Map(
+      "update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 1L))
+
+    // replacing a key that now lives in a FRESH batch file tombstones there
+    ManifestStore.upsertKeyedDv(spark, dir, schema,
+      Seq((4L, "NEWER")).toDF("k", "v"), "k")
+    val rows2 = ManifestStore.read(spark, dir, schema).as[(Long, String)]
+      .collect().toMap
+    assert(rows2(4L) === "NEWER" && rows2.size === 301)
+    assert(ManifestStore.countRows(spark, dir) === Some(301L))
+
+    // first commit on an empty table is a plain append
+    val dir2 = tmpDir()
+    assert(ManifestStore.upsertKeyedDv(spark, dir2, schema,
+      Seq((1L, "a")).toDF("k", "v"), "k").isDefined)
+    assert(keys(dir2) === Set(1L))
+  }
+
+  test("restore rolls back as a new commit, dvs included, with exact CDC") {
+    val dir = threeFileTable()
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") % 7 === 0)
+    val vDeleted = snap(dir).version
+    val expected = (0L until 300L).filterNot(_ % 7 == 0).toSet
+    ManifestStore.overwrite(Seq((9999L, "z")).toDF("k", "v"), dir)
+    val vOver = snap(dir).version
+    assert(keys(dir) === Set(9999L))
+
+    val vRestored = ManifestStore.restore(spark, dir, vDeleted)
+    assert(vRestored > vOver)
+    assert(snap(dir).op === s"restore:$vDeleted")
+    // dv refs came back with the snapshot: tombstones still apply
+    assert(keys(dir) === expected)
+    assert(ManifestStore.countRows(spark, dir) === Some(expected.size.toLong))
+    // the rollback is an ordinary commit to a CDC consumer
+    val feed = ManifestStore.changes(spark, dir, vOver, vRestored, schema)
+    val ins = feed.filter(col("_change_type") === "insert").count()
+    val del = feed.filter(col("_change_type") === "delete").count()
+    assert(ins === expected.size.toLong && del === 1L)
+    // forward history intact
+    assert(ManifestStore.readVersion(spark, dir, vOver, schema).count() === 1L)
+  }
+
   test("vacuum keeps live sidecars, collects them once compaction drops the refs") {
     val dir = threeFileTable()
     ManifestStore.deleteWhere(spark, dir, schema, col("k") % 2 === 0)
