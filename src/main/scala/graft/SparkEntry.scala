@@ -946,6 +946,60 @@ object SparkEntry {
         .filter(col("n_docs") > 1)
     }),
 
+    // Interval-union coverage: per user, total ACTIVE time merging
+    // overlapping [ts, ts+1h) activity windows — the union-of-intervals
+    // algorithm (billing/abuse/engagement time), composed from the gap
+    // sessionizer (gap = window length ⇔ interval overlap) so the merge
+    // is one per-user window pass, no self-join. All-integer micros.
+    "q136_interval_coverage" -> ((s, dir) => {
+      Sessionize.sessions(t(s, dir, "events").filter(col("user_id") < 100),
+          keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+          gapSeconds = 3600L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_intervals"),
+          sum(unix_micros(col("session_end")) - unix_micros(col("session_start"))
+            + lit(3600000000L)).as("covered_micros"))
+    }),
+
+    // Lorenz curve deciles per source: cumulative token share of the
+    // smallest→largest documents — q135's Gini drawn out into the curve a
+    // release review actually inspects ("the top decile carries 40% of
+    // source X's tokens"). Exact integer decile sums; one scalar ratio
+    // through the portable floor-round.
+    "q137_lorenz_deciles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("tok").asc, col("doc_id").asc)
+      val dec = docs
+        .select(col("source"), col("tok"), ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("source"), col("decile")).agg(sum(col("tok")).as("dec_tokens"))
+      val ws = Window.partitionBy(col("source")).orderBy(col("decile").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("source"))
+      dec.select(col("source"), col("decile"), col("dec_tokens"),
+          sum(col("dec_tokens")).over(ws).as("cum_tokens"),
+          sum(col("dec_tokens")).over(wt).as("total_tokens"))
+        .withColumn("cum_share", when(col("total_tokens") > 0,
+          graft.functions.Portable.r6(
+            col("cum_tokens").cast("double") / col("total_tokens").cast("double"))))
+        .drop("total_tokens")
+    }),
+
+    // Per-document type-token ratio: vocabulary richness (distinct words /
+    // words) — the lexical-diversity quality signal that flags both
+    // keyword-stuffed spam (TTR → 0) and word-salad generation (TTR → 1)
+    // where length and stopword metrics pass. Map-side per row.
+    "q138_type_token_ratio" -> ((s, dir) => {
+      val toks = graft.functions.TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("vocab"))
+        .withColumn("ttr", when(col("n_tokens") > 0,
+          graft.functions.Portable.r6(
+            col("vocab").cast("double") / col("n_tokens").cast("double"))))
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -2526,6 +2580,73 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 min(doc_id) AS exemplar
          FROM tok GROUP BY 1 HAVING count(*) > 1""",
+
+    // q38's window discipline at gap = the interval length; all-integer
+    // epoch-microsecond arithmetic, hash-exact by construction
+    "q136_interval_coverage" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events WHERE user_id < 100),
+         flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                       THEN 1 ELSE 0 END AS is_start
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         tagged AS (
+           SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+           FROM flagged),
+         sess AS (SELECT user_id, seq, min(ts) AS st, max(ts) AS en
+                  FROM tagged GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+                CAST(sum(epoch_us(en) - epoch_us(st) + 3600000000) AS BIGINT)
+                  AS covered_micros
+         FROM sess GROUP BY user_id""",
+
+    // exact decile sums via the q57 ntile parity; one floor-rounded ratio
+    "q137_lorenz_deciles" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS BIGINT) AS tok
+           FROM documents),
+         d AS (
+           SELECT source, tok,
+                  CAST(ntile(10) OVER (PARTITION BY source
+                                       ORDER BY tok ASC, doc_id ASC)
+                       AS BIGINT) AS decile
+           FROM b),
+         g AS (SELECT source, decile, sum(tok) AS dec_tokens
+               FROM d GROUP BY 1, 2),
+         c AS (
+           SELECT source, decile, dec_tokens,
+                  sum(dec_tokens) OVER (PARTITION BY source ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tokens,
+                  sum(dec_tokens) OVER (PARTITION BY source) AS total_tokens
+           FROM g)
+         SELECT source, decile, CAST(dec_tokens AS BIGINT) AS dec_tokens,
+                CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                CASE WHEN total_tokens > 0 THEN
+                  floor((CAST(cum_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+                        * 1000000.0 + 0.5) / 1000000.0
+                END AS cum_share
+         FROM c""",
+
+    "q138_type_token_ratio" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                     x -> x <> '')))
+                       AS BIGINT) AS vocab
+           FROM documents)
+         SELECT doc_id, n_tokens, vocab,
+                CASE WHEN n_tokens > 0 THEN
+                  floor((CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                        * 1000000.0 + 0.5) / 1000000.0
+                END AS ttr
+         FROM b""",
 
     // rank-weighted exact integer sums; identical double op order to the
     // Spark side ((2·rw)/(n·s) − (n+1)/n), then the shared floor-round
