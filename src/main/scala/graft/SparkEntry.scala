@@ -1000,6 +1000,26 @@ object SparkEntry {
             col("vocab").cast("double") / col("n_tokens").cast("double"))))
     }),
 
+    // Daily burstiness per event type: the variance-to-mean ratio (index
+    // of dispersion) of daily event counts — VMR ≈ 1 is Poisson-steady
+    // traffic, VMR ≫ 1 flags bursty/campaign-driven types whose daily
+    // mean misleads capacity planning. Exact integer count sums; the one
+    // scalar ratio (n·Σx² − (Σx)²)/(n·Σx) evaluates in the identical op
+    // order on both engines, then the portable floor-round.
+    "q139_event_dispersion" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day_ts"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"),
+          sum(col("x") * col("x")).as("sum_sq"))
+        .withColumn("vmr", when(col("n_events") > 0,
+          graft.functions.Portable.r6(
+            (col("n_days").cast("double") * col("sum_sq").cast("double") -
+              col("n_events").cast("double") * col("n_events").cast("double")) /
+              (col("n_days").cast("double") * col("n_events").cast("double")))))
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -2647,6 +2667,28 @@ object SparkEntry {
                         * 1000000.0 + 0.5) / 1000000.0
                 END AS ttr
          FROM b""",
+
+    // exact integer daily counts; identical double op order
+    // ((n·Σx² − (Σx)²)/(n·Σx)), then the shared floor-round
+    "q139_event_dispersion" ->
+      """WITH d AS (
+           SELECT event_type, date_trunc('day', ts) AS day_ts,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, count(*) AS n_days, sum(x) AS n_events,
+                  sum(x * x) AS sum_sq
+           FROM d GROUP BY event_type)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST(sum_sq AS BIGINT) AS sum_sq,
+                CASE WHEN n_events > 0 THEN
+                  floor(((CAST(n_days AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                          - CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                         / (CAST(n_days AS DOUBLE) * CAST(n_events AS DOUBLE)))
+                        * 1000000.0 + 0.5) / 1000000.0
+                END AS vmr
+         FROM g""",
 
     // rank-weighted exact integer sums; identical double op order to the
     // Spark side ((2·rw)/(n·s) − (n+1)/n), then the shared floor-round
