@@ -1020,6 +1020,30 @@ object SparkEntry {
               (col("n_days").cast("double") * col("n_events").cast("double")))))
     }),
 
+    // Exact per-user inter-event MEDIAN gap: the cadence statistic
+    // (bot-vs-human detection, session-timeout calibration) where a mean
+    // is destroyed by one long absence. Gaps from one lag pass, the lower
+    // median as an order statistic (q39's discipline — row ⌊(n+1)/2⌋ of
+    // the per-user sort, all-integer microseconds, no interpolation).
+    "q140_interevent_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = t(s, dir, "events").filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap"))
+        .filter(col("gap").isNotNull)
+      val wr = Window.partitionBy(col("user_id"))
+        .orderBy(col("gap").asc, col("event_id").asc)
+      val wn = Window.partitionBy(col("user_id"))
+      gaps.select(col("user_id"), col("gap"),
+          row_number().over(wr).cast("long").as("rk"),
+          count(lit(1)).over(wn).as("n"))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col("n").as("n_gaps"),
+          col("gap").as("median_gap_micros"))
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -2667,6 +2691,26 @@ object SparkEntry {
                         * 1000000.0 + 0.5) / 1000000.0
                 END AS ttr
          FROM b""",
+
+    // lower median as an order statistic over integer micros — `//` is
+    // DuckDB's floor division, matching Spark's `div`
+    "q140_interevent_median" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events WHERE user_id < 100),
+         g AS (
+           SELECT user_id, event_id,
+                  epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           FROM e),
+         f AS (SELECT * FROM g WHERE gap IS NOT NULL),
+         rk AS (
+           SELECT user_id, gap,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY gap ASC, event_id ASC) AS rk,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM f)
+         SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+                CAST(gap AS BIGINT) AS median_gap_micros
+         FROM rk WHERE rk = (n + 1) // 2""",
 
     // exact integer daily counts; identical double op order
     // ((n·Σx² − (Σx)²)/(n·Σx)), then the shared floor-round
