@@ -657,6 +657,39 @@ object ManifestStore {
                   schema: StructType): DataFrame =
     readSnapshot(spark, dir, readManifest(spark, dir, version), schema)
 
+  /** DESCRIBE HISTORY: one row per committed version still on disk —
+    * (version, op, commit wall-clock millis from the manifest's publish
+    * instant, file count, exact live row count when every file recorded
+    * one — tombstones subtracted — else null, total tombstoned rows).
+    * Driver-side metadata only (one JSON read per manifest, no Spark
+    * jobs); versions whose manifests were vacuumed are absent, half-
+    * written manifests skipped — the audit surface for "what happened to
+    * this table and when".
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    val rows: Seq[(Long, String, Long, Int, Option[Long], Long)] =
+      if (!f.exists(md)) Nil
+      else f.listStatus(md).toSeq.flatMap { s =>
+        s.getPath.getName match {
+          case manifestName(v) => scala.util.Try {
+            val snap = readManifest(spark, dir, v.toLong)
+            val deleted = snap.files.flatMap(snap.dvs.get).map(_.deleted).sum
+            val nRows =
+              if (snap.files.forall(snap.rows.contains))
+                Some(snap.files.map(snap.rows).sum - deleted)
+              else None
+            (snap.version, snap.op, s.getModificationTime,
+              snap.files.size, nRows, deleted)
+          }.toOption
+          case _ => None
+        }
+      }.sortBy(_._1)
+    rows.toDF("version", "op", "commit_ms", "n_files", "n_rows", "n_dv_deleted")
+  }
+
   /** ROLL BACK the table to `version` — as a NEW commit whose manifest
     * re-references that snapshot's files, stats, partition values, blooms
     * and deletion vectors verbatim (Delta's RESTORE): no data moves, the

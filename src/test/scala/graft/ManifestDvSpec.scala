@@ -252,6 +252,23 @@ class ManifestDvSpec extends SparkSpec {
     assert(ManifestStore.readVersion(spark, dir, vOver, schema).count() === 1L)
   }
 
+  test("history reads the full lineage with ops, rows, and tombstone counts") {
+    val dir = threeFileTable()
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") % 7 === 0)
+    ManifestStore.compact(spark, dir, schema, numFiles = 1)
+    val h = ManifestStore.history(spark, dir)
+      .select("version", "op", "n_files", "n_rows", "n_dv_deleted")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(h.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(h.map(_._2).toSeq === Seq("append", "append", "append", "delete-dv", "compact"))
+    assert(h.map(_._4).toSeq === Seq(100L, 200L, 300L, 257L, 257L))
+    assert(h.map(_._5).toSeq === Seq(0L, 0L, 0L, 43L, 0L))
+    // vacuumed versions drop out of the readout
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    assert(ManifestStore.history(spark, dir).count() === 1L)
+  }
+
   test("vacuum keeps live sidecars, collects them once compaction drops the refs") {
     val dir = threeFileTable()
     ManifestStore.deleteWhere(spark, dir, schema, col("k") % 2 === 0)
