@@ -1477,11 +1477,27 @@ object ManifestStore {
     * version.
     */
   def compact(spark: SparkSession, dir: String, schema: StructType,
-              numFiles: Int = 1): Long = {
-    val cur = read(spark, dir, schema)
-    // op "compact", not "overwrite": the manifest records this commit as
-    // data-neutral, which lets [[changes]] skip it without a diff job
-    commit(cur.coalesce(math.max(1, numFiles)), dir, "compact", (_, fresh) => fresh)
+              numFiles: Int = 1): Long = currentSnapshot(spark, dir) match {
+    case None =>
+      commit(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        dir, "compact", (_, fresh) => fresh)
+    case Some(snap) =>
+      val cur = readSnapshot(spark, dir, snap, schema)
+      // op "compact", not "overwrite": the manifest records this commit as
+      // data-neutral, which lets [[changes]] skip it without a diff job.
+      // The full rewrite replaces the ENTIRE file list, so ANY commit
+      // landing after the read must abort it: a concurrent append's rows
+      // would be silently dropped, and a concurrent deleteWhere's
+      // tombstones silently resurrected (the output was read before
+      // them). compactSmall is the concurrent-append-tolerant form.
+      commit(cur.coalesce(math.max(1, numFiles)), dir, "compact",
+        (_, fresh) => fresh,
+        guard = Some { prev =>
+          if (prev.files != snap.files || prev.dvs != snap.dvs)
+            throw new java.util.ConcurrentModificationException(
+              s"snapshot changed under compact on $dir — retry, or use " +
+                "compactSmall for concurrent-append-tolerant maintenance")
+        })
   }
 
   /** Incremental OPTIMIZE: rewrite only the current snapshot's files
