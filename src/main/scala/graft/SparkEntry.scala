@@ -2553,8 +2553,9 @@ object SparkEntry {
     // exact long sums; the scalar ratio through the shared floor-round
     "q131_char_fertility" ->
       """SELECT lang, count(*) AS n_docs,
-                sum(length(text)) AS n_chars,
-                sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                CAST(sum(len(list_filter(string_split(text, ' '),
+                                         x -> x <> ''))) AS BIGINT)
                   AS n_words,
                 CASE WHEN sum(len(list_filter(string_split(text, ' '),
                                               x -> x <> ''))) > 0 THEN
@@ -2749,8 +2750,9 @@ object SparkEntry {
                        AS BIGINT) AS rk
            FROM b),
          g AS (
-           SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens,
-                  sum(rk * tok) AS rank_weighted
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(tok) AS BIGINT) AS n_tokens,
+                  CAST(sum(rk * tok) AS BIGINT) AS rank_weighted
            FROM r GROUP BY source)
          SELECT source, n_docs, n_tokens, rank_weighted,
                 CASE WHEN n_tokens > 0 THEN
@@ -2833,7 +2835,8 @@ object SparkEntry {
     "q126_epoch_plan" ->
       """WITH s AS (
            SELECT lang, count(*) AS n_docs,
-                  sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                  CAST(sum(len(list_filter(string_split(text, ' '),
+                                           x -> x <> ''))) AS BIGINT)
                     AS n_tokens
            FROM documents GROUP BY lang),
          p AS (
@@ -3996,14 +3999,18 @@ object SparkEntry {
          FROM x""",
 
     // same α = 0.3 power-flatten over double shares; floor-form portable
-    // rounding (functions/Portable.scala) replaces round(6): the round-4
-    // hash red was round()'s BigDecimal-vs-binary divergence, not pow —
-    // a libm-vs-JVM pow last-ulp difference flips the 1e-6 floor grain
+    // rounding (functions/Portable.scala) replaces round(6) as rounding
+    // hardening. The r4/r5 driver-hash red here was NOT rounding: the
+    // uncast sum() made DuckDB emit HUGEINT (int128), which the driver
+    // hashes differently from Spark's int64 — hence CAST(... AS BIGINT)
+    // on n_tokens below. A libm-vs-JVM pow last-ulp difference could in
+    // principle flip the 1e-6 floor grain
     // only within ~1e-16 of a boundary
     "q107_temperature_mix" ->
       """WITH s AS (
            SELECT lang, count(*) AS n_docs,
-                  sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                  CAST(sum(len(list_filter(string_split(text, ' '),
+                                           x -> x <> ''))) AS BIGINT)
                     AS n_tokens
            FROM documents GROUP BY lang),
          p AS (
@@ -4471,13 +4478,15 @@ object SparkEntry {
          FROM x""",
 
     // floor-form portable rounding (see functions/Portable.scala): the
-    // same IEEE ops on both engines make the output bytes identical —
-    // DuckDB's binary-space round() vs Spark's BigDecimal HALF_UP
-    // diverged by 1 ulp here in round 4's driver hash
+    // same IEEE ops on both engines make the output bytes identical.
+    // The actual r4/r5 driver-hash red here was the uncast sum() —
+    // DuckDB's sum(BIGINT) returns HUGEINT (int128) which the driver
+    // hashes differently from Spark's int64 — fixed by the CAST below
     "q62_mixture_weights" ->
       """WITH s AS (
            SELECT lang, count(*) AS n_docs,
-                  sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                  CAST(sum(len(list_filter(string_split(text, ' '),
+                                           x -> x <> ''))) AS BIGINT)
                     AS n_tokens
            FROM documents GROUP BY lang)
          SELECT lang, n_docs, n_tokens,
