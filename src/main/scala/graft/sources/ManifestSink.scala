@@ -1,8 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -28,12 +30,20 @@ import org.apache.spark.sql.types.StructType
   * at-least-once stream becomes exactly-once table delivery without the
   * hand-rolled foreachBatch dedup every ad-hoc sink reimplements.
   *
-  * Reads stay on [[ManifestStore.read]]/`readLatest` (full parquet scan
-  * pushdown, snapshot isolation, time travel) — the sink is the write
-  * surface of the same table.
+  * Reads:
+  * {{{
+  * spark.read.format("graft-manifest").load(dir)                     // latest
+  * spark.read.format("graft-manifest").option("versionAsOf", 7).load(dir)
+  * spark.read.format("graft-manifest").option("timestampAsOf", ts).load(dir)
+  * spark.read.format("graft-manifest").option("tag", "release").load(dir)
+  * }}}
+  * served through [[ManifestFileIndex]] (native vectorized parquet scan,
+  * manifest-stat data skipping) or the dv-aware fallback — see
+  * [[ManifestRead]] for the two-path design.
   */
 class ManifestSinkProvider extends StreamSinkProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with RelationProvider
+    with SchemaRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
@@ -54,6 +64,47 @@ class ManifestSinkProvider extends StreamSinkProvider
         "ManifestStore.appendPartitioned in foreachBatch")
     val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
     new ManifestSink(pathOf(parameters ++ ci), ci.getOrElse("appid", "default"))
+  }
+
+  /** `spark.read.format("graft-manifest").load(dir)` — snapshot resolved
+    * from the time-travel options, schema from the manifest (self-
+    * describing table).
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    readRelation(sqlContext, parameters, userSchema = None)
+
+  /** Same with an explicit schema (pre-schema-recording tables, column
+    * subsets under the widening-only evolution rule).
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    readRelation(sqlContext, parameters, userSchema = Some(schema))
+
+  private def readRelation(sqlContext: SQLContext,
+                           parameters: Map[String, String],
+                           userSchema: Option[StructType]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = pathOf(parameters ++ ci)
+    val snap = ManifestRead.resolveSnapshot(spark, dir, ci).getOrElse(
+      ManifestStore.Snapshot(0L, Nil, "none"))
+    val schema = userSchema.orElse(snap.schema).getOrElse(
+      throw new IllegalStateException(
+        s"manifest table $dir records no schema — pass one via .schema(...)"))
+    val dvFiles = snap.files.flatMap(snap.dvs.get).flatMap(_.files)
+    if (dvFiles.isEmpty)
+      // native path: vectorized parquet scan over the manifest's file
+      // list with stat/partition/bloom data skipping in listFiles
+      HadoopFsRelation(
+        location = new ManifestFileIndex(spark, dir, snap, schema),
+        partitionSchema = StructType(Nil),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = ci)(spark)
+    else new ManifestDvRelation(spark, dir, snap.version, schema)
   }
 
   override def createRelation(sqlContext0: SQLContext, mode: SaveMode,

@@ -640,13 +640,16 @@ object ManifestStore {
       val arr = acc.getOrElseUpdate((rel, r.getString(1)), new Array[Long](bits / 64))
       arr(r.getInt(2)) |= r.getLong(3)
     }
-    // merge with any blooms these files already carry for OTHER columns;
-    // a scanned file with no rows for a column gets the all-zero bloom
-    // (provably contains nothing — prunes every probe, correctly)
+    // ship ONLY the freshly-built columns; publishLoop merges them into
+    // each file's existing per-column map against the snapshot CURRENT at
+    // publish time (not this stale planning one), so concurrent bloom
+    // builds on other columns compose. A scanned file with no rows for a
+    // column gets the all-zero bloom (provably contains nothing — prunes
+    // every probe, correctly)
     val fresh = todo.map { rel =>
-      rel -> (snap.blooms.getOrElse(rel, Map.empty) ++ columns.map(c =>
+      rel -> columns.map(c =>
         c -> BloomIndex(bits, k,
-          acc.getOrElse((rel, c), new Array[Long](bits / 64)))).toMap)
+          acc.getOrElse((rel, c), new Array[Long](bits / 64)))).toMap
     }.toMap
     publishLoop(spark, dir, "bloom", Nil, (prev, _) => prev,
       freshBlooms = fresh)
@@ -702,10 +705,16 @@ object ManifestStore {
     */
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val snap = readManifest(spark, dir, version)
+    // OCC: pin the version observed when the restore was planned. If a
+    // concurrent append/delete claims the next slot first, republishing
+    // the planned file list would silently discard that commit's rows —
+    // abort loudly instead (same discipline as compact/deleteWhere).
+    val planned = math.max(maxClaimedVersion(fs(spark, dir), dir),
+      currentSnapshot(spark, dir).map(_.version).getOrElse(0L))
     publishExternal(spark, dir, op = s"restore:$version", files = snap.files,
       stats = snap.stats, rows = snap.rows, schema = snap.schema,
       parts = snap.parts, blooms = snap.blooms, dvs = snap.dvs,
-      firstVersionOnly = false)
+      firstVersionOnly = false, expectVersion = Some(planned + 1))
   }
 
   /** Metadata-only `COUNT(*)`: the table's exact row count from the
@@ -746,6 +755,21 @@ object ManifestStore {
     * prefix and part files carry task UUIDs) and its `row_index` within
     * that file. This pair is what deletion vectors tombstone.
     */
+  /** Dv row identity is the parquet BASENAME: enforce uniqueness across
+    * the WHOLE snapshot's file list before any dv sidecar is written, not
+    * just the pruned candidate subset — a basename collision between a
+    * candidate and a non-candidate file (possible for publishExternal/
+    * clone-sourced file lists that don't carry UUID part names) would let
+    * one file's tombstones silently anti-join away the other file's rows
+    * at read time.
+    */
+  private def requireUniqueBasenames(snap: Snapshot, dir: String): Unit = {
+    val names = snap.files.map(r => r.substring(r.lastIndexOf('/') + 1))
+    require(names.distinct.size == names.size,
+      s"duplicate parquet file names across $dir — dv row identity needs " +
+        "unique names across the entire snapshot")
+  }
+
   private def withRowIds(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     df.withColumn(dvNameCol,
@@ -863,7 +887,49 @@ object ManifestStore {
         else if (added.isEmpty) (empty, rdL(prev, removed))
         else (rdL(cur, added).exceptAll(rdL(prev, removed)),
           rdL(prev, removed).exceptAll(rdL(cur, added)))
-      tag(ins, "insert", v, cur.op).unionAll(tag(del, "delete", v, cur.op))
+      // SHARED files whose dv refs changed in a non-dv-op commit — the
+      // flagship is restore over delete-dv commits: the file list is
+      // unchanged (added/removed empty above) yet tombstones were dropped
+      // (rows logically resurrected) or re-added. Diff at PAIR granularity
+      // (sidecar sets can intersect across restore branches): pairs
+      // leaving a file's dv union are inserts, pairs joining it deletes.
+      // dv-op commits are excluded — their fresh sidecars are already
+      // exact via `tombstoned` above.
+      val isDvOp = cur.op == "delete-dv" || cur.op == "update-dv" ||
+        cur.op == "upsert-dv"
+      val dvChanged =
+        if (cur.op == "compact" || isDvOp) Nil
+        else cur.files.filter(prevSet).flatMap { rel =>
+          val now = cur.dvs.get(rel).map(_.files.toSet).getOrElse(Set.empty)
+          val before = prev.dvs.get(rel).map(_.files.toSet).getOrElse(Set.empty)
+          if (now == before) None else Some((rel, before, now))
+        }
+      val (dvIns, dvDel) =
+        if (dvChanged.isEmpty) (empty, empty)
+        else {
+          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.types.{LongType, StringType, StructField}
+          def pairDf(fl: Seq[String]): DataFrame =
+            if (fl.isEmpty) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField(dvNameCol, StringType),
+                StructField(dvIdxCol, LongType))))
+            else readDvPairs(spark, dir, fl)
+          val beforeDv = dvChanged.flatMap(_._2).distinct
+          val nowDv = dvChanged.flatMap(_._3).distinct
+          val resurrected = pairDf(beforeDv).exceptAll(pairDf(nowDv))
+          val freshTombs = pairDf(nowDv).exceptAll(pairDf(beforeDv))
+          // physical rows of only the touched files; the semi-join keys on
+          // (basename, row_index) so pairs of untouched files drop out
+          val base = withRowIds(spark.read.schema(schema)
+            .parquet(dvChanged.map(c => new Path(dir, c._1).toString): _*))
+          def rowsOf(p: DataFrame): DataFrame =
+            base.join(p, Seq(dvNameCol, dvIdxCol), "left_semi")
+              .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+          (rowsOf(resurrected), rowsOf(freshTombs))
+        }
+      tag(ins.unionAll(dvIns), "insert", v, cur.op)
+        .unionAll(tag(del.unionAll(dvDel), "delete", v, cur.op))
     }
     perVersion.reduceOption(_ unionAll _)
       .getOrElse(tag(empty, "insert", 0L, "none").limit(0))
@@ -1310,8 +1376,15 @@ object ManifestStore {
         }
         // blooms travel with the lineage like stats: surviving files keep
         // theirs, rewritten files (compaction, MERGE) drop out and stay
-        // un-bloomed (= un-prunable, safe) until the next buildBlooms pass
-        val carriedBlooms = prev.map(_.blooms).getOrElse(Map.empty) ++ freshBlooms
+        // un-bloomed (= un-prunable, safe) until the next buildBlooms pass.
+        // Merge per-FILE maps against prev INSIDE the retry loop (not the
+        // caller's planning snapshot): concurrent buildBlooms runs on
+        // different columns compose instead of the later one dropping the
+        // earlier one's columns for shared files
+        val prevBlooms = prev.map(_.blooms).getOrElse(Map.empty)
+        val carriedBlooms = prevBlooms ++ freshBlooms.map { case (rel, cols) =>
+          rel -> (prevBlooms.getOrElse(rel, Map.empty) ++ cols)
+        }
         writeBloomsNode(body, files, carriedBlooms)
         // dv refs: carried like stats; deltas APPEND to the current ref
         // (the deleteWhere guard proves the base unchanged, so append is
@@ -1395,7 +1468,8 @@ object ManifestStore {
                               blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
                               dvs: Map[String, DvRef] = Map.empty,
                               firstVersionOnly: Boolean = true,
-                              maxAttempts: Int = 10): Long = {
+                              maxAttempts: Int = 10,
+                              expectVersion: Option[Long] = None): Long = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1403,6 +1477,13 @@ object ManifestStore {
         currentSnapshot(spark, dir).map(_.version).getOrElse(0L)) + 1
       require(!firstVersionOnly || version == 1L,
         s"external publish into non-empty table $dir")
+      // caller pinned the slot it planned for (restore): a concurrent
+      // commit advancing the table past it must abort, not be shadowed
+      expectVersion.foreach { e =>
+        if (version != e) throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced to slot $version while a v$e commit was " +
+            "planned — replan against the current snapshot")
+      }
       val body = mapper.createObjectNode()
       body.put("version", version)
       body.put("op", op)
@@ -1740,9 +1821,8 @@ object ManifestStore {
     val cand =
       if (planRanges.isEmpty) snap.files else pruneFilesWhere(snap, planRanges)
     if (cand.isEmpty) return Some(snap.version)
+    requireUniqueBasenames(snap, dir)
     val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
-    require(nameToRel.size == cand.size,
-      s"duplicate parquet file names across $dir — dv row identity needs unique names")
     // live rows only: row ids exposed, existing tombstones anti-joined
     val ided = withRowIds(spark.read.schema(schema)
       .parquet(cand.map(new Path(dir, _).toString): _*))
@@ -1814,9 +1894,8 @@ object ManifestStore {
     val cand =
       if (planRanges.isEmpty) snap.files else pruneFilesWhere(snap, planRanges)
     if (cand.isEmpty) return Some(snap.version)
+    requireUniqueBasenames(snap, dir)
     val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
-    require(nameToRel.size == cand.size,
-      s"duplicate parquet file names across $dir — dv row identity needs unique names")
     def liveIded = {
       val ided = withRowIds(spark.read.schema(schema)
         .parquet(cand.map(new Path(dir, _).toString): _*))
@@ -1969,9 +2048,8 @@ object ManifestStore {
     val cand =
       if (b.isNullAt(0)) Seq.empty // all-null-key batch: pure insert
       else pruneFiles(snap, keyCol, b.get(0), b.get(1))
+    requireUniqueBasenames(snap, dir)
     val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
-    require(nameToRel.size == cand.size,
-      s"duplicate parquet file names across $dir — dv row identity needs unique names")
     val abort: Snapshot => Unit = { prev =>
       if (prev.files != snap.files || prev.dvs != snap.dvs)
         throw new java.util.ConcurrentModificationException(

@@ -134,4 +134,43 @@ class ManifestBloomSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("missing"))
   }
+
+  test("concurrent bloom builds on different columns compose") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import graft.sources.ManifestPublisher
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    ManifestStore.append(strideDf(1), dir)
+    val underlying = ManifestPublisher.LocalLink
+    @volatile var injected = false
+    // the moment buildBlooms("v") publishes, land a REAL buildBlooms("k")
+    // commit first: v's planning snapshot is now stale. The retry must
+    // merge v's fresh blooms into the files' k blooms (prev at publish
+    // time), not replace the per-file map from the stale snapshot.
+    ManifestStore.publisherOverride = Some(new ManifestPublisher {
+      def publish(f: FileSystem, target: Path, body: Array[Byte]): Boolean = {
+        val s = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+        if (s.contains("\"op\":\"bloom\"") && !injected) {
+          injected = true
+          ManifestStore.publisherOverride = None
+          try ManifestStore.buildBlooms(spark, dir, Seq("k"))
+          finally ManifestStore.publisherOverride = Some(this)
+        }
+        underlying.publish(f, target, body)
+      }
+    })
+    try {
+      ManifestStore.buildBlooms(spark, dir, Seq("v"))
+      assert(injected)
+    } finally ManifestStore.publisherOverride = None
+    val after = snap(dir)
+    after.files.foreach { rel =>
+      val cols = after.blooms.getOrElse(rel, Map.empty).keySet
+      assert(cols === Set("k", "v"),
+        s"file $rel lost a concurrently-built bloom column: $cols")
+    }
+    // and both prune correctly
+    assert(ManifestStore.lookup(spark, dir, schema, "k", Seq(4L))
+      .as[(Long, String)].collect().toSet === Set(4L -> "s4"))
+  }
 }

@@ -288,4 +288,108 @@ class ManifestDvSpec extends SparkSpec {
     assert(dvDirs.isEmpty)
     assert(keys(dir) === (0L until 300L).filter(_ % 2 == 1).toSet)
   }
+
+  test("changes reports restore-over-delete-dv as exact row-level resurrections") {
+    val dir = threeFileTable()
+    val v0 = snap(dir).version // no tombstones yet
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") % 7 === 0)
+    val vDel = snap(dir).version
+    val sevens = (0L until 300L).filter(_ % 7 == 0).toSet
+
+    // the flagship undo-a-bad-deleteWhere: restore DIRECTLY over the
+    // delete-dv commit — file list identical, only the dv refs drop.
+    // The feed must report the tombstoned rows coming back as inserts.
+    val vBack = ManifestStore.restore(spark, dir, v0)
+    assert(keys(dir) === (0L until 300L).toSet)
+    val feed = ManifestStore.changes(spark, dir, vDel, vBack, schema)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().toSet
+    assert(ins === sevens)
+    assert(feed.filter(col("_change_type") === "delete").count() === 0L)
+
+    // and forward again: restoring the deleted state re-adds the same
+    // sidecars — the feed reports those rows as deletes, nothing else
+    val vFwd = ManifestStore.restore(spark, dir, vDel)
+    assert(keys(dir) === (0L until 300L).toSet -- sevens)
+    val feed2 = ManifestStore.changes(spark, dir, vBack, vFwd, schema)
+    val del2 = feed2.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSet
+    assert(del2 === sevens)
+    assert(feed2.filter(col("_change_type") === "insert").count() === 0L)
+
+    // replaying the WHOLE feed from scratch reproduces the final state:
+    // inserts minus deletes, multiset-exact across the dv round-trip
+    val whole = ManifestStore.changes(spark, dir, 0L, vFwd, schema)
+    val applied = whole.filter(col("_change_type") === "insert")
+      .select("k", "v")
+      .exceptAll(whole.filter(col("_change_type") === "delete").select("k", "v"))
+      .as[(Long, String)].collect().toSet
+    assert(applied === ManifestStore.read(spark, dir, schema)
+      .as[(Long, String)].collect().toSet)
+  }
+
+  test("restore aborts when a concurrent commit claims its slot first") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import graft.sources.ManifestPublisher
+    val dir = threeFileTable()
+    val v0 = snap(dir).version
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") % 7 === 0)
+    val underlying = ManifestPublisher.LocalLink
+    @volatile var injected = false
+    // steal the restore's planned slot with a competing commit the moment
+    // it tries to publish — the retry must ABORT, not republish the stale
+    // plan over the competitor
+    ManifestStore.publisherOverride = Some(new ManifestPublisher {
+      def publish(f: FileSystem, target: Path, body: Array[Byte]): Boolean = {
+        val s = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+        if (s.contains("restore:") && !injected) {
+          injected = true
+          val ver = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s).get.group(1)
+          assert(underlying.publish(f, target,
+            s"""{"version":$ver,"files":[],"op":"overwrite"}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        underlying.publish(f, target, body)
+      }
+    })
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        ManifestStore.restore(spark, dir, v0)
+      }
+      assert(injected)
+      // the concurrent commit survived untouched
+      assert(snap(dir).op === "overwrite" && snap(dir).files.isEmpty)
+    } finally ManifestStore.publisherOverride = None
+  }
+
+  test("dv writes refuse a snapshot with colliding parquet basenames") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    // publishExternal-shaped file lists need not carry UUID part names: two
+    // entries sharing a basename would let one file's tombstones anti-join
+    // away the other's rows — the writer must refuse before any sidecar
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    val f = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val rel = snap(dir).files.head
+    val name = rel.substring(rel.lastIndexOf('/') + 1)
+    // physically duplicate the data file under another prefix, same basename
+    val dup = s"d-dup/$name"
+    org.apache.hadoop.fs.FileUtil.copy(
+      f, new Path(dir, rel), f, new Path(dir, dup), false,
+      spark.sparkContext.hadoopConfiguration)
+    val body =
+      s"""{"version":2,"files":["$rel","$dup"],"op":"append"}"""
+    val target = new Path(new Path(dir, "_manifests"), "v00000002.json")
+    assert(graft.sources.ManifestPublisher.LocalLink.publish(f, target,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.deleteWhere(spark, dir, schema, col("k") === 0L)
+    }
+    assert(ex.getMessage.contains("unique names"))
+    val ex2 = intercept[IllegalArgumentException] {
+      ManifestStore.upsertKeyedDv(spark, dir, schema,
+        Seq((0L, "x")).toDF("k", "v"), "k")
+    }
+    assert(ex2.getMessage.contains("unique names"))
+  }
 }

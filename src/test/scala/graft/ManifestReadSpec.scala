@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.ManifestStore
+
+/** The READ half of `format("graft-manifest")` ([[graft.sources.ManifestRead]]):
+  * `spark.read.format("graft-manifest")` must serve exactly what
+  * [[ManifestStore.read]]/`readVersion`/`readTag` compute — latest and
+  * time-travel (versionAsOf / timestampAsOf / tag) — through a NATIVE
+  * vectorized parquet scan whose file listing comes from the manifest,
+  * with manifest-stat/partition/bloom data skipping visible in the scan's
+  * numFiles metric, and an exact dv-aware fallback once tombstones exist.
+  */
+class ManifestReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL("k BIGINT, v STRING")
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-read").toString
+
+  private def strideDf(start: Int) =
+    (start until 300 by 3).map(i => (i.toLong, s"s$i")).toDF("k", "v").repartition(1)
+
+  private def readFmt(dir: String): DataFrame =
+    spark.read.format("graft-manifest").load(dir)
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.as[(Long, String)].collect().toSet
+
+  /** Files the executed plan actually read (FileSourceScanExec metric). */
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+    }
+    assert(scans.nonEmpty, "expected a native FileSourceScanExec")
+    scans.sum
+  }
+
+  test("load() round-trips the latest snapshot through the native scan") {
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    ManifestStore.append(strideDf(1), dir)
+    assert(rows(readFmt(dir)) === rows(ManifestStore.readLatest(spark, dir)))
+    // the scan is the native parquet path (codegen'd, vectorized)
+    assert(filesRead(readFmt(dir)) === 2L)
+    // schema came from the manifest, no caller StructType
+    assert(readFmt(dir).schema.fieldNames.toSeq === Seq("k", "v"))
+    // write half unchanged: the same format round-trips its own output
+    strideDf(2).write.format("graft-manifest").mode("append").save(dir)
+    assert(rows(readFmt(dir)).size === 300)
+  }
+
+  test("versionAsOf / timestampAsOf / tag time-travel") {
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    val v1 = ManifestStore.currentSnapshot(spark, dir).get.version
+    ManifestStore.tag(spark, dir, "first", v1)
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    ManifestStore.overwrite(Seq((9999L, "z")).toDF("k", "v"), dir)
+
+    val expected1 = (0 until 300 by 3).map(i => (i.toLong, s"s$i")).toSet
+    assert(rows(spark.read.format("graft-manifest")
+      .option("versionAsOf", v1.toString).load(dir)) === expected1)
+    assert(rows(spark.read.format("graft-manifest")
+      .option("timestampAsOf", cut.toString).load(dir)) === expected1)
+    assert(rows(spark.read.format("graft-manifest")
+      .option("tag", "first").load(dir)) === expected1)
+    assert(rows(readFmt(dir)) === Set(9999L -> "z"))
+    // a bad tag / too-early timestamp fail loudly, not empty
+    intercept[NoSuchElementException] {
+      spark.read.format("graft-manifest").option("tag", "nope").load(dir)
+    }
+    intercept[NoSuchElementException] {
+      spark.read.format("graft-manifest").option("timestampAsOf", "5").load(dir)
+    }
+  }
+
+  test("filters skip files via manifest stats and blooms in the native scan") {
+    val dir = tmpDir()
+    // three files with DISJOINT key ranges: stats prune ranges exactly
+    ManifestStore.append((0L until 100L).map(i => (i, s"a$i")).toDF("k", "v").repartition(1), dir)
+    ManifestStore.append((100L until 200L).map(i => (i, s"b$i")).toDF("k", "v").repartition(1), dir)
+    ManifestStore.append((200L until 300L).map(i => (i, s"c$i")).toDF("k", "v").repartition(1), dir)
+
+    val point = readFmt(dir).filter(col("k") === 150L)
+    assert(rows(point) === Set(150L -> "b150"))
+    assert(filesRead(point) === 1L, "point lookup must prune to one file by stats")
+
+    val range = readFmt(dir).filter(col("k") >= 150L && col("k") < 250L)
+    assert(range.count() === 100L)
+    assert(filesRead(range) === 2L, "range must prune the disjoint file")
+
+    // one-sided bound prunes too (long sentinel space)
+    val tail = readFmt(dir).filter(col("k") >= 250L)
+    assert(tail.count() === 50L)
+    assert(filesRead(tail) === 1L)
+
+    // string equality prunes via blooms on an unclustered column
+    ManifestStore.buildBlooms(spark, dir, Seq("v"))
+    val bloomed = readFmt(dir).filter(col("v") === "a42")
+    assert(rows(bloomed) === Set(42L -> "a42"))
+    assert(filesRead(bloomed) === 1L, "bloom must prune the string point probe")
+  }
+
+  test("partitioned tables prune on manifest partition values") {
+    val dir = tmpDir()
+    ManifestStore.appendPartitioned(
+      (0L until 300L).map(i => (i, s"p${i % 3}", s"s$i")).toDF("k", "part", "v"),
+      dir, Seq("part"))
+    val one = readFmt(dir).filter(col("part") === "p1")
+    assert(one.count() === 100L)
+    val all = filesRead(readFmt(dir))
+    assert(filesRead(one) * 3 <= all * 1 + 2,
+      s"partition filter must prune ~2/3 of ${all} files")
+    // partition columns live IN the files: full rows come back
+    assert(one.select("k", "part", "v").where(col("k") === 1L)
+      .as[(Long, String, String)].collect().toSeq === Seq((1L, "p1", "s1")))
+  }
+
+  test("deletion vectors: reads stay exact through the dv fallback") {
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    ManifestStore.append(strideDf(1), dir)
+    val vPre = ManifestStore.currentSnapshot(spark, dir).get.version
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") % 7 === 0)
+    val expect = (0 until 300).filter(i => i % 3 < 2)
+      .map(_.toLong).filterNot(_ % 7 == 0)
+      .map(i => (i, s"s$i")).toSet
+    assert(rows(readFmt(dir)) === expect)
+    // pushed filters and prunes are applied INSIDE the delegated plan
+    assert(rows(readFmt(dir).filter(col("k") > 200L)) ===
+      expect.filter(_._1 > 200L))
+    assert(readFmt(dir).select("v").distinct().count() === expect.size.toLong)
+    assert(readFmt(dir).count() === expect.size.toLong)
+    // time travel to the pre-dv version returns to the native scan
+    val pre = spark.read.format("graft-manifest")
+      .option("versionAsOf", vPre.toString).load(dir)
+    assert(filesRead(pre) === 2L)
+    // compaction materializes tombstones -> native path again, same rows
+    ManifestStore.compact(spark, dir, schema, numFiles = 1)
+    assert(rows(readFmt(dir)) === expect)
+    assert(filesRead(readFmt(dir)) === 1L)
+  }
+
+  test("streaming sink output reads back through the same format") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir()
+    val cp = tmpDir()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", cp)
+      .option("appId", "read-spec")
+      .start(dir)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(readFmt(dir)) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+}
