@@ -70,21 +70,28 @@ object Bench {
       }.min
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds: 0.1 ms grain is far below shared-box noise and
+    // keeps the 140-query line ~25% shorter — less likely to fall off a
+    // bounded stdout capture
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the full map also goes to a file: the driver captures a bounded stdout
     // TAIL, which truncated the single giant line in rounds 3–4 (BENCH_r04
     // arrived `parsed: null` with 58 of 119 queries lost). The file is the
     // complete artifact; stdout stays for the driver's line capture.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    // stdout is exactly these lines, full map FIRST and compact total
+    // LAST: a head-bounded capture parses line 1, a tail-bounded capture
+    // parses the final line (which names the on-disk complete artifact).
+    // Spark logs all go to stderr, so neither line can be buried.
     println(line)
-    // compact total-LAST line: a bounded tail capture always gets this one
-    // intact, and it references the complete per-query map on disk
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"queries_file":"bench_out.json"}""")
     spark.stop()
   }

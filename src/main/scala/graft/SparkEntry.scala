@@ -1044,6 +1044,40 @@ object SparkEntry {
           col("gap").as("median_gap_micros"))
     }),
 
+    // q55 through the PERSISTED index: build a ShingleIndex table from the
+    // existing corpus (manifest commits into a fresh scratch dir — the
+    // index build IS part of the measured maintenance shape), then admit
+    // the batch by probing the persisted postings
+    // (NearDup.admitBatchIndexed). ShingleIndexSpec pins index admission
+    // ≡ NearDup.admitBatch at every step; this query driver-checks the
+    // equivalence end-to-end — the oracle is q55's direct all-pairs form.
+    "q141_indexed_admit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val existing = docs.filter(col("doc_id") % 7 =!= 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft-q141").toString
+      val p = graft.pipeline.ShingleIndex.Params(n = 3, minJaccard = 0.2)
+      graft.pipeline.ShingleIndex.append(s, idx, existing, p)
+      graft.pipeline.ShingleIndex.admit(s, idx, batch, p)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // q120 through the PERSISTED index: VectorIndex postings + vectors
+    // built from the existing corpus, batch admitted by probing the
+    // persisted LSH buckets (Similarity.admitVectorBatchIndexed). Same
+    // parameters as q65/q120 (48 tables × 4 bits, seed 42), where LSH
+    // recall is 100% on the gate data — oracle = exact all-pairs cosine.
+    "q142_indexed_semantic_admit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val batch = emb.filter(col("vec_id") % 7 === 0)
+      val existing = emb.filter(col("vec_id") % 7 =!= 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft-q142").toString
+      val p = graft.pipeline.VectorIndex.Params(dim = 64)
+      graft.pipeline.VectorIndex.append(s, idx, existing, p)
+      graft.pipeline.VectorIndex.admit(s, idx, batch, minCosine = 0.4, p)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -2984,6 +3018,51 @@ object SparkEntry {
            WHERE round(common * 1.0 / (sx.sz + sb.sz - common), 4) >= 0.2)
          SELECT doc_id, lang FROM documents
          WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT id_b FROM dropped)""",
+
+    // q141 = q55 routed through the persisted ShingleIndex; the oracle is
+    // the same direct all-pairs admission (the equivalence ShingleIndexSpec
+    // pins, here driver-hash-checked end-to-end)
+    "q141_indexed_admit" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(ts) - 2, 0)),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shs
+           FROM tok),
+         sizes AS (SELECT doc_id, len(shs) AS sz FROM sh),
+         inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+         cand AS (
+           SELECT x.doc_id AS id_x, b.doc_id AS id_b, count(*) AS common
+           FROM inv x JOIN inv b ON x.shingle = b.shingle
+            AND b.doc_id % 7 = 0
+            AND (x.doc_id % 7 <> 0 OR x.doc_id < b.doc_id)
+           GROUP BY 1, 2),
+         dropped AS (
+           SELECT DISTINCT id_b FROM cand
+           JOIN sizes sx ON sx.doc_id = id_x
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE round(common * 1.0 / (sx.sz + sb.sz - common), 4) >= 0.2)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT id_b FROM dropped)""",
+
+    // q142 = q120 routed through the persisted VectorIndex; oracle = the
+    // exact all-pairs cosine admission (VectorIndexSpec's equivalence,
+    // driver-hash-checked)
+    "q142_indexed_semantic_admit" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
+           FROM embeddings),
+         dropped AS (
+           SELECT DISTINCT b.vec_id AS id_b
+           FROM v b JOIN v x
+             ON b.vec_id % 7 = 0
+            AND (x.vec_id % 7 <> 0 OR x.vec_id < b.vec_id)
+            AND x.vec_id <> b.vec_id
+           WHERE round(list_cosine_similarity(x.ev, b.ev), 6) >= CAST(0.4 AS DOUBLE))
+         SELECT vec_id, CAST(label AS BIGINT) AS label FROM v
+         WHERE vec_id % 7 = 0 AND vec_id NOT IN (SELECT id_b FROM dropped)""",
 
     // corpus doc survives iff no jaccard>=0.2 overlap with any eval doc
     // (doc_id % 13 == 0 plays the held-out benchmark); eval×corpus pairs
