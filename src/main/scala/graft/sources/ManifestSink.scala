@@ -3,8 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -41,7 +41,7 @@ import org.apache.spark.sql.types.StructType
   * manifest-stat data skipping) or the dv-aware fallback — see
   * [[ManifestRead]] for the two-path design.
   */
-class ManifestSinkProvider extends StreamSinkProvider
+class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
     with CreatableRelationProvider with RelationProvider
     with SchemaRelationProvider with DataSourceRegister {
 
@@ -51,6 +51,57 @@ class ManifestSinkProvider extends StreamSinkProvider
     parameters.get("path").orElse(parameters.get("Path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-manifest needs a table path — .save(dir) / .start(dir)"))
+
+  /** Streaming READ ([[ManifestSource]]): schema from the manifest or the
+    * caller, plus the CDF columns when `readChangeFeed` is on.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = pathOf(parameters ++ ci)
+    val base = schema.orElse(
+      ManifestStore.currentSnapshot(sqlContext.sparkSession, dir).flatMap(_.schema))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest table $dir records no schema — pass one via .schema(...)"))
+    val out =
+      if (ci.get("readchangefeed").exists(_.toBoolean))
+        StructType(base.fields.toSeq ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_op",
+            org.apache.spark.sql.types.StringType)))
+      else base
+    (shortName(), out)
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = pathOf(parameters ++ ci)
+    val dataSchema = schema.orElse(
+      ManifestStore.currentSnapshot(spark, dir).flatMap(_.schema))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest table $dir records no schema — pass one via .schema(...)"))
+    // internal floor is EXCLUSIVE; the option names the first version
+    // INCLUDED (Delta's startingVersion convention)
+    val starting = ci.get("startingversion") match {
+      case Some("earliest") => 0L
+      case Some(v) => math.max(v.toLong - 1, 0L)
+      case None => // new commits only: floor at the stream-start version
+        ManifestStore.currentSnapshot(spark, dir).map(_.version).getOrElse(0L)
+    }
+    new ManifestSource(spark, dir, dataSchema, starting,
+      readChangeFeed = ci.get("readchangefeed").exists(_.toBoolean),
+      ignoreChanges = ci.get("ignorechanges").exists(_.toBoolean))
+  }
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** `readStream.format("graft-manifest")` — a manifest table as a
+  * Structured Streaming SOURCE, closing the loop the sink opened: the
+  * same table one pipeline maintains (appends, streaming sink commits,
+  * MERGEs) is another pipeline's input stream.
+  *
+  * {{{
+  * spark.readStream.format("graft-manifest")
+  *   .option("startingVersion", "0")        // default: stream-start version
+  *   .load(dir)                             // rows of appended data
+  *
+  * spark.readStream.format("graft-manifest")
+  *   .option("readChangeFeed", "true")      // CDF rows: data + _change_type
+  *   .load(dir)                             //   + _commit_version/_commit_op
+  * }}}
+  *
+  * Offsets ARE manifest versions — the lineage is already a durable,
+  * totally-ordered log, so the source needs no state of its own: batch
+  * `(start, end]` is exactly [[ManifestStore.changes]] over those
+  * versions, metadata-planned (an append commit costs one scan of only
+  * its fresh files — the hot path stays proportional to the batch, never
+  * the table). Replays after a crash re-read the same immutable versions:
+  * deterministic batches, end-to-end exactly-once against an idempotent
+  * sink.
+  *
+  * Semantics (the Delta streaming-source discipline):
+  *  - default mode emits appended ROWS and REFUSES a commit that removed
+  *    or rewrote rows (overwrite/delete/MERGE/restore) — a row stream
+  *    has no way to express a retraction, and silently dropping it
+  *    corrupts downstream state. `ignoreChanges=true` opts into
+  *    emitting such commits' inserted rows anyway (deletes skipped).
+  *  - `readChangeFeed=true` emits the full row-level feed (insert AND
+  *    delete rows, tagged) — the lossless mode for [[graft.operators.Ivm]]
+  *    -style incremental maintenance.
+  *  - `startingVersion` floors the first batch: absent, streaming begins
+  *    AFTER the version current at stream start (new commits only);
+  *    `"0"`/`"earliest"` replays the whole retained lineage first.
+  */
+class ManifestSource(spark: SparkSession, dir: String,
+                     dataSchema: StructType,
+                     startingVersion: Long,
+                     readChangeFeed: Boolean,
+                     ignoreChanges: Boolean) extends Source {
+
+  /** Ops that cannot remove or rewrite rows: safe in row mode. `bloom` and
+    * `compact` are data-neutral; `tag`s never commit; everything else
+    * (overwrite, delete, delete-dv, update-dv, upsert-dv, restore:N,
+    * clone:…) can retract rows.
+    */
+  private def appendSafe(op: String): Boolean =
+    op == "append" || op == "compact" || op == "bloom" || op.startsWith("stream:")
+
+  override val schema: StructType =
+    if (readChangeFeed) StructType(dataSchema.fields.toSeq ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType, nullable = false),
+      StructField("_commit_op", StringType)))
+    else dataSchema
+
+  override def getOffset: Option[Offset] = {
+    val v = ManifestStore.currentSnapshot(spark, dir).map(_.version).getOrElse(0L)
+    if (v <= startingVersion) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(asVersion).getOrElse(startingVersion)
+    val to = asVersion(end)
+    val feed = ManifestStore.changes(spark, dir, from, to, dataSchema)
+    val out =
+      if (readChangeFeed) feed
+      else {
+        // row mode: refuse silent retractions BEFORE any scan — one
+        // metadata read per version in the batch
+        if (!ignoreChanges) {
+          val unsafe = ((from + 1) to to).flatMap { v =>
+            scala.util.Try(ManifestStore.readManifest(spark, dir, v).op)
+              .toOption.filterNot(appendSafe).map(op => s"v$v:$op")
+          }
+          require(unsafe.isEmpty,
+            s"manifest stream on $dir hit non-append commits ${unsafe.mkString(", ")} — " +
+              "a row stream cannot express retractions; restart with " +
+              "option(\"readChangeFeed\", \"true\") (lossless) or " +
+              "option(\"ignoreChanges\", \"true\") (emit inserts, drop deletes)")
+        }
+        feed.filter(col("_change_type") === lit("insert"))
+          .select(dataSchema.fieldNames.toIndexedSeq.map(col): _*)
+      }
+    // MicroBatchExecution requires the batch frame streaming-tagged; the
+    // plan underneath is the ordinary batch plan changes() built. Rows
+    // are COPIED off the scan's reused row buffers (same discipline as
+    // ManifestSink.addBatch) — a LogicalRDD consumer may buffer them.
+    org.apache.spark.sql.graft.StreamingShim.streamingDf(
+      spark, out.queryExecution.toRdd.map(_.copy()), out.schema)
+  }
+
+  private def asVersion(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ManifestSource[$dir]"
+}

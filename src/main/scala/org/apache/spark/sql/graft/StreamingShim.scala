@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` seam a DSv1 streaming `Source` needs:
+  * `MicroBatchExecution` asserts that `getBatch`'s DataFrame carries
+  * `isStreaming = true`, and the only constructor for such a frame is
+  * `SQLContext.internalCreateDataFrame(rdd, schema, isStreaming = true)`.
+  * Every third-party v1 source (Delta's `DeltaSource`, Kafka's
+  * `KafkaSource`) reaches it the same way — a helper inside an
+  * `org.apache.spark.sql.*` subpackage, which Scala's `private[sql]`
+  * qualifier admits. This object is that helper and nothing else: no
+  * behavior, one delegation.
+  */
+object StreamingShim {
+
+  /** A streaming-tagged DataFrame over `rdd` (rows must match `schema`). */
+  def streamingDf(spark: SparkSession, rdd: RDD[InternalRow],
+                  schema: StructType): DataFrame =
+    spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}

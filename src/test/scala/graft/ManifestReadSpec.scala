@@ -152,6 +152,106 @@ class ManifestReadSpec extends SparkSpec {
     assert(filesRead(readFmt(dir)) === 1L)
   }
 
+  test("streaming SOURCE: new commits arrive per micro-batch, offsets are versions") {
+    val dir = tmpDir()
+    val out = s"${tmpDir()}/out"
+    val cp = tmpDir()
+    ManifestStore.append(Seq((1L, "pre")).toDF("k", "v"), dir)
+    // default floor: the pre-existing commit does NOT stream
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("msrc")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("msrc").count() === 0L)
+      ManifestStore.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+      q.processAllAvailable()
+      assert(spark.table("msrc").as[(Long, String)].collect().toSet ===
+        Set(2L -> "b", 3L -> "c"))
+      ManifestStore.append(Seq((4L, "d")).toDF("k", "v"), dir)
+      q.processAllAvailable()
+      assert(spark.table("msrc").count() === 3L)
+    } finally q.stop()
+
+    // startingVersion=earliest replays the whole retained lineage
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("startingVersion", "earliest").load(dir)
+      .writeStream.format("memory").queryName("msrc2")
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("msrc2").as[(Long, String)].collect().toSet ===
+        Set(1L -> "pre", 2L -> "b", 3L -> "c", 4L -> "d"))
+    } finally q2.stop()
+    val _ = out
+  }
+
+  test("streaming source row mode refuses retractions; CDF mode streams them") {
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("mrow")
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      ManifestStore.append(Seq((1000L, "x")).toDF("k", "v"), dir)
+      q.processAllAvailable()
+      assert(spark.table("mrow").count() === 1L)
+      // a delete-dv commit retracts rows: the row stream must FAIL loudly
+      ManifestStore.deleteWhere(spark, dir, schema, col("k") === 1000L)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("readChangeFeed") ||
+        Option(ex.getCause).exists(_.getMessage.contains("readChangeFeed")))
+    } finally q.stop()
+
+    // CDF mode streams the same commit as tagged delete rows
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "earliest").load(dir)
+      .writeStream.format("memory").queryName("mcdf")
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q2.processAllAvailable()
+      val byType = spark.table("mcdf").groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType("insert") === 101L) // 100 stride + the x row
+      assert(byType("delete") === 1L)
+      val del = spark.table("mcdf").filter(col("_change_type") === "delete")
+        .select("k", "_commit_op").as[(Long, String)].head()
+      assert(del === (1000L, "delete-dv"))
+    } finally q2.stop()
+
+    // ignoreChanges: inserts flow, the retraction is (explicitly) dropped
+    val q3 = spark.readStream.format("graft-manifest")
+      .option("ignoreChanges", "true")
+      .option("startingVersion", "earliest").load(dir)
+      .writeStream.format("memory").queryName("mign")
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("mign").count() === 101L)
+    } finally q3.stop()
+  }
+
+  test("manifest-to-manifest streaming: source + exactly-once sink round-trip") {
+    val src = tmpDir()
+    val dst = tmpDir()
+    ManifestStore.append(Seq((1L, "a")).toDF("k", "v"), src)
+    val q = spark.readStream.format("graft-manifest")
+      .option("startingVersion", "earliest").load(src)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", tmpDir())
+      .option("appId", "relay").start(dst)
+    try {
+      q.processAllAvailable()
+      ManifestStore.append(Seq((2L, "b")).toDF("k", "v"), src)
+      q.processAllAvailable()
+      assert(rows(ManifestStore.read(spark, dst, schema)) ===
+        Set(1L -> "a", 2L -> "b"))
+    } finally q.stop()
+  }
+
   test("streaming sink output reads back through the same format") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = tmpDir()
