@@ -252,6 +252,47 @@ class ManifestReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDF stream drives Ivm: maintained aggregate tracks appends AND deletes") {
+    import graft.operators.Ivm
+    val dir = tmpDir()
+    val stateDir = tmpDir()
+    val stateSchema = StructType.fromDDL(
+      "cat STRING, n_rows BIGINT, total DECIMAL(28,8)")
+    def cat(i: Long) = s"c${i % 3}"
+    ManifestStore.append(
+      (0L until 30L).map(i => (i, cat(i))).toDF("k", "cat"), dir)
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "earliest").load(dir)
+      .writeStream.option("checkpointLocation", tmpDir())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // production pairs this with a version-stamped idempotent swap
+        // (IvmSpec's crash-and-replay schedule); the test path is linear
+        val state = ManifestStore.read(spark, stateDir, stateSchema)
+        val next = Ivm.applyDelta(state, batch.toDF(), Seq("cat"), "k")
+        ManifestStore.overwrite(next, stateDir): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      ManifestStore.append(
+        (30L until 40L).map(i => (i, cat(i))).toDF("k", "cat"), dir)
+      q.processAllAvailable()
+      val tableSchema = StructType.fromDDL("k BIGINT, cat STRING")
+      ManifestStore.deleteWhere(spark, dir, tableSchema, col("k") % 5 === 0L)
+      q.processAllAvailable()
+      // the maintained view equals a from-scratch recompute of the table
+      val maintained = ManifestStore.read(spark, stateDir, stateSchema)
+        .as[(String, Long, BigDecimal)].collect().toSet
+      val recomputed = Ivm.recompute(
+        ManifestStore.read(spark, dir, tableSchema), Seq("cat"), "k")
+        .as[(String, Long, BigDecimal)].collect().toSet
+      assert(maintained === recomputed)
+      // 40 rows minus the 8 multiples of 5 (.toSeq: two groups share n_rows=11)
+      assert(maintained.toSeq.map(_._2).sum === 32L)
+    } finally q.stop()
+  }
+
   test("streaming sink output reads back through the same format") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = tmpDir()
