@@ -1078,6 +1078,50 @@ object SparkEntry {
         .select(col("vec_id"), col("label").cast("long").as("label"))
     }),
 
+    // Relational HyperLogLog with a PORTABLE register derivation — the
+    // oracle-checkable counterpart to q35's engine-private builtin. Each
+    // value hashes through md5 (the repo's portable-hash discipline):
+    // bucket = first 8 bits (m = 256 registers), rho = leading-zero rank
+    // of the next 52 bits capped at 40. The sketch state is exact
+    // integers end to end — registers are max(rho) per (group, bucket)
+    // (map-side combined: shuffle ∝ groups × m, independent of rows), and
+    // the harmonic denominator sums register weights in fixed-point 2^-40
+    // units as BIGINT (order-free; a float Σ2^-rho would be
+    // partition-order-sensitive) — so DuckDB reproduces it byte-for-byte.
+    // est_raw_e6 is the raw HLL estimate αm²/S in micro-units through one
+    // IEEE chain both engines fold identically; the small-range
+    // linear-counting correction (m·ln(m/V) — engine-libm ln, not
+    // portable) is applied caller-side from the emitted V
+    // (TrainingOpsSpec pins its accuracy against exact distinct).
+    "q143_hll_relational" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val hex = md5(col("user_id").cast("string"))
+      val rows = ev.select(col("event_type"),
+        conv(substring(hex, 1, 2), 16, 10).cast("long").as("bucket"),
+        substring(hex, 3, 13).as("tail"))
+      val z = length(regexp_extract(col("tail"), "^0*", 0))
+      val d = expr("substring(tail, length(regexp_extract(tail, '^0*', 0)) + 1, 1)")
+      val lz = when(d === "1", 3).when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1).otherwise(0)
+      val rho = least(z * lit(4) + lz + lit(1), lit(40))
+      rows.select(col("event_type"), col("bucket"), rho.cast("int").as("rho"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("rho"), count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_buckets"),
+          sum(expr("shiftleft(1L, cast(40 - rho as int))")).as("u"))
+        .select(col("event_type"), col("n_events"),
+          (lit(256L) - col("n_buckets")).as("n_zero_registers"),
+          (col("u") + (lit(256L) - col("n_buckets")) * lit(1L << 40))
+            .as("sketch_units"))
+        .withColumn("est_raw_e6",
+          floor((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+            * lit(65536.0) * lit(1099511627776.0))
+            / col("sketch_units").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long"))
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3046,6 +3090,51 @@ object SparkEntry {
            WHERE round(common * 1.0 / (sx.sz + sb.sz - common), 4) >= 0.2)
          SELECT doc_id, lang FROM documents
          WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT id_b FROM dropped)""",
+
+    // portable md5 register derivation: identical bucket/rho/fixed-point
+    // arithmetic on both engines; every sum lands in BIGINT via exact
+    // integer units (the HUGEINT cast discipline)
+    "q143_hll_relational" ->
+      """WITH h AS (
+           SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+           FROM events WHERE user_id IS NOT NULL),
+         rr AS (
+           SELECT event_type,
+                  CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                       AS BIGINT) AS bucket,
+                  substr(hx, 3, 13) AS tail
+           FROM h),
+         rho0 AS (
+           SELECT event_type, bucket,
+                  length(regexp_extract(tail, '^0*')) AS z,
+                  substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1) AS d
+           FROM rr),
+         rho AS (
+           SELECT event_type, bucket,
+                  least(z * 4 +
+                        CASE WHEN d = '1' THEN 3
+                             WHEN d IN ('2', '3') THEN 2
+                             WHEN d IN ('4', '5', '6', '7') THEN 1
+                             ELSE 0 END + 1, 40) AS rho
+           FROM rho0),
+         regs AS (
+           SELECT event_type, bucket, max(rho) AS rho, count(*) AS n
+           FROM rho GROUP BY 1, 2),
+         g AS (
+           SELECT event_type,
+                  CAST(sum(n) AS BIGINT) AS n_events,
+                  CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(sum(1::BIGINT << CAST(40 - rho AS INT)) AS BIGINT) AS u
+           FROM regs GROUP BY 1)
+         SELECT event_type, n_events,
+                256 - n_buckets AS n_zero_registers,
+                u + (256 - n_buckets) * (1::BIGINT << 40) AS sketch_units,
+                CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)
+                            * 65536.0 * 1099511627776.0)
+                           / CAST(sketch_units AS DOUBLE) * 1000000.0 + 0.5)
+                     AS BIGINT) AS est_raw_e6
+         FROM g""",
 
     // q142 = q120 routed through the persisted VectorIndex; oracle = the
     // exact all-pairs cosine admission (VectorIndexSpec's equivalence,

@@ -2257,4 +2257,29 @@ class TrainingOpsSpec extends SparkSpec {
       .distinct().count() === 1)
     assert(pair.select(sha2($"text", 256)).distinct().count() === 2)
   }
+
+  test("portable relational HLL (q143): corrected estimate tracks exact distinct") {
+    // the query's driver-checked output is the exact integer sketch state
+    // + the raw αm²/S estimate; the small-range linear-counting branch
+    // (m·ln(m/V), engine-libm ln so not oracle-portable) applies here,
+    // caller-side, exactly as a consumer would
+    Seq("sf0.001", "sf0.01").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      val out = SparkEntry.queries("q143_hll_relational")(spark, dir)
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n_zero_registers"), r.getAs[Long]("est_raw_e6")))
+      val exact = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy($"event_type")
+        .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.foreach { case (et, v, e6) =>
+        val raw = e6 / 1e6
+        val est = if (v > 0 && raw <= 2.5 * 256) 256.0 * math.log(256.0 / v)
+                  else raw
+        val d = exact(et).toDouble
+        assert(math.abs(est - d) / d <= 0.20,
+          s"$sf/$et: corrected HLL $est vs exact $d drifted past 20%")
+      }
+    }
+  }
 }
