@@ -100,7 +100,12 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
     }
     new ManifestSource(spark, dir, dataSchema, starting,
       readChangeFeed = ci.get("readchangefeed").exists(_.toBoolean),
-      ignoreChanges = ci.get("ignorechanges").exists(_.toBoolean))
+      ignoreChanges = ci.get("ignorechanges").exists(_.toBoolean),
+      maxVersionsPerTrigger = ci.get("maxversionspertrigger").map { v =>
+        val k = v.toLong
+        require(k > 0, s"maxVersionsPerTrigger must be positive (got $k)")
+        k
+      })
   }
 
   override def createSink(sqlContext: SQLContext,

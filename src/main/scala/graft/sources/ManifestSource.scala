@@ -42,12 +42,26 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *  - `startingVersion` floors the first batch: absent, streaming begins
   *    AFTER the version current at stream start (new commits only);
   *    `"0"`/`"earliest"` replays the whole retained lineage first.
+  *  - `maxVersionsPerTrigger` bounds each micro-batch to that many
+  *    commits (admission control): replaying a deep backlog proceeds in
+  *    bounded chunks instead of one giant batch — Delta's
+  *    `maxFilesPerTrigger` at the commit granularity the manifest
+  *    lineage natively provides.
   */
 class ManifestSource(spark: SparkSession, dir: String,
                      dataSchema: StructType,
                      startingVersion: Long,
                      readChangeFeed: Boolean,
-                     ignoreChanges: Boolean) extends Source {
+                     ignoreChanges: Boolean,
+                     maxVersionsPerTrigger: Option[Long] = None) extends Source {
+
+  /** Highest version this instance has planned or replayed — the rate
+    * limiter's floor. Monotonic; getBatch syncs it to the engine's
+    * checkpointed end on restart (MicroBatchExecution re-initializes v1
+    * sources by replaying the last logged batch), so a limited getOffset
+    * can never fall behind what the checkpoint already committed.
+    */
+  @volatile private var plannedV: Long = startingVersion
 
   /** Ops that cannot remove or rewrite rows: safe in row mode. `bloom` and
     * `compact` are data-neutral; `tag`s never commit; everything else
@@ -65,13 +79,22 @@ class ManifestSource(spark: SparkSession, dir: String,
     else dataSchema
 
   override def getOffset: Option[Offset] = {
-    val v = ManifestStore.currentSnapshot(spark, dir).map(_.version).getOrElse(0L)
-    if (v <= startingVersion) None else Some(LongOffset(v))
+    val cur = ManifestStore.currentSnapshot(spark, dir).map(_.version).getOrElse(0L)
+    // admission control: a backlog replays maxVersionsPerTrigger commits
+    // per micro-batch instead of one giant batch — bounded state, bounded
+    // task counts, steady progress over a 100 TB history
+    val v = maxVersionsPerTrigger match {
+      case Some(k) => math.min(cur, plannedV + k)
+      case None => cur
+    }
+    if (v <= startingVersion || v <= plannedV) None
+    else { plannedV = math.max(plannedV, v); Some(LongOffset(v)) }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(asVersion).getOrElse(startingVersion)
     val to = asVersion(end)
+    plannedV = math.max(plannedV, to) // restart sync: never plan below this
     val feed = ManifestStore.changes(spark, dir, from, to, dataSchema)
     val out =
       if (readChangeFeed) feed

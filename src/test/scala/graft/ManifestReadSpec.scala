@@ -252,6 +252,39 @@ class ManifestReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger chunks a backlog and survives a restart") {
+    val dir = tmpDir()
+    val cp = tmpDir()
+    (1 to 6).foreach(i => ManifestStore.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir))
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-manifest")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "2").load(dir)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batchSizes.synchronized { batchSizes += b.count() }: Unit
+        }
+        .start()
+    val q = run()
+    try {
+      q.processAllAvailable()
+      // 6 commits of 1 row, 2 commits per trigger -> 3 batches of 2 rows
+      assert(batchSizes.synchronized(batchSizes.toSeq).filter(_ > 0) ===
+        Seq(2L, 2L, 2L))
+    } finally q.stop()
+    // restart on the same checkpoint: no replay, no offset regression,
+    // new commits keep chunking
+    (7 to 10).foreach(i => ManifestStore.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), dir))
+    batchSizes.synchronized(batchSizes.clear())
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(batchSizes.synchronized(batchSizes.toSeq).filter(_ > 0) ===
+        Seq(2L, 2L))
+    } finally q2.stop()
+  }
+
   test("CDF stream drives Ivm: maintained aggregate tracks appends AND deletes") {
     import graft.operators.Ivm
     val dir = tmpDir()
