@@ -213,11 +213,20 @@ private[sources] class ManifestFileIndex(spark: SparkSession, dir: String,
   private val root = new Path(dir)
   private val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // one getFileStatus per file, once per relation — driver-side metadata,
-  // the same cost class as the commit's own footer harvesting. (A future
-  // manifest field for file sizes would make this zero-RPC.)
+  // zero-RPC when the manifest recorded byte sizes (every commit since
+  // the sizes field): FileStatus is synthesized from (path, size) — the
+  // immutable write-once files need no modtime/block detail for split
+  // planning. Files from pre-sizes manifests fall back to one
+  // getFileStatus each, once per relation.
   private lazy val statusByRel: Map[String, FileStatus] =
-    snap.files.map(rel => rel -> fsys.getFileStatus(absPath(rel))).toMap
+    snap.files.map { rel =>
+      val p = fsys.makeQualified(absPath(rel))
+      rel -> (snap.sizes.get(rel) match {
+        case Some(len) =>
+          new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
+        case None => fsys.getFileStatus(p)
+      })
+    }.toMap
 
   private def absPath(rel: String): Path = {
     val p = new Path(rel)

@@ -63,7 +63,8 @@ object ManifestStore {
                             schema: Option[StructType] = None,
                             parts: Map[String, Map[String, String]] = Map.empty,
                             blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
-                            dvs: Map[String, DvRef] = Map.empty)
+                            dvs: Map[String, DvRef] = Map.empty,
+                            sizes: Map[String, Long] = Map.empty)
 
   /** A data file's DELETION VECTOR state: `files` are the dv parquet
     * sidecars (rows `(f: file name, i: row index)`) whose tombstones apply
@@ -326,8 +327,12 @@ object ManifestStore {
         .map(v.path("files").get(_).asText())
       e.getKey -> DvRef(fl, v.path("deleted").asLong())
     }.toMap
+    val sizesNode = root.path("sizes")
+    val sizes = if (sizesNode.isMissingNode) Map.empty[String, Long]
+    else sizesNode.properties().asScala.iterator
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
     Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
-      stats, rows, schema, parts, blooms, dvs)
+      stats, rows, schema, parts, blooms, dvs, sizes)
   }
 
   /** The latest version under the manifest-recorded schema — the
@@ -714,7 +719,8 @@ object ManifestStore {
     publishExternal(spark, dir, op = s"restore:$version", files = snap.files,
       stats = snap.stats, rows = snap.rows, schema = snap.schema,
       parts = snap.parts, blooms = snap.blooms, dvs = snap.dvs,
-      firstVersionOnly = false, expectVersion = Some(planned + 1))
+      firstVersionOnly = false, expectVersion = Some(planned + 1),
+      sizes = snap.sizes)
   }
 
   /** Metadata-only `COUNT(*)`: the table's exact row count from the
@@ -1114,13 +1120,13 @@ object ManifestStore {
     * summed) — both from the one footer read.
     */
   private def footerMeta(conf: org.apache.hadoop.conf.Configuration,
-                         dir: String, rel: String): (Map[String, ColStats], Long) = {
+                         dir: String, rel: String): (Map[String, ColStats], Long, Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(dir, rel), conf))
+    val inputFile = HadoopInputFile.fromPath(new Path(dir, rel), conf)
+    val reader = ParquetFileReader.open(inputFile)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val perCol = scala.collection.mutable.LinkedHashMap[String,
@@ -1170,9 +1176,11 @@ object ManifestStore {
           }
         }
       }
+      // byte size from the SAME file status the footer open already paid
+      // for — recorded in the manifest so readers never re-stat the lake
       (perCol.map { case (n, (t, b, nulls)) =>
         n -> ColStats(t, b.map(_._1), b.map(_._2), nulls)
-      }.toMap, blocks.map(_.getRowCount).sum)
+      }.toMap, blocks.map(_.getRowCount).sum, inputFile.getLength)
     } finally reader.close()
   }
 
@@ -1299,6 +1307,7 @@ object ManifestStore {
     val freshMeta = fresh.map(r => r -> footerMeta(hadoopConf, dir, r)).toMap
     val freshStats = freshMeta.view.mapValues(_._1).toMap
     val freshRows = freshMeta.view.mapValues(_._2).toMap
+    val freshSizes = freshMeta.view.mapValues(_._3).toMap
     // 2. claim the next version slot; on a lost race, re-base and retry —
     //    only the manifest publish repeats, never the data write
     var attempt = 0
@@ -1353,6 +1362,11 @@ object ManifestStore {
         val carriedRows = prev.map(_.rows).getOrElse(Map.empty) ++ freshRows
         val rowsNode = body.putObject("rows")
         files.foreach(rel => carriedRows.get(rel).foreach(rowsNode.put(rel, _)))
+        // per-file byte sizes (same footer open): the read path's
+        // FileIndex plans splits and sizeInBytes with zero re-stat RPCs
+        val carriedSizes = prev.map(_.sizes).getOrElse(Map.empty) ++ freshSizes
+        val sizesNode = body.putObject("sizes")
+        files.foreach(rel => carriedSizes.get(rel).foreach(sizesNode.put(rel, _)))
         // the table schema travels in the manifest (self-describing table):
         // widened by each commit under the widening-only evolution rule;
         // a drop-only commit (fresh = Nil) carries the previous schema
@@ -1451,7 +1465,8 @@ object ManifestStore {
         // dv sidecars rekey to absolute source URIs like the data files
         rekey.get(k).map(_ -> v.copy(files = v.files.map(r =>
           new Path(srcBase, r).toString)))
-      })
+      },
+      sizes = snap.sizes.flatMap { case (k, v) => rekey.get(k).map(_ -> v) })
   }
 
   /** Publish a manifest with EXTERNALLY-supplied content (no footer
@@ -1469,7 +1484,8 @@ object ManifestStore {
                               dvs: Map[String, DvRef] = Map.empty,
                               firstVersionOnly: Boolean = true,
                               maxAttempts: Int = 10,
-                              expectVersion: Option[Long] = None): Long = {
+                              expectVersion: Option[Long] = None,
+                              sizes: Map[String, Long] = Map.empty): Long = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1504,6 +1520,8 @@ object ManifestStore {
       }
       val rowsNode = body.putObject("rows")
       files.foreach(rel => rows.get(rel).foreach(rowsNode.put(rel, _)))
+      val sizesNode = body.putObject("sizes")
+      files.foreach(rel => sizes.get(rel).foreach(sizesNode.put(rel, _)))
       schema.foreach(s => body.put("schema", s.json))
       val partsWritten = files.flatMap(rel =>
         parts.get(rel).filter(_.nonEmpty).map(rel -> _))

@@ -58,6 +58,39 @@ class ManifestReadSpec extends SparkSpec {
     assert(rows(readFmt(dir)).size === 300)
   }
 
+  test("manifests record per-file byte sizes; every lineage path carries them") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    ManifestStore.append(strideDf(1), dir)
+    val f = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def snap(d: String) = ManifestStore.currentSnapshot(spark, d).get
+    val s = snap(dir)
+    assert(s.files.nonEmpty && s.files.forall(s.sizes.contains))
+    s.files.foreach { rel =>
+      assert(s.sizes(rel) === f.getFileStatus(new Path(dir, rel)).getLen,
+        s"recorded size of $rel diverges from the filesystem")
+    }
+    // carried through a metadata-only commit (delete-dv), restored by
+    // restore, rewritten files get fresh sizes from compaction
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") % 7 === 0)
+    assert(snap(dir).files.forall(snap(dir).sizes.contains))
+    val vDel = snap(dir).version
+    ManifestStore.compact(spark, dir, schema, numFiles = 1)
+    val sc = snap(dir)
+    assert(sc.files.size === 1 && sc.files.forall(sc.sizes.contains))
+    ManifestStore.restore(spark, dir, vDel)
+    assert(snap(dir).files.forall(snap(dir).sizes.contains))
+    // clones rekey sizes with the files
+    val dst = tmpDir()
+    ManifestStore.cloneShallow(spark, dir, dst)
+    val scl = snap(dst)
+    assert(scl.files.nonEmpty && scl.files.forall(scl.sizes.contains))
+    // and the read path's FileIndex plans from them (no re-stat): the
+    // native scan still reads the right bytes
+    assert(rows(readFmt(dst)) === rows(ManifestStore.read(spark, dir, schema)))
+  }
+
   test("versionAsOf / timestampAsOf / tag time-travel") {
     val dir = tmpDir()
     ManifestStore.append(strideDf(0), dir)
