@@ -796,17 +796,33 @@ object ManifestStore {
     if (s.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
       import org.apache.spark.sql.functions.col
-      val base = spark.read.schema(schema)
-        .parquet(s.files.map(new Path(dir, _).toString): _*)
       // merge-on-read: anti-join the live files' tombstones. The dv union
       // is sized by what deletes touched, not the table — AQE broadcasts
       // it; the no-dv path (every append-only and freshly-compacted
       // table) stays the plain scan with zero overhead.
       val dvFiles = s.files.flatMap(s.dvs.get).flatMap(_.files).distinct
-      if (dvFiles.isEmpty) base
-      else withRowIds(base)
-        .join(readDvPairs(spark, dir, dvFiles), Seq(dvNameCol, dvIdxCol), "left_anti")
-        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      if (dvFiles.isEmpty) {
+        // manifest-planned native scan: the FileIndex lists from the
+        // manifest (sizes recorded at commit → zero per-file stat RPCs)
+        // and prunes files against the query's own filters with the
+        // manifest's stats/partition values/blooms — every
+        // ManifestStore.read shares the `graft-manifest` read path
+        import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+        import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        spark.baseRelationToDataFrame(HadoopFsRelation(
+          location = new ManifestFileIndex(spark, dir, s, schema),
+          partitionSchema = StructType(Nil),
+          dataSchema = schema,
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat,
+          options = Map.empty)(spark))
+      } else {
+        val base = spark.read.schema(schema)
+          .parquet(s.files.map(new Path(dir, _).toString): _*)
+        withRowIds(base)
+          .join(readDvPairs(spark, dir, dvFiles), Seq(dvNameCol, dvIdxCol), "left_anti")
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      }
     }
 
   /** Change-data-feed: the row-level changes the table underwent in versions
