@@ -167,16 +167,31 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
                               parameters: Map[String, String],
                               data: DataFrame): BaseRelation = {
     val dir = pathOf(parameters)
+    // df.write.partitionBy(...) reaches a v1 source as the JSON-encoded
+    // __partition_columns option — decode and route appends through the
+    // hive-layout manifest writer (per-file partition values recorded for
+    // metadata pruning)
+    val partCols = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils.decodePartitioningColumns)
+      .getOrElse(Nil)
+    def appendAny(): Unit =
+      if (partCols.isEmpty) ManifestStore.append(data, dir): Unit
+      else ManifestStore.appendPartitioned(data, dir, partCols): Unit
     mode match {
-      case SaveMode.Append => ManifestStore.append(data, dir)
-      case SaveMode.Overwrite => ManifestStore.overwrite(data, dir)
+      case SaveMode.Append => appendAny()
+      case SaveMode.Overwrite =>
+        require(partCols.isEmpty,
+          "partitionBy with overwrite is not supported — overwrite replaces " +
+            "the whole table; append partitioned batches instead")
+        ManifestStore.overwrite(data, dir)
       case SaveMode.ErrorIfExists =>
         if (ManifestStore.currentSnapshot(data.sparkSession, dir).isDefined)
           throw new IllegalStateException(s"manifest table $dir already has commits")
-        ManifestStore.append(data, dir)
+        appendAny()
       case SaveMode.Ignore =>
         if (ManifestStore.currentSnapshot(data.sparkSession, dir).isEmpty)
-          ManifestStore.append(data, dir)
+          appendAny()
     }
     new BaseRelation {
       override def sqlContext: SQLContext = sqlContext0

@@ -160,6 +160,24 @@ class ManifestReadSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSeq === Seq((1L, "p1", "s1")))
   }
 
+  test("df.write.partitionBy routes through the partitioned manifest writer") {
+    val dir = tmpDir()
+    (0L until 300L).map(i => (i, s"p${i % 3}", s"s$i")).toDF("k", "part", "v")
+      .write.format("graft-manifest").partitionBy("part").mode("append").save(dir)
+    val s = ManifestStore.currentSnapshot(spark, dir).get
+    // per-file partition values recorded -> metadata pruning works
+    assert(s.parts.nonEmpty && s.parts.values.forall(_.contains("part")))
+    val one = readFmt(dir).filter(col("part") === "p1")
+    assert(one.count() === 100L)
+    assert(filesRead(one) < filesRead(readFmt(dir)))
+    // overwrite + partitionBy is refused loudly
+    intercept[IllegalArgumentException] {
+      (0L until 3L).map(i => (i, "p0", "x")).toDF("k", "part", "v")
+        .write.format("graft-manifest").partitionBy("part")
+        .mode("overwrite").save(dir)
+    }
+  }
+
   test("deletion vectors: reads stay exact through the dv fallback") {
     val dir = tmpDir()
     ManifestStore.append(strideDf(0), dir)
