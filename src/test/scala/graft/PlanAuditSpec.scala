@@ -23,6 +23,31 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("graft-manifest read: pushdown reaches parquet, codegen'd native scan") {
+    import graft.sources.ManifestStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    ManifestStore.append(
+      (0L until 100L).map(i => (i, s"s$i")).toDF("k", "v"), dir)
+    val df = spark.read.format("graft-manifest").load(dir)
+      .filter(col("k") > 50L).select("v")
+    val p = df.queryExecution.executedPlan.toString
+    // predicate pushed into the parquet scan, projection pruned to one
+    // column, and the scan fused into whole-stage codegen — the native
+    // path, not a Row-boundary relation
+    assert(p.contains("GreaterThan(k,50)") && p.contains("PushedFilters: ["),
+      p.take(800))
+    assert(p.contains("Location: ManifestFileIndex"), p.take(800))
+    assert(p.contains("ReadSchema: struct<v:string>") ||
+      p.contains("ReadSchema: struct<k:bigint,v:string>"), p.take(800))
+    assert(p.contains("*(1)"), p.take(400)) // whole-stage codegen span
+    // and ManifestStore.read itself plans through the same FileIndex
+    val p2 = ManifestStore.readLatest(spark, dir).filter(col("k") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("EqualTo(k,7)") &&
+      p2.contains("Location: ManifestFileIndex"), p2.take(800))
+  }
+
   test("star join builds broadcast hash joins, never sort-merge, on dim tables") {
     val p = plan("q02_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
