@@ -140,6 +140,23 @@ private[sources] object ManifestRead {
     case other => Seq(other)
   }
 
+  /** `col IN (...)` value sets for per-value pruning: unlike the range
+    * envelope [[toRanges]] keeps, each value probes stats/partition/bloom
+    * individually and the union is the scan set ([[ManifestStore.pruneFilesIn]])
+    * — on a bloomed or clustered key this is the handful-of-files path.
+    */
+  def toInSets(filters: Seq[Expression]): Seq[(String, Seq[Any])] =
+    filters.flatMap(splitConjuncts).flatMap {
+      case CIn(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val svs = vs.collect { case Literal(v, _) => statValue(v) }.flatten
+        if (svs.size == vs.size) Some((a.name, svs)) else None
+      case CEqualTo(a: Attribute, Literal(v, _)) =>
+        statValue(v).map(sv => (a.name, Seq(sv)))
+      case CEqualTo(Literal(v, _), a: Attribute) =>
+        statValue(v).map(sv => (a.name, Seq(sv)))
+      case _ => None
+    }
+
   private def loRange(col: String, v: Any, schema: Option[StructType]) =
     statValue(v).flatMap(sv => sentinels(schema, col).map { case (_, hi) => (col, sv, hi) })
 
@@ -240,9 +257,17 @@ private[sources] class ManifestFileIndex(spark: SparkSession, dir: String,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val ranges = ManifestRead.toRanges(dataFilters, snap.schema.orElse(Some(dataSchema)))
-    val kept =
+    val ranged =
       if (ranges.isEmpty) snap.files
       else ManifestStore.pruneFilesWhere(snap, ranges)
+    // IN / equality sets prune per VALUE on top of the range envelope:
+    // each value probes stats/partition values/blooms, union per set,
+    // intersect across conjuncts
+    val inSets = ManifestRead.toInSets(dataFilters)
+    val kept = inSets.foldLeft(ranged) { case (fs, (c, vs)) =>
+      val admitted = ManifestStore.pruneFilesIn(snap, c, vs).toSet
+      fs.filter(admitted)
+    }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(statusByRel).toArray))
   }
 

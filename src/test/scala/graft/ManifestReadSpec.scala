@@ -143,6 +143,16 @@ class ManifestReadSpec extends SparkSpec {
     val bloomed = readFmt(dir).filter(col("v") === "a42")
     assert(rows(bloomed) === Set(42L -> "a42"))
     assert(filesRead(bloomed) === 1L, "bloom must prune the string point probe")
+
+    // IN prunes per VALUE (union of each value's admitted files), not by
+    // its min/max envelope — "a42" and "c242" must read exactly two files
+    val inq = readFmt(dir).filter(col("v").isin("a42", "c242"))
+    assert(rows(inq) === Set(42L -> "a42", 242L -> "c242"))
+    assert(filesRead(inq) === 2L, "IN must prune per value via blooms")
+    // an integer IN spanning two files likewise skips the third by stats
+    val inK = readFmt(dir).filter(col("k").isin(10L, 110L))
+    assert(rows(inK) === Set(10L -> "a10", 110L -> "b110"))
+    assert(filesRead(inK) === 2L, "IN must prune per value via range stats")
   }
 
   test("partitioned tables prune on manifest partition values") {
