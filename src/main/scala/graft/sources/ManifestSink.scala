@@ -91,12 +91,19 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
       .getOrElse(throw new IllegalStateException(
         s"manifest table $dir records no schema — pass one via .schema(...)"))
     // internal floor is EXCLUSIVE; the option names the first version
-    // INCLUDED (Delta's startingVersion convention)
+    // INCLUDED (Delta's startingVersion convention). startingTimestamp
+    // floors at the newest version committed at-or-before the instant —
+    // commits after it stream.
     val starting = ci.get("startingversion") match {
       case Some("earliest") => 0L
       case Some(v) => math.max(v.toLong - 1, 0L)
-      case None => // new commits only: floor at the stream-start version
-        ManifestStore.currentSnapshot(spark, dir).map(_.version).getOrElse(0L)
+      case None => ci.get("startingtimestamp") match {
+        case Some(ts) =>
+          ManifestStore.versionAsOf(spark, dir,
+            ManifestRead.parseTsMillis(ts)).getOrElse(0L)
+        case None => // new commits only: floor at the stream-start version
+          ManifestStore.currentSnapshot(spark, dir).map(_.version).getOrElse(0L)
+      }
     }
     new ManifestSource(spark, dir, dataSchema, starting,
       readChangeFeed = ci.get("readchangefeed").exists(_.toBoolean),

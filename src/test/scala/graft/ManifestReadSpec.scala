@@ -244,6 +244,24 @@ class ManifestReadSpec extends SparkSpec {
       assert(spark.table("msrc2").as[(Long, String)].collect().toSet ===
         Set(1L -> "pre", 2L -> "b", 3L -> "c", 4L -> "d"))
     } finally q2.stop()
+
+    // startingTimestamp floors at the version current at that instant:
+    // everything already committed is skipped, later commits stream
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    val q3 = spark.readStream.format("graft-manifest")
+      .option("startingTimestamp", cut.toString).load(dir)
+      .writeStream.format("memory").queryName("msrc3")
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("msrc3").count() === 0L)
+      ManifestStore.append(Seq((5L, "e")).toDF("k", "v"), dir)
+      q3.processAllAvailable()
+      assert(spark.table("msrc3").as[(Long, String)].collect().toSet ===
+        Set(5L -> "e"))
+    } finally q3.stop()
     val _ = out
   }
 
