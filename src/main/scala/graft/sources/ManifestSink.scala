@@ -126,7 +126,9 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
       "partitionBy is not supported on the streaming sink — use " +
         "ManifestStore.appendPartitioned in foreachBatch")
     val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
-    new ManifestSink(pathOf(parameters ++ ci), ci.getOrElse("appid", "default"))
+    new ManifestSink(pathOf(parameters ++ ci), ci.getOrElse("appid", "default"),
+      autoCompact = ci.get("autocompact").exists(_.toBoolean),
+      autoCompactEvery = ci.get("autocompactevery").map(_.toInt).getOrElse(16))
   }
 
   /** `spark.read.format("graft-manifest").load(dir)` — snapshot resolved
@@ -207,8 +209,23 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
   }
 }
 
-/** The streaming sink instance: one per (query run, path). */
-class ManifestSink(dir: String, appId: String) extends Sink {
+/** The streaming sink instance: one per (query run, path).
+  *
+  * `autoCompact=true` runs [[ManifestStore.compactSmall]] every
+  * `autoCompactEvery` committed batches (default 16): streaming
+  * micro-batches are the table format's small-file factory, and folding
+  * the incremental OPTIMIZE into the sink keeps the debt bounded without
+  * a separate maintenance job. Safe by construction: compactSmall
+  * commits through the optimistic protocol (a concurrent append survives
+  * the rewrite; a lost race aborts the compaction, never the data), the
+  * `compact` op is CDC-data-neutral so downstream manifest STREAMS see
+  * nothing, and a compaction failure never fails the batch.
+  */
+class ManifestSink(dir: String, appId: String,
+                   autoCompact: Boolean = false,
+                   autoCompactEvery: Int = 16) extends Sink {
+
+  private var committed = 0L
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val spark = data.sparkSession
@@ -225,8 +242,13 @@ class ManifestSink(dir: String, appId: String) extends Sink {
       it.map(ir => conv(ir).asInstanceOf[Row])
     }
     val plain = spark.createDataFrame(rows, schema)
-    if (!plain.isEmpty)
+    if (!plain.isEmpty) {
       ManifestStore.appendIdempotent(plain, dir, appId, batchId): Unit
+      committed += 1
+      if (autoCompact && committed % autoCompactEvery == 0)
+        try ManifestStore.compactSmall(spark, dir, schema): Unit
+        catch { case scala.util.control.NonFatal(_) => () } // never fail the batch
+    }
   }
 
   override def name(): String = s"graft-manifest[$dir]"

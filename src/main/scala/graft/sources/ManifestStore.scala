@@ -1657,8 +1657,10 @@ object ManifestStore {
                                   zorderCols: Seq[String]): Option[Long] = {
     val f = fs(spark, dir)
     val snap = currentSnapshot(spark, dir).getOrElse(return None)
+    // manifest-recorded sizes first (zero RPCs); stat only pre-sizes files
     val sized = snap.files.map { rel =>
-      rel -> f.getFileStatus(new Path(dir, rel)).getLen
+      rel -> snap.sizes.getOrElse(rel,
+        f.getFileStatus(new Path(dir, rel)).getLen)
     }
     val small = sized.filter(_._2 < minFileBytes)
     // PARTITION-AWARE grouping: rewriting across partition boundaries

@@ -405,6 +405,34 @@ class ManifestReadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("autoCompact sink folds small-file maintenance into the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", tmpDir())
+      .option("appId", "auto-c")
+      .option("autoCompact", "true")
+      .option("autoCompactEvery", "4")
+      .start(dir)
+    try {
+      (1 to 8).foreach { i =>
+        mem.addData((i.toLong, s"v$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val s = ManifestStore.currentSnapshot(spark, dir).get
+    // two compactions (after batches 4 and 8) folded the micro-batch
+    // files: far fewer files than commits, nothing lost
+    assert(s.files.size < 8, s"expected compacted file count, got ${s.files.size}")
+    assert(ManifestStore.history(spark, dir)
+      .filter(col("op") === "compact").count() >= 1L)
+    assert(rows(ManifestStore.read(spark, dir, schema)) ===
+      (1 to 8).map(i => i.toLong -> s"v$i").toSet)
+  }
+
   test("streaming sink output reads back through the same format") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = tmpDir()
