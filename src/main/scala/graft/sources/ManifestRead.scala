@@ -49,11 +49,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] object ManifestRead {
 
-  /** Resolve which committed version the options pin (priority:
-    * versionAsOf > timestampAsOf > tag > latest). `params` pre-lowercased.
+  /** Resolve which committed version the options pin. At most ONE of
+    * versionAsOf / timestampAsOf / tag may be set — two specifiers that
+    * disagree would silently read an unintended snapshot under any
+    * priority rule, so conflicting options fail loudly (Delta's
+    * discipline). `params` pre-lowercased.
     */
   def resolveSnapshot(spark: SparkSession, dir: String,
                       params: Map[String, String]): Option[ManifestStore.Snapshot] = {
+    val pinned = Seq("versionasof", "timestampasof", "tag").filter(params.contains)
+    require(pinned.size <= 1,
+      s"conflicting time-travel options ${pinned.mkString(", ")} on $dir — " +
+        "set at most one of versionAsOf / timestampAsOf / tag")
     params.get("versionasof").map(v => ManifestStore.readManifest(spark, dir, v.toLong))
       .orElse(params.get("timestampasof").map { ts =>
         val millis = parseTsMillis(ts)
@@ -82,6 +89,14 @@ private[sources] object ManifestRead {
 
   /** Catalyst literal value → the manifest stat space (`toString`-stable
     * long/double/string). None = not representable, no pruning on it.
+    * Non-finite floating literals are REFUSED: Spark SQL orders NaN above
+    * every value and treats NaN = NaN as true, semantics the min/max stat
+    * comparisons (where NaN compares false everywhere) would invert into
+    * wrongly pruning files that DO hold matching rows — the same reason
+    * Spark's own ParquetFilters refuses NaN pushdown. ±Infinity literals
+    * are likewise excluded; open-ended ranges carry
+    * [[ManifestStore.Unbounded]] instead of a sentinel value, so e.g.
+    * `x < 0` keeps a file whose values are all -Infinity.
     */
   private def statValue(v: Any): Option[Any] = v match {
     case null => None
@@ -90,43 +105,30 @@ private[sources] object ManifestRead {
     case i: Int => Some(i)
     case s: Short => Some(s.toInt)
     case b: Byte => Some(b.toInt)
-    case d: Double => Some(d)
-    case f: Float => Some(f.toDouble)
+    case d: Double => if (d.isNaN || d.isInfinite) None else Some(d)
+    case f: Float => if (f.isNaN || f.isInfinite) None else Some(f.toDouble)
     case _ => None
   }
-
-  /** One-sided ranges need a type-correct opposite bound; string columns
-    * have no max sentinel, so a one-sided string range yields no pruning
-    * (safe). The schema decides the sentinel space.
-    */
-  private def sentinels(schema: Option[StructType], col: String): Option[(Any, Any)] =
-    schema.flatMap(_.fields.find(_.name == col)).map(_.dataType.typeName).collect {
-      case "long" | "integer" | "short" | "byte" | "timestamp" | "timestamp_ntz" =>
-        (Long.MinValue: Any, Long.MaxValue: Any)
-      case "double" | "float" =>
-        (Double.MinValue: Any, Double.MaxValue: Any)
-    }
 
   /** Data filters → conjunctive `(column, lo, hi)` ranges for
     * [[ManifestStore.pruneFilesWhere]]. Unconvertible conjuncts are
     * simply not pruned on — row-level filtering still applies them, so
     * the translation can only keep too much, never too little.
     */
-  def toRanges(filters: Seq[Expression],
-               schema: Option[StructType]): Seq[(String, Any, Any)] =
+  def toRanges(filters: Seq[Expression]): Seq[(String, Any, Any)] =
     filters.flatMap(splitConjuncts).flatMap {
       case CEqualTo(a: Attribute, Literal(v, _)) =>
         statValue(v).map(sv => (a.name, sv, sv))
       case CEqualTo(Literal(v, _), a: Attribute) =>
         statValue(v).map(sv => (a.name, sv, sv))
-      case CGreaterThan(a: Attribute, Literal(v, _)) => loRange(a.name, v, schema)
-      case CGreaterThanOrEqual(a: Attribute, Literal(v, _)) => loRange(a.name, v, schema)
-      case CLessThan(a: Attribute, Literal(v, _)) => hiRange(a.name, v, schema)
-      case CLessThanOrEqual(a: Attribute, Literal(v, _)) => hiRange(a.name, v, schema)
-      case CGreaterThan(Literal(v, _), a: Attribute) => hiRange(a.name, v, schema)
-      case CGreaterThanOrEqual(Literal(v, _), a: Attribute) => hiRange(a.name, v, schema)
-      case CLessThan(Literal(v, _), a: Attribute) => loRange(a.name, v, schema)
-      case CLessThanOrEqual(Literal(v, _), a: Attribute) => loRange(a.name, v, schema)
+      case CGreaterThan(a: Attribute, Literal(v, _)) => loRange(a.name, v)
+      case CGreaterThanOrEqual(a: Attribute, Literal(v, _)) => loRange(a.name, v)
+      case CLessThan(a: Attribute, Literal(v, _)) => hiRange(a.name, v)
+      case CLessThanOrEqual(a: Attribute, Literal(v, _)) => hiRange(a.name, v)
+      case CGreaterThan(Literal(v, _), a: Attribute) => hiRange(a.name, v)
+      case CGreaterThanOrEqual(Literal(v, _), a: Attribute) => hiRange(a.name, v)
+      case CLessThan(Literal(v, _), a: Attribute) => loRange(a.name, v)
+      case CLessThanOrEqual(Literal(v, _), a: Attribute) => loRange(a.name, v)
       case CIn(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         // IN prunes by its value ENVELOPE [min, max] — coarser than
         // per-value bloom probes but conjunctive-safe
@@ -157,11 +159,15 @@ private[sources] object ManifestRead {
       case _ => None
     }
 
-  private def loRange(col: String, v: Any, schema: Option[StructType]) =
-    statValue(v).flatMap(sv => sentinels(schema, col).map { case (_, hi) => (col, sv, hi) })
+  /** One-sided ranges carry [[ManifestStore.Unbounded]] on the open side —
+    * type-independent, so string columns prune on `col >= lit` too (no
+    * string max-sentinel problem), and float ranges stay exact at ±Inf.
+    */
+  private def loRange(col: String, v: Any) =
+    statValue(v).map(sv => (col, sv, ManifestStore.Unbounded: Any))
 
-  private def hiRange(col: String, v: Any, schema: Option[StructType]) =
-    statValue(v).flatMap(sv => sentinels(schema, col).map { case (lo, _) => (col, lo, sv) })
+  private def hiRange(col: String, v: Any) =
+    statValue(v).map(sv => (col, ManifestStore.Unbounded: Any, sv))
 
   private def minOf(vs: Seq[Any]): Any = vs.reduce { (a, b) =>
     (a, b) match {
@@ -256,7 +262,7 @@ private[sources] class ManifestFileIndex(spark: SparkSession, dir: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val ranges = ManifestRead.toRanges(dataFilters, snap.schema.orElse(Some(dataSchema)))
+    val ranges = ManifestRead.toRanges(dataFilters)
     val ranged =
       if (ranges.isEmpty) snap.files
       else ManifestStore.pruneFilesWhere(snap, ranges)

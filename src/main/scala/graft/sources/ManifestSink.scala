@@ -223,9 +223,17 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
   */
 class ManifestSink(dir: String, appId: String,
                    autoCompact: Boolean = false,
-                   autoCompactEvery: Int = 16) extends Sink {
+                   autoCompactEvery: Int = 16)
+    extends Sink with org.apache.spark.internal.Logging {
 
   private var committed = 0L
+
+  /** Consecutive autoCompact failures — observable (and test-assertable)
+    * evidence when compaction keeps losing: a permissions problem or a
+    * perpetual OCC loser must not look like a working option while
+    * small-file debt grows unbounded.
+    */
+  @volatile private[sources] var compactFailures = 0L
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val spark = data.sparkSession
@@ -246,8 +254,19 @@ class ManifestSink(dir: String, appId: String,
       ManifestStore.appendIdempotent(plain, dir, appId, batchId): Unit
       committed += 1
       if (autoCompact && committed % autoCompactEvery == 0)
-        try ManifestStore.compactSmall(spark, dir, schema): Unit
-        catch { case scala.util.control.NonFatal(_) => () } // never fail the batch
+        try {
+          ManifestStore.compactSmall(spark, dir, schema): Unit
+          compactFailures = 0L
+        } catch {
+          case scala.util.control.NonFatal(e) => // never fail the batch —
+            // but never hide the failure either: a persistently losing
+            // compaction (permissions, basename collision, OCC starvation)
+            // must be visible before small-file debt compounds
+            compactFailures += 1
+            logWarning(s"autoCompact on $dir failed " +
+              s"($compactFailures consecutive) — batches keep committing, " +
+              s"small-file debt is growing: ${e.getMessage}", e)
+        }
     }
   }
 

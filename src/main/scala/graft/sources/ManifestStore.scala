@@ -57,6 +57,16 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestStore {
 
+  /** Open-bound marker for the pruning range APIs: a `(column, lo, hi)`
+    * range with `Unbounded` on one side is a one-sided predicate
+    * (`col >= lo` / `col <= hi`) and prunes on the bounded side alone.
+    * This is what lets ONE-SIDED STRING ranges prune (strings have no
+    * max sentinel value) and keeps double ranges exact at ±Infinity
+    * (a finite fake sentinel like Double.MinValue would wrongly prune a
+    * file whose values are all -Infinity).
+    */
+  case object Unbounded
+
   final case class Snapshot(version: Long, files: Seq[String], op: String,
                             stats: Map[String, Map[String, ColStats]] = Map.empty,
                             rows: Map[String, Long] = Map.empty,
@@ -419,7 +429,8 @@ object ManifestStore {
     * for column types blooms don't cover — the caller must keep the file.
     */
   private def canonicalProbe(snap: Snapshot, column: String, v: Any): Option[String] =
-    snap.schema.flatMap(_.fields.find(_.name == column))
+    if (v == Unbounded) None // open bound: no point probe, keep the file
+    else snap.schema.flatMap(_.fields.find(_.name == column))
       .flatMap(_.dataType.typeName match {
         case "long" | "integer" | "short" | "byte" =>
           scala.util.Try(toLong(v).toString).toOption
@@ -442,7 +453,8 @@ object ManifestStore {
         val kept = pruneFilesWhere(s, ranges)
         ranges.foldLeft(readSnapshot(spark, dir, s.copy(files = kept), schema)) {
           case (df, (column, lo, hi)) =>
-            df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+            val withLo = if (lo == Unbounded) df else df.filter(col(column) >= lit(lo))
+            if (hi == Unbounded) withLo else withLo.filter(col(column) <= lit(hi))
         }
     }
   }
@@ -458,9 +470,11 @@ object ManifestStore {
       else snap.schema.flatMap(s => s.fields.find(_.name == column))
         .map(_.dataType.typeName) match {
         case Some("long" | "integer" | "short" | "byte") =>
-          v.toLong >= toLong(lo) && v.toLong <= toLong(hi)
+          (lo == Unbounded || v.toLong >= toLong(lo)) &&
+            (hi == Unbounded || v.toLong <= toLong(hi))
         case Some("string") =>
-          !utf8Lt(v, lo.toString) && !utf8Lt(hi.toString, v) // lo <= v <= hi
+          (lo == Unbounded || !utf8Lt(v, lo.toString)) &&
+            (hi == Unbounded || !utf8Lt(hi.toString, v)) // lo <= v <= hi
         case _ => true // unknown partition type: keep, never wrong
       }
     }
@@ -477,9 +491,11 @@ object ManifestStore {
         (snap.schema.flatMap(_.fields.find(_.name == column))
           .map(_.dataType.typeName) match {
           case Some("long" | "integer" | "short" | "byte") =>
-            v.toLong >= toLong(lo) && v.toLong <= toLong(hi)
+            (lo == Unbounded || v.toLong >= toLong(lo)) &&
+              (hi == Unbounded || v.toLong <= toLong(hi))
           case Some("string") =>
-            !utf8Lt(v, lo.toString) && !utf8Lt(hi.toString, v)
+            (lo == Unbounded || !utf8Lt(v, lo.toString)) &&
+              (hi == Unbounded || !utf8Lt(hi.toString, v))
           case _ => false
         })
     }
@@ -488,15 +504,16 @@ object ManifestStore {
                          lo: Any, hi: Any): Boolean =
       snap.stats.get(rel).flatMap(_.get(column)) match {
         case Some(ColStats(typ, Some(mn), Some(mx), _)) => typ match {
+          // each side checks independently; Unbounded admits its side
           case "long" =>
-            val (l, h) = (toLong(lo), toLong(hi))
-            mn.toLong <= h && mx.toLong >= l
+            (hi == Unbounded || mn.toLong <= toLong(hi)) &&
+              (lo == Unbounded || mx.toLong >= toLong(lo))
           case "double" =>
-            val (l, h) = (toDouble(lo), toDouble(hi))
-            mn.toDouble <= h && mx.toDouble >= l
+            (hi == Unbounded || mn.toDouble <= toDouble(hi)) &&
+              (lo == Unbounded || mx.toDouble >= toDouble(lo))
           case "string" =>
-            val (l, h) = (lo.toString, hi.toString)
-            !utf8Lt(h, mn) && !utf8Lt(mx, l) // mn <= h && l <= mx
+            (hi == Unbounded || !utf8Lt(hi.toString, mn)) && // mn <= hi
+              (lo == Unbounded || !utf8Lt(mx, lo.toString))  // lo <= mx
           case _ => true
         }
         case _ => true
@@ -533,8 +550,9 @@ object ManifestStore {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case Some(s) =>
         val kept = pruneFiles(s, column, lo, hi)
-        readSnapshot(spark, dir, s.copy(files = kept), schema)
-          .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+        val base = readSnapshot(spark, dir, s.copy(files = kept), schema)
+        val withLo = if (lo == Unbounded) base else base.filter(col(column) >= lit(lo))
+        if (hi == Unbounded) withLo else withLo.filter(col(column) <= lit(hi))
     }
   }
 
@@ -801,29 +819,41 @@ object ManifestStore {
       // it; the no-dv path (every append-only and freshly-compacted
       // table) stays the plain scan with zero overhead.
       val dvFiles = s.files.flatMap(s.dvs.get).flatMap(_.files).distinct
-      if (dvFiles.isEmpty) {
-        // manifest-planned native scan: the FileIndex lists from the
-        // manifest (sizes recorded at commit → zero per-file stat RPCs)
-        // and prunes files against the query's own filters with the
-        // manifest's stats/partition values/blooms — every
-        // ManifestStore.read shares the `graft-manifest` read path
-        import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-        import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-        spark.baseRelationToDataFrame(HadoopFsRelation(
-          location = new ManifestFileIndex(spark, dir, s, schema),
-          partitionSchema = StructType(Nil),
-          dataSchema = schema,
-          bucketSpec = None,
-          fileFormat = new ParquetFileFormat,
-          options = Map.empty)(spark))
-      } else {
-        val base = spark.read.schema(schema)
-          .parquet(s.files.map(new Path(dir, _).toString): _*)
+      // manifest-planned native scan on BOTH paths: the FileIndex lists
+      // from the manifest (sizes recorded at commit → zero per-file stat
+      // RPCs) and prunes files against the query's own filters with the
+      // manifest's stats/partition values/blooms — every
+      // ManifestStore.read shares the `graft-manifest` read path
+      val base = manifestScan(spark, dir, s, schema)
+      if (dvFiles.isEmpty) base
+      else
+        // merge-on-read stays one declarative tree: the vectorized
+        // parquet scan (with `_metadata.file_path`/`row_index` row
+        // identity) anti-joined against the dv union — whole-stage
+        // codegen and file pruning survive tombstones. Filters above
+        // push into the anti-join's LEFT side, so listFiles still prunes;
+        // tombstones of pruned files simply never match.
         withRowIds(base)
           .join(readDvPairs(spark, dir, dvFiles), Seq(dvNameCol, dvIdxCol), "left_anti")
           .select(schema.fieldNames.toIndexedSeq.map(col): _*)
-      }
     }
+
+  /** The native vectorized scan over one pinned snapshot's file list,
+    * planned by [[ManifestFileIndex]] (manifest listing, stat/partition/
+    * bloom pruning, zero-RPC statuses from recorded sizes).
+    */
+  private def manifestScan(spark: SparkSession, dir: String, s: Snapshot,
+                           schema: StructType): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    spark.baseRelationToDataFrame(HadoopFsRelation(
+      location = new ManifestFileIndex(spark, dir, s, schema),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark))
+  }
 
   /** Change-data-feed: the row-level changes the table underwent in versions
     * `(fromVersion, toVersion]`, as `schema`'s columns plus `_change_type`

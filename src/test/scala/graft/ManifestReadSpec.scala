@@ -155,6 +155,77 @@ class ManifestReadSpec extends SparkSpec {
     assert(filesRead(inK) === 2L, "IN must prune per value via range stats")
   }
 
+  test("one-sided string ranges prune files on a string-clustered table") {
+    val dir = tmpDir()
+    // two files with DISJOINT string ranges for v
+    ManifestStore.append(Seq((1L, "apple"), (2L, "banana"), (3L, "cherry"))
+      .toDF("k", "v").repartition(1), dir)
+    ManifestStore.append(Seq((4L, "xray"), (5L, "yam"), (6L, "zebra"))
+      .toDF("k", "v").repartition(1), dir)
+
+    // col >= lit with no upper bound: strings have no max sentinel value,
+    // so this shape pruned NOTHING before Unbounded ranges existed
+    val hi = readFmt(dir).filter(col("v") >= "xray")
+    assert(rows(hi) === Set(4L -> "xray", 5L -> "yam", 6L -> "zebra"))
+    assert(filesRead(hi) === 1L, "one-sided string lower bound must prune")
+    val lo = readFmt(dir).filter(col("v") < "d")
+    assert(lo.count() === 3L)
+    assert(filesRead(lo) === 1L, "one-sided string upper bound must prune")
+    // the FileIndex agrees with the store-level pruner
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(ManifestStore.pruneFilesWhere(snap,
+      Seq(("v", "xray", ManifestStore.Unbounded))).size === 1)
+  }
+
+  test("non-finite double literals never prune away matching rows") {
+    val dir = tmpDir()
+    val dSchema = StructType.fromDDL("k BIGINT, x DOUBLE")
+    // one file whose x values are ALL -Infinity (stats min=max=-Inf), one
+    // file that CONTAINS NaN next to finite values, one plain finite file
+    ManifestStore.append(Seq((1L, Double.NegativeInfinity),
+      (2L, Double.NegativeInfinity)).toDF("k", "x").repartition(1), dir)
+    ManifestStore.append(Seq((3L, Double.NaN), (4L, 10.0))
+      .toDF("k", "x").repartition(1), dir)
+    ManifestStore.append(Seq((5L, 100.0), (6L, 200.0))
+      .toDF("k", "x").repartition(1), dir)
+
+    // Spark SQL: NaN = NaN is TRUE — a NaN literal must not become a
+    // (NaN, NaN) stat range whose comparisons prune every file
+    assert(readFmt(dir).filter(col("x") === Double.NaN)
+      .select("k").as[Long].collect().toSet === Set(3L))
+    // x < 0 must keep the all--Infinity file (a finite sentinel like
+    // Double.MinValue would prove it "disjoint")
+    assert(readFmt(dir).filter(col("x") < 0.0)
+      .select("k").as[Long].collect().toSet === Set(1L, 2L))
+    // and an Infinity literal itself is refused for pruning, not mis-ranged
+    assert(readFmt(dir).filter(col("x") < Double.PositiveInfinity).count() === 5L)
+    // sanity: finite predicates still work — NaN orders ABOVE every value
+    // in Spark SQL, so x >= 100 matches {NaN, 100, 200} (the NaN file
+    // wrote no parquet double stats, so no stat range can prune it)
+    val fin = readFmt(dir).filter(col("x") >= 100.0)
+    assert(fin.select("k").as[Long].collect().toSet === Set(3L, 5L, 6L))
+    assert(ManifestStore.currentSnapshot(spark, dir).get.files.size === 3)
+  }
+
+  test("conflicting time-travel options are rejected loudly") {
+    val dir = tmpDir()
+    ManifestStore.append(strideDf(0), dir)
+    val v1 = ManifestStore.currentSnapshot(spark, dir).get.version
+    ManifestStore.tag(spark, dir, "first", v1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest")
+        .option("versionAsOf", v1.toString).option("tag", "first").load(dir)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest")
+        .option("timestampAsOf", System.currentTimeMillis().toString)
+        .option("tag", "first").load(dir)
+    }
+    // a single specifier still works
+    assert(rows(spark.read.format("graft-manifest")
+      .option("tag", "first").load(dir)).size === 100)
+  }
+
   test("partitioned tables prune on manifest partition values") {
     val dir = tmpDir()
     ManifestStore.appendPartitioned(
