@@ -33,6 +33,7 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -13,6 +13,7 @@ object Explain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

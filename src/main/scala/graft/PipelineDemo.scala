@@ -20,6 +20,7 @@ object PipelineDemo {
       else Files.createTempDirectory("graft-demo").toString
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

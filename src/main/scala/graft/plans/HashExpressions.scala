@@ -578,6 +578,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanosCursorPushdown)
+    // manifest-table reads (SQL catalog relations AND the DSv1 dv
+    // fallback) become their declarative native plans at analysis time —
+    // see graft.sources.ManifestV2Rewrite
+    e.injectPostHocResolutionRule(s => new graft.sources.ManifestV2Rewrite(s))
     def inject(name: String, clazz: Class[_], b: Seq[Expression] => Expression): Unit =
       e.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -198,6 +198,8 @@ private[sources] object ManifestRead {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.sources._
     f match {
+      case _: AlwaysTrue => Some(org.apache.spark.sql.functions.lit(true))
+      case _: AlwaysFalse => Some(org.apache.spark.sql.functions.lit(false))
       case EqualTo(a, v) => Some(col(a) === v)
       case GreaterThan(a, v) => Some(col(a) > v)
       case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
@@ -288,8 +290,8 @@ private[sources] class ManifestFileIndex(spark: SparkSession, dir: String,
 /** The dv fallback: correct logical view (tombstones anti-joined) with
   * pushed filters and column pruning applied inside the delegated plan.
   */
-private[sources] class ManifestDvRelation(spark: SparkSession, dir: String,
-                                          version: Long, dataSchema: StructType)
+private[sources] class ManifestDvRelation(spark: SparkSession, val dir: String,
+                                          val version: Long, val dataSchema: StructType)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext

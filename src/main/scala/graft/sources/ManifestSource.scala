@@ -69,7 +69,8 @@ class ManifestSource(spark: SparkSession, dir: String,
     * clone:…) can retract rows.
     */
   private def appendSafe(op: String): Boolean =
-    op == "append" || op == "compact" || op == "bloom" || op.startsWith("stream:")
+    op == "append" || op == "compact" || op == "bloom" || op == "create" ||
+      op.startsWith("stream:")
 
   override val schema: StructType =
     if (readChangeFeed) StructType(dataSchema.fields.toSeq ++ Seq(

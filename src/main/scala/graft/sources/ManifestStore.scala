@@ -1020,6 +1020,17 @@ object ManifestStore {
           .otherwise(col("_change_type")))
   }
 
+  /** CREATE TABLE: publish version 1 of an EMPTY table carrying only the
+    * recorded schema (op = `create`, no data files) — the catalog-level
+    * "table exists with this shape" commit `spark.sql("CREATE TABLE ...")`
+    * needs before any INSERT lands. Refuses a table that already has
+    * commits (the catalog maps that to TableAlreadyExistsException).
+    */
+  def createEmpty(spark: SparkSession, dir: String, schema: StructType): Long =
+    publishExternal(spark, dir, op = "create", files = Nil,
+      stats = Map.empty, rows = Map.empty, schema = Some(schema),
+      parts = Map.empty)
+
   /** Replace the table contents with `df`. Returns the committed version. */
   def overwrite(df: DataFrame, dir: String): Long =
     commit(df, dir, "overwrite", (_, fresh) => fresh)

@@ -22,4 +22,13 @@ object StreamingShim {
                   schema: StructType): DataFrame =
     spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The second seam, for row-level SQL commands: wrap an analysis-time
+    * catalyst Expression as a user-facing Column (the `private[sql]`
+    * `ExpressionUtils.column`), so `DELETE`/`UPDATE` conditions re-resolve
+    * by name against the command's own fresh scan.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

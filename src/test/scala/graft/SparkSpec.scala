@@ -18,6 +18,7 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
