@@ -112,6 +112,11 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
         val k = v.toLong
         require(k > 0, s"maxVersionsPerTrigger must be positive (got $k)")
         k
+      },
+      maxBytesPerTrigger = ci.get("maxbytespertrigger").map { v =>
+        val b = v.toLong
+        require(b > 0, s"maxBytesPerTrigger must be positive (got $b)")
+        b
       })
   }
 

@@ -47,13 +47,22 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    bounded chunks instead of one giant batch — Delta's
   *    `maxFilesPerTrigger` at the commit granularity the manifest
   *    lineage natively provides.
+  *  - `maxBytesPerTrigger` bounds each micro-batch by the admitted
+  *    commits' FRESH data bytes (from the per-file sizes the manifests
+  *    record — zero data-plane I/O to plan): the natural admission
+  *    control when commit sizes are heterogeneous (a backlog of ten tiny
+  *    commits and one 100 GB backfill chunks by cost, not count).
+  *    Soft max (Delta semantics): a single commit larger than the cap
+  *    still streams — alone — so progress is guaranteed. Composes with
+  *    `maxVersionsPerTrigger` (both caps apply).
   */
 class ManifestSource(spark: SparkSession, dir: String,
                      dataSchema: StructType,
                      startingVersion: Long,
                      readChangeFeed: Boolean,
                      ignoreChanges: Boolean,
-                     maxVersionsPerTrigger: Option[Long] = None) extends Source {
+                     maxVersionsPerTrigger: Option[Long] = None,
+                     maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   /** Highest version this instance has planned or replayed — the rate
     * limiter's floor. Monotonic; getBatch syncs it to the engine's
@@ -84,12 +93,50 @@ class ManifestSource(spark: SparkSession, dir: String,
     // admission control: a backlog replays maxVersionsPerTrigger commits
     // per micro-batch instead of one giant batch — bounded state, bounded
     // task counts, steady progress over a 100 TB history
-    val v = maxVersionsPerTrigger match {
+    val vCap = maxVersionsPerTrigger match {
       case Some(k) => math.min(cur, plannedV + k)
       case None => cur
     }
+    val v = maxBytesPerTrigger match {
+      case Some(maxB) => admitByBytes(vCap, maxB)
+      case None => vCap
+    }
     if (v <= startingVersion || v <= plannedV) None
     else { plannedV = math.max(plannedV, v); Some(LongOffset(v)) }
+  }
+
+  /** Byte-bounded admission: walk candidate versions `(plannedV, vCap]`,
+    * summing each commit's FRESH files' recorded byte sizes, and stop
+    * BEFORE the version that would push the batch past `maxB` — always
+    * admitting at least one (an oversized commit streams alone).
+    * Metadata-plane only: one manifest JSON per candidate, costs bounded
+    * by the admission, never the backlog. Files without a recorded size
+    * (pre-sizes writers) count 0 — admission degrades toward the version
+    * cap, never blocks. An unreadable mid-walk manifest stops admission
+    * at the last good version (the next trigger retries).
+    */
+  private def admitByBytes(vCap: Long, maxB: Long): Long = {
+    var admitted = plannedV
+    var bytes = 0L
+    var prevFiles: Set[String] =
+      if (plannedV <= 0L) Set.empty
+      else scala.util.Try(ManifestStore.readManifest(spark, dir, plannedV)
+        .files.toSet).getOrElse(Set.empty)
+    var v = plannedV + 1
+    var stop = false
+    while (v <= vCap && !stop) {
+      scala.util.Try(ManifestStore.readManifest(spark, dir, v)).toOption match {
+        case None => stop = true
+        case Some(s) =>
+          val fresh = s.files.filterNot(prevFiles)
+          val b = fresh.map(f => s.sizes.getOrElse(f, 0L)).sum
+          if (admitted > plannedV && bytes + b > maxB) stop = true
+          else {
+            admitted = v; bytes += b; prevFiles = s.files.toSet; v += 1
+          }
+      }
+    }
+    admitted
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -435,6 +435,54 @@ class ManifestReadSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxBytesPerTrigger chunks a backlog by commit bytes and survives a restart") {
+    val dir = tmpDir()
+    val cp = tmpDir()
+    (1 to 6).foreach(i => ManifestStore.append(
+      Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1), dir))
+    // per-commit cost from the manifest's own recorded sizes (1 fresh
+    // file per append; all six are near-identical single-row files)
+    val per = ManifestStore.readManifest(spark, dir, 1L).sizes.values.sum
+    assert(per > 0L, "appends must record sizes for byte admission")
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(maxBytes: Long, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-manifest")
+        .option("startingVersion", "earliest")
+        .option("maxBytesPerTrigger", maxBytes.toString).load(dir)
+        .writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batchSizes.synchronized { batchSizes += b.count() }: Unit
+        }
+        .start()
+    // cap ~2.5 commits -> batches of 2 commits each (soft max stops
+    // BEFORE the third would exceed)
+    val q = run(per * 5 / 2, cp)
+    try {
+      q.processAllAvailable()
+      assert(batchSizes.synchronized(batchSizes.toSeq).filter(_ > 0) ===
+        Seq(2L, 2L, 2L))
+    } finally q.stop()
+    // restart on the same checkpoint: no replay, new commits keep chunking
+    (7 to 10).foreach(i => ManifestStore.append(
+      Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1), dir))
+    batchSizes.synchronized(batchSizes.clear())
+    val q2 = run(per * 5 / 2, cp)
+    try {
+      q2.processAllAvailable()
+      assert(batchSizes.synchronized(batchSizes.toSeq).filter(_ > 0) ===
+        Seq(2L, 2L))
+    } finally q2.stop()
+    // progress guarantee: a cap below any single commit still streams,
+    // one commit per batch
+    batchSizes.synchronized(batchSizes.clear())
+    val q3 = run(1L, tmpDir())
+    try {
+      q3.processAllAvailable()
+      assert(batchSizes.synchronized(batchSizes.toSeq).filter(_ > 0) ===
+        Seq.fill(10)(1L))
+    } finally q3.stop()
+  }
+
   test("CDF stream drives Ivm: maintained aggregate tracks appends AND deletes") {
     import graft.operators.Ivm
     val dir = tmpDir()
