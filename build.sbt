@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout (BENCH_r*.json captures a tail and
+// takes the LAST line as JSON). Two sbt behaviors corrupt that: the default
+// LoggedOutput strategy prefixes every forked-process line with `[info] `,
+// and sbt appends its own `[success] Total time: …` epilogue AFTER the
+// program's final JSON line. StdoutOutput passes program stdout through
+// verbatim; showSuccess drops the epilogue.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

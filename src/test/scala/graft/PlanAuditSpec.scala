@@ -48,6 +48,49 @@ class PlanAuditSpec extends SparkSpec {
       p2.contains("Location: ManifestFileIndex"), p2.take(800))
   }
 
+  test("index appends never touch the corpus: plans scan only the batch") {
+    // ShingleIndex.append / VectorIndex.append write EXACTLY these frames
+    // (pure functions of the batch). The 100 TB contract is that append
+    // cost is ∝ batch: the plan must hold NO scan of the persisted index
+    // tables — no parquet read, no ManifestFileIndex listing — whatever
+    // size the index has grown to. (Batch-local shuffles are fine; a
+    // corpus scan here would make every micro-batch reprocess the lake.)
+    import graft.sources.ManifestStore
+    import graft.pipeline.{ShingleIndex, VectorIndex}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit-ix").toString
+    // a non-empty persisted index, so "doesn't scan it" is a real claim
+    ShingleIndex.append(spark,  s"$dir/sh",
+      Seq((1L, "seed doc text one"), (2L, "seed doc text two"))
+        .toDF("doc_id", "text"), ShingleIndex.Params())
+    VectorIndex.append(spark, s"$dir/vec",
+      Seq((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)))
+        .toDF("vec_id", "embedding"), VectorIndex.Params(dim = 3))
+
+    val batch = Seq((10L, "fresh batch document")).toDF("doc_id", "text")
+    val vbatch = Seq((10L, Array(0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    // the exact frames append() commits
+    val sh = graft.functions.NearDup.shingleDocs(batch, "text", "doc_id", 3)
+    val appends = Seq(
+      "shingles"  -> sh,
+      "postings"  -> sh.select(col("_id"), explode(col("_sh")).as("_h")),
+      "vectors"   -> graft.functions.Similarity.prepVectors(vbatch, "vec_id", "embedding"),
+      "vpostings" -> graft.functions.Similarity.bucketPostings(
+        graft.functions.Similarity.prepVectors(vbatch, "vec_id", "embedding"),
+        3, 8, 4, 42L))
+    for ((name, df) <- appends) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ManifestFileIndex"),
+        s"$name append plan scans a persisted index table:\n" + p.take(800))
+      assert(!p.contains("FileScan"),
+        s"$name append plan reads files (cost no longer ∝ batch):\n" + p.take(800))
+    }
+    // and the maintained step stays correct end-to-end: admitting through
+    // the index after these appends sees the persisted postings
+    assert(ShingleIndex.postings(spark, s"$dir/sh").count() > 0L)
+    assert(VectorIndex.postings(spark, s"$dir/vec").count() > 0L)
+  }
+
   test("star join builds broadcast hash joins, never sort-merge, on dim tables") {
     val p = plan("q02_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

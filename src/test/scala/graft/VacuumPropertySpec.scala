@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.ManifestStore
+
+/** Real-thread race property for VACUUM against live writers: under any
+  * interleaving of append / compactSmall / deleteWhere with repeated
+  * vacuums, no file any kept (committed) snapshot references is ever
+  * deleted — the retention window shields in-flight commits, the
+  * fail-safe manifest read shields against half-writes, and the final
+  * table state equals the applied-ops reference. The write-family races
+  * (compact/restore/upsert) have had real-thread specs since round 5;
+  * this closes the same net over the collector.
+  */
+class VacuumPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL("k BIGINT, v STRING")
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-vac-prop").toString
+
+  private def causeChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("vacuum racing append/compact/delete never deletes a referenced file") {
+    (1 to 2).foreach { seed =>
+      val dir = tmpDir()
+      val f = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      // seed so vacuum has history to collect from the start
+      ManifestStore.append(Seq((-1L, "seed")).toDF("k", "v").repartition(1), dir)
+      ManifestStore.append(Seq((-2L, "seed")).toDF("k", "v").repartition(1), dir)
+
+      val appended = new ConcurrentLinkedQueue[Long]() // batch ids that committed
+      val deleted = new ConcurrentLinkedQueue[Long]()  // batch ids whose rows were tombstoned
+      val errors = new ConcurrentLinkedQueue[Throwable]()
+      val deadline = System.currentTimeMillis() + 4000
+      // retention shorter than the race phase: unreferenced files DO get
+      // collected while writers are still committing — the dangerous shape
+      val retainMs = 1200L
+
+      def loop(name: String)(body: scala.util.Random => Unit): Thread = {
+        val t = new Thread(() => {
+          val r = new scala.util.Random(seed * 31 + name.hashCode)
+          try while (System.currentTimeMillis() < deadline) body(r)
+          catch { case e: Throwable => errors.add(e): Unit }
+        }, name)
+        t.start(); t
+      }
+
+      val nextBatch = new java.util.concurrent.atomic.AtomicLong(0L)
+      val writer = loop("writer") { _ =>
+        val b = nextBatch.getAndIncrement()
+        // 10 keys per batch, disjoint ranges: batch b owns [b*10, b*10+10)
+        ManifestStore.append((b * 10 until b * 10 + 10)
+          .map(k => (k, s"b$b")).toDF("k", "v").repartition(1), dir)
+        appended.add(b)
+        Thread.sleep(30)
+      }
+      val deleter = loop("deleter") { r =>
+        Thread.sleep(150)
+        // tombstone one previously-committed batch's rows (OCC: a lost
+        // race returns None and is simply not recorded)
+        val done = appended.toArray(Array.empty[java.lang.Long])
+        val cand = done.filterNot(b => deleted.contains(b))
+        if (cand.nonEmpty) {
+          val b = cand(r.nextInt(cand.length)).longValue()
+          val lo = b * 10
+          // the test retention (1.2 s) is far below the production
+          // default (24 h) to force collection DURING the race — a scan
+          // that out-lives it can legitimately lose files to vacuum
+          // (the documented retention contract); such an attempt simply
+          // doesn't commit and isn't recorded. Anything else is a bug.
+          try {
+            if (ManifestStore.deleteWhere(spark, dir, schema,
+                col("k") >= lo && col("k") < lo + 10,
+                planRanges = Seq(("k", lo, lo + 9))).isDefined)
+              deleted.add(b): Unit
+          } catch {
+            case e: Exception if causeChain(e).exists(
+              _.isInstanceOf[java.io.FileNotFoundException]) => ()
+          }
+        }
+      }
+      val compactor = loop("compactor") { _ =>
+        Thread.sleep(200)
+        // losing the OCC race is fine and expected; aborts must not throw
+        try ManifestStore.compactSmall(spark, dir, schema): Unit
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+      val collector = loop("vacuum") { _ =>
+        Thread.sleep(100)
+        ManifestStore.vacuum(spark, dir, keepVersions = 2,
+          retainMillis = retainMs): Unit
+      }
+      Seq(writer, deleter, compactor, collector).foreach(_.join(30000))
+      assert(errors.isEmpty, s"racing thread failed: ${errors.peek()}")
+
+      // 1. every surviving manifest is readable and every file it (or its
+      // dv refs) references exists — vacuum never orphaned a kept snapshot
+      val md = new Path(dir, "_manifests")
+      val kept = f.listStatus(md).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong
+      }.sorted
+      assert(kept.nonEmpty)
+      kept.foreach { v =>
+        val s = ManifestStore.readManifest(spark, dir, v)
+        (s.files ++ s.files.flatMap(s.dvs.get).flatMap(_.files)).foreach { rel =>
+          assert(f.exists(new Path(dir, rel)),
+            s"seed $seed: v$v references $rel but vacuum deleted it")
+        }
+      }
+
+      // 2. the final table equals the applied-ops reference
+      val expect = appended.toArray(Array.empty[java.lang.Long]).map(_.longValue())
+        .filterNot(b => deleted.contains(b))
+        .flatMap(b => (b * 10 until b * 10 + 10).map(k => k -> s"b$b"))
+        .toSet ++ Set(-1L -> "seed", -2L -> "seed")
+      val got = ManifestStore.readLatest(spark, dir)
+        .as[(Long, String)].collect().toSet
+      assert(got === expect, s"seed $seed: table diverged after races")
+
+      // 3. a final quiescent vacuum with zero retention collects the
+      // backlog and the table still reads exactly; kept versions remain
+      // time-travelable
+      ManifestStore.vacuum(spark, dir, keepVersions = 2, retainMillis = 0L)
+      assert(ManifestStore.readLatest(spark, dir)
+        .as[(Long, String)].collect().toSet === expect)
+      val cur = ManifestStore.currentSnapshot(spark, dir).get.version
+      assert(ManifestStore.readVersion(spark, dir, cur, schema).count() ===
+        expect.size.toLong)
+    }
+  }
+}
