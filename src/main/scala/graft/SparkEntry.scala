@@ -1122,6 +1122,33 @@ object SparkEntry {
             .cast("long"))
     }),
 
+    // The SQL catalog lifecycle under the driver oracle: CTAS a manifest
+    // table from orders, tombstone one status class (DELETE → dv
+    // sidecars), rewrite a key slice (UPDATE → tombstone + append), land
+    // a late batch (INSERT INTO SELECT), and aggregate the final state —
+    // all through spark.sql over graft.`dir` (GraftCatalog +
+    // ManifestV2Rewrite, so the final read is the codegen'd dv-aware
+    // native scan). The oracle replays the same edits as relational
+    // algebra over the source parquet — exact integer sums throughout.
+    "q144_sql_lifecycle" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q144")
+        .toString + "/orders_t"
+      t(s, dir, "orders").createOrReplaceTempView("q144_orders_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus FROM q144_orders_src")
+      s.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderstatus = 'F'")
+      s.sql(s"UPDATE graft.`$tbl` SET o_custkey = o_custkey + 1000000 " +
+        "WHERE o_orderkey % 13 = 0")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey + 900000000, " +
+        "o_custkey, 'X' FROM q144_orders_src WHERE o_orderkey % 1000 = 0")
+      s.sql(s"""SELECT o_orderstatus,
+                       count(*) AS n_orders,
+                       sum(o_orderkey) AS sum_keys,
+                       sum(o_custkey) AS sum_cust
+                FROM graft.`$tbl`
+                GROUP BY o_orderstatus""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3090,6 +3117,31 @@ object SparkEntry {
            WHERE round(common * 1.0 / (sx.sz + sb.sz - common), 4) >= 0.2)
          SELECT doc_id, lang FROM documents
          WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT id_b FROM dropped)""",
+
+    // q144 = the SQL DELETE/UPDATE/INSERT lifecycle replayed as relational
+    // algebra over the source parquet; integer sums CAST to BIGINT (the
+    // HUGEINT discipline)
+    "q144_sql_lifecycle" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+         after_delete AS (
+           SELECT * FROM base WHERE o_orderstatus <> 'F'),
+         after_update AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+                       ELSE o_custkey END AS o_custkey,
+                  o_orderstatus
+           FROM after_delete),
+         after_insert AS (
+           SELECT * FROM after_update
+           UNION ALL
+           SELECT o_orderkey + 900000000, o_custkey, 'X'
+           FROM base WHERE o_orderkey % 1000 = 0)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+                CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+         FROM after_insert GROUP BY o_orderstatus""",
 
     // portable md5 register derivation: identical bucket/rho/fixed-point
     // arithmetic on both engines; every sum lands in BIGINT via exact
