@@ -54,9 +54,9 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
           assignments.forall(a => a.key.isInstanceOf[AttributeReference] &&
             !SubqueryExpression.hasSubquery(a.value)) =>
       GraftUpdateCommand(t, assignments, cond)
+    case m: MergeIntoTable => rewriteMerge(m).getOrElse(m)
     case d: DeleteFromTable => d
     case u: UpdateTable => u
-    case m: MergeIntoTable => m
     case rel: DataSourceV2Relation => rel.table match {
       case t: ManifestTableV2 => aliasTo(t.read(session).queryExecution.analyzed, rel.output)
       case _ => rel
@@ -68,6 +68,82 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => lr
     }
     case other => other.mapChildren(rewrite)
+  }
+
+  /** SQL `MERGE INTO graft.{dir} t USING src s ON t.k = s.k
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    * (star or explicit full-row assignments, unconditional) — the
+    * canonical keyed upsert — becomes ONE [[ManifestStore.upsertKeyedDv]]
+    * commit: matched keys tombstone through deletion vectors, the source
+    * batch appends, O(batch) write amplification. Shapes the upsert
+    * cannot express (partial-row UPDATE, WHEN MATCHED DELETE, clause
+    * conditions, NOT MATCHED BY SOURCE, schema evolution, multi-column
+    * keys) return None and surface Spark's own unsupported-MERGE error —
+    * never a silently different semantics.
+    */
+  private def rewriteMerge(m: MergeIntoTable): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, InsertStarAction, UpdateAction, UpdateStarAction}
+    val t = m.targetTable match {
+      case ManifestTarget(t0) => t0
+      case _ => return None
+    }
+    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution) return None
+    val tgtOut = m.targetTable.outputSet
+    val srcOut = m.sourceTable.outputSet
+    // single-key equality, one side per table (either order)
+    val keyCol = m.mergeCondition match {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if tgtOut.contains(l) && srcOut.contains(r) => l.name
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if srcOut.contains(l) && tgtOut.contains(r) => r.name
+      case _ => return None
+    }
+    // full-row assignment map (target column name -> source-side expr);
+    // None when the clause shape is anything else
+    def fullRow(assigns: Seq[Assignment]): Option[Map[String, Expression]] = {
+      val pairs = assigns.map {
+        case Assignment(k: AttributeReference, v)
+            if v.references.subsetOf(srcOut) => Some(k.name -> v)
+        case _ => None
+      }
+      if (pairs.exists(_.isEmpty)) None
+      else {
+        val mp = pairs.flatten.toMap
+        if (mp.size == assigns.size &&
+            t.schema.fieldNames.forall(mp.contains)) Some(mp) else None
+      }
+    }
+    // star = every target column from the same-named source column
+    def star(): Option[Map[String, Expression]] = {
+      val byName = m.sourceTable.output.groupBy(_.name)
+      val pairs = t.schema.fieldNames.toSeq.map { n =>
+        byName.get(n).collect { case Seq(a) => n -> (a: Expression) }
+      }
+      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
+    }
+    val up = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => star()
+      case Seq(UpdateAction(None, assigns, _)) => fullRow(assigns)
+      case _ => None
+    }
+    val ins = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => star()
+      case Seq(InsertAction(None, assigns)) => fullRow(assigns)
+      case _ => None
+    }
+    (up, ins) match {
+      case (Some(u), Some(i))
+          // upsert writes ONE row image for both outcomes: update and
+          // insert must agree column by column
+          if t.schema.fieldNames.forall(n => u(n).semanticEquals(i(n))) =>
+        val tz = Some(conf.sessionLocalTimeZone)
+        val batch = Project(t.schema.fields.toSeq.map { f =>
+          Alias(Cast(u(f.name), f.dataType, tz), f.name)()
+        }, m.sourceTable)
+        Some(GraftMergeCommand(t, batch, keyCol))
+      case _ => None
+    }
   }
 
   /** Splice `plan` where a relation with `target` attributes stood: a
@@ -130,6 +206,24 @@ private[sources] case class GraftDeleteCommand(table: ManifestTableV2,
   * images and appending the updated copies — O(matched rows) write
   * amplification, exact CDC.
   */
+/** SQL MERGE (the canonical upsert shape) → one
+  * [[ManifestStore.upsertKeyedDv]] commit. `batch` is the pre-analyzed
+  * full-row projection of the MERGE source onto the target schema.
+  */
+private[sources] case class GraftMergeCommand(table: ManifestTableV2,
+                                              batch: LogicalPlan,
+                                              keyCol: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graft.StreamingShim.ofRows(session, batch)
+    if (ManifestStore.upsertKeyedDv(session, table.dir, table.schema,
+        df, keyCol).isEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"MERGE INTO ${table.dir} lost a concurrent-commit race — retry")
+    Seq.empty
+  }
+}
+
 private[sources] case class GraftUpdateCommand(table: ManifestTableV2,
                                                assignments: Seq[Assignment],
                                                condition: Option[Expression])

@@ -31,4 +31,13 @@ object StreamingShim {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The third seam: a DataFrame over an already-analyzed logical plan
+    * (the `private[sql]` `Dataset.ofRows`) — how MERGE INTO's rewritten
+    * source projection executes inside its command.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

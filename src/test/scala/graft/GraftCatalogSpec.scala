@@ -173,6 +173,31 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 100L)
   }
 
+  test("MERGE INTO runs the canonical keyed upsert as one dv commit") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    Seq((2L, "B2"), (4L, "d")).toDF("k", "v").createOrReplaceTempView("m_src")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.op === "upsert-dv", "SQL MERGE must be one upsert commit")
+    // explicit full-row assignments are the same shape
+    Seq((4L, "D4"), (5L, "e")).toDF("k", "v").createOrReplaceTempView("m_src2")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_src2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "D4", 5L -> "e"))
+    // a shape the upsert cannot express fails loudly (never silently
+    // different semantics): WHEN MATCHED DELETE is not an upsert
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_src2 s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+  }
+
   test("DROP / ALTER / RENAME refuse loudly on path tables") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, "a")).toDF("k", "v"), dir)
