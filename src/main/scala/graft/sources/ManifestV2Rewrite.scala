@@ -193,8 +193,13 @@ private[sources] case class GraftDeleteCommand(table: ManifestTableV2,
                                                condition: Expression)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    // stats planning for free: the convertible conjuncts of the SQL
+    // predicate ARE implied bounds, so a clustered/bloomed table only
+    // scans candidate files (`DELETE WHERE day = X` touches X's files,
+    // not the lake)
     if (ManifestStore.deleteWhere(session, table.dir, table.schema,
-        ManifestRowLevel.byName(condition)).isEmpty)
+        ManifestRowLevel.byName(condition),
+        planRanges = ManifestRead.toRanges(Seq(condition))).isEmpty)
       throw new java.util.ConcurrentModificationException(
         s"DELETE FROM ${table.dir} lost a concurrent-commit race — retry")
     Seq.empty
@@ -234,7 +239,8 @@ private[sources] case class GraftUpdateCommand(table: ManifestTableV2,
     }.toMap
     val cond = condition.map(ManifestRowLevel.byName)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    if (ManifestStore.updateWhere(session, table.dir, table.schema, cond, set).isEmpty)
+    if (ManifestStore.updateWhere(session, table.dir, table.schema, cond, set,
+        planRanges = ManifestRead.toRanges(condition.toSeq)).isEmpty)
       throw new java.util.ConcurrentModificationException(
         s"UPDATE ${table.dir} lost a concurrent-commit race — retry")
     Seq.empty
