@@ -53,7 +53,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * V1Scan fallback (Row boundary, documented cost). Writes go through
   * [[V1Write]] → the same OCC manifest commits every other writer uses.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -63,6 +64,21 @@ class GraftCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
+
+  /** `CALL graft.vacuum('/dir', …)` etc — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty, s"unknown procedure namespace " +
+      ident.namespace().mkString("."))
+    GraftProcedures.all.getOrElse(ident.name(),
+      throw new IllegalArgumentException(s"unknown procedure ${ident.name()} — " +
+        s"available: ${GraftProcedures.all.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.all.keys.toArray.sorted
+      .map(Identifier.of(Array.empty[String], _))
 
   /** The table directory a path identifier names. Nested namespaces are
     * refused loudly — `graft.a.b` is ambiguous between a path and a
@@ -83,6 +99,15 @@ class GraftCatalog extends TableCatalog {
       ManifestStore.currentSnapshot(spark, ident.name()).isDefined
 
   override def loadTable(ident: Identifier): Table = {
+    // metadata tables, the Iceberg naming convention: graft.`/dir`.history
+    // parses as namespace [/dir] + name history
+    if (ident.namespace().length == 1 &&
+        ManifestMetaTable.kinds.contains(ident.name())) {
+      val dir = ident.namespace()(0)
+      if (ManifestStore.currentSnapshot(spark, dir).isEmpty)
+        throw new NoSuchTableException(ident)
+      return ManifestMetaTable(dir, ident.name())
+    }
     val dir = dirOf(ident)
     val snap = ManifestStore.currentSnapshot(spark, dir)
       .getOrElse(throw new NoSuchTableException(ident))
@@ -200,6 +225,69 @@ private[graft] case class ManifestTableV2(dir: String,
       throw new java.util.ConcurrentModificationException(
         s"DELETE FROM $dir lost a concurrent-commit race — retry")
   }
+}
+
+/** Read-only METADATA tables under the Iceberg naming convention —
+  * `graft.{dir}.history` / `.tags` / `.files` — the observability
+  * surface (`DESCRIBE HISTORY` equivalent) as plain queryable tables:
+  *
+  * {{{
+  * SELECT version, op, n_rows FROM graft.`/lake/t`.history ORDER BY version
+  * SELECT * FROM graft.`/lake/t`.tags
+  * SELECT file, size_bytes FROM graft.`/lake/t`.files WHERE rows IS NOT NULL
+  * }}}
+  *
+  * All driver-side manifest reads (one JSON per version / the current
+  * snapshot) — zero data-plane I/O, exactly like [[ManifestStore.history]].
+  */
+private[graft] case class ManifestMetaTable(dir: String, kind: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$dir`.$kind"
+
+  override lazy val schema: StructType = kind match {
+    case "history" => StructType.fromDDL(
+      "version BIGINT, op STRING, commit_ms BIGINT, n_files INT, " +
+        "n_rows BIGINT, n_dv_deleted BIGINT")
+    case "tags" => StructType.fromDDL("name STRING, version BIGINT")
+    case "files" => StructType.fromDDL(
+      "file STRING, size_bytes BIGINT, rows BIGINT, dv_deleted BIGINT")
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  def read(session: SparkSession): DataFrame = {
+    import session.implicits._
+    kind match {
+      case "history" => ManifestStore.history(session, dir)
+      case "tags" =>
+        ManifestStore.tags(session, dir).toSeq.sorted.toDF("name", "version")
+      case "files" =>
+        val s = ManifestStore.currentSnapshot(session, dir).getOrElse(
+          ManifestStore.Snapshot(0L, Nil, "none"))
+        s.files.map(f => (f, s.sizes.get(f), s.rows.get(f),
+          s.dvs.get(f).map(_.deleted)))
+          .toDF("file", "size_bytes", "rows", "dv_deleted")
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan { // no-extensions fallback; metadata rows are tiny
+      override def readSchema(): StructType = schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = ManifestMetaTable.this.schema
+          override def buildScan(): RDD[Row] = read(context.sparkSession).rdd
+        }.asInstanceOf[T]
+      }
+    }
+}
+
+private[graft] object ManifestMetaTable {
+  val kinds: Set[String] = Set("history", "tags", "files")
 }
 
 /** Correctness fallback for sessions WITHOUT the graft extensions: a

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance as SQL stored procedures (`CALL graft.proc(...)`,
+  * Spark 4's DSv2 `ProcedureCatalog` — the Iceberg procedure surface):
+  *
+  * {{{
+  * CALL graft.vacuum('/lake/t', 2, 24.0)       -- keep 2 versions, 24 h retention
+  * CALL graft.compact('/lake/t', 1)            -- full rewrite to n files
+  * CALL graft.compact_small('/lake/t')         -- incremental OPTIMIZE
+  * CALL graft.restore('/lake/t', 7)            -- roll back as a new commit
+  * CALL graft.create_tag('/lake/t', 'rel1')    -- pin current (or a given) version
+  * CALL graft.drop_tag('/lake/t', 'rel1')
+  * CALL graft.build_blooms('/lake/t', 'k,v')   -- point-lookup pruning index
+  * CALL graft.clone('/lake/t', '/lake/fork')   -- zero-copy shallow clone
+  * }}}
+  *
+  * Each is a thin SQL binding over the corresponding [[ManifestStore]]
+  * operation (same OCC commits, same safety rules) and returns its result
+  * as one row. Parameters use Spark's own default-value binding, so
+  * trailing args are optional and named args (`keep_versions => 1`) work.
+  */
+object GraftProcedures {
+
+  /** Table schema resolved from the manifest (self-describing tables). */
+  private def schemaOf(spark: SparkSession, dir: String): StructType =
+    ManifestStore.currentSnapshot(spark, dir).flatMap(_.schema).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest table (or no recorded schema) at $dir"))
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def in(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def utf8(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  /** One procedure: `ps` ins, `out` row schema, `fn(spark, args)` → one
+    * result row (scala values; strings converted).
+    */
+  private def proc(pname: String, ps: Seq[ProcedureParameter], out: StructType)
+                  (fn: (SparkSession, InternalRow) => Seq[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft manifest-table $pname"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = s"graft manifest-table $pname"
+        override def parameters(): Array[ProcedureParameter] = ps.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): JIterator[Scan] = {
+          val spark = SparkSession.active
+          val row = fn(spark, input)
+          val scan: Scan = new LocalScan {
+            override def readSchema(): StructType = out
+            override def rows(): Array[InternalRow] =
+              Array(new GenericInternalRow(row.map(utf8).toArray))
+          }
+          java.util.List.of(scan).iterator()
+        }
+      }
+    }
+
+  val all: Map[String, UnboundProcedure] = Map(
+    "vacuum" -> proc("vacuum",
+      Seq(in("table", StringType), in("keep_versions", IntegerType, "2"),
+        in("retain_hours", DoubleType, "24.0")),
+      StructType.fromDDL("manifests_deleted INT, data_files_deleted INT")) {
+      (spark, args) =>
+        val (m, d) = ManifestStore.vacuum(spark, args.getUTF8String(0).toString,
+          keepVersions = args.getInt(1),
+          retainMillis = (args.getDouble(2) * 3600 * 1000).toLong)
+        Seq(m, d)
+    },
+
+    "compact" -> proc("compact",
+      Seq(in("table", StringType), in("num_files", IntegerType, "1")),
+      StructType.fromDDL("version BIGINT")) { (spark, args) =>
+      val dir = args.getUTF8String(0).toString
+      Seq(ManifestStore.compact(spark, dir, schemaOf(spark, dir), args.getInt(1)))
+    },
+
+    "compact_small" -> proc("compact_small",
+      Seq(in("table", StringType), in("min_file_mb", IntegerType, "32"),
+        in("target_file_mb", IntegerType, "128"), in("zorder", StringType, "''")),
+      StructType.fromDDL("version BIGINT")) { (spark, args) =>
+      val dir = args.getUTF8String(0).toString
+      val zo = args.getUTF8String(3).toString
+      Seq(ManifestStore.compactSmall(spark, dir, schemaOf(spark, dir),
+        minFileBytes = args.getInt(1) * 1024L * 1024,
+        targetFileBytes = args.getInt(2) * 1024L * 1024,
+        zorderCols = if (zo.isEmpty) Nil
+          else zo.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+        .map(Long.box).orNull) // null = nothing to compact (< 2 small files)
+    },
+
+    "restore" -> proc("restore",
+      Seq(in("table", StringType), in("version", LongType)),
+      StructType.fromDDL("version BIGINT")) { (spark, args) =>
+      Seq(ManifestStore.restore(spark, args.getUTF8String(0).toString, args.getLong(1)))
+    },
+
+    "create_tag" -> proc("create_tag",
+      Seq(in("table", StringType), in("name", StringType),
+        in("version", LongType, "-1")), // -1 = the current version
+      StructType.fromDDL("version BIGINT")) { (spark, args) =>
+      val dir = args.getUTF8String(0).toString
+      val v =
+        if (args.getLong(2) >= 0) args.getLong(2)
+        else ManifestStore.currentSnapshot(spark, dir).map(_.version).getOrElse(
+          throw new IllegalArgumentException(s"no manifest table at $dir"))
+      ManifestStore.tag(spark, dir, args.getUTF8String(1).toString, v)
+      Seq(v)
+    },
+
+    "drop_tag" -> proc("drop_tag",
+      Seq(in("table", StringType), in("name", StringType)),
+      StructType.fromDDL("dropped BOOLEAN")) { (spark, args) =>
+      Seq(ManifestStore.deleteTag(spark, args.getUTF8String(0).toString,
+        args.getUTF8String(1).toString))
+    },
+
+    "build_blooms" -> proc("build_blooms",
+      Seq(in("table", StringType), in("columns", StringType),
+        in("bits_per_key", IntegerType, "10")),
+      StructType.fromDDL("version BIGINT")) { (spark, args) =>
+      Seq(ManifestStore.buildBlooms(spark, args.getUTF8String(0).toString,
+        args.getUTF8String(1).toString.split(",").toIndexedSeq
+          .map(_.trim).filter(_.nonEmpty),
+        bitsPerKey = args.getInt(2)))
+    },
+
+    "clone" -> proc("clone",
+      Seq(in("table", StringType), in("target", StringType),
+        in("version", LongType, "-1")), // -1 = latest
+      StructType.fromDDL("version BIGINT")) { (spark, args) =>
+      Seq(ManifestStore.cloneShallow(spark, args.getUTF8String(0).toString,
+        args.getUTF8String(1).toString,
+        version = Some(args.getLong(2)).filter(_ >= 0)))
+    })
+}

@@ -59,6 +59,7 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UpdateTable => u
     case rel: DataSourceV2Relation => rel.table match {
       case t: ManifestTableV2 => aliasTo(t.read(session).queryExecution.analyzed, rel.output)
+      case t: ManifestMetaTable => aliasTo(t.read(session).queryExecution.analyzed, rel.output)
       case _ => rel
     }
     case lr: LogicalRelation => lr.relation match {

@@ -198,6 +198,87 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures run the maintenance family from SQL") {
+    val dir = tmpDir()
+    (1 to 4).foreach(i => ManifestStore.append(
+      Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1), dir))
+    val v4 = ManifestStore.currentSnapshot(spark, dir).get.version
+
+    // create_tag defaults to the current version; VERSION AS OF resolves it
+    assert(spark.sql(s"CALL graft.create_tag('$dir', 'rel')")
+      .as[Long].head() === v4)
+    spark.sql(s"INSERT OVERWRITE ${sqlTable(dir)} VALUES (99, 'z')")
+    assert(rows(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 'rel'")).size === 4)
+
+    // restore rolls back as a new commit and returns it
+    val restored = spark.sql(s"CALL graft.restore('$dir', $v4)").as[Long].head()
+    assert(restored > v4)
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")).size === 4)
+
+    // compact squashes the 4 append files into one
+    spark.sql(s"CALL graft.compact('$dir', 1)")
+    assert(ManifestStore.currentSnapshot(spark, dir).get.files.size === 1)
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")).size === 4)
+
+    // blooms commit a metadata-only version
+    spark.sql(s"CALL graft.build_blooms('$dir', 'v')")
+    assert(ManifestStore.currentSnapshot(spark, dir).get.blooms.nonEmpty)
+
+    // clone forks zero-copy; named args bind through Spark's own machinery
+    val dst = tmpDir() + "/fork"
+    spark.sql(s"CALL graft.clone(target => '$dst', table => '$dir')")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$dst`")).size === 4)
+
+    // vacuum with zero retention collects the rolled-over versions
+    val (m, _) = {
+      val r = spark.sql(
+        s"CALL graft.vacuum('$dir', keep_versions => 1, retain_hours => 0.0)")
+        .as[(Int, Int)].head()
+      r
+    }
+    assert(m > 0, "vacuum must drop old manifests")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")).size === 4)
+    // tagged snapshot survives vacuum (the durable pin)
+    assert(rows(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 'rel'")).size === 4)
+    assert(spark.sql(s"CALL graft.drop_tag('$dir', 'rel')").as[Boolean].head())
+
+    // unknown procedure fails loudly (our available-set message rides in
+    // the cause of Spark's FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception] { spark.sql(s"CALL graft.nope('$dir')") }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") || msgs.contains("vacuum"), msgs)
+  }
+
+  test("metadata tables: history / tags / files as plain SQL relations") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a")).toDF("k", "v").repartition(1), dir)
+    ManifestStore.append(Seq((2L, "b")).toDF("k", "v").repartition(1), dir)
+    ManifestStore.deleteWhere(spark, dir, schema, col("k") === 1L)
+    ManifestStore.tag(spark, dir, "rel", 2L)
+
+    val hist = spark.sql(
+      s"SELECT version, op, n_rows FROM graft.`$dir`.history ORDER BY version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(hist.map(_._2) === Seq("append", "append", "delete-dv"))
+    assert(hist.last._3 === 1L, "history must count live rows minus tombstones")
+
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`.tags")
+      .as[(String, Long)].collect().toSeq === Seq(("rel", 2L)))
+
+    val files = spark.sql(s"SELECT * FROM graft.`$dir`.files")
+      .as[(String, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(files.size === 2)
+    assert(files.forall(f => f._2.exists(_ > 0) && f._3.contains(1L)))
+    assert(files.count(_._4.contains(1L)) === 1, "one file carries the tombstone")
+    // a missing table is NoSuchTable, not an empty metadata frame
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`${tmpDir()}/absent`.history").collect()
+    }
+  }
+
   test("DROP / ALTER / RENAME refuse loudly on path tables") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, "a")).toDF("k", "v"), dir)
