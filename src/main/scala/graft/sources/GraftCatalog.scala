@@ -152,11 +152,35 @@ class GraftCatalog extends TableCatalog
     ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
   }
 
+  /** `ALTER TABLE … ADD COLUMNS (…)` — the one evolution the widening-only
+    * rule admits — as a metadata-only `schema` commit
+    * ([[ManifestStore.evolveSchema]]); everything else (drop/rename/type
+    * change) is refused: it would orphan or reinterpret data recorded in
+    * immutable files.
+    */
   override def alterTable(ident: Identifier,
-                          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported — the manifest schema evolves " +
-        "widening-only at write time (ManifestStore.mergeSchemas)")
+                          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val dir = dirOf(ident)
+    val base = ManifestStore.currentSnapshot(spark, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+      .schema.getOrElse(throw new IllegalStateException(
+        s"manifest table $dir records no schema — cannot ALTER"))
+    val widened = changes.foldLeft(base) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "ADD COLUMNS supports top-level columns only")
+        require(add.isNullable,
+          "added columns must be nullable — pre-evolution files null-fill")
+        s.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change $other is not supported — the manifest " +
+            "schema evolves widening-only (ADD COLUMNS of nullable fields)")
+    }
+    ManifestStore.evolveSchema(spark, dir, widened)
+    ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
+  }
 
   /** DROP TABLE on a path table would delete user data at a raw directory
     * — refuse rather than surprise (Delta's discipline for path tables).

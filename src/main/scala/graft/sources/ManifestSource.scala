@@ -79,7 +79,7 @@ class ManifestSource(spark: SparkSession, dir: String,
     */
   private def appendSafe(op: String): Boolean =
     op == "append" || op == "compact" || op == "bloom" || op == "create" ||
-      op.startsWith("stream:")
+      op == "schema" || op.startsWith("stream:")
 
   override val schema: StructType =
     if (readChangeFeed) StructType(dataSchema.fields.toSeq ++ Seq(

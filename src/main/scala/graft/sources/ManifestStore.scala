@@ -1020,6 +1020,18 @@ object ManifestStore {
           .otherwise(col("_change_type")))
   }
 
+  /** ALTER TABLE ADD COLUMNS: publish a METADATA-ONLY commit (op =
+    * `schema`, file list untouched) whose recorded schema is the previous
+    * one widened by `newSchema` under the same widening-only rule every
+    * write uses ([[mergeSchemas]] refuses narrowing/type changes) —
+    * pre-evolution files null-fill the new columns on read, no data
+    * rewrite. Returns the committed version.
+    */
+  def evolveSchema(spark: SparkSession, dir: String,
+                   newSchema: StructType): Long =
+    publishLoop(spark, dir, "schema", Nil, (prevFiles, _) => prevFiles,
+      dfSchema = Some(newSchema))
+
   /** CREATE TABLE: publish version 1 of an EMPTY table carrying only the
     * recorded schema (op = `create`, no data files) — the catalog-level
     * "table exists with this shape" commit `spark.sql("CREATE TABLE ...")`

@@ -198,6 +198,30 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS widens as a metadata-only schema commit") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val filesBefore = ManifestStore.currentSnapshot(spark, dir).get.files
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD COLUMNS (note STRING)")
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.op === "schema")
+    assert(snap.files === filesBefore, "schema evolution must move no data")
+    assert(snap.schema.get.fieldNames.toSeq === Seq("k", "v", "note"))
+    // pre-evolution rows null-fill; writes against the widened schema land
+    assert(spark.sql(s"SELECT * FROM ${sqlTable(dir)} WHERE note IS NULL")
+      .count() === 2L)
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (3, 'c', 'hello')")
+    assert(spark.sql(s"SELECT note FROM ${sqlTable(dir)} WHERE k = 3")
+      .as[String].head() === "hello")
+    // narrowing shapes refuse
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP COLUMN v")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN k TYPE INT")
+    }
+  }
+
   test("CALL procedures run the maintenance family from SQL") {
     val dir = tmpDir()
     (1 to 4).foreach(i => ManifestStore.append(
@@ -279,12 +303,12 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("DROP / ALTER / RENAME refuse loudly on path tables") {
+  test("DROP / RENAME / narrowing ALTER refuse loudly on path tables") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, "a")).toDF("k", "v"), dir)
     intercept[Exception] { spark.sql(s"DROP TABLE ${sqlTable(dir)}") }
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD COLUMN x BIGINT")
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} RENAME COLUMN v TO w")
     }
     // and a missing table is NoSuchTable, not an empty frame
     intercept[Exception] {
