@@ -1149,6 +1149,34 @@ object SparkEntry {
                 GROUP BY o_orderstatus""")
     }),
 
+    // SQL MERGE + maintenance procedures under the driver oracle: CTAS a
+    // manifest table from orders, MERGE a mixed update+insert batch (the
+    // canonical keyed upsert — one upsertKeyedDv commit), CALL
+    // graft.compact_small (data-neutral by contract; the oracle proves
+    // it), and aggregate the final state. The oracle replays the upsert
+    // as a left-join override + anti-join insert over the source parquet.
+    "q145_sql_merge" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q145")
+        .toString + "/orders_m"
+      t(s, dir, "orders").createOrReplaceTempView("q145_orders_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT o_orderkey, o_custkey " +
+        "FROM q145_orders_src")
+      s.sql(s"""MERGE INTO graft.`$tbl` t USING (
+                  SELECT o_orderkey, o_custkey + 7 AS o_custkey
+                  FROM q145_orders_src WHERE o_orderkey % 3 = 0
+                  UNION ALL
+                  SELECT o_orderkey + 700000000, 42L
+                  FROM q145_orders_src WHERE o_orderkey % 500 = 0
+                ) s ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"CALL graft.compact_small('$tbl', 64, 128)")
+      s.sql(s"""SELECT o_orderkey % 97 AS bucket,
+                       count(*) AS n_orders,
+                       sum(o_custkey) AS sum_cust
+                FROM graft.`$tbl` GROUP BY o_orderkey % 97""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3142,6 +3170,31 @@ object SparkEntry {
                 CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
                 CAST(sum(o_custkey) AS BIGINT) AS sum_cust
          FROM after_insert GROUP BY o_orderstatus""",
+
+    // q145 = the SQL MERGE upsert replayed relationally: matched keys take
+    // the source image (left-join override), unmatched source rows insert
+    // (anti-join); compact_small is data-neutral so the oracle ignores it
+    "q145_sql_merge" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey FROM orders),
+         src AS (
+           SELECT o_orderkey, o_custkey + 7 AS o_custkey
+           FROM base WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey + 700000000, 42
+           FROM base WHERE o_orderkey % 500 = 0),
+         merged AS (
+           SELECT b.o_orderkey,
+                  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                       ELSE b.o_custkey END AS o_custkey
+           FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+           UNION ALL
+           SELECT o_orderkey, o_custkey FROM src
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base))
+         SELECT o_orderkey % 97 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+         FROM merged GROUP BY o_orderkey % 97""",
 
     // portable md5 register derivation: identical bucket/rho/fixed-point
     // arithmetic on both engines; every sum lands in BIGINT via exact
