@@ -127,13 +127,11 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
     require(outputMode == OutputMode.Append(),
       s"graft-manifest sink is append-only (got $outputMode) — aggregate " +
         "maintenance belongs in foreachBatch upserts or Ivm")
-    require(partitionColumns.isEmpty,
-      "partitionBy is not supported on the streaming sink — use " +
-        "ManifestStore.appendPartitioned in foreachBatch")
     val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
     new ManifestSink(pathOf(parameters ++ ci), ci.getOrElse("appid", "default"),
       autoCompact = ci.get("autocompact").exists(_.toBoolean),
-      autoCompactEvery = ci.get("autocompactevery").map(_.toInt).getOrElse(16))
+      autoCompactEvery = ci.get("autocompactevery").map(_.toInt).getOrElse(16),
+      partitionCols = partitionColumns)
   }
 
   /** `spark.read.format("graft-manifest").load(dir)` — snapshot resolved
@@ -228,7 +226,8 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
   */
 class ManifestSink(dir: String, appId: String,
                    autoCompact: Boolean = false,
-                   autoCompactEvery: Int = 16)
+                   autoCompactEvery: Int = 16,
+                   partitionCols: Seq[String] = Nil)
     extends Sink with org.apache.spark.internal.Logging {
 
   private var committed = 0L
@@ -256,7 +255,14 @@ class ManifestSink(dir: String, appId: String,
     }
     val plain = spark.createDataFrame(rows, schema)
     if (!plain.isEmpty) {
-      ManifestStore.appendIdempotent(plain, dir, appId, batchId): Unit
+      // .partitionBy(...) on the stream writer routes through the
+      // hive-layout idempotent append: per-file partition values recorded
+      // for metadata pruning, same stream:<appId>:<batchId> replay skip
+      if (partitionCols.isEmpty)
+        ManifestStore.appendIdempotent(plain, dir, appId, batchId): Unit
+      else
+        ManifestStore.appendPartitionedIdempotent(plain, dir, partitionCols,
+          appId, batchId): Unit
       committed += 1
       if (autoCompact && committed % autoCompactEvery == 0)
         try {

@@ -1112,7 +1112,26 @@ object ManifestStore {
     * partition and stay un-prunable (kept by every scan — safe).
     */
   def appendPartitioned(df: DataFrame, dir: String,
-                        partitionCols: Seq[String]): Long = {
+                        partitionCols: Seq[String]): Long =
+    appendPartitioned(df, dir, partitionCols, op = "append")
+
+  /** [[appendPartitioned]] committed as an idempotent STREAMING batch —
+    * the partitioned sibling of [[appendIdempotent]]: same
+    * `stream:<appId>:<batchId>` lineage key and replay-skip, with the
+    * hive layout and per-file partition values recorded for metadata
+    * pruning. This is what the streaming sink's `partitionBy` runs.
+    */
+  def appendPartitionedIdempotent(df: DataFrame, dir: String,
+                                  partitionCols: Seq[String], appId: String,
+                                  batchId: Long): Option[Long] = {
+    require(!appId.contains(":"), "appId must not contain ':'")
+    if (batchId <= streamBatchHighWater(df.sparkSession, dir, appId)) None
+    else Some(appendPartitioned(df, dir, partitionCols,
+      op = s"stream:$appId:$batchId"))
+  }
+
+  private def appendPartitioned(df: DataFrame, dir: String,
+                                partitionCols: Seq[String], op: String): Long = {
     import org.apache.spark.sql.functions.col
     require(partitionCols.nonEmpty, "appendPartitioned needs partition columns")
     partitionCols.foreach { c =>
@@ -1155,7 +1174,7 @@ object ManifestStore {
         }
       }.toMap
     }.filter(_._2.nonEmpty).toMap
-    publishLoop(spark, dir, "append", fresh, (prev, fr) => prev ++ fr,
+    publishLoop(spark, dir, op, fresh, (prev, fr) => prev ++ fr,
       dfSchema = Some(df.schema), freshParts = freshParts)
   }
 

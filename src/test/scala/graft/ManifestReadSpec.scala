@@ -571,4 +571,45 @@ class ManifestReadSpec extends SparkSpec {
     } finally q.stop()
     assert(rows(readFmt(dir)) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
   }
+
+  test("streaming sink partitionBy records partition values, stays idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val cp = tmpDir()
+    val mem = MemoryStream[(Long, String, String)]
+    def run() = mem.toDF().toDF("k", "part", "v").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", cp)
+      .option("appId", "part-sink")
+      .partitionBy("part")
+      .start(dir)
+    val q = run()
+    try {
+      mem.addData((1L, "p0", "a"), (2L, "p1", "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "p0", "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val s = ManifestStore.currentSnapshot(spark, dir).get
+    // hive layout + per-file partition values recorded, op is the
+    // idempotent stream key
+    assert(s.op.startsWith("stream:part-sink:"))
+    assert(s.files.nonEmpty && s.files.forall(_.contains("__p_part=")))
+    assert(s.parts.nonEmpty && s.files.forall(f =>
+      s.parts.get(f).exists(_.contains("part"))))
+    // partition columns stay IN the files: full rows come back, and the
+    // partition filter prunes by metadata value alone
+    val all = spark.read.format("graft-manifest").load(dir)
+    assert(all.as[(Long, String, String)].collect().toSet ===
+      Set((1L, "p0", "a"), (2L, "p1", "b"), (3L, "p0", "c")))
+    val p0 = all.filter(col("part") === "p0")
+    assert(p0.count() === 2L)
+    assert(filesRead(p0) < filesRead(all))
+    // restart on the same checkpoint: committed batches replay-skip
+    val before = s.version
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ManifestStore.currentSnapshot(spark, dir).get.version === before)
+  }
 }
