@@ -1177,6 +1177,27 @@ object SparkEntry {
                 FROM graft.`$tbl` GROUP BY o_orderkey % 97""")
     }),
 
+    // SQL schema evolution under the driver oracle: CTAS, ALTER TABLE ADD
+    // COLUMNS (metadata-only widening commit), INSERT against the widened
+    // schema, and an aggregate whose null-handling proves pre-evolution
+    // rows null-fill exactly. The oracle replays the evolution as a
+    // UNION of the old shape (NULL note) and the late batch.
+    "q146_sql_evolution" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q146")
+        .toString + "/nation_e"
+      t(s, dir, "nation").createOrReplaceTempView("q146_nation_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT n_nationkey, n_regionkey, " +
+        "n_name FROM q146_nation_src")
+      s.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (note STRING)")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT n_nationkey + 100, n_regionkey, " +
+        "n_name, concat('x-', n_name) FROM q146_nation_src WHERE n_nationkey % 2 = 0")
+      s.sql(s"""SELECT n_regionkey,
+                       count(*) AS n_rows,
+                       count(note) AS n_noted,
+                       sum(n_nationkey) AS sum_keys
+                FROM graft.`$tbl` GROUP BY n_regionkey""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3170,6 +3191,21 @@ object SparkEntry {
                 CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
                 CAST(sum(o_custkey) AS BIGINT) AS sum_cust
          FROM after_insert GROUP BY o_orderstatus""",
+
+    // q146 = schema evolution replayed as a UNION: original rows carry
+    // NULL for the added column, the late batch carries values
+    "q146_sql_evolution" ->
+      """WITH evolved AS (
+           SELECT n_nationkey, n_regionkey, CAST(NULL AS VARCHAR) AS note
+           FROM nation
+           UNION ALL
+           SELECT n_nationkey + 100, n_regionkey, 'x-' || n_name
+           FROM nation WHERE n_nationkey % 2 = 0)
+         SELECT n_regionkey,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(note) AS BIGINT) AS n_noted,
+                CAST(sum(n_nationkey) AS BIGINT) AS sum_keys
+         FROM evolved GROUP BY n_regionkey""",
 
     // q145 = the SQL MERGE upsert replayed relationally: matched keys take
     // the source image (left-join override), unmatched source rows insert
