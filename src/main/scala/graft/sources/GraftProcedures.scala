@@ -77,12 +77,14 @@ object GraftProcedures {
   val all: Map[String, UnboundProcedure] = Map(
     "vacuum" -> proc("vacuum",
       Seq(in("table", StringType), in("keep_versions", IntegerType, "2"),
-        in("retain_hours", DoubleType, "24.0")),
+        in("retain_hours", DoubleType, "24.0"),
+        in("dry_run", BooleanType, "false")),
       StructType.fromDDL("manifests_deleted INT, data_files_deleted INT")) {
       (spark, args) =>
         val (m, d) = ManifestStore.vacuum(spark, args.getUTF8String(0).toString,
           keepVersions = args.getInt(1),
-          retainMillis = (args.getDouble(2) * 3600 * 1000).toLong)
+          retainMillis = (args.getDouble(2) * 3600 * 1000).toLong,
+          dryRun = args.getBoolean(3))
         Seq(m, d)
     },
 

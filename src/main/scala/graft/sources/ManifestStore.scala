@@ -74,7 +74,32 @@ object ManifestStore {
                             parts: Map[String, Map[String, String]] = Map.empty,
                             blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
                             dvs: Map[String, DvRef] = Map.empty,
-                            sizes: Map[String, Long] = Map.empty)
+                            sizes: Map[String, Long] = Map.empty) {
+
+    /** Stat bounds parsed into their primitive space ONCE per Snapshot
+      * instance (`(typ, min, max)` — Long/Double/String by typ). The
+      * manifest stores bounds as strings; parsing them inside every
+      * [[statsAdmit]] probe would cost files × conjuncts string parses
+      * per planned query — and [[pruneFilesIn]] probes per VALUE, so an
+      * IN-list lookup on a million-file table would re-parse millions of
+      * times. Driver-only planning state; excluded from case-class
+      * equality (not a constructor field).
+      */
+    @transient lazy val typedStats: Map[String, Map[String, (String, Any, Any)]] =
+      stats.map { case (rel, cols) =>
+        rel -> cols.flatMap { case (c, cs) =>
+          (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) => scala.util.Try[(String, Any, Any)](cs.typ match {
+              case "long" => ("long", mn.toLong, mx.toLong)
+              case "double" => ("double", mn.toDouble, mx.toDouble)
+              case "string" => ("string", mn, mx)
+              case other => (other, mn, mx)
+            }).toOption.map(c -> _)
+            case _ => None
+          }
+        }
+      }
+  }
 
   /** A data file's DELETION VECTOR state: `files` are the dv parquet
     * sidecars (rows `(f: file name, i: row index)`) whose tombstones apply
@@ -502,20 +527,17 @@ object ManifestStore {
 
   private def statsAdmit(snap: Snapshot, rel: String, column: String,
                          lo: Any, hi: Any): Boolean =
-      snap.stats.get(rel).flatMap(_.get(column)) match {
-        case Some(ColStats(typ, Some(mn), Some(mx), _)) => typ match {
-          // each side checks independently; Unbounded admits its side
-          case "long" =>
-            (hi == Unbounded || mn.toLong <= toLong(hi)) &&
-              (lo == Unbounded || mx.toLong >= toLong(lo))
-          case "double" =>
-            (hi == Unbounded || mn.toDouble <= toDouble(hi)) &&
-              (lo == Unbounded || mx.toDouble >= toDouble(lo))
-          case "string" =>
-            (hi == Unbounded || !utf8Lt(hi.toString, mn)) && // mn <= hi
-              (lo == Unbounded || !utf8Lt(mx, lo.toString))  // lo <= mx
-          case _ => true
-        }
+      snap.typedStats.get(rel).flatMap(_.get(column)) match {
+        // each side checks independently; Unbounded admits its side
+        case Some(("long", mn: Long, mx: Long)) =>
+          (hi == Unbounded || mn <= toLong(hi)) &&
+            (lo == Unbounded || mx >= toLong(lo))
+        case Some(("double", mn: Double, mx: Double)) =>
+          (hi == Unbounded || mn <= toDouble(hi)) &&
+            (lo == Unbounded || mx >= toDouble(lo))
+        case Some(("string", mn: String, mx: String)) =>
+          (hi == Unbounded || !utf8Lt(hi.toString, mn)) && // mn <= hi
+            (lo == Unbounded || !utf8Lt(mx, lo.toString))  // lo <= mx
         case _ => true
       }
 
@@ -2214,9 +2236,16 @@ object ManifestStore {
     * vacuumed). Pass `retainMillis = 0` only when no writer can be active.
     * Readers of vacuumed versions lose time travel — the retention
     * contract, same as any table format.
+    *
+    * `dryRun = true` plans and COUNTS exactly what a real run would
+    * delete — same listing, same liveness proof, same retention cutoff —
+    * without touching a byte: the operational "what would this reclaim
+    * and is my retention window right?" check before the irreversible
+    * run (Delta's `VACUUM ... DRY RUN`).
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
-             retainMillis: Long = 24L * 3600 * 1000): (Int, Int) = {
+             retainMillis: Long = 24L * 3600 * 1000,
+             dryRun: Boolean = false): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, dir)
     val md = manifestDir(dir)
@@ -2266,7 +2295,8 @@ object ManifestStore {
           val rel = s"${d.getPath.getName}/" +
             baseUri.relativize(f.makeQualified(file.getPath).toUri).getPath
           if (!live.contains(rel) && file.getModificationTime < cutoff) {
-            f.delete(file.getPath, false); dataDeleted += 1
+            if (!dryRun) f.delete(file.getPath, false): Unit
+            dataDeleted += 1
           } else liveRemain = true
         }
         // delete an emptied d-* dir only past the retention cutoff AND with
@@ -2275,11 +2305,11 @@ object ManifestStore {
         // yet — recursive delete would rip the staging area out from under
         // the committing writer, which the per-file mod-time guard above
         // cannot see
-        if (d.getModificationTime < cutoff && !liveRemain &&
+        if (!dryRun && d.getModificationTime < cutoff && !liveRemain &&
             walkParquet(d.getPath).isEmpty)
           f.delete(d.getPath, true) // only bookkeeping files left
       }
-    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    if (!dryRun) drop.foreach(v => f.delete(manifestPath(dir, v), false): Unit)
     (drop.size, dataDeleted)
   }
 }

@@ -254,14 +254,22 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"CALL graft.clone(target => '$dst', table => '$dir')")
     assert(rows(spark.sql(s"SELECT * FROM graft.`$dst`")).size === 4)
 
-    // vacuum with zero retention collects the rolled-over versions
-    val (m, _) = {
-      val r = spark.sql(
-        s"CALL graft.vacuum('$dir', keep_versions => 1, retain_hours => 0.0)")
-        .as[(Int, Int)].head()
-      r
-    }
-    assert(m > 0, "vacuum must drop old manifests")
+    // dry-run counts what a real vacuum would reclaim without touching
+    // a byte — same listing, same liveness proof
+    val versionsBefore = ManifestStore.history(spark, dir).count()
+    val (dm, _) = spark.sql(
+      s"CALL graft.vacuum('$dir', keep_versions => 1, retain_hours => 0.0, " +
+        "dry_run => true)").as[(Int, Int)].head()
+    assert(dm > 0)
+    assert(ManifestStore.history(spark, dir).count() === versionsBefore,
+      "dry run must not drop manifests")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")).size === 4)
+
+    // the real run reclaims exactly what the dry run predicted
+    val (m, _) = spark.sql(
+      s"CALL graft.vacuum('$dir', keep_versions => 1, retain_hours => 0.0)")
+      .as[(Int, Int)].head()
+    assert(m === dm, "vacuum must reclaim what its dry run predicted")
     assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")).size === 4)
     // tagged snapshot survives vacuum (the durable pin)
     assert(rows(spark.sql(
