@@ -219,6 +219,27 @@ private[graft] case class ManifestTableV2(dir: String,
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
 
+  /** Snapshot facts for `DESCRIBE TABLE EXTENDED` / catalog tooling —
+    * all from the already-read manifest, zero extra I/O.
+    */
+  override def properties(): util.Map[String, String] = {
+    val base = Map(
+      "provider" -> "graft-manifest",
+      "version" -> snap.version.toString,
+      "op" -> snap.op,
+      "numFiles" -> snap.files.size.toString)
+    val sized =
+      if (snap.files.forall(snap.sizes.contains))
+        base + ("sizeBytes" -> snap.files.map(snap.sizes).sum.toString)
+      else base
+    val counted =
+      if (snap.files.forall(snap.rows.contains))
+        sized + ("numRows" -> (snap.files.map(snap.rows).sum -
+          snap.files.flatMap(snap.dvs.get).map(_.deleted).sum).toString)
+      else sized
+    counted.asJava
+  }
+
   /** The pinned snapshot's declarative read — what [[ManifestV2Rewrite]]
     * splices into the query plan in place of the v2 relation.
     */

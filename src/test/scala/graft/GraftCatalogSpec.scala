@@ -311,6 +311,24 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE EXTENDED surfaces snapshot facts as table properties") {
+    val dir = tmpDir()
+    ManifestStore.append((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2), dir)
+    val props = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, dir)).properties()
+    assert(props.get("version") === "1")
+    assert(props.get("numFiles") === "2")
+    assert(props.get("numRows") === "10")
+    assert(props.get("sizeBytes").toLong > 0L)
+    // and the SQL surface renders them
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED ${sqlTable(dir)}")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("numFiles") && desc.contains("graft-manifest"), desc)
+  }
+
   test("DROP / RENAME / narrowing ALTER refuse loudly on path tables") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, "a")).toDF("k", "v"), dir)
