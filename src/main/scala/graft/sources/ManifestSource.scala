@@ -129,7 +129,15 @@ class ManifestSource(spark: SparkSession, dir: String,
         case None => stop = true
         case Some(s) =>
           val fresh = s.files.filterNot(prevFiles)
-          val b = fresh.map(f => s.sizes.getOrElse(f, 0L)).sum
+          // data-neutral ops (compact/bloom/schema/create) rewrite or touch
+          // files without adding rows — charging their full rewritten output
+          // would pin every trigger around a large compact to one-version
+          // batches; they cost 0 against the byte budget (mirrors the
+          // appendSafe classification: no fresh rows can flow from them)
+          val neutral = s.op == "compact" || s.op == "bloom" ||
+            s.op == "schema" || s.op == "create"
+          val b = if (neutral) 0L
+            else fresh.map(f => s.sizes.getOrElse(f, 0L)).sum
           if (admitted > plannedV && bytes + b > maxB) stop = true
           else {
             admitted = v; bytes += b; prevFiles = s.files.toSet; v += 1

@@ -1863,10 +1863,18 @@ object ManifestStore {
       partitionWhollyIn(snap, rel, column, lo, hi) ||
       (snap.stats.get(rel).flatMap(_.get(column)) match {
         case Some(ColStats(typ, Some(mn), Some(mx), nulls)) if nulls == 0L =>
+          // each side checks independently; Unbounded admits its side
+          // (an open-ended range trivially contains that side)
           typ match {
-            case "long" => mn.toLong >= toLong(lo) && mx.toLong <= toLong(hi)
-            case "double" => mn.toDouble >= toDouble(lo) && mx.toDouble <= toDouble(hi)
-            case "string" => !utf8Lt(mn, lo.toString) && !utf8Lt(hi.toString, mx)
+            case "long" =>
+              (lo == Unbounded || mn.toLong >= toLong(lo)) &&
+                (hi == Unbounded || mx.toLong <= toLong(hi))
+            case "double" =>
+              (lo == Unbounded || mn.toDouble >= toDouble(lo)) &&
+                (hi == Unbounded || mx.toDouble <= toDouble(hi))
+            case "string" =>
+              (lo == Unbounded || !utf8Lt(mn, lo.toString)) &&
+                (hi == Unbounded || !utf8Lt(hi.toString, mx))
             case _ => false
           }
         case _ => false
@@ -1889,10 +1897,17 @@ object ManifestStore {
         // the rewrite materializes prior merge-on-read deletes instead of
         // resurrecting them, and the dv guard aborts if a concurrent
         // deleteWhere tombstoned these files after planning
+        // one-sided ranges carry the Unbounded marker, which has no lit()
+        // form — build only the present bounds (mirrors readRange)
+        val inRange = {
+          val withLo = if (lo == Unbounded) lit(true)
+            else col(column) >= lit(lo)
+          if (hi == Unbounded) withLo
+          else withLo && col(column) <= lit(hi)
+        }
         val survivors =
           readSnapshot(spark, dir, snap.copy(files = partial), schema)
-            .filter(!(col(column) >= lit(lo) && col(column) <= lit(hi)) ||
-              col(column).isNull)
+            .filter(!inRange || col(column).isNull)
         Some(commit(survivors, dir, "delete", { (prev, fresh) =>
           abort(prev); prev.filterNot(gone.contains) ++ fresh
         }, guard = Some(dvUnchangedGuard(snap, partial))))
@@ -2164,7 +2179,8 @@ object ManifestStore {
     * key-probe scan, not correctness.
     */
   def upsertKeyedDv(spark: SparkSession, dir: String, schema: StructType,
-                    batch: DataFrame, keyCol: String): Option[Long] = {
+                    batch: DataFrame, keyCol: String,
+                    requireUniqueMatchedTarget: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
     val dupKeys = batch.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(fcount(lit(1)).as("_n"))
@@ -2195,6 +2211,25 @@ object ManifestStore {
       val live = if (dvFiles.isEmpty) ided
         else ided.join(readDvPairs(spark, dir, dvFiles),
           Seq(dvNameCol, dvIdxCol), "left_anti")
+      if (requireUniqueMatchedTarget) {
+        // upsert semantics collapse N matched target rows to the batch's
+        // ONE image; callers that promised row-preserving semantics (SQL
+        // MERGE updates each matched row) must refuse that collapse. The
+        // check runs against the SAME snapshot the tombstones plan from,
+        // and before any file is written, so the OCC guard makes it
+        // race-free; candidate pruning covers every file a batch key can
+        // live in, so matched duplicates cannot hide outside `live`.
+        val dupTgt = live
+          .join(batch.select(col(keyCol)).filter(col(keyCol).isNotNull),
+            Seq(keyCol), "left_semi")
+          .groupBy(col(keyCol)).agg(fcount(lit(1)).as("_n"))
+          .filter(col("_n") > 1).limit(1).count()
+        if (dupTgt > 0L) throw new UnsupportedOperationException(
+          s"target $dir has duplicate values of key '$keyCol' among matched " +
+            "rows — a keyed upsert would collapse them to one image, which " +
+            "is not MERGE semantics; deduplicate the target (e.g. " +
+            "upsertKeyed on a key-unique table) or merge on a unique key")
+      }
       val dvRel = s"d-dv-$nonce"
       live.join(batch.select(col(keyCol)).filter(col(keyCol).isNotNull),
           Seq(keyCol), "left_semi")

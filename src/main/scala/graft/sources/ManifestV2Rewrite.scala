@@ -207,11 +207,6 @@ private[sources] case class GraftDeleteCommand(table: ManifestTableV2,
   }
 }
 
-/** SQL `UPDATE graft.{dir} SET c = expr, … WHERE <any predicate>` →
-  * [[ManifestStore.updateWhere]]: one atomic commit tombstoning the old
-  * images and appending the updated copies — O(matched rows) write
-  * amplification, exact CDC.
-  */
 /** SQL MERGE (the canonical upsert shape) → one
   * [[ManifestStore.upsertKeyedDv]] commit. `batch` is the pre-analyzed
   * full-row projection of the MERGE source onto the target schema.
@@ -222,14 +217,23 @@ private[sources] case class GraftMergeCommand(table: ManifestTableV2,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val df = org.apache.spark.sql.graft.StreamingShim.ofRows(session, batch)
+    // MERGE updates EACH matched target row; the upsert rewrite emits one
+    // image per key, so duplicate matched target keys must error rather
+    // than silently collapse N rows to 1 (duplicate SOURCE keys already
+    // error inside upsertKeyedDv)
     if (ManifestStore.upsertKeyedDv(session, table.dir, table.schema,
-        df, keyCol).isEmpty)
+        df, keyCol, requireUniqueMatchedTarget = true).isEmpty)
       throw new java.util.ConcurrentModificationException(
         s"MERGE INTO ${table.dir} lost a concurrent-commit race — retry")
     Seq.empty
   }
 }
 
+/** SQL `UPDATE graft.{dir} SET c = expr, … WHERE <any predicate>` →
+  * [[ManifestStore.updateWhere]]: one atomic commit tombstoning the old
+  * images and appending the updated copies — O(matched rows) write
+  * amplification, exact CDC.
+  */
 private[sources] case class GraftUpdateCommand(table: ManifestTableV2,
                                                assignments: Seq[Assignment],
                                                condition: Option[Expression])

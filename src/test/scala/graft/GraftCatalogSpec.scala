@@ -198,6 +198,30 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("MERGE refuses duplicate MATCHED target keys instead of collapsing them") {
+    val dir = tmpDir()
+    ManifestStore.append(
+      Seq((1L, "a"), (2L, "b1"), (2L, "b2")).toDF("k", "v"), dir)
+    val vBefore = ManifestStore.currentSnapshot(spark, dir).get.version
+    // source key 2 matches TWO target rows: SQL MERGE would update both
+    // (preserving 2 rows); the upsert rewrite would emit one image — it
+    // must refuse rather than silently change multiplicity
+    Seq((2L, "B"), (9L, "i")).toDF("k", "v").createOrReplaceTempView("m_dup_src")
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_dup_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.toLowerCase.contains("duplicate"))
+    assert(ManifestStore.currentSnapshot(spark, dir).get.version === vBefore,
+      "refused MERGE must not commit")
+    // duplicates on UNMATCHED target keys are untouched rows — fine
+    Seq((1L, "A"), (9L, "i")).toDF("k", "v").createOrReplaceTempView("m_ok_src")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_ok_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "A", 2L -> "b1", 2L -> "b2", 9L -> "i"))
+  }
+
   test("ALTER TABLE ADD COLUMNS widens as a metadata-only schema commit") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)

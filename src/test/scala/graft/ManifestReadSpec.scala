@@ -483,6 +483,27 @@ class ManifestReadSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("byte admission charges data-neutral commits zero, not their rewritten size") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a")).toDF("k", "v").repartition(1), dir) // v1
+    ManifestStore.append(Seq((2L, "b")).toDF("k", "v").repartition(1), dir) // v2
+    ManifestStore.compact(spark, dir, schema)                               // v3
+    ManifestStore.append(Seq((3L, "c")).toDF("k", "v").repartition(1), dir) // v4
+    val per = ManifestStore.readManifest(spark, dir, 1L).sizes.values.sum
+    assert(per > 0L)
+    // cap = 1.5 appends: the compact's rewritten output (~2 appends of
+    // bytes, zero fresh rows) must NOT pin it to its own batch — charged
+    // 0, it packs with v2; only genuinely fresh rows consume budget
+    val src = new graft.sources.ManifestSource(spark, dir, schema,
+      startingVersion = 0L, readChangeFeed = true, ignoreChanges = false,
+      maxVersionsPerTrigger = None, maxBytesPerTrigger = Some(per * 3 / 2))
+    def next(): Long = src.getOffset.map(_.json.toLong).getOrElse(-1L)
+    assert(next() === 1L, "v1 alone (v2 would exceed the cap)")
+    assert(next() === 3L, "v2 + zero-cost compact in one batch")
+    assert(next() === 4L)
+    assert(next() === -1L, "backlog drained")
+  }
+
   test("CDF stream drives Ivm: maintained aggregate tracks appends AND deletes") {
     import graft.operators.Ivm
     val dir = tmpDir()

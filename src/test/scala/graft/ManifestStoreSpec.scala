@@ -388,6 +388,29 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir) === Set(1L -> "a"))
   }
 
+  test("deleteRange: one-sided Unbounded ranges drop whole files and rewrite partials") {
+    import ManifestStore.Unbounded
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a", 5L -> "b").coalesce(1), dir)
+    ManifestStore.append(df(10L -> "c", 20L -> "d").coalesce(1), dir)
+    ManifestStore.append(df(25L -> "e", 40L -> "f").coalesce(1), dir)
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    // k >= 10: files 2 and 3 are wholly in via the FOOTER-STATS branch
+    // (hi == Unbounded must admit its side, not NumberFormatException) —
+    // both drop as pure manifest edits, file 1 keeps identity
+    val v = ManifestStore.deleteRange(spark, dir, schema, "k", 10L, Unbounded)
+    assert(v.nonEmpty)
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.files === Seq(before.files.head),
+      "open-hi delete must drop covered files and touch nothing else")
+    assert(contents(dir) === Set(1L -> "a", 5L -> "b"))
+    // k <= 1: the survivor file is PARTIAL — the rewrite filter must build
+    // one-sided (lit(Unbounded) has no literal form)
+    val v2 = ManifestStore.deleteRange(spark, dir, schema, "k", Unbounded, 1L)
+    assert(v2.nonEmpty)
+    assert(contents(dir) === Set(5L -> "b"))
+  }
+
   test("changes: CDC feed tracks inserts/deletes per version, skips compaction") {
     val dir = tmpDir()
     ManifestStore.append(df(1L -> "a", 2L -> "b"), dir)        // v1
