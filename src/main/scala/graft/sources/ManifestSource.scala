@@ -72,14 +72,22 @@ class ManifestSource(spark: SparkSession, dir: String,
     */
   @volatile private var plannedV: Long = startingVersion
 
-  /** Ops that cannot remove or rewrite rows: safe in row mode. `bloom` and
-    * `compact` are data-neutral; `tag`s never commit; everything else
-    * (overwrite, delete, delete-dv, update-dv, upsert-dv, restore:N,
-    * clone:…) can retract rows.
+  /** Ops that publish NO fresh rows — compaction rewrites existing rows,
+    * blooms/schema/create are metadata-only (`files = Nil` or carried).
+    * ONE classifier feeds both row-mode safety ([[appendSafe]]) and the
+    * byte-budget charge ([[admitByBytes]] charges them 0), so a future
+    * data-neutral op added here stays consistent in both places.
+    */
+  private def dataNeutral(op: String): Boolean =
+    op == "compact" || op == "bloom" || op == "schema" || op == "create"
+
+  /** Ops that cannot remove or rewrite rows: safe in row mode — appends
+    * plus the data-neutral set; `tag`s never commit; everything else
+    * (overwrite, delete, delete-dv, update-dv, upsert-dv, merge-dv,
+    * restore:N, clone:…) can retract rows.
     */
   private def appendSafe(op: String): Boolean =
-    op == "append" || op == "compact" || op == "bloom" || op == "create" ||
-      op == "schema" || op.startsWith("stream:")
+    dataNeutral(op) || op == "append" || op.startsWith("stream:")
 
   override val schema: StructType =
     if (readChangeFeed) StructType(dataSchema.fields.toSeq ++ Seq(
@@ -129,14 +137,12 @@ class ManifestSource(spark: SparkSession, dir: String,
         case None => stop = true
         case Some(s) =>
           val fresh = s.files.filterNot(prevFiles)
-          // data-neutral ops (compact/bloom/schema/create) rewrite or touch
-          // files without adding rows — charging their full rewritten output
-          // would pin every trigger around a large compact to one-version
-          // batches; they cost 0 against the byte budget (mirrors the
-          // appendSafe classification: no fresh rows can flow from them)
-          val neutral = s.op == "compact" || s.op == "bloom" ||
-            s.op == "schema" || s.op == "create"
-          val b = if (neutral) 0L
+          // data-neutral ops rewrite or touch files without adding rows —
+          // charging their full rewritten output would pin every trigger
+          // around a large compact to one-version batches; they cost 0
+          // against the byte budget (same classifier appendSafe builds on:
+          // no fresh rows can flow from them)
+          val b = if (dataNeutral(s.op)) 0L
             else fresh.map(f => s.sizes.getOrElse(f, 0L)).sum
           if (admitted > plannedV && bytes + b > maxB) stop = true
           else {
