@@ -953,7 +953,8 @@ object ManifestStore {
       val (ins, del) =
         if (cur.op == "compact") (empty, empty)
         else if (cur.op == "delete-dv" && dvAdded.nonEmpty) (empty, tombstoned)
-        else if ((cur.op == "update-dv" || cur.op == "upsert-dv") && dvAdded.nonEmpty)
+        else if ((cur.op == "update-dv" || cur.op == "upsert-dv" ||
+            cur.op == "merge-dv") && dvAdded.nonEmpty)
           // one commit, both sides: deletes are the tombstoned originals,
           // inserts the freshly-written updated copies / batch rows
           (rdL(cur, added), tombstoned)
@@ -970,7 +971,7 @@ object ManifestStore {
       // dv-op commits are excluded — their fresh sidecars are already
       // exact via `tombstoned` above.
       val isDvOp = cur.op == "delete-dv" || cur.op == "update-dv" ||
-        cur.op == "upsert-dv"
+        cur.op == "upsert-dv" || cur.op == "merge-dv"
       val dvChanged =
         if (cur.op == "compact" || isDvOp) Nil
         else cur.files.filter(prevSet).flatMap { rel =>
@@ -2179,8 +2180,7 @@ object ManifestStore {
     * key-probe scan, not correctness.
     */
   def upsertKeyedDv(spark: SparkSession, dir: String, schema: StructType,
-                    batch: DataFrame, keyCol: String,
-                    requireUniqueMatchedTarget: Boolean = false): Option[Long] = {
+                    batch: DataFrame, keyCol: String): Option[Long] = {
     import org.apache.spark.sql.functions.{col, count => fcount, lit, max => fmax, min => fmin}
     val dupKeys = batch.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(fcount(lit(1)).as("_n"))
@@ -2211,25 +2211,6 @@ object ManifestStore {
       val live = if (dvFiles.isEmpty) ided
         else ided.join(readDvPairs(spark, dir, dvFiles),
           Seq(dvNameCol, dvIdxCol), "left_anti")
-      if (requireUniqueMatchedTarget) {
-        // upsert semantics collapse N matched target rows to the batch's
-        // ONE image; callers that promised row-preserving semantics (SQL
-        // MERGE updates each matched row) must refuse that collapse. The
-        // check runs against the SAME snapshot the tombstones plan from,
-        // and before any file is written, so the OCC guard makes it
-        // race-free; candidate pruning covers every file a batch key can
-        // live in, so matched duplicates cannot hide outside `live`.
-        val dupTgt = live
-          .join(batch.select(col(keyCol)).filter(col(keyCol).isNotNull),
-            Seq(keyCol), "left_semi")
-          .groupBy(col(keyCol)).agg(fcount(lit(1)).as("_n"))
-          .filter(col("_n") > 1).limit(1).count()
-        if (dupTgt > 0L) throw new UnsupportedOperationException(
-          s"target $dir has duplicate values of key '$keyCol' among matched " +
-            "rows — a keyed upsert would collapse them to one image, which " +
-            "is not MERGE semantics; deduplicate the target (e.g. " +
-            "upsertKeyed on a key-unique table) or merge on a unique key")
-      }
       val dvRel = s"d-dv-$nonce"
       live.join(batch.select(col(keyCol)).filter(col(keyCol).isNotNull),
           Seq(keyCol), "left_semi")
@@ -2255,6 +2236,226 @@ object ManifestStore {
       (prev, fresh) => prev ++ fresh, dfSchema = Some(batch.schema),
       freshDvDeltas = deltas, guard = Some(abort)))
     catch { case _: java.util.ConcurrentModificationException => None }
+  }
+
+  /** One WHEN clause of a general [[mergeRows]]: `cond = None` means
+    * unconditional; `set = None` means DELETE; `set = Some(m)` means
+    * UPDATE (matched / not-matched-by-source clauses; unassigned columns
+    * keep their current value) or INSERT (not-matched clauses; unassigned
+    * columns null-fill, the Delta convention). Clause conditions and set
+    * values are Columns over the TARGET columns by their own names and
+    * the SOURCE columns under the `__s_` prefix (the caller renames its
+    * source frame; [[GraftMergeCommand]] does this for SQL).
+    */
+  final case class MergeClause(cond: Option[Column],
+                               set: Option[Map[String, Column]])
+
+  /** General SQL-MERGE execution — the full clause surface the canonical
+    * [[upsertKeyedDv]] upsert cannot express: conditional clauses
+    * (`WHEN MATCHED AND …`), partial-row UPDATE, `WHEN MATCHED … DELETE`,
+    * multi-column / arbitrary ON conditions, and
+    * `WHEN NOT MATCHED BY SOURCE`. Semantics are standard MERGE
+    * (SQL:2003 + the Delta/Spark conventions):
+    *
+    *  - per target row, clauses evaluate FIRST-MATCH-WINS in declaration
+    *    order; a matched row no clause accepts stays untouched in place;
+    *  - duplicate TARGET rows matching one source row each update/delete
+    *    independently (multiplicity preserved — not a keyed collapse);
+    *  - a target row matched by MORE THAN ONE source row while any
+    *    matched clause exists is a cardinality violation and errors
+    *    before anything commits (nondeterministic winner otherwise —
+    *    Delta's multipleSourceRowMatchingTargetRow discipline);
+    *  - ON-condition null semantics are join semantics: null keys match
+    *    nothing (insert as not-matched, retain as not-matched-by-source).
+    *
+    * Execution shape (scale notes): the source query is STAGED to parquet
+    * once — stable row identity, one evaluation, and every subsequent
+    * join probes the staged copy. Matched pairs `(live ⋈ src)` are staged
+    * too, so the cardinality check, tombstone write, per-clause update
+    * images, and the insert anti-join all read a batch-sized parquet
+    * instead of re-scanning the table. Candidate files prune by the
+    * manifest stats/partitions/blooms on `equiKeys` (the ON condition's
+    * target-column = source-expression conjuncts) — UNLESS
+    * not-matched-by-source clauses exist, which must see every live row
+    * and disable pruning by construction. Tombstones land as deletion
+    * vectors, fresh images as new files, ONE atomic `merge-dv` commit:
+    * write amplification is O(touched rows), never O(files × file size).
+    *
+    * Concurrency is strict like [[upsertKeyedDv]]: the plan's
+    * matched/not-matched classification depends on the whole snapshot, so
+    * ANY commit landing between planning and publish aborts with None
+    * (caller retries). Returns Some(current) when no clause touched a row.
+    */
+  def mergeRows(spark: SparkSession, dir: String, schema: StructType,
+                source: DataFrame, cond: Column,
+                matched: Seq[MergeClause],
+                notMatched: Seq[MergeClause],
+                bySource: Seq[MergeClause] = Nil,
+                equiKeys: Seq[(String, Column)] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count => fcount, lit, max => fmax, min => fmin, when}
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    require(notMatched.forall(_.set.isDefined),
+      "NOT MATCHED clauses must INSERT (DELETE has nothing to delete)")
+    require(source.columns.forall(_.startsWith("__s_")),
+      "mergeRows source columns must be __s_-prefixed (rename before calling)")
+    val f = fs(spark, dir)
+    val snap = currentSnapshot(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $dir to MERGE into"))
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val stageDir = new Path(dir, s"tmp-merge-$nonce")
+    val srcRidF = "__s_graft_rid_file"
+    val srcRidI = "__s_graft_rid_idx"
+    // read a just-written stage dir, tolerating the 0-part-files shape an
+    // AQE-emptied write produces (schema comes from the caller)
+    def readStage(p: Path, s: StructType): DataFrame = {
+      val parts = if (f.exists(p)) f.listStatus(p).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")) else Nil
+      if (parts.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      else spark.read.schema(s).parquet(p.toString)
+    }
+    try {
+      // 1. stage the source ONCE: stable (file, idx) row identity for the
+      // insert anti-join, single evaluation of an arbitrary source query
+      val srcPath = new Path(stageDir, "src")
+      source.write.mode("error").parquet(srcPath.toString)
+      val srcHasParts = f.listStatus(srcPath).toSeq
+        .exists(_.getPath.getName.endsWith(".parquet"))
+      val src =
+        if (!srcHasParts) { // AQE-emptied write: no files to derive ids from
+          import org.apache.spark.sql.types.{LongType, StringType, StructField}
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(
+            source.schema.fields.toSeq :+ StructField(srcRidF, StringType) :+
+              StructField(srcRidI, LongType)))
+        } else withRowIds(spark.read.schema(source.schema).parquet(srcPath.toString))
+          .withColumnRenamed(dvNameCol, srcRidF)
+          .withColumnRenamed(dvIdxCol, srcRidI)
+      // 2. candidate files: equi-conjunct bounds prune via the manifest —
+      // except under by-source clauses, which must see every live row. An
+      // all-null equi key matches nothing: zero candidates.
+      val cand: Seq[String] =
+        if (snap.files.isEmpty) Nil
+        else if (bySource.nonEmpty || equiKeys.isEmpty) snap.files
+        else {
+          val aggs = equiKeys.zipWithIndex.flatMap { case ((_, sc), i) =>
+            Seq(fmin(sc).as(s"__lo$i"), fmax(sc).as(s"__hi$i")) }
+          val b = src.agg(aggs.head, aggs.tail: _*).head
+          val ranges = equiKeys.indices.flatMap { i =>
+            if (b.isNullAt(2 * i)) None
+            else Some((equiKeys(i)._1, b.get(2 * i), b.get(2 * i + 1)))
+          }
+          if (ranges.size < equiKeys.size) Nil
+          else pruneFilesWhere(snap, ranges)
+        }
+      requireUniqueBasenames(snap, dir)
+      val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+      def liveCand: DataFrame = {
+        val ided = withRowIds(spark.read.schema(schema)
+          .parquet(cand.map(new Path(dir, _).toString): _*))
+        val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
+        if (dvFiles.isEmpty) ided
+        else ided.join(readDvPairs(spark, dir, dvFiles),
+          Seq(dvNameCol, dvIdxCol), "left_anti")
+      }
+      // 3. matched pairs staged once: cardinality check, tombstones,
+      // update images, and the insert anti-join all probe this batch-sized
+      // parquet instead of re-joining against the table
+      val mPath = new Path(stageDir, "matched")
+      val mdf: Option[DataFrame] = if (cand.isEmpty) None else {
+        val joined = liveCand.join(src, cond, "inner")
+        joined.write.mode("error").parquet(mPath.toString)
+        Some(readStage(mPath, joined.schema))
+      }
+      if (matched.nonEmpty) mdf.foreach { m =>
+        val dup = m.groupBy(col(dvNameCol), col(dvIdxCol))
+          .agg(fcount(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).count()
+        if (dup > 0L) throw new UnsupportedOperationException(
+          s"MERGE cardinality violation on $dir: a target row matched more " +
+            "than one source row, so the applied update/delete would be " +
+            "nondeterministic — deduplicate the source on the ON keys")
+      }
+      // first-match-wins clause index (-1 = no clause applies); a clause
+      // condition evaluating NULL does not apply, per SQL
+      def actionOf(clauses: Seq[MergeClause]): Column =
+        coalesce(clauses.zipWithIndex.map { case (c, i) =>
+          when(c.cond.getOrElse(lit(true)), lit(i)) } :+ lit(-1): _*)
+      def images(df: DataFrame, clauses: Seq[MergeClause],
+                 defaults: String => Column): Seq[DataFrame] = {
+        val acted = df.withColumn("__graft_act", actionOf(clauses))
+        clauses.zipWithIndex.collect { case (MergeClause(_, Some(set)), i) =>
+          acted.filter(col("__graft_act") === i)
+            .select(schema.fields.toIndexedSeq.map { fd =>
+              set.getOrElse(fd.name, defaults(fd.name))
+                .cast(fd.dataType).as(fd.name)
+            }: _*)
+        }
+      }
+      def tombOf(df: DataFrame, clauses: Seq[MergeClause]): DataFrame =
+        df.withColumn("__graft_act", actionOf(clauses))
+          .filter(col("__graft_act") >= 0)
+          .select(col(dvNameCol).as("f"), col(dvIdxCol).cast("long").as("i"))
+      val mTomb = if (matched.isEmpty) None else mdf.map(tombOf(_, matched))
+      val mImages = if (matched.isEmpty) Nil
+        else mdf.toSeq.flatMap(images(_, matched, col))
+      // 4. inserts: source rows no live row matched (anti-join on the
+      // staged source's row identity — batch-sized both sides)
+      val insImages: Seq[DataFrame] = if (notMatched.isEmpty) Nil else {
+        val unmatched = mdf match {
+          case Some(m) => src.join(m.select(col(srcRidF), col(srcRidI)),
+            Seq(srcRidF, srcRidI), "left_anti")
+          case None => src
+        }
+        images(unmatched, notMatched,
+          n => lit(null).cast(schema(n).dataType))
+      }
+      // 5. by-source: live rows no source row matched (pruning is off in
+      // this mode, so `cand` covers the whole table)
+      val (bsTomb, bsImages) = if (bySource.isEmpty || cand.isEmpty) (None, Nil)
+        else {
+          val only = liveCand.join(src, cond, "left_anti")
+          (Some(tombOf(only, bySource)), images(only, bySource, col))
+        }
+      // 6. tombstone sidecar + fresh image files, one atomic commit
+      var deltas = Map.empty[String, DvRef]
+      val dvRel = s"d-dv-$nonce"
+      (mTomb.toSeq ++ bsTomb.toSeq).reduceOption(_ unionAll _).foreach { t =>
+        t.write.mode("error").parquet(new Path(dir, dvRel).toString)
+        val parts = f.listStatus(new Path(dir, dvRel)).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .sorted.map(n => s"$dvRel/$n")
+        val counts = spark.read.parquet(new Path(dir, dvRel).toString)
+          .groupBy(col("f")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.isEmpty) { f.delete(new Path(dir, dvRel), true): Unit }
+        else deltas = counts.map { case (name, n) =>
+          nameToRel(name) -> DvRef(parts, n)
+        }
+      }
+      val dataRel = s"d-$nonce"
+      var freshFiles = Seq.empty[String]
+      (mImages ++ bsImages ++ insImages).reduceOption(_ unionAll _).foreach { df =>
+        df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+        freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .sorted.map(n => s"$dataRel/$n")
+      }
+      if (deltas.isEmpty && freshFiles.isEmpty) return Some(snap.version)
+      val abort: Snapshot => Unit = { prev =>
+        if (prev.files != snap.files || prev.dvs != snap.dvs)
+          throw new java.util.ConcurrentModificationException(
+            "snapshot changed under mergeRows")
+      }
+      try Some(publishLoop(spark, dir, "merge-dv", freshFiles,
+        (prev, fresh) => prev ++ fresh, dfSchema = Some(schema),
+        freshDvDeltas = deltas, guard = Some(abort)))
+      catch { case _: java.util.ConcurrentModificationException => None }
+    } finally {
+      // the staged source/matched copies are never referenced by a
+      // manifest; drop them eagerly (vacuum would collect them anyway)
+      try { f.delete(stageDir, true): Unit }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Drop versions older than the latest `keepVersions`, then delete every

@@ -71,80 +71,121 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case other => other.mapChildren(rewrite)
   }
 
-  /** SQL `MERGE INTO graft.{dir} t USING src s ON t.k = s.k
-    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-    * (star or explicit full-row assignments, unconditional) — the
-    * canonical keyed upsert — becomes ONE [[ManifestStore.upsertKeyedDv]]
-    * commit: matched keys tombstone through deletion vectors, the source
-    * batch appends, O(batch) write amplification. Shapes the upsert
-    * cannot express (partial-row UPDATE, WHEN MATCHED DELETE, clause
-    * conditions, NOT MATCHED BY SOURCE, schema evolution, multi-column
-    * keys) return None and surface Spark's own unsupported-MERGE error —
-    * never a silently different semantics.
+  /** SQL `MERGE INTO graft.{dir} t USING src s ON <cond> WHEN …` — the
+    * FULL clause surface — compiles to one [[GraftMergeCommand]] running
+    * [[ManifestStore.mergeRows]]: an atomic `merge-dv` commit (matched
+    * rows tombstone through deletion vectors, update/insert images append
+    * as fresh files). Supported: any number of `WHEN MATCHED [AND cond]
+    * THEN UPDATE SET … | DELETE` (star or partial SET), `WHEN NOT MATCHED
+    * [AND cond] THEN INSERT` (star or an explicit column list; unassigned
+    * columns null-fill, the Delta convention),
+    * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE | DELETE`,
+    * first-match-wins, arbitrary and multi-column ON conditions
+    * (equality conjuncts become manifest pruning keys), and duplicate
+    * matched TARGET keys (row-preserving, per standard MERGE; duplicate
+    * matched SOURCE rows are a cardinality violation and error at
+    * execution). Refused (None → Spark's own unsupported-MERGE error,
+    * never silently different semantics): schema evolution, nested-field
+    * assignment, subqueries inside clause conditions or values.
+    *
+    * Clause expressions re-key for the command's own fresh scan: target
+    * attributes by their column name, source attributes under the `__s_`
+    * prefix (the command projects its source frame the same way), so the
+    * two sides can never collide whatever the user called them.
     */
   private def rewriteMerge(m: MergeIntoTable): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo}
-    import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, InsertStarAction, UpdateAction, UpdateStarAction}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, InsertStarAction, MergeAction, UpdateAction, UpdateStarAction}
     val t = m.targetTable match {
       case ManifestTarget(t0) => t0
       case _ => return None
     }
-    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution) return None
+    if (m.withSchemaEvolution) return None
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
-    // single-key equality, one side per table (either order)
-    val keyCol = m.mergeCondition match {
-      case EqualTo(l: AttributeReference, r: AttributeReference)
-          if tgtOut.contains(l) && srcOut.contains(r) => l.name
-      case EqualTo(l: AttributeReference, r: AttributeReference)
-          if srcOut.contains(l) && tgtOut.contains(r) => r.name
-      case _ => return None
-    }
-    // full-row assignment map (target column name -> source-side expr);
-    // None when the clause shape is anything else
-    def fullRow(assigns: Seq[Assignment]): Option[Map[String, Expression]] = {
-      val pairs = assigns.map {
-        case Assignment(k: AttributeReference, v)
-            if v.references.subsetOf(srcOut) => Some(k.name -> v)
-        case _ => None
-      }
-      if (pairs.exists(_.isEmpty)) None
-      else {
-        val mp = pairs.flatten.toMap
-        if (mp.size == assigns.size &&
-            t.schema.fieldNames.forall(mp.contains)) Some(mp) else None
-      }
-    }
+    if (m.sourceTable.output.exists(a => a.name.startsWith("__s_") ||
+        a.name.startsWith("__graft")) ||
+        t.schema.fieldNames.exists(n => n.startsWith("__s_") ||
+          n.startsWith("__graft"))) return None // helper-prefix collision
+    // carried expressions stay RESOLVED (CheckAnalysis walks the command's
+    // fields); the command re-keys them onto its fresh scans at RUN time.
+    // Subqueries are refused — they reference plans a by-name
+    // re-resolution cannot carry.
+    def rekey(e: Expression): Option[Expression] =
+      if (!e.resolved || SubqueryExpression.hasSubquery(e)) None else Some(e)
     // star = every target column from the same-named source column
-    def star(): Option[Map[String, Expression]] = {
+    def star(): Option[Seq[(String, Expression)]] = {
       val byName = m.sourceTable.output.groupBy(_.name)
       val pairs = t.schema.fieldNames.toSeq.map { n =>
         byName.get(n).collect { case Seq(a) => n -> (a: Expression) }
       }
-      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
+      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten)
     }
-    val up = m.matchedActions match {
-      case Seq(UpdateStarAction(None)) => star()
-      case Seq(UpdateAction(None, assigns, _)) => fullRow(assigns)
+    def assignsOf(assigns: Seq[Assignment]): Option[Seq[(String, Expression)]] = {
+      val pairs = assigns.map {
+        case Assignment(k: AttributeReference, v) if tgtOut.contains(k) =>
+          rekey(v).map(k.name -> _)
+        case _ => None // nested-field or non-attribute assignment key
+      }
+      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten)
+    }
+    // a WHEN clause → (condition, set): set None = DELETE, Some = UPDATE/
+    // INSERT assignments; None (outer) = unsupported shape
+    def clauseOf(a: MergeAction): Option[ClauseSpec] = a match {
+      case DeleteAction(c) =>
+        c.map(rekey) match {
+          case Some(None) => None
+          case rc => Some(ClauseSpec(rc.flatten, None))
+        }
+      case UpdateAction(c, assigns, _) =>
+        (c.map(rekey), assignsOf(assigns)) match {
+          case (Some(None), _) | (_, None) => None
+          case (rc, Some(set)) => Some(ClauseSpec(rc.flatten, Some(set)))
+        }
+      case UpdateStarAction(c) =>
+        (c.map(rekey), star()) match {
+          case (Some(None), _) | (_, None) => None
+          case (rc, Some(set)) => Some(ClauseSpec(rc.flatten, Some(set)))
+        }
+      case InsertAction(c, assigns) =>
+        (c.map(rekey), assignsOf(assigns)) match {
+          case (Some(None), _) | (_, None) => None
+          case (rc, Some(set)) => Some(ClauseSpec(rc.flatten, Some(set)))
+        }
+      case InsertStarAction(c) =>
+        (c.map(rekey), star()) match {
+          case (Some(None), _) | (_, None) => None
+          case (rc, Some(set)) => Some(ClauseSpec(rc.flatten, Some(set)))
+        }
       case _ => None
     }
-    val ins = m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => star()
-      case Seq(InsertAction(None, assigns)) => fullRow(assigns)
+    def clauses(as: Seq[MergeAction]): Option[Seq[ClauseSpec]] = {
+      val cs = as.map(clauseOf)
+      if (cs.exists(_.isEmpty)) None else Some(cs.flatten)
+    }
+    val cond = rekey(m.mergeCondition).getOrElse(return None)
+    val matched = clauses(m.matchedActions).getOrElse(return None)
+    val notMatched = clauses(m.notMatchedActions).getOrElse(return None)
+    val bySource = clauses(m.notMatchedBySourceActions).getOrElse(return None)
+    if (notMatched.exists(_.set.isEmpty)) return None // NOT MATCHED DELETE
+    // ON-condition equality conjuncts `t.col = <src expr>` become manifest
+    // pruning keys (stats/partitions/blooms narrow the candidate files)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val equiKeys = conjuncts(m.mergeCondition).flatMap {
+      case EqualTo(l: AttributeReference, r)
+          if tgtOut.contains(l) && r.references.subsetOf(srcOut) =>
+        rekey(r).map(l.name -> _)
+      case EqualTo(l, r: AttributeReference)
+          if tgtOut.contains(r) && l.references.subsetOf(srcOut) =>
+        rekey(l).map(r.name -> _)
       case _ => None
     }
-    (up, ins) match {
-      case (Some(u), Some(i))
-          // upsert writes ONE row image for both outcomes: update and
-          // insert must agree column by column
-          if t.schema.fieldNames.forall(n => u(n).semanticEquals(i(n))) =>
-        val tz = Some(conf.sessionLocalTimeZone)
-        val batch = Project(t.schema.fields.toSeq.map { f =>
-          Alias(Cast(u(f.name), f.dataType, tz), f.name)()
-        }, m.sourceTable)
-        Some(GraftMergeCommand(t, batch, keyCol))
-      case _ => None
-    }
+    Some(GraftMergeCommand(t, m.sourceTable, cond, matched, notMatched,
+      bySource, equiKeys))
   }
 
   /** Splice `plan` where a relation with `target` attributes stood: a
@@ -207,22 +248,50 @@ private[sources] case class GraftDeleteCommand(table: ManifestTableV2,
   }
 }
 
-/** SQL MERGE (the canonical upsert shape) → one
-  * [[ManifestStore.upsertKeyedDv]] commit. `batch` is the pre-analyzed
-  * full-row projection of the MERGE source onto the target schema.
+/** One compiled WHEN clause: re-keyed condition (None = unconditional)
+  * and assignment list (None = DELETE), see
+  * [[ManifestV2Rewrite.rewriteMerge]].
+  */
+private[sources] case class ClauseSpec(cond: Option[Expression],
+                                       set: Option[Seq[(String, Expression)]])
+
+/** SQL MERGE (full clause surface) → one [[ManifestStore.mergeRows]]
+  * `merge-dv` commit. Carried expressions stay resolved against the
+  * original target/source relations (the analyzed plan must pass
+  * CheckAnalysis); at run time they re-key onto the command's own fresh
+  * scans ([[ManifestRowLevel.byName]]-style): source attributes — spotted
+  * by exprId against `source.output` — become `__s_<name>` lookups, all
+  * others become target-name lookups, and the source frame itself is
+  * evaluated once projected onto the same `__s_` names, so the two sides
+  * can never collide whatever the user called them.
   */
 private[sources] case class GraftMergeCommand(table: ManifestTableV2,
-                                              batch: LogicalPlan,
-                                              keyCol: String)
+                                              source: LogicalPlan,
+                                              cond: Expression,
+                                              matched: Seq[ClauseSpec],
+                                              notMatched: Seq[ClauseSpec],
+                                              bySource: Seq[ClauseSpec],
+                                              equiKeys: Seq[(String, Expression)])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    val df = org.apache.spark.sql.graft.StreamingShim.ofRows(session, batch)
-    // MERGE updates EACH matched target row; the upsert rewrite emits one
-    // image per key, so duplicate matched target keys must error rather
-    // than silently collapse N rows to 1 (duplicate SOURCE keys already
-    // error inside upsertKeyedDv)
-    if (ManifestStore.upsertKeyedDv(session, table.dir, table.schema,
-        df, keyCol, requireUniqueMatchedTarget = true).isEmpty)
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.graft.StreamingShim.{column, ofRows}
+    val srcIds = AttributeSet(source.output)
+    def rekeyed(e: Expression): org.apache.spark.sql.Column =
+      column(e.transform {
+        case a: AttributeReference if srcIds.contains(a) =>
+          UnresolvedAttribute.quoted(s"__s_${a.name}")
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    def clause(c: ClauseSpec): ManifestStore.MergeClause =
+      ManifestStore.MergeClause(c.cond.map(rekeyed),
+        c.set.map(_.map { case (n, e) => n -> rekeyed(e) }.toMap))
+    val srcDf = ofRows(session, source).select(source.output.map(a =>
+      column(a).as(s"__s_${a.name}")): _*)
+    if (ManifestStore.mergeRows(session, table.dir, table.schema,
+        srcDf, rekeyed(cond), matched.map(clause),
+        notMatched.map(clause), bySource.map(clause),
+        equiKeys.map { case (n, e) => n -> rekeyed(e) }).isEmpty)
       throw new java.util.ConcurrentModificationException(
         s"MERGE INTO ${table.dir} lost a concurrent-commit race — retry")
     Seq.empty

@@ -173,7 +173,11 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 100L)
   }
 
-  test("MERGE INTO runs the canonical keyed upsert as one dv commit") {
+  private def sortedRows(df: DataFrame): Seq[(Long, String)] =
+    df.as[(Long, String)].collect().toSeq
+      .sortBy(r => (r._1, Option(r._2).getOrElse("")))
+
+  test("MERGE INTO upserts as one atomic merge-dv commit") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
     Seq((2L, "B2"), (4L, "d")).toDF("k", "v").createOrReplaceTempView("m_src")
@@ -182,7 +186,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
       Set(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
     val snap = ManifestStore.currentSnapshot(spark, dir).get
-    assert(snap.op === "upsert-dv", "SQL MERGE must be one upsert commit")
+    assert(snap.op === "merge-dv", "SQL MERGE must be one atomic commit")
+    assert(snap.dvs.nonEmpty, "matched rows must tombstone, not rewrite")
     // explicit full-row assignments are the same shape
     Seq((4L, "D4"), (5L, "e")).toDF("k", "v").createOrReplaceTempView("m_src2")
     spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_src2 s ON t.k = s.k " +
@@ -190,36 +195,117 @@ class GraftCatalogSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
     assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
       Set(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "D4", 5L -> "e"))
-    // a shape the upsert cannot express fails loudly (never silently
-    // different semantics): WHEN MATCHED DELETE is not an upsert
-    intercept[Exception] {
-      spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_src2 s ON t.k = s.k " +
-        "WHEN MATCHED THEN DELETE")
-    }
+    // WHEN MATCHED DELETE removes matched rows, leaves the rest in place
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_src2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // and the staging copies are cleaned up — only data/manifest entries
+    val fsDir = new java.io.File(dir)
+    assert(!fsDir.listFiles().exists(_.getName.startsWith("tmp-merge-")),
+      "merge staging dirs must be dropped after the commit")
   }
 
-  test("MERGE refuses duplicate MATCHED target keys instead of collapsing them") {
+  test("MERGE preserves duplicate matched TARGET rows (row-level, not keyed)") {
     val dir = tmpDir()
     ManifestStore.append(
       Seq((1L, "a"), (2L, "b1"), (2L, "b2")).toDF("k", "v"), dir)
-    val vBefore = ManifestStore.currentSnapshot(spark, dir).get.version
-    // source key 2 matches TWO target rows: SQL MERGE would update both
-    // (preserving 2 rows); the upsert rewrite would emit one image — it
-    // must refuse rather than silently change multiplicity
+    // source key 2 matches TWO target rows: standard MERGE updates each,
+    // preserving multiplicity (a keyed upsert would collapse them)
     Seq((2L, "B"), (9L, "i")).toDF("k", "v").createOrReplaceTempView("m_dup_src")
-    val e = intercept[Exception] {
-      spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_dup_src s ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-    }
-    assert(e.getMessage.toLowerCase.contains("duplicate"))
-    assert(ManifestStore.currentSnapshot(spark, dir).get.version === vBefore,
-      "refused MERGE must not commit")
-    // duplicates on UNMATCHED target keys are untouched rows — fine
-    Seq((1L, "A"), (9L, "i")).toDF("k", "v").createOrReplaceTempView("m_ok_src")
-    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_ok_src s ON t.k = s.k " +
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_dup_src s ON t.k = s.k " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
-      Set(1L -> "A", 2L -> "b1", 2L -> "b2", 9L -> "i"))
+    assert(sortedRows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Seq(1L -> "a", 2L -> "B", 2L -> "B", 9L -> "i"))
+  }
+
+  test("MERGE errors on cardinality violation (one target row, two source rows)") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val vBefore = ManifestStore.currentSnapshot(spark, dir).get.version
+    Seq((2L, "x"), (2L, "y")).toDF("k", "v").createOrReplaceTempView("m_card_src")
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_card_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"), e.getMessage)
+    assert(ManifestStore.currentSnapshot(spark, dir).get.version === vBefore,
+      "a refused MERGE must not commit")
+    // two source rows that match NO target row both insert — no violation
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING " +
+      "(SELECT k + 100 AS k, v FROM m_card_src) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(sortedRows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Seq(1L -> "a", 2L -> "b", 102L -> "x", 102L -> "y"))
+  }
+
+  test("MERGE conditional clauses: first-match-wins, partial SET, null-fill INSERT") {
+    val dir = tmpDir()
+    ManifestStore.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), dir)
+    Seq((1L, "del"), (2L, "up"), (3L, "up"), (200L, "big"), (5L, "new"))
+      .toDF("k", "v").createOrReplaceTempView("m_cond_src")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING m_cond_src s ON t.k = s.k
+      WHEN MATCHED AND s.v = 'del' THEN DELETE
+      WHEN MATCHED AND t.k % 2 = 0 THEN UPDATE SET v = concat(t.v, '+', s.v)
+      WHEN NOT MATCHED AND s.k > 100 THEN INSERT (k) VALUES (s.k)
+      WHEN NOT MATCHED THEN INSERT *""")
+    // k=1 deleted; k=2 matched+even → partial update keeps k; k=3 matched
+    // but odd and not 'del' → NO clause applies, row stays untouched;
+    // k=200 inserts with v null-filled; k=5 inserts whole row
+    assert(sortedRows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Seq(2L -> "b+up", 3L -> "c", 4L -> "d", 5L -> "new", 200L -> null))
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE updates/deletes the source-less rows") {
+    val dir = tmpDir()
+    ManifestStore.append(
+      Seq((1L, "a"), (2L, "b"), (30L, "c"), (40L, "d")).toDF("k", "v"), dir)
+    Seq((2L, "B"), (7L, "g")).toDF("k", "v").createOrReplaceTempView("m_bs_src")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING m_bs_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.k < 10 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    // k=1 source-less and <10 → deleted; k=2 matched → updated; k=30/40
+    // source-less → marked stale; k=7 unmatched source → inserted
+    assert(sortedRows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Seq(2L -> "B", 7L -> "g", 30L -> "stale", 40L -> "stale"))
+  }
+
+  test("MERGE multi-column ON keys and null-key source rows") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k1 BIGINT, k2 BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 10, 'a'), (1, 20, 'b'), (2, 10, 'c')")
+    Seq((Some(1L), Some(10L), "A"), (Some(1L), Some(99L), "n1"),
+      (None: Option[Long], Some(10L), "nullk"))
+      .toDF("k1", "k2", "v").createOrReplaceTempView("m_mc_src")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING m_mc_src s
+      ON t.k1 = s.k1 AND t.k2 = s.k2
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    // (1,10) updates; (1,99) inserts; null k1 matches nothing → inserts
+    val got = spark.sql(s"SELECT * FROM ${sqlTable(dir)}")
+      .as[(Option[Long], Option[Long], String)].collect().toSet
+    assert(got === Set(
+      (Some(1L), Some(10L), "A"), (Some(1L), Some(20L), "b"),
+      (Some(2L), Some(10L), "c"), (Some(1L), Some(99L), "n1"),
+      (None, Some(10L), "nullk")))
+  }
+
+  test("MERGE commit feeds CDF: tombstoned preimages + fresh images") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val v1 = ManifestStore.currentSnapshot(spark, dir).get.version
+    Seq((2L, "B"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("m_cdf_src")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING m_cdf_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val v2 = ManifestStore.currentSnapshot(spark, dir).get.version
+    val feed = ManifestStore.changes(spark, dir, v1, v2, schema)
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(feed === Set((2L, "b", "delete"), (2L, "B", "insert"),
+      (3L, "c", "insert")))
   }
 
   test("ALTER TABLE ADD COLUMNS widens as a metadata-only schema commit") {
