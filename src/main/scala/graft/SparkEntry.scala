@@ -1177,6 +1177,68 @@ object SparkEntry {
                 FROM graft.`$tbl` GROUP BY o_orderkey % 97""")
     }),
 
+    // The FULL SQL MERGE clause surface under the driver oracle: CTAS a
+    // manifest table from orders, then ONE MERGE exercising conditional
+    // WHEN MATCHED DELETE + conditional partial UPDATE (first-match-wins),
+    // conditional NOT MATCHED INSERT with a partial column list (the
+    // status column null-fills), and NOT MATCHED BY SOURCE UPDATE — one
+    // atomic merge-dv commit (graft.sources.ManifestStore.mergeRows). The
+    // oracle replays the clause lattice as CASE logic over a left join
+    // plus the anti-join inserts; exact integer sums throughout.
+    "q147_sql_merge_clauses" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q147")
+        .toString + "/orders_c"
+      t(s, dir, "orders").createOrReplaceTempView("q147_orders_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus FROM q147_orders_src")
+      s.sql(s"""MERGE INTO graft.`$tbl` t USING (
+                  SELECT o_orderkey, o_custkey FROM q147_orders_src
+                  WHERE o_orderkey % 2 = 0
+                  UNION ALL
+                  SELECT o_orderkey + 600000000, o_custkey FROM q147_orders_src
+                  WHERE o_orderkey % 400 = 0
+                ) s ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+                WHEN MATCHED AND s.o_custkey % 5 = 0
+                  THEN UPDATE SET o_custkey = t.o_custkey + 1000000
+                WHEN NOT MATCHED AND s.o_custkey % 3 = 0
+                  THEN INSERT (o_orderkey, o_custkey)
+                       VALUES (s.o_orderkey, s.o_custkey)
+                WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P'
+                  THEN UPDATE SET o_orderstatus = 'PX'""")
+      s.sql(s"""SELECT coalesce(o_orderstatus, 'NEW') AS o_orderstatus,
+                       count(*) AS n_orders,
+                       sum(o_custkey) AS sum_cust,
+                       sum(o_orderkey % 997) AS sum_tail
+                FROM graft.`$tbl`
+                GROUP BY coalesce(o_orderstatus, 'NEW')""")
+    }),
+
+    // SQL PARTITIONED BY lifecycle under the driver oracle: CREATE TABLE
+    // … PARTITIONED BY (status) — the declared columns persist in the
+    // manifest and route every INSERT through the hive-partitioned writer
+    // (per-file partition values prune reads/deletes) — then a
+    // partition-predicate DELETE and a late partitioned INSERT, and the
+    // final aggregate reads the mixed dv + multi-partition state.
+    "q148_sql_partitioned" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q148")
+        .toString + "/orders_p"
+      t(s, dir, "orders").createOrReplaceTempView("q148_orders_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_orderstatus STRING) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus FROM q148_orders_src")
+      s.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderstatus = 'O' AND " +
+        "o_orderkey % 3 = 0")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey + 900000000, " +
+        "o_custkey, 'Z' FROM q148_orders_src WHERE o_orderkey % 500 = 0")
+      s.sql(s"""SELECT o_orderstatus,
+                       count(*) AS n_orders,
+                       sum(o_custkey) AS sum_cust,
+                       sum(o_orderkey % 997) AS sum_tail
+                FROM graft.`$tbl` GROUP BY o_orderstatus""")
+    }),
+
     // SQL schema evolution under the driver oracle: CTAS, ALTER TABLE ADD
     // COLUMNS (metadata-only widening commit), INSERT against the widened
     // schema, and an aggregate whose null-handling proves pre-evolution
@@ -3231,6 +3293,58 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(sum(o_custkey) AS BIGINT) AS sum_cust
          FROM merged GROUP BY o_orderkey % 97""",
+
+    // q147 = the full-clause MERGE replayed as CASE logic over a left
+    // join (first-match-wins: DELETE beats UPDATE on 'F' rows) plus the
+    // anti-join inserts; inserted rows carry NULL status → 'NEW'
+    "q147_sql_merge_clauses" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+         src AS (
+           SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey + 600000000, o_custkey FROM orders
+           WHERE o_orderkey % 400 = 0),
+         joined AS (
+           SELECT b.o_orderkey AS k, b.o_custkey AS c, b.o_orderstatus AS st,
+                  s.o_orderkey AS sk, s.o_custkey AS sc
+           FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey),
+         kept AS (
+           SELECT k,
+                  CASE WHEN sk IS NOT NULL AND st <> 'F' AND sc % 5 = 0
+                       THEN c + 1000000 ELSE c END AS c,
+                  CASE WHEN sk IS NULL AND st = 'P' THEN 'PX' ELSE st END AS st
+           FROM joined
+           WHERE NOT (sk IS NOT NULL AND st = 'F')
+           UNION ALL
+           SELECT s.o_orderkey, s.o_custkey, CAST(NULL AS VARCHAR)
+           FROM src s
+           WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+             AND s.o_custkey % 3 = 0)
+         SELECT coalesce(st, 'NEW') AS o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(c) AS BIGINT) AS sum_cust,
+                CAST(sum(k % 997) AS BIGINT) AS sum_tail
+         FROM kept GROUP BY coalesce(st, 'NEW')""",
+
+    // q148 = the partitioned lifecycle replayed relationally: the
+    // partition-predicate delete filters, the late batch unions in
+    "q148_sql_partitioned" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+         after_delete AS (
+           SELECT * FROM base
+           WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 3 = 0)),
+         final AS (
+           SELECT * FROM after_delete
+           UNION ALL
+           SELECT o_orderkey + 900000000, o_custkey, 'Z'
+           FROM base WHERE o_orderkey % 500 = 0)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+                CAST(sum(o_orderkey % 997) AS BIGINT) AS sum_tail
+         FROM final GROUP BY o_orderstatus""",
 
     // portable md5 register derivation: identical bucket/rho/fixed-point
     // arithmetic on both engines; every sum lands in BIGINT via exact

@@ -138,17 +138,29 @@ class GraftCatalog extends TableCatalog
     ManifestTableV2(dir, ManifestStore.readManifest(spark, dir, v))
   }
 
+  /** `CREATE TABLE … [PARTITIONED BY (col, …)]` — identity column
+    * transforms only: the manifest records ONE partition value per file
+    * (no directory-scheme coupling), so bucket/days/hours transforms have
+    * no representation and refuse loudly. The declared columns persist in
+    * the manifest (`Snapshot.partitionCols`); every catalog write routes
+    * through the hive-partitioned writer and per-file partition values
+    * prune reads exactly.
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val dir = dirOf(ident)
-    require(partitions.isEmpty,
-      "PARTITIONED BY is not supported on graft tables — partition at " +
-        "write time via ManifestStore.appendPartitioned / " +
-        "df.write.partitionBy (per-file partition values are recorded in " +
-        "the manifest and prune reads without a directory scheme)")
+    val pcols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support PARTITIONED BY identity columns only — " +
+          s"got transform $other (bucket/days/… have no per-file partition " +
+          "value the manifest could record)")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    ManifestStore.createEmpty(spark, dir, schema)
+    ManifestStore.createEmpty(spark, dir, schema, pcols)
     ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
   }
 
@@ -237,8 +249,18 @@ private[graft] case class ManifestTableV2(dir: String,
         sized + ("numRows" -> (snap.files.map(snap.rows).sum -
           snap.files.flatMap(snap.dvs.get).map(_.deleted).sum).toString)
       else sized
-    counted.asJava
+    val parted =
+      if (snap.partitionCols.isEmpty) counted
+      else counted + ("partitionCols" -> snap.partitionCols.mkString(", "))
+    parted.asJava
   }
+
+  /** Declared PARTITIONED-BY columns as identity transforms — `DESCRIBE`
+    * and the planner see the same partitioning every write routes by.
+    */
+  override def partitioning(): Array[Transform] =
+    snap.partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   /** The pinned snapshot's declarative read — what [[ManifestV2Rewrite]]
     * splices into the query plan in place of the v2 relation.
@@ -406,9 +428,21 @@ private[sources] class ManifestWriteBuilder(table: ManifestTableV2)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          if (replace || overwrite) ManifestStore.overwrite(data, table.dir): Unit
-          else ManifestStore.append(data, table.dir): Unit
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          // a PARTITIONED-BY table routes every write through the
+          // hive-partitioned writer: per-file partition values land in
+          // the manifest and prune reads exactly
+          val pcols = table.snap.partitionCols
+          if (replace || overwrite) {
+            if (pcols.nonEmpty)
+              ManifestStore.overwritePartitioned(data, table.dir, pcols): Unit
+            else ManifestStore.overwrite(data, table.dir): Unit
+          } else {
+            if (pcols.nonEmpty)
+              ManifestStore.appendPartitioned(data, table.dir, pcols): Unit
+            else ManifestStore.append(data, table.dir): Unit
+          }
+        }
       }
   }
 }

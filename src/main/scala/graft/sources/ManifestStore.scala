@@ -74,7 +74,8 @@ object ManifestStore {
                             parts: Map[String, Map[String, String]] = Map.empty,
                             blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
                             dvs: Map[String, DvRef] = Map.empty,
-                            sizes: Map[String, Long] = Map.empty) {
+                            sizes: Map[String, Long] = Map.empty,
+                            partitionCols: Seq[String] = Nil) {
 
     /** Stat bounds parsed into their primitive space ONCE per Snapshot
       * instance (`(typ, min, max)` — Long/Double/String by typ). The
@@ -366,8 +367,11 @@ object ManifestStore {
     val sizes = if (sizesNode.isMissingNode) Map.empty[String, Long]
     else sizesNode.properties().asScala.iterator
       .map(e => e.getKey -> e.getValue.asLong()).toMap
+    val pcolsNode = root.path("partitionCols")
+    val pcols = if (pcolsNode.isMissingNode) Nil
+    else (0 until pcolsNode.size()).map(pcolsNode.get(_).asText())
     Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
-      stats, rows, schema, parts, blooms, dvs, sizes)
+      stats, rows, schema, parts, blooms, dvs, sizes, pcols)
   }
 
   /** The latest version under the manifest-recorded schema — the
@@ -1061,10 +1065,20 @@ object ManifestStore {
     * needs before any INSERT lands. Refuses a table that already has
     * commits (the catalog maps that to TableAlreadyExistsException).
     */
-  def createEmpty(spark: SparkSession, dir: String, schema: StructType): Long =
+  def createEmpty(spark: SparkSession, dir: String, schema: StructType,
+                  partitionCols: Seq[String] = Nil): Long = {
+    partitionCols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in schema")).dataType.typeName
+      require(Set("long", "integer", "short", "byte", "string").contains(dt),
+        s"partition column '$c' has type $dt — only integral/string columns " +
+          "partition (their hive path round-trip is exact)")
+    }
     publishExternal(spark, dir, op = "create", files = Nil,
       stats = Map.empty, rows = Map.empty, schema = Some(schema),
-      parts = Map.empty)
+      parts = Map.empty, partitionCols = partitionCols)
+  }
 
   /** Replace the table contents with `df`. Returns the committed version. */
   def overwrite(df: DataFrame, dir: String): Long =
@@ -1138,6 +1152,16 @@ object ManifestStore {
                         partitionCols: Seq[String]): Long =
     appendPartitioned(df, dir, partitionCols, op = "append")
 
+  /** [[appendPartitioned]]'s whole-table-replace sibling: one atomic
+    * `overwrite` commit whose file list is exactly the hive-partitioned
+    * fresh write, per-file partition values recorded for pruning — what
+    * `INSERT OVERWRITE` on a PARTITIONED-BY catalog table runs.
+    */
+  def overwritePartitioned(df: DataFrame, dir: String,
+                           partitionCols: Seq[String]): Long =
+    appendPartitioned(df, dir, partitionCols, op = "overwrite",
+      combine = (_, fresh) => fresh)
+
   /** [[appendPartitioned]] committed as an idempotent STREAMING batch —
     * the partitioned sibling of [[appendIdempotent]]: same
     * `stream:<appId>:<batchId>` lineage key and replay-skip, with the
@@ -1154,7 +1178,9 @@ object ManifestStore {
   }
 
   private def appendPartitioned(df: DataFrame, dir: String,
-                                partitionCols: Seq[String], op: String): Long = {
+                                partitionCols: Seq[String], op: String,
+                                combine: (Seq[String], Seq[String]) => Seq[String]
+                                  = (prev, fresh) => prev ++ fresh): Long = {
     import org.apache.spark.sql.functions.col
     require(partitionCols.nonEmpty, "appendPartitioned needs partition columns")
     partitionCols.foreach { c =>
@@ -1184,9 +1210,32 @@ object ManifestStore {
     }
     val base = new Path(dir, dataRel)
     val baseUri = f.makeQualified(base).toUri
-    val fresh = walk(base)
+    val freshRaw = walk(base)
       .map(p => s"$dataRel/${baseUri.relativize(f.makeQualified(p).toUri).getPath}")
       .sorted
+    // Spark's partitioned writer reuses part-file names across partition
+    // directories (task N writes `part-0000N-…` into EVERY partition it
+    // holds rows for), but deletion-vector row identity keys on the
+    // BASENAME snapshot-wide (requireUniqueBasenames) — de-collide by
+    // renaming repeats with a stable counter prefix. Renames happen
+    // BEFORE the manifest publish references the files, so the
+    // never-rename commit protocol is intact (the data is invisible
+    // until the manifest lands); on a rename-by-copy object store this
+    // costs one extra copy per colliding file.
+    val seen = scala.collection.mutable.Set.empty[String]
+    val fresh = freshRaw.map { rel =>
+      val slash = rel.lastIndexOf('/')
+      val (parent, name) = (rel.substring(0, slash), rel.substring(slash + 1))
+      if (seen.add(name)) rel
+      else {
+        var i = 1
+        while (!seen.add(s"u$i-$name")) i += 1
+        val renamed = s"$parent/u$i-$name"
+        require(f.rename(new Path(dir, rel), new Path(dir, renamed)),
+          s"failed to de-collide partitioned part file $rel")
+        renamed
+      }
+    }
     // parse each file's partition values back out of its hive path
     val freshParts = fresh.map { rel =>
       rel -> rel.split("/").toSeq.init.flatMap { seg =>
@@ -1197,7 +1246,7 @@ object ManifestStore {
         }
       }.toMap
     }.filter(_._2.nonEmpty).toMap
-    publishLoop(spark, dir, op, fresh, (prev, fr) => prev ++ fr,
+    publishLoop(spark, dir, op, fresh, combine,
       dfSchema = Some(df.schema), freshParts = freshParts)
   }
 
@@ -1520,6 +1569,13 @@ object ManifestStore {
           rel -> DvRef(ex.files ++ d.files, ex.deleted + d.deleted)
         }
         writeDvsNode(body, files, carriedDvs)
+        // declared table-level partition columns travel with the lineage
+        // unchanged (fixed at creation; the catalog routes writes by them)
+        val pcols = prev.map(_.partitionCols).getOrElse(Nil)
+        if (pcols.nonEmpty) {
+          val pArr = body.putArray("partitionCols")
+          pcols.foreach(pArr.add)
+        }
         if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
         attempt += 1
       }
@@ -1577,7 +1633,8 @@ object ManifestStore {
         rekey.get(k).map(_ -> v.copy(files = v.files.map(r =>
           new Path(srcBase, r).toString)))
       },
-      sizes = snap.sizes.flatMap { case (k, v) => rekey.get(k).map(_ -> v) })
+      sizes = snap.sizes.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
+      partitionCols = snap.partitionCols)
   }
 
   /** Publish a manifest with EXTERNALLY-supplied content (no footer
@@ -1596,7 +1653,8 @@ object ManifestStore {
                               firstVersionOnly: Boolean = true,
                               maxAttempts: Int = 10,
                               expectVersion: Option[Long] = None,
-                              sizes: Map[String, Long] = Map.empty): Long = {
+                              sizes: Map[String, Long] = Map.empty,
+                              partitionCols: Seq[String] = Nil): Long = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1645,6 +1703,10 @@ object ManifestStore {
       }
       writeBloomsNode(body, files, blooms)
       writeDvsNode(body, files, dvs)
+      if (partitionCols.nonEmpty) {
+        val pArr = body.putArray("partitionCols")
+        partitionCols.foreach(pArr.add)
+      }
       if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
       attempt += 1
     }

@@ -120,9 +120,51 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE ${sqlTable(dir2)} AS SELECT * FROM ${sqlTable(dir)}")
     assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir2)}")) === Set(7L -> "seven"))
 
-    // PARTITIONED BY is refused with guidance, not silently dropped
+  }
+
+  test("CREATE TABLE PARTITIONED BY routes writes through partition recording") {
+    val dir = tmpDir() + "/pt"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'x'), (2, 'x'), " +
+      "(3, 'y'), (4, 'z')")
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.partitionCols === Seq("p"),
+      "declared partition columns must persist in the manifest")
+    assert(snap.parts.nonEmpty && snap.files.forall(f =>
+      snap.parts.get(f).exists(_.contains("p"))),
+      "every data file must record its partition value")
+    // a partition predicate prunes to exactly that partition's files
+    val q = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE p = 'y'")
+    assert(q.as[Long].collect().toSeq === Seq(3L))
+    val yFiles = snap.parts.count(_._2.get("p").contains("y")).toLong
+    assert(assertNativeScan(q, "partition-pruned select") === yFiles)
+    // INSERT OVERWRITE keeps the routing and replaces the table
+    spark.sql(s"INSERT OVERWRITE ${sqlTable(dir)} VALUES (9, 'w'), (10, 'w')")
+    val snap2 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap2.op === "overwrite")
+    assert(snap2.files.forall(f => snap2.parts.get(f).exists(_.get("p").contains("w"))))
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")
+      .select("k", "p")) === Set(9L -> "w", 10L -> "w"))
+    // CTAS PARTITIONED BY: create + partitioned append in one statement
+    val dir2 = tmpDir() + "/pt2"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir2)} PARTITIONED BY (p) AS " +
+      s"SELECT * FROM ${sqlTable(dir)}")
+    val snap3 = ManifestStore.currentSnapshot(spark, dir2).get
+    assert(snap3.partitionCols === Seq("p"))
+    assert(snap3.files.forall(f => snap3.parts.get(f).exists(_.contains("p"))))
+    // DESCRIBE surfaces the declared partitioning
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED ${sqlTable(dir)}")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("p"), desc)
+    // non-identity transforms and non-integral/string columns refuse
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE graft.`${tmpDir()}/t3` (k BIGINT, p STRING) PARTITIONED BY (p)")
+      spark.sql(s"CREATE TABLE graft.`${tmpDir()}/t3` (k BIGINT, p STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${tmpDir()}/t4` (k BIGINT, d DOUBLE) " +
+        "PARTITIONED BY (d)")
     }
   }
 
