@@ -2353,7 +2353,22 @@ object ManifestStore {
                 matched: Seq[MergeClause],
                 notMatched: Seq[MergeClause],
                 bySource: Seq[MergeClause] = Nil,
-                equiKeys: Seq[(String, Column)] = Nil): Option[Long] = {
+                equiKeys: Seq[(String, Column)] = Nil): Option[Long] =
+    mergeRows(spark, dir, schema, source, cond, matched, notMatched,
+      bySource, equiKeys, () => ())
+
+  /** [[mergeRows]] with the spec-only race-injection seam (see
+    * [[compactSmall]]'s midFlight): runs after the matched join is staged,
+    * before any tombstone/image write.
+    */
+  private[graft] def mergeRows(spark: SparkSession, dir: String,
+                               schema: StructType,
+                               source: DataFrame, cond: Column,
+                               matched: Seq[MergeClause],
+                               notMatched: Seq[MergeClause],
+                               bySource: Seq[MergeClause],
+                               equiKeys: Seq[(String, Column)],
+                               midFlight: () => Unit): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, count => fcount, lit, max => fmax, min => fmin, when}
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -2429,6 +2444,7 @@ object ManifestStore {
         joined.write.mode("error").parquet(mPath.toString)
         Some(readStage(mPath, joined.schema))
       }
+      midFlight()
       if (matched.nonEmpty) mdf.foreach { m =>
         val dup = m.groupBy(col(dvNameCol), col(dvIdxCol))
           .agg(fcount(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).count()

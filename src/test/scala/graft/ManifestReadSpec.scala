@@ -384,6 +384,48 @@ class ManifestReadSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("streaming source: merge-dv commits refuse in row mode, stream via CDF") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    def merge(): Unit = {
+      val src = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+        .select(col("k").as("__s_k"), col("v").as("__s_v"))
+      assert(ManifestStore.mergeRows(spark, dir, schema, src,
+        col("k") === col("__s_k"),
+        Seq(ManifestStore.MergeClause(None, Some(Map("v" -> col("__s_v"))))),
+        Seq(ManifestStore.MergeClause(None,
+          Some(Map("k" -> col("__s_k"), "v" -> col("__s_v"))))),
+        equiKeys = Seq("k" -> col("__s_k"))).nonEmpty)
+    }
+    // row mode: a merge can retract rows → refuse with guidance
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("mmrow")
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      merge()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("readChangeFeed") ||
+        Option(ex.getCause).exists(_.getMessage.contains("readChangeFeed")))
+    } finally q.stop()
+    // CDF mode: the same commit streams as tagged delete + insert rows
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "earliest").load(dir)
+      .writeStream.format("memory").queryName("mmcdf")
+      .option("checkpointLocation", tmpDir()).start()
+    try {
+      q2.processAllAvailable()
+      val mergeRows = spark.table("mmcdf")
+        .filter(col("_commit_op") === "merge-dv")
+        .select("k", "v", "_change_type").as[(Long, String, String)]
+        .collect().toSet
+      assert(mergeRows === Set((2L, "b", "delete"), (2L, "B", "insert"),
+        (3L, "c", "insert")))
+    } finally q2.stop()
+  }
+
   test("manifest-to-manifest streaming: source + exactly-once sink round-trip") {
     val src = tmpDir()
     val dst = tmpDir()

@@ -484,6 +484,32 @@ class ManifestStoreSpec extends SparkSpec {
     assert(contents(dir) === Set(1L -> "A2"))
   }
 
+  test("mergeRows aborts when any commit lands between planning and publish") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a", 2L -> "b"), dir)
+    def src = df(2L -> "B", 3L -> "c")
+      .select($"k".as("__s_k"), $"v".as("__s_v"))
+    val upd = Seq(ManifestStore.MergeClause(None,
+      Some(Map("v" -> $"__s_v"))))
+    val ins = Seq(ManifestStore.MergeClause(None,
+      Some(Map("k" -> $"__s_k", "v" -> $"__s_v"))))
+    val keys = Seq("k" -> ($"__s_k": org.apache.spark.sql.Column))
+    val v = ManifestStore.mergeRows(spark, dir, schema, src,
+      $"k" === $"__s_k", upd, ins, Nil, keys,
+      () => { ManifestStore.append(df(9L -> "racer"), dir): Unit })
+    assert(v.isEmpty, "merge must abort on a concurrent commit (its " +
+      "matched/not-matched classification is snapshot-wide)")
+    assert(contents(dir) === Set(1L -> "a", 2L -> "b", 9L -> "racer"))
+    // staging copies are dropped even on the abort path
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("tmp-merge-")))
+    // a clean retry lands: partial update keeps k, insert adds the new key
+    assert(ManifestStore.mergeRows(spark, dir, schema, src,
+      $"k" === $"__s_k", upd, ins, Nil, keys).nonEmpty)
+    assert(contents(dir) === Set(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "racer"))
+    assert(ManifestStore.currentSnapshot(spark, dir).get.op === "merge-dv")
+  }
+
   test("lookup prunes to the files admitting the probed keys, results exact") {
     val dir = tmpDir()
     ManifestStore.append(df(1L -> "a", 5L -> "b").coalesce(1), dir)
