@@ -1239,6 +1239,47 @@ object SparkEntry {
                 FROM graft.`$tbl` GROUP BY o_orderstatus""")
     }),
 
+    // SCD TYPE-2 dimension maintenance under the driver oracle — the
+    // classic warehouse pattern the general MERGE makes expressible: one
+    // MERGE both CLOSES the current version of every changed key
+    // (WHEN MATCHED on the merge_key branch: valid_to stamped,
+    // is_current = 0) and OPENS its successor (the NULL-merge_key branch
+    // of the doubled source never matches → INSERT of the new current
+    // row). History rows (is_current = 0) are untouchable by the ON
+    // guard. The oracle replays the three row populations (closed,
+    // untouched-current, new-current) as a UNION.
+    "q149_scd2_dimension" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q149")
+        .toString + "/cust_dim"
+      t(s, dir, "customer").createOrReplaceTempView("q149_cust_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT c_custkey, " +
+        "CAST(c_nationkey AS BIGINT) AS nation, 'T1' AS valid_from, " +
+        "CAST(NULL AS STRING) AS valid_to, CAST(1 AS BIGINT) AS is_current " +
+        "FROM q149_cust_src")
+      s.sql(s"""MERGE INTO graft.`$tbl` t USING (
+                  SELECT c_custkey AS merge_key, c_custkey,
+                         CAST((c_nationkey + 5) % 25 AS BIGINT) AS nn
+                  FROM q149_cust_src WHERE c_custkey % 7 = 0
+                  UNION ALL
+                  SELECT CAST(NULL AS BIGINT), c_custkey,
+                         CAST((c_nationkey + 5) % 25 AS BIGINT)
+                  FROM q149_cust_src WHERE c_custkey % 7 = 0
+                ) s ON t.c_custkey = s.merge_key AND t.is_current = 1
+                WHEN MATCHED THEN UPDATE SET valid_to = 'T2', is_current = 0
+                WHEN NOT MATCHED THEN
+                  INSERT (c_custkey, nation, valid_from, valid_to, is_current)
+                  VALUES (s.c_custkey, s.nn, 'T2', CAST(NULL AS STRING),
+                          CAST(1 AS BIGINT))""")
+      s.sql(s"""SELECT valid_from,
+                       coalesce(valid_to, 'CUR') AS valid_to,
+                       is_current,
+                       count(*) AS n_rows,
+                       sum(c_custkey) AS sum_keys,
+                       sum(nation) AS sum_nation
+                FROM graft.`$tbl`
+                GROUP BY valid_from, coalesce(valid_to, 'CUR'), is_current""")
+    }),
+
     // SQL schema evolution under the driver oracle: CTAS, ALTER TABLE ADD
     // COLUMNS (metadata-only widening commit), INSERT against the widened
     // schema, and an aggregate whose null-handling proves pre-evolution
@@ -3345,6 +3386,36 @@ object SparkEntry {
                 CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
                 CAST(sum(o_orderkey % 997) AS BIGINT) AS sum_tail
          FROM final GROUP BY o_orderstatus""",
+
+    // q149 = SCD2 replayed as the three row populations: changed keys'
+    // closed T1 rows, untouched keys' current T1 rows, changed keys' new
+    // T2 rows
+    "q149_scd2_dimension" ->
+      """WITH cust AS (
+           SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation
+           FROM customer),
+         changed AS (
+           SELECT c_custkey, CAST((nation + 5) % 25 AS BIGINT) AS nn
+           FROM cust WHERE c_custkey % 7 = 0),
+         hist AS (
+           SELECT c.c_custkey, c.nation, 'T1' AS valid_from,
+                  'T2' AS valid_to, CAST(0 AS BIGINT) AS is_current
+           FROM cust c JOIN changed g ON c.c_custkey = g.c_custkey
+           UNION ALL
+           SELECT c_custkey, nation, 'T1', CAST(NULL AS VARCHAR),
+                  CAST(1 AS BIGINT)
+           FROM cust WHERE c_custkey % 7 <> 0
+           UNION ALL
+           SELECT g.c_custkey, g.nn, 'T2', CAST(NULL AS VARCHAR),
+                  CAST(1 AS BIGINT)
+           FROM changed g)
+         SELECT valid_from,
+                coalesce(valid_to, 'CUR') AS valid_to,
+                is_current,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+                CAST(sum(nation) AS BIGINT) AS sum_nation
+         FROM hist GROUP BY valid_from, coalesce(valid_to, 'CUR'), is_current""",
 
     // portable md5 register derivation: identical bucket/rho/fixed-point
     // arithmetic on both engines; every sum lands in BIGINT via exact
