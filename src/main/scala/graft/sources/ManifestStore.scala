@@ -2392,11 +2392,69 @@ object ManifestStore {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
       else spark.read.schema(s).parquet(p.toString)
     }
+    // CANONICAL-UPSERT image elision: when the clause lattice is exactly
+    // one unconditional full-row UPDATE plus one unconditional full-row
+    // INSERT assigning the SAME plain source column per target column
+    // (type-identical), every source row's image lands in the table
+    // verbatim — matched rows as the update image, the rest as inserts.
+    // The source then stages DIRECTLY as the commit's fresh data files
+    // (write amplification 1× batch, the upsertKeyedDv bound, instead of
+    // stage + image rewrite = 2×), and the matched join stages only the
+    // two row identities. The ON condition and pruning keys must touch
+    // only the staged columns for the re-derived __s_ views to be exact.
+    def plainSrc(c: Column): Option[String] =
+      org.apache.spark.sql.graft.StreamingShim.expressionOf(c) match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 && u.nameParts.head.startsWith("__s_") =>
+        Some(u.nameParts.head)
+      case _ => None
+    }
+    def srcRefs(c: Column): Seq[String] =
+      org.apache.spark.sql.graft.StreamingShim.expressionOf(c).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 && u.nameParts.head.startsWith("__s_") =>
+        u.nameParts.head
+    }
+    val canonicalMap: Option[Map[String, String]] =
+      (matched, notMatched, bySource) match {
+        case (Seq(MergeClause(None, Some(u))), Seq(MergeClause(None, Some(i))), Nil)
+            if u.size == schema.fields.length &&
+              i.size == schema.fields.length &&
+              schema.fieldNames.forall(n => u.contains(n) && i.contains(n)) =>
+          val pairs = schema.fields.toSeq.map { fd =>
+            (plainSrc(u(fd.name)), plainSrc(i(fd.name))) match {
+              case (Some(a), Some(b))
+                  if a == b && source.schema.fields
+                    .exists(s => s.name == a && s.dataType == fd.dataType) =>
+                Some(fd.name -> a)
+              case _ => None
+            }
+          }
+          val mapped = pairs.flatten.map(_._2).toSet
+          if (pairs.exists(_.isEmpty) ||
+              mapped.size != schema.fields.length || // distinct source cols
+              !(srcRefs(cond) ++ equiKeys.flatMap(k => srcRefs(k._2)))
+                .forall(mapped)) None
+          else Some(pairs.flatten.toMap)
+        case _ => None
+      }
+    val dataRel = s"d-$nonce"
     try {
       // 1. stage the source ONCE: stable (file, idx) row identity for the
-      // insert anti-join, single evaluation of an arbitrary source query
-      val srcPath = new Path(stageDir, "src")
-      source.write.mode("error").parquet(srcPath.toString)
+      // insert anti-join, single evaluation of an arbitrary source query.
+      // Canonical shape stages the IMAGES straight into the data dir the
+      // commit will reference; otherwise the raw __s_ frame stages to the
+      // scratch dir.
+      val srcPath =
+        if (canonicalMap.isDefined) new Path(dir, dataRel)
+        else new Path(stageDir, "src")
+      canonicalMap match {
+        case Some(mp) =>
+          source.select(schema.fields.toIndexedSeq.map(fd =>
+            col(mp(fd.name)).as(fd.name)): _*)
+            .write.mode("error").parquet(srcPath.toString)
+        case None => source.write.mode("error").parquet(srcPath.toString)
+      }
       val srcHasParts = f.listStatus(srcPath).toSeq
         .exists(_.getPath.getName.endsWith(".parquet"))
       val src =
@@ -2405,9 +2463,19 @@ object ManifestStore {
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(
             source.schema.fields.toSeq :+ StructField(srcRidF, StringType) :+
               StructField(srcRidI, LongType)))
-        } else withRowIds(spark.read.schema(source.schema).parquet(srcPath.toString))
-          .withColumnRenamed(dvNameCol, srcRidF)
-          .withColumnRenamed(dvIdxCol, srcRidI)
+        } else canonicalMap match {
+          case Some(mp) => // re-derive the __s_ view from the staged images
+            schema.fields.foldLeft(
+              withRowIds(spark.read.schema(schema).parquet(srcPath.toString))
+                .withColumnRenamed(dvNameCol, srcRidF)
+                .withColumnRenamed(dvIdxCol, srcRidI)) { (d, fd) =>
+              d.withColumnRenamed(fd.name, mp(fd.name))
+            }
+          case None =>
+            withRowIds(spark.read.schema(source.schema).parquet(srcPath.toString))
+              .withColumnRenamed(dvNameCol, srcRidF)
+              .withColumnRenamed(dvIdxCol, srcRidI)
+        }
       // 2. candidate files: equi-conjunct bounds prune via the manifest —
       // except under by-source clauses, which must see every live row. An
       // all-null equi key matches nothing: zero candidates.
@@ -2437,10 +2505,17 @@ object ManifestStore {
       }
       // 3. matched pairs staged once: cardinality check, tombstones,
       // update images, and the insert anti-join all probe this batch-sized
-      // parquet instead of re-joining against the table
+      // parquet instead of re-joining against the table. The canonical
+      // shape needs only the two row identities (its images are the
+      // staged source itself) — stage those four columns, nothing else.
       val mPath = new Path(stageDir, "matched")
       val mdf: Option[DataFrame] = if (cand.isEmpty) None else {
-        val joined = liveCand.join(src, cond, "inner")
+        val joined0 = liveCand.join(src, cond, "inner")
+        val joined =
+          if (canonicalMap.isDefined)
+            joined0.select(col(dvNameCol), col(dvIdxCol),
+              col(srcRidF), col(srcRidI))
+          else joined0
         joined.write.mode("error").parquet(mPath.toString)
         Some(readStage(mPath, joined.schema))
       }
@@ -2474,11 +2549,13 @@ object ManifestStore {
           .filter(col("__graft_act") >= 0)
           .select(col(dvNameCol).as("f"), col(dvIdxCol).cast("long").as("i"))
       val mTomb = if (matched.isEmpty) None else mdf.map(tombOf(_, matched))
-      val mImages = if (matched.isEmpty) Nil
+      val mImages = if (matched.isEmpty || canonicalMap.isDefined) Nil
         else mdf.toSeq.flatMap(images(_, matched, col))
       // 4. inserts: source rows no live row matched (anti-join on the
-      // staged source's row identity — batch-sized both sides)
-      val insImages: Seq[DataFrame] = if (notMatched.isEmpty) Nil else {
+      // staged source's row identity — batch-sized both sides). The
+      // canonical shape already staged every source row as data.
+      val insImages: Seq[DataFrame] =
+        if (notMatched.isEmpty || canonicalMap.isDefined) Nil else {
         val unmatched = mdf match {
           case Some(m) => src.join(m.select(col(srcRidF), col(srcRidI)),
             Seq(srcRidF, srcRidI), "left_anti")
@@ -2510,13 +2587,41 @@ object ManifestStore {
           nameToRel(name) -> DvRef(parts, n)
         }
       }
-      val dataRel = s"d-$nonce"
       var freshFiles = Seq.empty[String]
-      (mImages ++ bsImages ++ insImages).reduceOption(_ unionAll _).foreach { df =>
-        df.write.mode("error").parquet(new Path(dir, dataRel).toString)
-        freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
+      if (canonicalMap.isDefined) {
+        // the staged images ARE the fresh data; duplicate matched TARGET
+        // rows (N target rows sharing one source row) each take the same
+        // image, so replicate it N−1 extra times — row-preserving MERGE
+        if (srcHasParts) freshFiles = f.listStatus(srcPath).toSeq
           .map(_.getPath.getName).filter(_.endsWith(".parquet"))
           .sorted.map(n => s"$dataRel/$n")
+        mdf.foreach { m =>
+          import org.apache.spark.sql.functions.{explode, sequence}
+          val dups = m.groupBy(col(srcRidF), col(srcRidI))
+            .agg(fcount(lit(1)).as("__graft_n")).filter(col("__graft_n") > 1)
+          if (dups.limit(1).count() > 0) {
+            val srcImg = withRowIds(
+              spark.read.schema(schema).parquet(srcPath.toString))
+              .withColumnRenamed(dvNameCol, srcRidF)
+              .withColumnRenamed(dvIdxCol, srcRidI)
+            val extraRel = s"d-x-$nonce"
+            srcImg.join(dups, Seq(srcRidF, srcRidI))
+              .withColumn("__graft_rep",
+                explode(sequence(lit(2L), col("__graft_n"))))
+              .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+              .write.mode("error").parquet(new Path(dir, extraRel).toString)
+            freshFiles = freshFiles ++ f.listStatus(new Path(dir, extraRel))
+              .toSeq.map(_.getPath.getName).filter(_.endsWith(".parquet"))
+              .sorted.map(n => s"$extraRel/$n")
+          }
+        }
+      } else {
+        (mImages ++ bsImages ++ insImages).reduceOption(_ unionAll _).foreach { df =>
+          df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+          freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
+            .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+            .sorted.map(n => s"$dataRel/$n")
+        }
       }
       if (deltas.isEmpty && freshFiles.isEmpty) return Some(snap.version)
       val abort: Snapshot => Unit = { prev =>

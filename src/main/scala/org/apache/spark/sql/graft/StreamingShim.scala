@@ -32,6 +32,14 @@ object StreamingShim {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** [[column]]'s inverse: the catalyst Expression a Column wraps (the
+    * `private[sql]` `ExpressionUtils.expression`) — how mergeRows
+    * inspects its clause shapes for the canonical-upsert image elision.
+    */
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** The third seam: a DataFrame over an already-analyzed logical plan
     * (the `private[sql]` `Dataset.ofRows`) — how MERGE INTO's rewritten
     * source projection executes inside its command.
