@@ -1181,8 +1181,40 @@ object ManifestStore {
                                 partitionCols: Seq[String], op: String,
                                 combine: (Seq[String], Seq[String]) => Seq[String]
                                   = (prev, fresh) => prev ++ fresh): Long = {
-    import org.apache.spark.sql.functions.col
     require(partitionCols.nonEmpty, "appendPartitioned needs partition columns")
+    val spark = df.sparkSession
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val (fresh, freshParts) =
+      writeHivePartitioned(df, dir, s"d-$nonce", partitionCols)
+    publishLoop(spark, dir, op, fresh, combine,
+      dfSchema = Some(df.schema), freshParts = freshParts)
+  }
+
+  /** Write `df` hive-partitioned under `dir/dataRel` and return the
+    * (relative file list, per-file partition values) a manifest commit
+    * records — the shared data-plane step of [[appendPartitioned]],
+    * [[overwritePartitioned]], and the row-level writers' fresh files on
+    * declared-partitioned tables ([[mergeRows]], [[updateWhere]],
+    * [[upsertKeyedDv]]).
+    *
+    * Layout notes: the writer partitions on hidden CLONES (`__p_<col>`)
+    * so the real columns stay in the files — readers of explicit leaf
+    * paths see the full row without partition inference, and
+    * un-partitioned commits can share the lineage. Spark's partitioned
+    * writer reuses part-file names across partition directories (task N
+    * writes `part-0000N-…` into every partition it holds rows for), but
+    * deletion-vector row identity keys on the BASENAME snapshot-wide
+    * ([[requireUniqueBasenames]]) — repeats are de-collided by renaming
+    * with a stable counter prefix. Renames happen BEFORE any manifest
+    * references the files, so the never-rename commit protocol is intact
+    * (the data is invisible until the manifest lands); on a
+    * rename-by-copy object store this costs one extra copy per
+    * colliding file.
+    */
+  private def writeHivePartitioned(df: DataFrame, dir: String, dataRel: String,
+                                   partitionCols: Seq[String])
+      : (Seq[String], Map[String, Map[String, String]]) = {
+    import org.apache.spark.sql.functions.col
     partitionCols.foreach { c =>
       val dt = df.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"partition column '$c' not in schema"))
@@ -1192,11 +1224,6 @@ object ManifestStore {
           "partition (their hive path round-trip is exact)")
     }
     val spark = df.sparkSession
-    val nonce = java.util.UUID.randomUUID().toString.take(12)
-    val dataRel = s"d-$nonce"
-    // partition on hidden CLONES so the real columns stay in the files:
-    // readers of explicit leaf paths see the full row without partition
-    // inference, and un-partitioned commits can share the lineage
     val clones = partitionCols.map(c => s"__p_$c")
     val cloned = partitionCols.zip(clones).foldLeft(df) { case (d, (c, cl)) =>
       d.withColumn(cl, col(c))
@@ -1213,15 +1240,6 @@ object ManifestStore {
     val freshRaw = walk(base)
       .map(p => s"$dataRel/${baseUri.relativize(f.makeQualified(p).toUri).getPath}")
       .sorted
-    // Spark's partitioned writer reuses part-file names across partition
-    // directories (task N writes `part-0000N-…` into EVERY partition it
-    // holds rows for), but deletion-vector row identity keys on the
-    // BASENAME snapshot-wide (requireUniqueBasenames) — de-collide by
-    // renaming repeats with a stable counter prefix. Renames happen
-    // BEFORE the manifest publish references the files, so the
-    // never-rename commit protocol is intact (the data is invisible
-    // until the manifest lands); on a rename-by-copy object store this
-    // costs one extra copy per colliding file.
     val seen = scala.collection.mutable.Set.empty[String]
     val fresh = freshRaw.map { rel =>
       val slash = rel.lastIndexOf('/')
@@ -1246,8 +1264,7 @@ object ManifestStore {
         }
       }.toMap
     }.filter(_._2.nonEmpty).toMap
-    publishLoop(spark, dir, op, fresh, combine,
-      dfSchema = Some(df.schema), freshParts = freshParts)
+    (fresh, freshParts)
   }
 
   /** Invert Spark's hive path escaping (`%XX` per escaped byte). */
@@ -2129,14 +2146,22 @@ object ManifestStore {
       return Some(snap.version)
     }
     // 2. fresh files with the new images (immutable inputs: this second
-    // scan selects exactly the rows the sidecar tombstoned)
+    // scan selects exactly the rows the sidecar tombstoned); a
+    // declared-partitioned table keeps its layout and per-file partition
+    // values so pruning survives sustained row-level maintenance
     val dataRel = s"d-$nonce"
-    liveIded.filter(predicate).withColumns(set)
+    val updated = liveIded.filter(predicate).withColumns(set)
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
-      .write.mode("error").parquet(new Path(dir, dataRel).toString)
-    val freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
-      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .sorted.map(n => s"$dataRel/$n")
+    val (freshFiles, freshParts) =
+      if (snap.partitionCols.nonEmpty)
+        writeHivePartitioned(updated, dir, dataRel, snap.partitionCols)
+      else {
+        updated.write.mode("error").parquet(new Path(dir, dataRel).toString)
+        (f.listStatus(new Path(dir, dataRel)).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .sorted.map(n => s"$dataRel/$n"),
+          Map.empty[String, Map[String, String]])
+      }
     val deltas = counts.map { case (name, n) => nameToRel(name) -> DvRef(parts, n) }
     val guard = dvUnchangedGuard(snap, deltas.keys)
     val fileGuard: Snapshot => Unit = { prev =>
@@ -2149,7 +2174,8 @@ object ManifestStore {
     }
     try Some(publishLoop(spark, dir, "update-dv", freshFiles,
       (prev, fresh) => prev ++ fresh, dfSchema = Some(schema),
-      freshDvDeltas = deltas, guard = Some(fileGuard)))
+      freshParts = freshParts, freshDvDeltas = deltas,
+      guard = Some(fileGuard)))
     catch { case _: java.util.ConcurrentModificationException => None }
   }
 
@@ -2290,13 +2316,20 @@ object ManifestStore {
       }
     }
     val dataRel = s"d-$nonce"
-    batch.write.mode("error").parquet(new Path(dir, dataRel).toString)
-    val freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
-      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .sorted.map(n => s"$dataRel/$n")
+    val (freshFiles, freshParts) =
+      if (snap.partitionCols.nonEmpty &&
+          snap.partitionCols.forall(batch.columns.contains))
+        writeHivePartitioned(batch, dir, dataRel, snap.partitionCols)
+      else {
+        batch.write.mode("error").parquet(new Path(dir, dataRel).toString)
+        (f.listStatus(new Path(dir, dataRel)).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .sorted.map(n => s"$dataRel/$n"),
+          Map.empty[String, Map[String, String]])
+      }
     try Some(publishLoop(spark, dir, "upsert-dv", freshFiles,
       (prev, fresh) => prev ++ fresh, dfSchema = Some(batch.schema),
-      freshDvDeltas = deltas, guard = Some(abort)))
+      freshParts = freshParts, freshDvDeltas = deltas, guard = Some(abort)))
     catch { case _: java.util.ConcurrentModificationException => None }
   }
 
@@ -2445,18 +2478,34 @@ object ManifestStore {
       // Canonical shape stages the IMAGES straight into the data dir the
       // commit will reference; otherwise the raw __s_ frame stages to the
       // scratch dir.
+      val pcols = snap.partitionCols
       val srcPath =
         if (canonicalMap.isDefined) new Path(dir, dataRel)
         else new Path(stageDir, "src")
+      // canonical staging lands as the commit's data files — on a
+      // declared-partitioned table through the hive-partitioned writer,
+      // so sustained MERGE maintenance never erodes partition pruning
+      var stagedFiles = Seq.empty[String]
+      var stagedParts = Map.empty[String, Map[String, String]]
       canonicalMap match {
         case Some(mp) =>
-          source.select(schema.fields.toIndexedSeq.map(fd =>
+          val img = source.select(schema.fields.toIndexedSeq.map(fd =>
             col(mp(fd.name)).as(fd.name)): _*)
-            .write.mode("error").parquet(srcPath.toString)
+          if (pcols.nonEmpty) {
+            val (fl, fp) = writeHivePartitioned(img, dir, dataRel, pcols)
+            stagedFiles = fl; stagedParts = fp
+          } else {
+            img.write.mode("error").parquet(srcPath.toString)
+            stagedFiles = f.listStatus(srcPath).toSeq
+              .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+              .sorted.map(n => s"$dataRel/$n")
+          }
         case None => source.write.mode("error").parquet(srcPath.toString)
       }
-      val srcHasParts = f.listStatus(srcPath).toSeq
-        .exists(_.getPath.getName.endsWith(".parquet"))
+      val srcHasParts =
+        if (canonicalMap.isDefined) stagedFiles.nonEmpty
+        else f.listStatus(srcPath).toSeq
+          .exists(_.getPath.getName.endsWith(".parquet"))
       val src =
         if (!srcHasParts) { // AQE-emptied write: no files to derive ids from
           import org.apache.spark.sql.types.{LongType, StringType, StructField}
@@ -2466,7 +2515,8 @@ object ManifestStore {
         } else canonicalMap match {
           case Some(mp) => // re-derive the __s_ view from the staged images
             schema.fields.foldLeft(
-              withRowIds(spark.read.schema(schema).parquet(srcPath.toString))
+              withRowIds(spark.read.schema(schema).parquet(
+                stagedFiles.map(new Path(dir, _).toString): _*))
                 .withColumnRenamed(dvNameCol, srcRidF)
                 .withColumnRenamed(dvIdxCol, srcRidI)) { (d, fd) =>
               d.withColumnRenamed(fd.name, mp(fd.name))
@@ -2588,39 +2638,49 @@ object ManifestStore {
         }
       }
       var freshFiles = Seq.empty[String]
+      var freshParts = Map.empty[String, Map[String, String]]
       if (canonicalMap.isDefined) {
         // the staged images ARE the fresh data; duplicate matched TARGET
         // rows (N target rows sharing one source row) each take the same
         // image, so replicate it N−1 extra times — row-preserving MERGE
-        if (srcHasParts) freshFiles = f.listStatus(srcPath).toSeq
-          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-          .sorted.map(n => s"$dataRel/$n")
+        freshFiles = stagedFiles
+        freshParts = stagedParts
         mdf.foreach { m =>
           import org.apache.spark.sql.functions.{explode, sequence}
           val dups = m.groupBy(col(srcRidF), col(srcRidI))
             .agg(fcount(lit(1)).as("__graft_n")).filter(col("__graft_n") > 1)
           if (dups.limit(1).count() > 0) {
-            val srcImg = withRowIds(
-              spark.read.schema(schema).parquet(srcPath.toString))
+            val srcImg = withRowIds(spark.read.schema(schema).parquet(
+                stagedFiles.map(new Path(dir, _).toString): _*))
               .withColumnRenamed(dvNameCol, srcRidF)
               .withColumnRenamed(dvIdxCol, srcRidI)
             val extraRel = s"d-x-$nonce"
-            srcImg.join(dups, Seq(srcRidF, srcRidI))
+            val extra = srcImg.join(dups, Seq(srcRidF, srcRidI))
               .withColumn("__graft_rep",
                 explode(sequence(lit(2L), col("__graft_n"))))
               .select(schema.fieldNames.toIndexedSeq.map(col): _*)
-              .write.mode("error").parquet(new Path(dir, extraRel).toString)
-            freshFiles = freshFiles ++ f.listStatus(new Path(dir, extraRel))
-              .toSeq.map(_.getPath.getName).filter(_.endsWith(".parquet"))
-              .sorted.map(n => s"$extraRel/$n")
+            if (pcols.nonEmpty) {
+              val (fl, fp) = writeHivePartitioned(extra, dir, extraRel, pcols)
+              freshFiles = freshFiles ++ fl; freshParts = freshParts ++ fp
+            } else {
+              extra.write.mode("error").parquet(new Path(dir, extraRel).toString)
+              freshFiles = freshFiles ++ f.listStatus(new Path(dir, extraRel))
+                .toSeq.map(_.getPath.getName).filter(_.endsWith(".parquet"))
+                .sorted.map(n => s"$extraRel/$n")
+            }
           }
         }
       } else {
         (mImages ++ bsImages ++ insImages).reduceOption(_ unionAll _).foreach { df =>
-          df.write.mode("error").parquet(new Path(dir, dataRel).toString)
-          freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
-            .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-            .sorted.map(n => s"$dataRel/$n")
+          if (pcols.nonEmpty) {
+            val (fl, fp) = writeHivePartitioned(df, dir, dataRel, pcols)
+            freshFiles = fl; freshParts = fp
+          } else {
+            df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+            freshFiles = f.listStatus(new Path(dir, dataRel)).toSeq
+              .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+              .sorted.map(n => s"$dataRel/$n")
+          }
         }
       }
       if (deltas.isEmpty && freshFiles.isEmpty) return Some(snap.version)
@@ -2631,7 +2691,7 @@ object ManifestStore {
       }
       try Some(publishLoop(spark, dir, "merge-dv", freshFiles,
         (prev, fresh) => prev ++ fresh, dfSchema = Some(schema),
-        freshDvDeltas = deltas, guard = Some(abort)))
+        freshParts = freshParts, freshDvDeltas = deltas, guard = Some(abort)))
       catch { case _: java.util.ConcurrentModificationException => None }
     } finally {
       // the staged source/matched copies are never referenced by a

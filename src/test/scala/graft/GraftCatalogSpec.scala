@@ -168,6 +168,40 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("row-level writes on a PARTITIONED BY table keep partition values") {
+    val dir = tmpDir() + "/ptm"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'x'), (2, 'x'), " +
+      "(3, 'y'), (4, 'z')")
+    def allParted(clue: String): ManifestStore.Snapshot = {
+      val s = ManifestStore.currentSnapshot(spark, dir).get
+      assert(s.files.forall(f => s.parts.get(f).exists(_.contains("p"))),
+        s"$clue: every live file must record its partition value")
+      s
+    }
+    // canonical MERGE: staged images land hive-partitioned
+    Seq((2L, "x"), (9L, "y")).toDF("k", "p").createOrReplaceTempView("ptm_src")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING ptm_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(allParted("canonical merge").op === "merge-dv")
+    // general-path MERGE (conditional clause) partitions its images too
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING ptm_src s ON t.k = s.k " +
+      "WHEN MATCHED AND t.k = 9 THEN UPDATE SET k = t.k + 100")
+    allParted("conditional merge")
+    // UPDATE that MOVES a row across partitions records the new value
+    spark.sql(s"UPDATE ${sqlTable(dir)} SET p = 'w' WHERE k = 1")
+    val snap = allParted("update")
+    assert(snap.files.exists(f => snap.parts.get(f).exists(_.get("p").contains("w"))))
+    assert(rows(spark.sql(s"SELECT k, p FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "w", 2L -> "x", 3L -> "y", 4L -> "z", 109L -> "y"))
+    // partition pruning still exact after the maintenance churn
+    val q = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE p = 'z'")
+    assert(q.as[Long].collect().toSeq === Seq(4L))
+    val zFiles = snap.parts.count(_._2.get("p").contains("z")).toLong
+    assert(assertNativeScan(q, "post-merge partition prune") === zFiles)
+  }
+
   test("DELETE FROM tombstones via dv; SQL reads on dv tables stay codegen'd") {
     val dir = tmpDir()
     ManifestStore.append((0L until 100L).map(i => (i, s"a$i")).toDF("k", "v").repartition(1), dir)
