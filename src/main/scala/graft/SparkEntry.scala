@@ -1232,6 +1232,11 @@ object SparkEntry {
         "o_orderkey % 3 = 0")
       s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey + 900000000, " +
         "o_custkey, 'Z' FROM q148_orders_src WHERE o_orderkey % 500 = 0")
+      // partial partition overwrite (the backfill shape): one atomic
+      // commit replaces exactly partition Z's files
+      s.sql(s"INSERT OVERWRITE graft.`$tbl` PARTITION (o_orderstatus = 'Z') " +
+        "SELECT o_orderkey + 950000000, o_custkey FROM q148_orders_src " +
+        "WHERE o_orderkey % 1000 = 0")
       s.sql(s"""SELECT o_orderstatus,
                        count(*) AS n_orders,
                        sum(o_custkey) AS sum_cust,
@@ -3369,7 +3374,8 @@ object SparkEntry {
          FROM kept GROUP BY coalesce(st, 'NEW')""",
 
     // q148 = the partitioned lifecycle replayed relationally: the
-    // partition-predicate delete filters, the late batch unions in
+    // partition-predicate delete filters, the late batch unions in, and
+    // the partial partition overwrite replaces the whole Z population
     "q148_sql_partitioned" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
@@ -3379,8 +3385,8 @@ object SparkEntry {
          final AS (
            SELECT * FROM after_delete
            UNION ALL
-           SELECT o_orderkey + 900000000, o_custkey, 'Z'
-           FROM base WHERE o_orderkey % 500 = 0)
+           SELECT o_orderkey + 950000000, o_custkey, 'Z'
+           FROM base WHERE o_orderkey % 1000 = 0)
          SELECT o_orderstatus,
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(sum(o_custkey) AS BIGINT) AS sum_cust,

@@ -405,22 +405,37 @@ private[sources] class ManifestScanBuilder(table: ManifestTableV2)
 /** INSERT INTO / INSERT OVERWRITE / CTAS writes: [[V1Write]] onto the
   * manifest commit protocol. Append = [[ManifestStore.append]] (schema
   * merged widening-only); overwrite = [[ManifestStore.overwrite]] (one
-  * atomic version replacing the file list). Only whole-table overwrite is
-  * expressible (`AlwaysTrue`); `INSERT OVERWRITE … WHERE` with a real
-  * predicate is refused — that shape belongs to deleteWhere + append as
-  * two explicit commits.
+  * atomic version replacing the file list). On a declared-partitioned
+  * table, `INSERT OVERWRITE … PARTITION (col = v, …)` — equality filters
+  * on partition columns — runs the PARTIAL overwrite
+  * ([[ManifestStore.overwritePartitions]]: one atomic commit replacing
+  * exactly the matching partitions, the backfill shape). Any other
+  * overwrite predicate is refused — that shape belongs to deleteWhere +
+  * append as two explicit commits.
   */
 private[sources] class ManifestWriteBuilder(table: ManifestTableV2)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
   private var replace = false
+  private var partitionFilter = Map.empty[String, String]
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-      "graft tables support whole-table INSERT OVERWRITE only — for a " +
-        "predicate overwrite, DELETE FROM … WHERE … then INSERT INTO")
+    val pcols = table.snap.partitionCols.toSet
+    val eqs = filters.toSeq.flatMap {
+      case _: AlwaysTrue => None
+      case org.apache.spark.sql.sources.EqualTo(c, v)
+          if pcols.contains(c) && v != null => Some(c -> v.toString)
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v)
+          if pcols.contains(c) && v != null => Some(c -> v.toString)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support whole-table INSERT OVERWRITE or PARTITION " +
+          s"(col = value) equality on declared partition columns — got " +
+          s"$other; for a general predicate overwrite, DELETE FROM … " +
+          "WHERE … then INSERT INTO")
+    }
+    partitionFilter = eqs.toMap
     replace = true
     this
   }
@@ -434,7 +449,10 @@ private[sources] class ManifestWriteBuilder(table: ManifestTableV2)
           // the manifest and prune reads exactly
           val pcols = table.snap.partitionCols
           if (replace || overwrite) {
-            if (pcols.nonEmpty)
+            if (partitionFilter.nonEmpty)
+              ManifestStore.overwritePartitions(data, table.dir, pcols,
+                partitionFilter): Unit
+            else if (pcols.nonEmpty)
               ManifestStore.overwritePartitioned(data, table.dir, pcols): Unit
             else ManifestStore.overwrite(data, table.dir): Unit
           } else {

@@ -1162,6 +1162,67 @@ object ManifestStore {
     appendPartitioned(df, dir, partitionCols, op = "overwrite",
       combine = (_, fresh) => fresh)
 
+  /** PARTIAL partition overwrite — Delta's `replaceWhere` / SQL
+    * `INSERT OVERWRITE t PARTITION (col = v)` for declared-partitioned
+    * tables: ONE atomic commit that drops every previous file whose
+    * RECORDED partition values match all of `partitionFilter` and lands
+    * `df` hive-partitioned in their place — the backfill shape ("replace
+    * one day of a date-partitioned 100 TB table") at metadata cost
+    * proportional to the replaced partition.
+    *
+    * Strictness, both directions:
+    *  - every incoming row must satisfy the filter (checked with one
+    *    cheap pre-write probe — Delta's replaceWhere validation): rows
+    *    outside the target partition would silently leak into it;
+    *  - every PREVIOUS file must carry recorded values for the filtered
+    *    columns (true for any file written through the partitioned
+    *    writer): a value-less file might hold matching rows the drop
+    *    could not prove, so the overwrite refuses rather than
+    *    under-delete.
+    */
+  def overwritePartitions(df: DataFrame, dir: String,
+                          partitionCols: Seq[String],
+                          partitionFilter: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(partitionFilter.nonEmpty, "empty partition filter — use overwrite")
+    require(partitionFilter.keySet.subsetOf(partitionCols.toSet),
+      s"partition filter keys ${partitionFilter.keys.mkString(",")} must be " +
+        s"declared partition columns (${partitionCols.mkString(",")})")
+    val offending = partitionFilter.map { case (c, v) =>
+      !(col(c).cast("string") <=> lit(v))
+    }.reduce(_ || _)
+    require(df.filter(offending).limit(1).count() == 0L,
+      "INSERT OVERWRITE PARTITION data carries rows outside the target " +
+        "partition — they would silently leak; fix the query or use a " +
+        "whole-table overwrite")
+    val spark = df.sparkSession
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val (fresh, freshParts) =
+      writeHivePartitioned(df, dir, s"d-$nonce", partitionCols)
+    // the guard runs before combine on EVERY publish attempt with the
+    // attempt's own snapshot — stash it so the drop set is judged against
+    // exactly the file list combine receives (re-reading inside combine
+    // could see a newer snapshot and mis-prove partition membership)
+    var planned: Option[Snapshot] = None
+    publishLoop(spark, dir, "overwrite", fresh, (prev, fr) => {
+      val parts = planned.map(_.parts).getOrElse(Map.empty)
+      prev.filterNot { rel =>
+        val recorded = parts.getOrElse(rel, Map.empty)
+        partitionFilter.forall { case (c, v) =>
+          recorded.get(c) match {
+            case Some(rv) => rv == v
+            case None => throw new IllegalStateException(
+              s"file $rel records no partition value for '$c' — a partial " +
+                "partition overwrite cannot prove it holds no matching " +
+                "rows; compact/rewrite it through the partitioned writer " +
+                "first")
+          }
+        }
+      } ++ fr
+    }, dfSchema = Some(df.schema), freshParts = freshParts,
+      guard = Some(s => planned = Some(s)))
+  }
+
   /** [[appendPartitioned]] committed as an idempotent STREAMING batch —
     * the partitioned sibling of [[appendIdempotent]]: same
     * `stream:<appId>:<batchId>` lineage key and replay-skip, with the

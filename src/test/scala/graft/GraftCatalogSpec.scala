@@ -168,6 +168,40 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE PARTITION replaces exactly the matching partition") {
+    val dir = tmpDir() + "/ptow"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'x'), (2, 'x'), " +
+      "(3, 'y'), (4, 'z')")
+    val vBefore = ManifestStore.currentSnapshot(spark, dir).get.version
+    // the backfill shape: one atomic commit swaps partition x's files
+    spark.sql(s"INSERT OVERWRITE ${sqlTable(dir)} PARTITION (p = 'x') " +
+      "VALUES (11), (12)")
+    assert(rows(spark.sql(s"SELECT k, p FROM ${sqlTable(dir)}")) ===
+      Set(11L -> "x", 12L -> "x", 3L -> "y", 4L -> "z"))
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.version === vBefore + 1, "partial overwrite must be ONE commit")
+    assert(snap.op === "overwrite")
+    assert(snap.files.forall(f => snap.parts.get(f).exists(_.contains("p"))))
+    // untouched partitions time-travel intact; replaced partition restores
+    assert(rows(spark.sql(
+      s"SELECT k, p FROM ${sqlTable(dir)} VERSION AS OF $vBefore")) ===
+      Set(1L -> "x", 2L -> "x", 3L -> "y", 4L -> "z"))
+    // rows outside the target partition refuse loudly (no silent leak)
+    val e = intercept[Exception] {
+      ManifestStore.overwritePartitions(
+        spark.sql("SELECT CAST(9 AS BIGINT) AS k, 'OTHER' AS p"),
+        dir, Seq("p"), Map("p" -> "y"))
+    }
+    assert(e.getMessage.toLowerCase.contains("partition"), e.getMessage)
+    // and so does a non-partition overwrite predicate
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE ${sqlTable(dir)} " +
+        "REPLACE WHERE k > 100 VALUES (7, 'x')")
+    }
+  }
+
   test("row-level writes on a PARTITIONED BY table keep partition values") {
     val dir = tmpDir() + "/ptm"
     spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
