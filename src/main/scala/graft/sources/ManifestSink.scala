@@ -257,11 +257,22 @@ class ManifestSink(dir: String, appId: String,
     if (!plain.isEmpty) {
       // .partitionBy(...) on the stream writer routes through the
       // hive-layout idempotent append: per-file partition values recorded
-      // for metadata pruning, same stream:<appId>:<batchId> replay skip
-      if (partitionCols.isEmpty)
+      // for metadata pruning, same stream:<appId>:<batchId> replay skip.
+      // A DECLARED-partitioned target (CREATE TABLE … PARTITIONED BY)
+      // keeps its layout even when the stream writer names no columns.
+      val pcols =
+        if (partitionCols.nonEmpty) partitionCols
+        else {
+          val declared = ManifestStore.currentSnapshot(spark, dir)
+            .map(_.partitionCols).getOrElse(Nil)
+          if (declared.nonEmpty && declared.forall(plain.columns.contains))
+            declared
+          else Nil
+        }
+      if (pcols.isEmpty)
         ManifestStore.appendIdempotent(plain, dir, appId, batchId): Unit
       else
-        ManifestStore.appendPartitionedIdempotent(plain, dir, partitionCols,
+        ManifestStore.appendPartitionedIdempotent(plain, dir, pcols,
           appId, batchId): Unit
       committed += 1
       if (autoCompact && committed % autoCompactEvery == 0)

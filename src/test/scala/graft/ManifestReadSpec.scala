@@ -635,6 +635,28 @@ class ManifestReadSpec extends SparkSpec {
     assert(rows(readFmt(dir)) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("streaming sink honors a DECLARED partitioned target without partitionBy") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir() + "/decl"
+    ManifestStore.createEmpty(spark, dir,
+      StructType.fromDDL("k BIGINT, part STRING"), Seq("part"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "part").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", tmpDir())
+      .option("appId", "decl-sink")
+      .start(dir) // NO partitionBy — the table's declaration routes it
+    try {
+      mem.addData((1L, "p0"), (2L, "p1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val s = ManifestStore.currentSnapshot(spark, dir).get
+    assert(s.files.nonEmpty && s.files.forall(f =>
+      s.parts.get(f).exists(_.contains("part"))),
+      "declared partition columns must route the sink's hive-layout append")
+  }
+
   test("streaming sink partitionBy records partition values, stays idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sctx: org.apache.spark.sql.SQLContext = spark.sqlContext
