@@ -137,6 +137,25 @@ private[sources] object ManifestRead {
       case _ => None
     }
 
+  /** True iff the conjunction of `filters` is EXACTLY the predicate
+    * [[toRanges]] renders — every conjunct an equality or INCLUSIVE bound
+    * between an attribute and a stat-typed literal (strict bounds, IN and
+    * every other shape are envelopes, not equivalences). A caller holding
+    * this proof may treat "file wholly inside every range" as "every row
+    * matches the predicate" — the whole-file delete planning
+    * ([[ManifestStore.deleteWhere]] `exactRanges`).
+    */
+  def rangesExact(filters: Seq[Expression]): Boolean =
+    filters.flatMap(splitConjuncts).forall {
+      case CEqualTo(_: Attribute, Literal(v, _)) => statValue(v).isDefined
+      case CEqualTo(Literal(v, _), _: Attribute) => statValue(v).isDefined
+      case CGreaterThanOrEqual(_: Attribute, Literal(v, _)) => statValue(v).isDefined
+      case CLessThanOrEqual(_: Attribute, Literal(v, _)) => statValue(v).isDefined
+      case CGreaterThanOrEqual(Literal(v, _), _: Attribute) => statValue(v).isDefined
+      case CLessThanOrEqual(Literal(v, _), _: Attribute) => statValue(v).isDefined
+      case _ => false
+    }
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)

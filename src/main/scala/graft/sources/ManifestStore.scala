@@ -529,6 +529,29 @@ object ManifestStore {
         })
     }
 
+  /** True iff `rel`'s FOOTER stats prove every row's `column` lies inside
+    * `[lo, hi]` AND the column is null-free in the file — the stat-space
+    * whole-file-covered proof ([[partitionWhollyIn]]'s sibling, for
+    * key-CLUSTERED tables: `DELETE WHERE day <= cutoff` drops whole
+    * files of a day-clustered lake with zero scan). The null-free demand
+    * is load-bearing: min/max say nothing about null rows, which do NOT
+    * match a range predicate and must not be dropped with the file. Long
+    * and string stat spaces only — double stat ordering around NaN/−0.0
+    * is not worth trusting for an irreversible drop. Unprovable = false.
+    */
+  private def statsWhollyIn(snap: Snapshot, rel: String, column: String,
+                            lo: Any, hi: Any): Boolean =
+    snap.stats.get(rel).flatMap(_.get(column)).exists(_.nullCount == 0L) &&
+      (snap.typedStats.get(rel).flatMap(_.get(column)) match {
+        case Some(("long", mn: Long, mx: Long)) =>
+          scala.util.Try((lo == Unbounded || mn >= toLong(lo)) &&
+            (hi == Unbounded || mx <= toLong(hi))).getOrElse(false)
+        case Some(("string", mn: String, mx: String)) =>
+          (lo == Unbounded || !utf8Lt(mn, lo.toString)) && // mn >= lo
+            (hi == Unbounded || !utf8Lt(hi.toString, mx)) // mx <= hi
+        case _ => false
+      })
+
   private def statsAdmit(snap: Snapshot, rel: String, column: String,
                          lo: Any, hi: Any): Boolean =
       snap.typedStats.get(rel).flatMap(_.get(column)) match {
@@ -956,7 +979,11 @@ object ManifestStore {
       }
       val (ins, del) =
         if (cur.op == "compact") (empty, empty)
-        else if (cur.op == "delete-dv" && dvAdded.nonEmpty) (empty, tombstoned)
+        else if (cur.op == "delete-dv" && dvAdded.nonEmpty)
+          // one delete commit can BOTH tombstone rows and drop
+          // wholly-covered files from the list: report both populations
+          (empty, if (removed.isEmpty) tombstoned
+            else tombstoned.unionAll(rdL(prev, removed)))
         else if ((cur.op == "update-dv" || cur.op == "upsert-dv" ||
             cur.op == "merge-dv") && dvAdded.nonEmpty)
           // one commit, both sides: deletes are the tombstoned originals,
@@ -2093,7 +2120,8 @@ object ManifestStore {
     */
   def deleteWhere(spark: SparkSession, dir: String, schema: StructType,
                   predicate: Column,
-                  planRanges: Seq[(String, Any, Any)] = Nil): Option[Long] = {
+                  planRanges: Seq[(String, Any, Any)] = Nil,
+                  exactRanges: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, dir)
     val snap = currentSnapshot(spark, dir).getOrElse(return None)
@@ -2104,45 +2132,63 @@ object ManifestStore {
     // outside them cannot hold a match and are not scanned, so a planned
     // point delete on a clustered/bloomed 100 TB table touches a handful
     // of files. Empty = scan everything (arbitrary predicate).
-    val cand =
+    val cand0 =
       if (planRanges.isEmpty) snap.files else pruneFilesWhere(snap, planRanges)
-    if (cand.isEmpty) return Some(snap.version)
-    requireUniqueBasenames(snap, dir)
-    val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
-    // live rows only: row ids exposed, existing tombstones anti-joined
-    val ided = withRowIds(spark.read.schema(schema)
-      .parquet(cand.map(new Path(dir, _).toString): _*))
-    val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
-    val live = if (dvFiles.isEmpty) ided
-      else ided.join(readDvPairs(spark, dir, dvFiles),
-        Seq(dvNameCol, dvIdxCol), "left_anti")
-    val doomed = live.filter(predicate)
-      .select(col(dvNameCol).as("f"), col(dvIdxCol).cast("long").as("i"))
+    if (cand0.isEmpty) return Some(snap.version)
+    // whole-file drops: when the caller asserts the predicate is EXACTLY
+    // the conjunction of `planRanges` (`exactRanges`, e.g. SQL
+    // `DELETE WHERE day = X`), a file PROVEN to hold only matching rows —
+    // by its recorded partition value ([[partitionWhollyIn]]) or by
+    // null-free footer bounds inside every range ([[statsWhollyIn]], the
+    // key-clustered retention shape) — needs no scan at all: it drops
+    // from the file list as a pure manifest edit, the [[deleteRange]]
+    // O(metadata) discipline generalized to SQL predicates. The
+    // remainder takes the dv scan below.
+    val (droppedWhole, cand) =
+      if (!exactRanges || planRanges.isEmpty) (Seq.empty[String], cand0)
+      else cand0.partition(rel => planRanges.forall { case (c, lo, hi) =>
+        partitionWhollyIn(snap, rel, c, lo, hi) ||
+          statsWhollyIn(snap, rel, c, lo, hi) })
     val nonce = java.util.UUID.randomUUID().toString.take(12)
-    val dvRel = s"d-dv-$nonce"
-    doomed.write.mode("error").parquet(new Path(dir, dvRel).toString)
-    val parts = f.listStatus(new Path(dir, dvRel)).toSeq
-      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .sorted.map(n => s"$dvRel/$n")
-    // per-file tombstone counts from the (tiny) sidecar just written
-    val counts = spark.read.parquet(new Path(dir, dvRel).toString)
-      .groupBy(col("f")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) { // nothing matched: no commit, no sidecar
-      f.delete(new Path(dir, dvRel), true)
-      return Some(snap.version)
+    var deltas = Map.empty[String, DvRef]
+    if (cand.nonEmpty) {
+      requireUniqueBasenames(snap, dir)
+      val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+      // live rows only: row ids exposed, existing tombstones anti-joined
+      val ided = withRowIds(spark.read.schema(schema)
+        .parquet(cand.map(new Path(dir, _).toString): _*))
+      val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
+      val live = if (dvFiles.isEmpty) ided
+        else ided.join(readDvPairs(spark, dir, dvFiles),
+          Seq(dvNameCol, dvIdxCol), "left_anti")
+      val doomed = live.filter(predicate)
+        .select(col(dvNameCol).as("f"), col(dvIdxCol).cast("long").as("i"))
+      val dvRel = s"d-dv-$nonce"
+      doomed.write.mode("error").parquet(new Path(dir, dvRel).toString)
+      val parts = f.listStatus(new Path(dir, dvRel)).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .sorted.map(n => s"$dvRel/$n")
+      // per-file tombstone counts from the (tiny) sidecar just written
+      val counts = spark.read.parquet(new Path(dir, dvRel).toString)
+        .groupBy(col("f")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) f.delete(new Path(dir, dvRel), true): Unit
+      else deltas = counts.map { case (name, n) =>
+        nameToRel(name) -> DvRef(parts, n) }
     }
-    val deltas = counts.map { case (name, n) => nameToRel(name) -> DvRef(parts, n) }
-    val guard = dvUnchangedGuard(snap, deltas.keys)
+    if (deltas.isEmpty && droppedWhole.isEmpty) return Some(snap.version)
+    val droppedSet = droppedWhole.toSet
+    val guard = dvUnchangedGuard(snap, deltas.keys ++ droppedWhole)
     val fileGuard: Snapshot => Unit = { prev =>
-      deltas.keys.foreach { rel =>
+      (deltas.keys ++ droppedWhole).foreach { rel =>
         if (!prev.files.contains(rel))
           throw new java.util.ConcurrentModificationException(
             s"file $rel rewritten under deleteWhere")
       }
       guard(prev)
     }
-    try Some(publishLoop(spark, dir, "delete-dv", Nil, (prev, _) => prev,
+    try Some(publishLoop(spark, dir, "delete-dv", Nil,
+      (prev, _) => prev.filterNot(droppedSet),
       freshDvDeltas = deltas, guard = Some(fileGuard)))
     catch { case _: java.util.ConcurrentModificationException =>
       // the orphaned sidecar is unreferenced; vacuum collects it

@@ -241,7 +241,10 @@ private[sources] case class GraftDeleteCommand(table: ManifestTableV2,
     // not the lake)
     if (ManifestStore.deleteWhere(session, table.dir, table.schema,
         ManifestRowLevel.byName(condition),
-        planRanges = ManifestRead.toRanges(Seq(condition))).isEmpty)
+        planRanges = ManifestRead.toRanges(Seq(condition)),
+        // predicate ≡ its ranges → partition-covered files drop whole,
+        // zero scan (the SQL retention-delete shape)
+        exactRanges = ManifestRead.rangesExact(Seq(condition))).isEmpty)
       throw new java.util.ConcurrentModificationException(
         s"DELETE FROM ${table.dir} lost a concurrent-commit race — retry")
     Seq.empty

@@ -202,6 +202,72 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("partition-covered SQL DELETE drops whole files as a pure manifest edit") {
+    val dir = tmpDir() + "/ptd"
+    val sch2 = StructType.fromDDL("k BIGINT, p STRING")
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'x'), (2, 'x'), " +
+      "(3, 'y'), (4, 'y'), (5, 'z')")
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    // predicate ≡ its range and every x-file is partition-covered: the
+    // commit drops files, writes NO tombstones, scans nothing
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE p = 'x'")
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.op === "delete-dv")
+    assert(snap.dvs.isEmpty, "whole-partition delete must not tombstone")
+    assert(snap.files.size < before.files.size, "files must drop from the list")
+    assert(rows(spark.sql(s"SELECT k, p FROM ${sqlTable(dir)}")) ===
+      Set(3L -> "y", 4L -> "y", 5L -> "z"))
+    // CDC reports the dropped files' rows as ordinary deletes
+    val feed = ManifestStore.changes(spark, dir, before.version, snap.version,
+      sch2).filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSet
+    assert(feed === Set(1L, 2L))
+    // a predicate outside the exact-range language (modulo) never drops
+    // whole files — the dv path handles it row-level
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE p = 'y' AND k % 2 = 1")
+    val snap2 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap2.dvs.nonEmpty, "non-exact predicate must tombstone, not drop")
+    assert(rows(spark.sql(s"SELECT k, p FROM ${sqlTable(dir)}")) ===
+      Set(4L -> "y", 5L -> "z"))
+  }
+
+  test("stat-covered SQL DELETE drops whole files of a clustered table") {
+    val dir = tmpDir()
+    // key-clustered shape: one file per contiguous k range
+    ManifestStore.append((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1), dir)
+    ManifestStore.append((11L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1), dir)
+    ManifestStore.append((21L to 30L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1), dir)
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    // the retention shape: null-free footer bounds prove the first two
+    // files wholly covered — they drop with zero scan and zero sidecars
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE k <= 20")
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.files.size === before.files.size - 2)
+    assert(snap.dvs.isEmpty, "stat-covered files must drop, not tombstone")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      (21L to 30L).map(i => i -> s"v$i").toSet)
+    // a bound cutting THROUGH a file keeps the dv path for it
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE k >= 25")
+    val snap2 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap2.files === snap.files, "partially-covered file must stay")
+    assert(snap2.dvs.nonEmpty)
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      (21L to 24L).map(i => i -> s"v$i").toSet)
+    // null rows never drop with a file: nulls match no range predicate
+    val dir2 = tmpDir()
+    ManifestStore.append(Seq((Some(1L), "a"), (Some(2L), "b"),
+      (None: Option[Long], "n")).toDF("k", "v").coalesce(1), dir2)
+    spark.sql(s"DELETE FROM graft.`$dir2` WHERE k <= 5")
+    assert(spark.sql(s"SELECT v FROM graft.`$dir2`").as[String]
+      .collect().toSeq === Seq("n"),
+      "the null-k row must survive a k-range delete")
+  }
+
   test("row-level writes on a PARTITIONED BY table keep partition values") {
     val dir = tmpDir() + "/ptm"
     spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
