@@ -215,7 +215,8 @@ class GraftCatalog extends TableCatalog
   */
 private[graft] case class ManifestTableV2(dir: String,
                                           snap: ManifestStore.Snapshot)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -274,6 +275,15 @@ private[graft] case class ManifestTableV2(dir: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(this)
 
+  /** SQL `TRUNCATE TABLE` — one metadata-only `overwrite` commit with an
+    * empty file list: the rows stay time-travelable until vacuum, the
+    * schema (and declared partitioning) survive, zero data I/O.
+    */
+  override def truncateTable(): Boolean = {
+    ManifestStore.truncate(spark, dir)
+    true
+  }
+
   /** SQL `DELETE FROM … WHERE …` → merge-on-read deletion vectors
     * ([[ManifestStore.deleteWhere]]): O(matched rows) sidecar writes, no
     * data-file rewrite — with the filters also handed over as pruning
@@ -319,6 +329,9 @@ private[graft] case class ManifestMetaTable(dir: String, kind: String)
     case "tags" => StructType.fromDDL("name STRING, version BIGINT")
     case "files" => StructType.fromDDL(
       "file STRING, size_bytes BIGINT, rows BIGINT, dv_deleted BIGINT")
+    case "partitions" => StructType.fromDDL(
+      "partition STRING, n_files BIGINT, size_bytes BIGINT, rows BIGINT, " +
+        "dv_deleted BIGINT")
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -336,6 +349,20 @@ private[graft] case class ManifestMetaTable(dir: String, kind: String)
         s.files.map(f => (f, s.sizes.get(f), s.rows.get(f),
           s.dvs.get(f).map(_.deleted)))
           .toDF("file", "size_bytes", "rows", "dv_deleted")
+      case "partitions" =>
+        // per-partition-value live layout, straight off the manifest —
+        // the "is partition X compacted / how big is it" operational
+        // question with zero data-plane I/O. Value-less files group
+        // under the empty partition key.
+        val s = ManifestStore.currentSnapshot(session, dir).getOrElse(
+          ManifestStore.Snapshot(0L, Nil, "none"))
+        s.files.groupBy(f => s.parts.getOrElse(f, Map.empty).toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(", "))
+          .toSeq.sortBy(_._1)
+          .map { case (p, fl) => (p, fl.size.toLong,
+            fl.flatMap(s.sizes.get).sum, fl.flatMap(s.rows.get).sum,
+            fl.flatMap(s.dvs.get).map(_.deleted).sum) }
+          .toDF("partition", "n_files", "size_bytes", "rows", "dv_deleted")
     }
   }
 
@@ -354,7 +381,7 @@ private[graft] case class ManifestMetaTable(dir: String, kind: String)
 }
 
 private[graft] object ManifestMetaTable {
-  val kinds: Set[String] = Set("history", "tags", "files")
+  val kinds: Set[String] = Set("history", "tags", "files", "partitions")
 }
 
 /** Correctness fallback for sessions WITHOUT the graft extensions: a

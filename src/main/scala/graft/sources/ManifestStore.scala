@@ -1111,6 +1111,13 @@ object ManifestStore {
   def overwrite(df: DataFrame, dir: String): Long =
     commit(df, dir, "overwrite", (_, fresh) => fresh)
 
+  /** TRUNCATE: one metadata-only `overwrite` commit with an empty file
+    * list — rows stay time-travelable until [[vacuum]], the recorded
+    * schema and declared partition columns carry forward, zero data I/O.
+    */
+  def truncate(spark: SparkSession, dir: String): Long =
+    publishLoop(spark, dir, "overwrite", Nil, (_, _) => Nil)
+
   /** Append `df` to the table. Returns the committed version. Concurrent
     * appends both land: the slot loser re-bases on the winner's snapshot.
     */

@@ -597,6 +597,44 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("partitions metadata table summarizes the live layout per value") {
+    val dir = tmpDir() + "/ptmeta"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'x'), (2, 'x'), (3, 'y')")
+    // modulo keeps the delete on the dv path (an exact-range predicate
+    // would drop the single-row file whole and leave nothing to count)
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE k % 2 = 0")
+    val parts = spark.sql(s"SELECT partition, rows, dv_deleted FROM " +
+      s"graft.`$dir`.partitions ORDER BY partition")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(parts.map(_._1) === Seq("p=x", "p=y"))
+    assert(parts.find(_._1 == "p=x").get._2 === 2L) // physical rows
+    assert(parts.find(_._1 == "p=x").get._3 === 1L) // one tombstoned
+    assert(parts.find(_._1 == "p=y").get._3 === 0L)
+  }
+
+  test("TRUNCATE TABLE empties as one metadata commit; schema+partitioning survive") {
+    val dir = tmpDir() + "/trunc"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'x'), (2, 'y')")
+    val vData = ManifestStore.currentSnapshot(spark, dir).get.version
+    spark.sql(s"TRUNCATE TABLE ${sqlTable(dir)}")
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.files.isEmpty)
+    assert(snap.schema.get.fieldNames.toSeq === Seq("k", "p"))
+    assert(snap.partitionCols === Seq("p"), "declared partitioning survives")
+    assert(spark.sql(s"SELECT * FROM ${sqlTable(dir)}").count() === 0L)
+    // rows stay time-travelable until vacuum
+    assert(spark.sql(s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF $vData")
+      .count() === 2L)
+    // the table is immediately writable with the surviving layout
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (9, 'z')")
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.files.forall(f => after.parts.get(f).exists(_.contains("p"))))
+  }
+
   test("DESCRIBE EXTENDED surfaces snapshot facts as table properties") {
     val dir = tmpDir()
     ManifestStore.append((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v")
