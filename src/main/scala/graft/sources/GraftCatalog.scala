@@ -160,7 +160,12 @@ class GraftCatalog extends TableCatalog
           "value the manifest could record)")
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    ManifestStore.createEmpty(spark, dir, schema, pcols)
+    // user TBLPROPERTIES persist in the manifest; Spark-internal keys
+    // (provider/location/owner + option passthrough) are engine state,
+    // not user metadata
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      GraftCatalog.reservedProps(k) }
+    ManifestStore.createEmpty(spark, dir, schema, pcols, userProps)
     ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
   }
 
@@ -174,6 +179,21 @@ class GraftCatalog extends TableCatalog
                           changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange
     val dir = dirOf(ident)
+    // SET/UNSET TBLPROPERTIES: a pure property-bag commit (op
+    // `properties`, data-neutral); mixing with schema changes in one
+    // statement is not a SQL shape, so the two paths stay disjoint
+    if (changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])) {
+      val sets = changes.collect {
+        case sp: TableChange.SetProperty => sp.property() -> sp.value() }.toMap
+      val unsets = changes.collect {
+        case rp: TableChange.RemoveProperty => rp.property() }
+      sets.keys.foreach(k => require(!GraftCatalog.reservedProps(k),
+        s"table property '$k' is reserved (engine-maintained)"))
+      ManifestStore.setProperties(spark, dir, sets, unsets)
+      return ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir)
+        .getOrElse(throw new NoSuchTableException(ident)))
+    }
     val base = ManifestStore.currentSnapshot(spark, dir)
       .getOrElse(throw new NoSuchTableException(ident))
       .schema.getOrElse(throw new IllegalStateException(
@@ -208,6 +228,15 @@ class GraftCatalog extends TableCatalog
         "explicitly, or cloneShallow + retire the source")
 }
 
+private[sources] object GraftCatalog {
+  /** Keys the engine maintains or Spark passes through internally — never
+    * stored in the user property bag, refused on SET.
+    */
+  val reservedProps: Set[String] = Set("provider", "location", "owner",
+    "external", "version", "op", "numFiles", "numRows", "sizeBytes",
+    "partitionCols")
+}
+
 /** One manifest table pinned to one [[ManifestStore.Snapshot]] — the DSv2
   * [[Table]] the catalog serves. Reads are snapshot-isolated to the pinned
   * version (time travel is just a different pin); writes commit through
@@ -236,7 +265,7 @@ private[graft] case class ManifestTableV2(dir: String,
     * all from the already-read manifest, zero extra I/O.
     */
   override def properties(): util.Map[String, String] = {
-    val base = Map(
+    val base = snap.props ++ Map(
       "provider" -> "graft-manifest",
       "version" -> snap.version.toString,
       "op" -> snap.op,

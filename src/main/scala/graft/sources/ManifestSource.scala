@@ -79,7 +79,8 @@ class ManifestSource(spark: SparkSession, dir: String,
     * data-neutral op added here stays consistent in both places.
     */
   private def dataNeutral(op: String): Boolean =
-    op == "compact" || op == "bloom" || op == "schema" || op == "create"
+    op == "compact" || op == "bloom" || op == "schema" || op == "create" ||
+      op == "properties"
 
   /** Ops that cannot remove or rewrite rows: safe in row mode — appends
     * plus the data-neutral set; `tag`s never commit; everything else

@@ -75,7 +75,8 @@ object ManifestStore {
                             blooms: Map[String, Map[String, BloomIndex]] = Map.empty,
                             dvs: Map[String, DvRef] = Map.empty,
                             sizes: Map[String, Long] = Map.empty,
-                            partitionCols: Seq[String] = Nil) {
+                            partitionCols: Seq[String] = Nil,
+                            props: Map[String, String] = Map.empty) {
 
     /** Stat bounds parsed into their primitive space ONCE per Snapshot
       * instance (`(typ, min, max)` — Long/Double/String by typ). The
@@ -370,8 +371,12 @@ object ManifestStore {
     val pcolsNode = root.path("partitionCols")
     val pcols = if (pcolsNode.isMissingNode) Nil
     else (0 until pcolsNode.size()).map(pcolsNode.get(_).asText())
+    val propsNode = root.path("props")
+    val props = if (propsNode.isMissingNode) Map.empty[String, String]
+    else propsNode.properties().asScala.iterator
+      .map(e => e.getKey -> e.getValue.asText()).toMap
     Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
-      stats, rows, schema, parts, blooms, dvs, sizes, pcols)
+      stats, rows, schema, parts, blooms, dvs, sizes, pcols, props)
   }
 
   /** The latest version under the manifest-recorded schema — the
@@ -1093,7 +1098,8 @@ object ManifestStore {
     * commits (the catalog maps that to TableAlreadyExistsException).
     */
   def createEmpty(spark: SparkSession, dir: String, schema: StructType,
-                  partitionCols: Seq[String] = Nil): Long = {
+                  partitionCols: Seq[String] = Nil,
+                  props: Map[String, String] = Map.empty): Long = {
     partitionCols.foreach { c =>
       val dt = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -1104,7 +1110,7 @@ object ManifestStore {
     }
     publishExternal(spark, dir, op = "create", files = Nil,
       stats = Map.empty, rows = Map.empty, schema = Some(schema),
-      parts = Map.empty, partitionCols = partitionCols)
+      parts = Map.empty, partitionCols = partitionCols, props = props)
   }
 
   /** Replace the table contents with `df`. Returns the committed version. */
@@ -1117,6 +1123,27 @@ object ManifestStore {
     */
   def truncate(spark: SparkSession, dir: String): Long =
     publishLoop(spark, dir, "overwrite", Nil, (_, _) => Nil)
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: one metadata-only `properties`
+    * commit updating the user property bag the manifest carries. The
+    * update applies against each publish attempt's own snapshot, so
+    * concurrent property edits compose (no lost updates). Data-neutral:
+    * streaming sources classify it with compact/bloom/schema.
+    */
+  def setProperties(spark: SparkSession, dir: String,
+                    set: Map[String, String],
+                    unset: Seq[String] = Nil): Long =
+    publishLoop(spark, dir, "properties", Nil, (prev, _) => prev,
+      propsUpdate = p => p ++ set -- unset)
+
+  /** Unconditional DELETE: drop every file from the list as one
+    * metadata commit — [[truncate]]'s row-level-semantics sibling,
+    * committed under the delete op so CDC reports the dropped files'
+    * live rows as deletes (a truncate/overwrite is a retraction the
+    * streaming row mode refuses; so is this — both are loud).
+    */
+  def deleteAll(spark: SparkSession, dir: String): Long =
+    publishLoop(spark, dir, "delete-dv", Nil, (_, _) => Nil)
 
   /** Append `df` to the table. Returns the committed version. Concurrent
     * appends both land: the slot loser re-bases on the winner's snapshot.
@@ -1571,7 +1598,9 @@ object ManifestStore {
                           freshParts: Map[String, Map[String, String]] = Map.empty,
                           freshBlooms: Map[String, Map[String, BloomIndex]] = Map.empty,
                           freshDvDeltas: Map[String, DvRef] = Map.empty,
-                          guard: Option[Snapshot => Unit] = None): Long = {
+                          guard: Option[Snapshot => Unit] = None,
+                          propsUpdate: Map[String, String] => Map[String, String]
+                            = identity): Long = {
     val f = fs(spark, dir)
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
@@ -1688,6 +1717,14 @@ object ManifestStore {
           val pArr = body.putArray("partitionCols")
           pcols.foreach(pArr.add)
         }
+        // user table properties travel likewise; propsUpdate applies
+        // INSIDE the retry loop against the attempt's own snapshot, so
+        // concurrent SET/UNSET compose instead of last-writer-dropping
+        val props = propsUpdate(prev.map(_.props).getOrElse(Map.empty))
+        if (props.nonEmpty) {
+          val prNode = body.putObject("props")
+          props.toSeq.sorted.foreach { case (k, v) => prNode.put(k, v): Unit }
+        }
         if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
         attempt += 1
       }
@@ -1746,7 +1783,7 @@ object ManifestStore {
           new Path(srcBase, r).toString)))
       },
       sizes = snap.sizes.flatMap { case (k, v) => rekey.get(k).map(_ -> v) },
-      partitionCols = snap.partitionCols)
+      partitionCols = snap.partitionCols, props = snap.props)
   }
 
   /** Publish a manifest with EXTERNALLY-supplied content (no footer
@@ -1766,7 +1803,8 @@ object ManifestStore {
                               maxAttempts: Int = 10,
                               expectVersion: Option[Long] = None,
                               sizes: Map[String, Long] = Map.empty,
-                              partitionCols: Seq[String] = Nil): Long = {
+                              partitionCols: Seq[String] = Nil,
+                              props: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1818,6 +1856,10 @@ object ManifestStore {
       if (partitionCols.nonEmpty) {
         val pArr = body.putArray("partitionCols")
         partitionCols.foreach(pArr.add)
+      }
+      if (props.nonEmpty) {
+        val prNode = body.putObject("props")
+        props.toSeq.sorted.foreach { case (k, v) => prNode.put(k, v): Unit }
       }
       if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
       attempt += 1

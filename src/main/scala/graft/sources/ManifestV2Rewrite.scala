@@ -235,6 +235,12 @@ private[sources] case class GraftDeleteCommand(table: ManifestTableV2,
                                                condition: Expression)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    // DELETE with no WHERE (or WHERE true): drop the whole file list as
+    // one metadata commit — zero scan, rows time-travelable until vacuum
+    if (condition == org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral) {
+      ManifestStore.deleteAll(session, table.dir)
+      return Seq.empty
+    }
     // stats planning for free: the convertible conjuncts of the SQL
     // predicate ARE implied bounds, so a clustered/bloomed table only
     // scans candidate files (`DELETE WHERE day = X` touches X's files,

@@ -329,9 +329,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(pruned.count() === expect.count(_._1 >= 150).toLong)
     assert(assertNativeScan(pruned, "pruned dv select") <= 2L)
 
-    // DELETE with no WHERE empties the table (tombstones all rows)
+    // DELETE with no WHERE empties the table as ONE metadata commit:
+    // every file drops from the list, nothing is scanned or tombstoned
     spark.sql(s"DELETE FROM ${sqlTable(dir)}")
     assert(spark.sql(s"SELECT * FROM ${sqlTable(dir)}").count() === 0L)
+    val emptied = ManifestStore.currentSnapshot(spark, dir).get
+    assert(emptied.op === "delete-dv" && emptied.files.isEmpty,
+      "unconditional DELETE must drop the file list, not tombstone rows")
   }
 
   test("UPDATE rewrites matched rows as one tombstone+append commit") {
@@ -633,6 +637,49 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (9, 'z')")
     val after = ManifestStore.currentSnapshot(spark, dir).get
     assert(after.files.forall(f => after.parts.get(f).exists(_.contains("p"))))
+  }
+
+  test("TBLPROPERTIES: create-time bag, SET/UNSET, carry, stream-neutral") {
+    val dir = tmpDir() + "/props"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('team' = 'data', 'pii' = 'false')")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'a')")
+    // the bag survives data commits
+    assert(ManifestStore.currentSnapshot(spark, dir).get.props ===
+      Map("team" -> "data", "pii" -> "false"))
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} SET TBLPROPERTIES " +
+      "('pii' = 'true', 'retention' = '30d')")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} UNSET TBLPROPERTIES ('team')")
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.op === "properties")
+    assert(snap.props === Map("pii" -> "true", "retention" -> "30d"))
+    // DESCRIBE surfaces user props alongside (never instead of) the facts
+    val props = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, dir)).properties()
+    assert(props.get("retention") === "30d")
+    assert(props.get("numRows") === "1", "facts stay engine-truthful")
+    // engine-maintained keys refuse on SET
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} SET TBLPROPERTIES ('numRows' = '0')")
+    }
+    // the properties commit is data-neutral: a ROW-mode stream passes it
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("props_row")
+      .option("checkpointLocation", Files.createTempDirectory("cp").toString)
+      .start()
+    try {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} SET TBLPROPERTIES ('a' = 'b')")
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (2, 'b')")
+      q.processAllAvailable()
+      assert(spark.table("props_row").count() === 1L)
+    } finally q.stop()
+    // clone carries the bag
+    val dst = tmpDir() + "/props-clone"
+    ManifestStore.cloneShallow(spark, dir, dst)
+    assert(ManifestStore.currentSnapshot(spark, dst).get.props
+      .get("retention").contains("30d"))
   }
 
   test("DESCRIBE EXTENDED surfaces snapshot facts as table properties") {
