@@ -2771,10 +2771,17 @@ object ManifestStore {
           n => lit(null).cast(schema(n).dataType))
       }
       // 5. by-source: live rows no source row matched (pruning is off in
-      // this mode, so `cand` covers the whole table)
+      // this mode, so `cand` covers the whole table). "Unmatched" is
+      // exactly "absent from the staged matched pairs", so the anti-join
+      // probes the staged TARGET row ids — a hash anti on two columns
+      // with a batch-sized build side, whatever shape the ON condition
+      // has (re-evaluating a non-equi cond here would plan a nested-loop
+      // join against the table)
       val (bsTomb, bsImages) = if (bySource.isEmpty || cand.isEmpty) (None, Nil)
         else {
-          val only = liveCand.join(src, cond, "left_anti")
+          val matchedIds = mdf.get.select(col(dvNameCol), col(dvIdxCol))
+          val only = liveCand.join(matchedIds,
+            Seq(dvNameCol, dvIdxCol), "left_anti")
           (Some(tombOf(only, bySource)), images(only, bySource, col))
         }
       // 6. tombstone sidecar + fresh image files, one atomic commit
