@@ -54,7 +54,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[V1Write]] → the same OCC manifest commits every other writer uses.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = "graft"
 
@@ -150,15 +151,7 @@ class GraftCatalog extends TableCatalog
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val dir = dirOf(ident)
-    val pcols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
-        t.references()(0).fieldNames()(0)
-      case other => throw new UnsupportedOperationException(
-        s"graft tables support PARTITIONED BY identity columns only — " +
-          s"got transform $other (bucket/days/… have no per-file partition " +
-          "value the manifest could record)")
-    }
+    val pcols = identityCols(partitions)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // user TBLPROPERTIES persist in the manifest; Spark-internal keys
     // (provider/location/owner + option passthrough) are engine state,
@@ -168,6 +161,56 @@ class GraftCatalog extends TableCatalog
     ManifestStore.createEmpty(spark, dir, schema, pcols, userProps)
     ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
   }
+
+  /** Atomic CTAS / REPLACE TABLE / CREATE OR REPLACE (AS SELECT): the
+    * staged-commit protocol. The query's data files write UNPUBLISHED
+    * under the table directory; `commitStagedChanges` publishes them as
+    * ONE manifest version — `create-as` for a fresh table, `overwrite`
+    * for a replace, which REDEFINES schema, declared partitioning and
+    * properties verbatim (prior contents stay time-travelable). A
+    * failure before commit leaves only vacuum-collectable staged files —
+    * never a half-created table.
+    */
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    staged(ident, info, create = true)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, info, create = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, info, create = !tableExists(ident))
+
+  private def staged(ident: Identifier,
+                     info: org.apache.spark.sql.connector.catalog.TableInfo,
+                     create: Boolean): GraftStagedTable = {
+    val dir = dirOf(ident)
+    val pcols = identityCols(info.partitions())
+    val userProps = info.properties().asScala.toMap.filterNot { case (k, _) =>
+      GraftCatalog.reservedProps(k) }
+    GraftStagedTable(dir, info.schema(), pcols, userProps, create)
+  }
+
+  /** Identity-transform column names; anything else refuses loudly. */
+  private def identityCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support PARTITIONED BY identity columns only — " +
+          s"got transform $other (bucket/days/… have no per-file partition " +
+          "value the manifest could record)")
+    }
 
   /** `ALTER TABLE … ADD COLUMNS (…)` — the one evolution the widening-only
     * rule admits — as a metadata-only `schema` commit
@@ -330,6 +373,68 @@ private[graft] case class ManifestTableV2(dir: String,
     if (ManifestStore.deleteWhere(spark, dir, schema, cond).isEmpty)
       throw new java.util.ConcurrentModificationException(
         s"DELETE FROM $dir lost a concurrent-commit race — retry")
+  }
+}
+
+/** One in-flight atomic CTAS/REPLACE target ([[GraftCatalog.stageCreate]]
+  * family): collects the query's staged data files, publishes them as one
+  * manifest commit on `commitStagedChanges`, deletes them on abort.
+  */
+private[graft] case class GraftStagedTable(dir: String,
+                                           stagedSchema: StructType,
+                                           pcols: Seq[String],
+                                           userProps: Map[String, String],
+                                           create: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  @volatile private var stagedFiles: Seq[String] = Nil
+  @volatile private var stagedParts: Map[String, Map[String, String]] = Map.empty
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"graft.`$dir` (staged)"
+
+  override lazy val schema: StructType = stagedSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
+      // replace semantics are the COMMIT's job; the staged write itself
+      // is always "these are the new contents"
+      override def truncate(): WriteBuilder = this
+      override def overwrite(filters: Array[Filter]): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val (fl, fp) =
+                if (pcols.nonEmpty)
+                  ManifestStore.stagePartitioned(data, dir, pcols)
+                else ManifestStore.stageData(data, dir)
+              stagedFiles = fl
+              stagedParts = fp
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    ManifestStore.publishStaged(spark, dir, stagedSchema, stagedFiles,
+      stagedParts, pcols, userProps, create): Unit
+
+  override def abortStagedChanges(): Unit = {
+    // staged nonce dirs are derivable from the file list; an abandoned
+    // abort still leaves only vacuum-collectable unreferenced files
+    val hc = spark.sparkContext.hadoopConfiguration
+    stagedFiles.map(_.takeWhile(_ != '/')).distinct.foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(dir, rel)
+      try { p.getFileSystem(hc).delete(p, true): Unit }
+      catch { case _: java.io.IOException => () }
+    }
   }
 }
 

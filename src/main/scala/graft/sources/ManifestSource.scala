@@ -88,7 +88,8 @@ class ManifestSource(spark: SparkSession, dir: String,
     * restore:N, clone:…) can retract rows.
     */
   private def appendSafe(op: String): Boolean =
-    dataNeutral(op) || op == "append" || op.startsWith("stream:")
+    dataNeutral(op) || op == "append" || op == "create-as" ||
+      op.startsWith("stream:") // create-as is version 1: nothing to retract
 
   override val schema: StructType =
     if (readChangeFeed) StructType(dataSchema.fields.toSeq ++ Seq(

@@ -1124,6 +1124,68 @@ object ManifestStore {
   def truncate(spark: SparkSession, dir: String): Long =
     publishLoop(spark, dir, "overwrite", Nil, (_, _) => Nil)
 
+  /** Write `df`'s data files under the table WITHOUT publishing — the
+    * staged half of an atomic CTAS/REPLACE ([[publishStaged]] publishes,
+    * [[GraftStagedTable]] orchestrates). Returns the relative file list
+    * (and per-file partition values for the partitioned variant). Staged
+    * files are invisible until published and vacuum-collectable if
+    * abandoned.
+    */
+  private[sources] def stageData(df: DataFrame, dir: String)
+      : (Seq[String], Map[String, Map[String, String]]) = {
+    val spark = df.sparkSession
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"d-$nonce"
+    df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+    val f = fs(spark, dir)
+    (f.listStatus(new Path(dir, dataRel)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .sorted.map(n => s"$dataRel/$n"), Map.empty)
+  }
+
+  /** [[stageData]]'s hive-partitioned sibling. */
+  private[sources] def stagePartitioned(df: DataFrame, dir: String,
+                                        partitionCols: Seq[String])
+      : (Seq[String], Map[String, Map[String, String]]) = {
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    writeHivePartitioned(df, dir, s"d-$nonce", partitionCols)
+  }
+
+  /** Publish previously-staged files as ONE commit: `create = true` is
+    * the atomic CTAS (version 1 only, op `create-as` — append-safe for
+    * streams, byte-charged unlike the empty `create`); `create = false`
+    * is REPLACE/CREATE-OR-REPLACE (op `overwrite`): the table is
+    * REDEFINED — schema, declared partitioning and properties are the
+    * new definition verbatim (no widening merge; that is the point of
+    * REPLACE), prior contents stay time-travelable until vacuum.
+    */
+  private[sources] def publishStaged(spark: SparkSession, dir: String,
+                                     schema: StructType,
+                                     files: Seq[String],
+                                     parts: Map[String, Map[String, String]],
+                                     partitionCols: Seq[String],
+                                     props: Map[String, String],
+                                     create: Boolean): Long = {
+    partitionCols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in schema")).dataType.typeName
+      require(Set("long", "integer", "short", "byte", "string").contains(dt),
+        s"partition column '$c' has type $dt — only integral/string columns " +
+          "partition (their hive path round-trip is exact)")
+    }
+    val hc = spark.sparkContext.hadoopConfiguration
+    val meta = files.map(r => r -> footerMeta(hc, dir, r)).toMap
+    publishExternal(spark, dir,
+      op = if (create) "create-as" else "overwrite", files = files,
+      stats = meta.view.mapValues(_._1).toMap,
+      rows = meta.view.mapValues(_._2).toMap,
+      schema = Some(schema), parts = parts,
+      firstVersionOnly = create,
+      sizes = meta.view.mapValues(_._3).toMap,
+      partitionCols = partitionCols, props = props)
+  }
+
   /** ALTER TABLE SET/UNSET TBLPROPERTIES: one metadata-only `properties`
     * commit updating the user property bag the manifest carries. The
     * update applies against each publish attempt's own snapshot, so

@@ -639,6 +639,40 @@ class GraftCatalogSpec extends SparkSpec {
     assert(after.files.forall(f => after.parts.get(f).exists(_.contains("p"))))
   }
 
+  test("atomic CTAS and CREATE OR REPLACE redefine the table in one commit") {
+    val dir = tmpDir() + "/cor"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} AS SELECT CAST(1 AS BIGINT) " +
+      "AS k, 'a' AS v")
+    val v1 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(v1.version === 1L && v1.op === "create-as",
+      "atomic CTAS must be ONE commit, not create + append")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) === Set(1L -> "a"))
+    // CREATE OR REPLACE redefines the table — schema, partitioning,
+    // properties — in one atomic overwrite commit
+    spark.sql(s"CREATE OR REPLACE TABLE ${sqlTable(dir)} " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('gen' = '2') AS " +
+      "SELECT CAST(7 AS BIGINT) AS id, 'x' AS p")
+    val v2 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(v2.version === v1.version + 1 && v2.op === "overwrite")
+    assert(v2.schema.get.fieldNames.toSeq === Seq("id", "p"))
+    assert(v2.partitionCols === Seq("p"))
+    assert(v2.props === Map("gen" -> "2"))
+    assert(v2.files.forall(f => v2.parts.get(f).exists(_.contains("p"))))
+    assert(spark.sql(s"SELECT id FROM ${sqlTable(dir)} WHERE p = 'x'")
+      .as[Long].collect().toSeq === Seq(7L))
+    // prior generation stays time-travelable under ITS schema
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 1")) ===
+      Set(1L -> "a"))
+    // REPLACE TABLE demands existence
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft.`${tmpDir()}/absent-r` AS SELECT 1 AS x")
+    }
+    // plain CTAS on an existing table still refuses
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${sqlTable(dir)} AS SELECT 1 AS x")
+    }
+  }
+
   test("TBLPROPERTIES: create-time bag, SET/UNSET, carry, stream-neutral") {
     val dir = tmpDir() + "/props"
     spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, v STRING) " +
