@@ -786,13 +786,19 @@ object ManifestStore {
     // concurrent append/delete claims the next slot first, republishing
     // the planned file list would silently discard that commit's rows —
     // abort loudly instead (same discipline as compact/deleteWhere).
+    val cur = currentSnapshot(spark, dir)
     val planned = math.max(maxClaimedVersion(fs(spark, dir), dir),
-      currentSnapshot(spark, dir).map(_.version).getOrElse(0L))
+      cur.map(_.version).getOrElse(0L))
+    // restore restores DATA; the declared partition columns (immutable
+    // since create) and the CURRENT property bag carry forward — wiping
+    // either on a data rollback would be a silent metadata loss
     publishExternal(spark, dir, op = s"restore:$version", files = snap.files,
       stats = snap.stats, rows = snap.rows, schema = snap.schema,
       parts = snap.parts, blooms = snap.blooms, dvs = snap.dvs,
       firstVersionOnly = false, expectVersion = Some(planned + 1),
-      sizes = snap.sizes)
+      sizes = snap.sizes,
+      partitionCols = cur.map(_.partitionCols).getOrElse(snap.partitionCols),
+      props = cur.map(_.props).getOrElse(snap.props))
   }
 
   /** Metadata-only `COUNT(*)`: the table's exact row count from the

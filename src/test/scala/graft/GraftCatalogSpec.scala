@@ -673,6 +673,25 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("restore preserves declared partitioning and the property bag") {
+    val dir = tmpDir() + "/restp"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('team' = 'data')")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'x')")
+    val vGood = ManifestStore.currentSnapshot(spark, dir).get.version
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (2, 'y')")
+    spark.sql(s"CALL graft.restore('$dir', $vGood)")
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.partitionCols === Seq("p"),
+      "a data rollback must not wipe the declared partition columns")
+    assert(snap.props === Map("team" -> "data"),
+      "a data rollback must not wipe the property bag")
+    // and the restored table still routes writes through the layout
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (3, 'z')")
+    val after = ManifestStore.currentSnapshot(spark, dir).get
+    assert(after.files.forall(f => after.parts.get(f).exists(_.contains("p"))))
+  }
+
   test("TBLPROPERTIES: create-time bag, SET/UNSET, carry, stream-neutral") {
     val dir = tmpDir() + "/props"
     spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, v STRING) " +
