@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
 
 /** Analysis-time rewrite (injected by [[graft.plans.GraftExtensions]], the
   * Delta `DeltaAnalysis` pattern): every manifest-table READ relation is
@@ -100,7 +101,6 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case ManifestTarget(t0) => t0
       case _ => return None
     }
-    if (m.withSchemaEvolution) return None
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
     if (m.sourceTable.output.exists(a => a.name.startsWith("__s_") ||
@@ -113,14 +113,40 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // re-resolution cannot carry.
     def rekey(e: Expression): Option[Expression] =
       if (!e.resolved || SubqueryExpression.hasSubquery(e)) None else Some(e)
-    // star = every target column from the same-named source column
+    val byName = m.sourceTable.output.groupBy(_.name)
+    // WITH SCHEMA EVOLUTION: source-only columns WIDEN the target schema
+    // (nullable adds — the only evolution the manifest admits); ambiguous
+    // duplicate source names refuse. The star expansion below then covers
+    // the widened shape. Without evolution the schema is the table's own.
+    val evolved: StructType =
+      if (!m.withSchemaEvolution) t.schema
+      else m.sourceTable.output
+        .filterNot(a => t.schema.fieldNames.contains(a.name))
+        .filter(a => byName(a.name).size == 1)
+        .foldLeft(t.schema)((s0, a) => s0.add(a.name, a.dataType, nullable = true))
+    // star = every (possibly widened) target column from the same-named
+    // source column; under evolution a target-only column is simply
+    // OMITTED from the assignment map (update keeps it, insert
+    // null-fills — the Delta convention), without evolution it refuses
     def star(): Option[Seq[(String, Expression)]] = {
-      val byName = m.sourceTable.output.groupBy(_.name)
-      val pairs = t.schema.fieldNames.toSeq.map { n =>
-        byName.get(n).collect { case Seq(a) => n -> (a: Expression) }
+      val pairs = evolved.fieldNames.toSeq.map { n =>
+        byName.get(n) match {
+          case Some(Seq(a)) => Some(Some(n -> (a: Expression)))
+          case Some(_) => None // ambiguous duplicate source column
+          case None if m.withSchemaEvolution => Some(None) // keep/null-fill
+          case None => None
+        }
       }
-      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten)
+      if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.flatten)
     }
+    // the widened columns' source expressions — appended to STAR-born
+    // assignment sets under evolution (Spark pre-expands `SET *` /
+    // `INSERT *` over the PRE-evolution target columns; the fromStar flag
+    // and the full-coverage insert signature recover the star intent)
+    val addedPairs: Seq[(String, Expression)] =
+      if (!m.withSchemaEvolution) Nil
+      else evolved.fieldNames.toSeq.filterNot(t.schema.fieldNames.contains)
+        .flatMap(n => byName.get(n).collect { case Seq(a) => n -> (a: Expression) })
     def assignsOf(assigns: Seq[Assignment]): Option[Seq[(String, Expression)]] = {
       val pairs = assigns.map {
         case Assignment(k: AttributeReference, v) if tgtOut.contains(k) =>
@@ -137,10 +163,12 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
           case Some(None) => None
           case rc => Some(ClauseSpec(rc.flatten, None))
         }
-      case UpdateAction(c, assigns, _) =>
+      case UpdateAction(c, assigns, fromStar) =>
         (c.map(rekey), assignsOf(assigns)) match {
           case (Some(None), _) | (_, None) => None
-          case (rc, Some(set)) => Some(ClauseSpec(rc.flatten, Some(set)))
+          case (rc, Some(set)) =>
+            val full = if (fromStar) set ++ addedPairs else set
+            Some(ClauseSpec(rc.flatten, Some(full)))
         }
       case UpdateStarAction(c) =>
         (c.map(rekey), star()) match {
@@ -150,7 +178,14 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case InsertAction(c, assigns) =>
         (c.map(rekey), assignsOf(assigns)) match {
           case (Some(None), _) | (_, None) => None
-          case (rc, Some(set)) => Some(ClauseSpec(rc.flatten, Some(set)))
+          case (rc, Some(set)) =>
+            // a full-coverage insert under evolution carries the widened
+            // columns too (the star signature; InsertAction has no flag)
+            val full =
+              if (set.map(_._1).toSet == t.schema.fieldNames.toSet)
+                set ++ addedPairs
+              else set
+            Some(ClauseSpec(rc.flatten, Some(full)))
         }
       case InsertStarAction(c) =>
         (c.map(rekey), star()) match {
@@ -185,7 +220,9 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     Some(GraftMergeCommand(t, m.sourceTable, cond, matched, notMatched,
-      bySource, equiKeys))
+      bySource, equiKeys,
+      evolveTo = if (m.withSchemaEvolution &&
+        evolved.length > t.schema.length) Some(evolved) else None))
   }
 
   /** Splice `plan` where a relation with `target` attributes stood: a
@@ -280,9 +317,16 @@ private[sources] case class GraftMergeCommand(table: ManifestTableV2,
                                               matched: Seq[ClauseSpec],
                                               notMatched: Seq[ClauseSpec],
                                               bySource: Seq[ClauseSpec],
-                                              equiKeys: Seq[(String, Expression)])
+                                              equiKeys: Seq[(String, Expression)],
+                                              evolveTo: Option[StructType] = None)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    // WITH SCHEMA EVOLUTION: widen first (idempotent metadata commit —
+    // a lost race on identical widening is harmless), merge under the
+    // widened schema
+    val mergeSchema = evolveTo.map { w =>
+      ManifestStore.evolveSchema(session, table.dir, w); w
+    }.getOrElse(table.schema)
     import org.apache.spark.sql.catalyst.expressions.AttributeSet
     import org.apache.spark.sql.graft.StreamingShim.{column, ofRows}
     val srcIds = AttributeSet(source.output)
@@ -297,7 +341,7 @@ private[sources] case class GraftMergeCommand(table: ManifestTableV2,
         c.set.map(_.map { case (n, e) => n -> rekeyed(e) }.toMap))
     val srcDf = ofRows(session, source).select(source.output.map(a =>
       column(a).as(s"__s_${a.name}")): _*)
-    if (ManifestStore.mergeRows(session, table.dir, table.schema,
+    if (ManifestStore.mergeRows(session, table.dir, mergeSchema,
         srcDf, rekeyed(cond), matched.map(clause),
         notMatched.map(clause), bySource.map(clause),
         equiKeys.map { case (n, e) => n -> rekeyed(e) }).isEmpty)

@@ -473,6 +473,38 @@ class GraftCatalogSpec extends SparkSpec {
       (None, Some(10L), "nullk")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target with source columns") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    Seq((2L, "B", 20L), (4L, "d", 40L)).toDF("k", "v", "extra")
+      .createOrReplaceTempView("m_evo_src")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO ${sqlTable(dir)} t " +
+      "USING m_evo_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val snap = ManifestStore.currentSnapshot(spark, dir).get
+    assert(snap.schema.get.fieldNames.toSeq === Seq("k", "v", "extra"),
+      "the source-only column must widen the schema")
+    val got = spark.sql(s"SELECT * FROM ${sqlTable(dir)}")
+      .as[(Long, String, Option[Long])].collect().toSet
+    // untouched rows null-fill the new column; matched/inserted carry it
+    assert(got === Set((1L, "a", None), (2L, "B", Some(20L)),
+      (3L, "c", None), (4L, "d", Some(40L))))
+    // a second evolved merge with the SAME shape is a plain widened merge
+    Seq((1L, "A", 10L)).toDF("k", "v", "extra")
+      .createOrReplaceTempView("m_evo_src2")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO ${sqlTable(dir)} t " +
+      "USING m_evo_src2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT extra FROM ${sqlTable(dir)} WHERE k = 1")
+      .as[Option[Long]].head() === Some(10L))
+    // WITHOUT the keyword a type-conflicting source column still refuses
+    Seq((1L, 99L)).toDF("k", "v").createOrReplaceTempView("m_evo_bad")
+    intercept[Exception] {
+      spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO ${sqlTable(dir)} t " +
+        "USING m_evo_bad s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *")
+    }
+  }
+
   test("MERGE commit feeds CDF: tombstoned preimages + fresh images") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
@@ -713,6 +745,11 @@ class GraftCatalogSpec extends SparkSpec {
         .of(Array.empty, dir)).properties()
     assert(props.get("retention") === "30d")
     assert(props.get("numRows") === "1", "facts stay engine-truthful")
+    // SHOW TBLPROPERTIES renders the bag
+    val shown = spark.sql(s"SHOW TBLPROPERTIES ${sqlTable(dir)}")
+      .as[(String, String)].collect().toMap
+    assert(shown.get("retention").contains("30d") &&
+      shown.get("pii").contains("true"), shown.toString)
     // engine-maintained keys refuse on SET
     intercept[Exception] {
       spark.sql(s"ALTER TABLE ${sqlTable(dir)} SET TBLPROPERTIES ('numRows' = '0')")
