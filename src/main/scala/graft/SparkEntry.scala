@@ -643,18 +643,46 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("user_total"))
     }),
 
-    // Quantile sketch per group (Greenwald-Khanna via approx_percentile) —
-    // the mergeable one-pass form of q39's exact order statistics; bounded
-    // error (accuracy vs exact asserted in TrainingOpsSpec), no per-group
-    // sort. Rows-only: DuckDB's approx algorithm differs.
+    // Quantile sketch per group (Greenwald-Khanna via approx_percentile),
+    // ORACLE-FENCED: the sketch runs in-plan (accuracy a=2000 → rank error
+    // ε ≤ 1/a per the GK guarantee), but the query emits the EXACT rank
+    // quantiles p25/p75/p95 (interpolation-free row_number discipline, as
+    // q115/q140) and keeps a group's row only when every GK estimate lies
+    // between the exact values at ranks (q±ε)·n (± 2 ranks rounding slack).
+    // A drifting sketch drops rows → the driver's oracle row-count check
+    // goes red: the sketch's error bound is enforced by CORRECTNESS itself,
+    // not only by TrainingOpsSpec. Cost: one window pass + one map-side GK
+    // agg + a |groups|-row broadcast join — no extra events scan for the
+    // band check, the band values come out of the same window pass.
     "q44_quantile_sketch" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(2000))
-          .as("p_approx"),
-          count(lit(1)).as("n_events"))
-        .select(col("event_type"), col("p_approx")(0).as("p50_approx"),
-          col("p_approx")(1).as("p90_approx"), col("n_events"))
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val byT = Window.partitionBy(col("event_type"))
+      val w = byT.orderBy(col("value").asc, col("event_id").asc)
+      val ranked = e
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(byT))
+      val eps = 1.0 / 2000
+      // exact value at the (clamped) target rank r
+      def at(r: Column) = max(when(
+        col("rn") === greatest(lit(1L), least(col("n"), r)), col("value")))
+      def qcols(q: Double, tag: String) = Seq(
+        at(ceil(lit(q) * col("n"))).as(s"p$tag"),
+        at(floor(lit(q - eps) * col("n")) - lit(2L)).as(s"lo$tag"),
+        at(ceil(lit(q + eps) * col("n")) + lit(2L)).as(s"hi$tag"))
+      val exact = ranked.groupBy(col("event_type")).agg(
+        max(col("n")).as("n_events"),
+        (qcols(0.25, "25") ++ qcols(0.75, "75") ++ qcols(0.95, "95")): _*)
+      val gk = e.groupBy(col("event_type")).agg(
+        percentile_approx(col("value"),
+          array(lit(0.25), lit(0.75), lit(0.95)), lit(2000)).as("g"))
+      exact.join(broadcast(gk), "event_type")
+        .filter(
+          col("g")(0).between(col("lo25"), col("hi25")) &&
+          col("g")(1).between(col("lo75"), col("hi75")) &&
+          col("g")(2).between(col("lo95"), col("hi95")))
+        .select(col("event_type"), col("p25"), col("p75"), col("p95"),
+          col("n_events"))
     }),
 
     // Column profile — per-column null count + exact distinct count over the
@@ -3218,6 +3246,27 @@ object SparkEntry {
          JOIN (SELECT user_id, count(*) AS user_total
                FROM events GROUP BY user_id) d
            ON e.user_id = d.user_id""",
+
+    // exact side of the oracle-fenced GK sketch: the Spark plan emits these
+    // exact-rank quantiles only for groups whose in-plan GK estimates sit
+    // inside the (q±ε)n band, so a row-count match here certifies the
+    // sketch's error bound (DuckDB cannot run GK; it doesn't need to)
+    "q44_quantile_sketch" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+                max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                    THEN value END) AS p25,
+                max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                    THEN value END) AS p75,
+                max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN value END) AS p95,
+                max(n) AS n_events
+         FROM ranked GROUP BY event_type""",
 
     // batch doc admitted iff no jaccard>=0.2 pair with an existing doc or a
     // smaller-id batch doc (the Spark side's corpus-side hot-key prune has

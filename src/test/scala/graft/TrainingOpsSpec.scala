@@ -1173,20 +1173,45 @@ class TrainingOpsSpec extends SparkSpec {
   test("quantile sketch rank error is within accuracy bound vs exact order stats") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.01"
-    val approx = SparkEntry.queries("q44_quantile_sketch")(spark, dir)
-      .select("event_type", "p50_approx", "p90_approx")
-      .as[(String, Double, Double)].collect()
-      .map { case (t, a, b) => t -> (a, b) }.toMap
-    // GK with accuracy=2000 guarantees rank error <= n/2000; verify the
-    // reported value's actual rank sits within that band of the target rank
-    val vals = spark.read.parquet(s"$dir/events.parquet")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val vals = events
       .select($"event_type", $"value").as[(String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    for ((t, (p50, p90)) <- approx; (q, v) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+    // direct GK assertion (independent of the query's own fence): accuracy
+    // a=2000 guarantees rank error <= n/2000; verify each reported value's
+    // actual rank sits within that band of the target rank
+    val approx = events.groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.percentile_approx(
+        $"value", org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(0.25),
+          org.apache.spark.sql.functions.lit(0.75),
+          org.apache.spark.sql.functions.lit(0.95)),
+        org.apache.spark.sql.functions.lit(2000)).as("g"))
+      .select($"event_type", $"g" (0), $"g" (1), $"g" (2))
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (t, a, b, c) => t -> Seq(0.25 -> a, 0.75 -> b, 0.95 -> c) }
+      .toMap
+    for ((t, qs) <- approx; (q, v) <- qs) {
       val xs = vals(t)
       val rank = xs.count(_ <= v).toDouble / xs.length
       assert(math.abs(rank - q) <= 1.0 / 2000 + 1.0 / xs.length + 0.01,
         s"$t q=$q: reported $v has rank $rank")
+    }
+    // the oracle-fenced q44: exactly one surviving row per event_type means
+    // every in-plan GK estimate passed the (q±ε)n exact-rank band — the same
+    // property the driver's row-count check certifies at verify time —
+    // and the emitted columns are the exact interpolation-free quantiles
+    val q44 = SparkEntry.queries("q44_quantile_sketch")(spark, dir)
+      .select("event_type", "p25", "p75", "p95")
+      .as[(String, Double, Double, Double)].collect()
+    assert(q44.length == vals.size,
+      s"q44 kept ${q44.length} of ${vals.size} groups — a GK estimate " +
+        "escaped its rank band")
+    for ((t, p25, p75, p95) <- q44) {
+      val xs = vals(t); val n = xs.length
+      def exact(q: Double) = xs(math.ceil(q * n).toInt - 1)
+      assert(p25 == exact(0.25) && p75 == exact(0.75) && p95 == exact(0.95),
+        s"$t exact-rank mismatch")
     }
   }
 
