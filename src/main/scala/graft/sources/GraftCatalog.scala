@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The SQL surface over [[ManifestStore]] tables — a DSv2 [[TableCatalog]]
@@ -212,11 +212,29 @@ class GraftCatalog extends TableCatalog
           "value the manifest could record)")
     }
 
-  /** `ALTER TABLE … ADD COLUMNS (…)` — the one evolution the widening-only
-    * rule admits — as a metadata-only `schema` commit
-    * ([[ManifestStore.evolveSchema]]); everything else (drop/rename/type
-    * change) is refused: it would orphan or reinterpret data recorded in
-    * immutable files.
+  /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN`.
+    *
+    * ADD COLUMNS is the widening evolution every write already admits — a
+    * metadata-only `schema` commit; pre-evolution files null-fill.
+    *
+    * RENAME and DROP are METADATA-ONLY too, via [[ColumnMapping]] (Delta's
+    * `columnMapping.mode = name` re-derived for the manifest): a rename
+    * pins the field's immutable PHYSICAL name and changes only the logical
+    * one; a drop removes the field and parks its physical name in the
+    * `graft.retired` property so a later ADD of the same name takes a
+    * fresh physical identity instead of resurrecting dropped bytes. Data
+    * files, stats, blooms, partition paths never change — a rename on a
+    * 100 TB table costs one JSON write. Time travel is exact: each
+    * version's snapshot carries the schema (and mapping) of its own era.
+    *
+    * Still refused: TYPE changes (would reinterpret stored bytes), DROP of
+    * a declared partition column (the layout and pruning plan by it), and
+    * nested-field surgery.
+    *
+    * Concurrency: rename/drop derive the new schema from the current
+    * snapshot and commit with a schema-unchanged guard
+    * ([[ManifestStore.alterColumnsExact]]); a racing ALTER re-plans
+    * (bounded retries) instead of last-writer-clobbering.
     */
   override def alterTable(ident: Identifier,
                           changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
@@ -237,24 +255,82 @@ class GraftCatalog extends TableCatalog
       return ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir)
         .getOrElse(throw new NoSuchTableException(ident)))
     }
-    val base = ManifestStore.currentSnapshot(spark, dir)
-      .getOrElse(throw new NoSuchTableException(ident))
-      .schema.getOrElse(throw new IllegalStateException(
+    val widenOnly = changes.forall(_.isInstanceOf[TableChange.AddColumn])
+    var attempts = 0
+    while (true) {
+      val snap = ManifestStore.currentSnapshot(spark, dir)
+        .getOrElse(throw new NoSuchTableException(ident))
+      val base = snap.schema.getOrElse(throw new IllegalStateException(
         s"manifest table $dir records no schema — cannot ALTER"))
-    val widened = changes.foldLeft(base) {
-      case (s, add: TableChange.AddColumn) =>
-        require(add.fieldNames().length == 1,
-          "ADD COLUMNS supports top-level columns only")
-        require(add.isNullable,
-          "added columns must be nullable — pre-evolution files null-fill")
-        s.add(add.fieldNames()(0), add.dataType(), nullable = true)
-      case (_, other) =>
-        throw new UnsupportedOperationException(
-          s"ALTER TABLE change $other is not supported — the manifest " +
-            "schema evolves widening-only (ADD COLUMNS of nullable fields)")
+      var schema = base
+      var retire = List.empty[String]
+      var props = snap.props
+      def oneCol(fieldNames: Array[String], what: String): String = {
+        require(fieldNames.length == 1,
+          s"$what supports top-level columns only")
+        fieldNames(0)
+      }
+      def fieldOf(name: String): StructField =
+        schema.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$name' in table $dir"))
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          val name = oneCol(add.fieldNames(), "ADD COLUMNS")
+          require(add.isNullable,
+            "added columns must be nullable — pre-evolution files null-fill")
+          require(!schema.fieldNames.contains(name),
+            s"column '$name' already exists")
+          // fresh physical identity when the name was ever used physically
+          val phys = ColumnMapping.freshPhysical(name, schema, props)
+          schema = StructType(schema.fields :+ ColumnMapping.withPhysical(
+            StructField(name, add.dataType(), nullable = true), phys))
+        case rn: TableChange.RenameColumn =>
+          val from = oneCol(rn.fieldNames(), "RENAME COLUMN")
+          val to = rn.newName()
+          val f = fieldOf(from)
+          require(!schema.fieldNames.contains(to),
+            s"cannot rename '$from' to '$to': column exists")
+          val phys = ColumnMapping.physicalName(f)
+          schema = StructType(schema.fields.map { g =>
+            if (g.name == from)
+              ColumnMapping.withPhysical(g.copy(name = to), phys)
+            else g
+          })
+        case del: TableChange.DeleteColumn =>
+          val name = oneCol(del.fieldNames(), "DROP COLUMN")
+          val f = fieldOf(name)
+          val phys = ColumnMapping.physicalName(f)
+          require(!snap.partitionCols.contains(phys),
+            s"cannot drop '$name': it is a declared partition column — " +
+              "the table's file layout and pruning plan by it")
+          require(schema.fields.length > 1,
+            s"cannot drop '$name': it is the table's only column")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          retire ::= phys
+          props = ColumnMapping.withRetired(props, Seq(phys))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE change $other is not supported — the manifest " +
+              "admits ADD COLUMNS (nullable), RENAME COLUMN and DROP " +
+              "COLUMN (both metadata-only via column mapping); type " +
+              "changes would reinterpret immutable files")
+      }
+      try {
+        if (widenOnly)
+          // pure widening merges concurrent-safely through mergeSchemas
+          // (mapping metadata on both sides carries through the merge)
+          ManifestStore.evolveSchema(spark, dir, schema)
+        else
+          ManifestStore.alterColumnsExact(spark, dir, base.json, schema,
+            retire.reverse)
+        return ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
+      } catch {
+        case _: java.util.ConcurrentModificationException if attempts < 5 =>
+          attempts += 1 // schema moved under us: re-plan from the new base
+      }
     }
-    ManifestStore.evolveSchema(spark, dir, widened)
-    ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
+    throw new IllegalStateException("unreachable")
   }
 
   /** DROP TABLE on a path table would delete user data at a raw directory
@@ -277,7 +353,7 @@ private[sources] object GraftCatalog {
     */
   val reservedProps: Set[String] = Set("provider", "location", "owner",
     "external", "version", "op", "numFiles", "numRows", "sizeBytes",
-    "partitionCols")
+    "partitionCols", ColumnMapping.RetiredProp)
 }
 
 /** One manifest table pinned to one [[ManifestStore.Snapshot]] — the DSv2
@@ -294,11 +370,15 @@ private[graft] case class ManifestTableV2(dir: String,
 
   override def name(): String = s"graft.`$dir`"
 
-  override lazy val schema: StructType = snap.schema.getOrElse(
-    throw new IllegalStateException(
-      s"manifest table $dir records no schema — written by a pre-schema " +
-        "writer; read it once through spark.read.format(\"graft-manifest\")" +
-        ".schema(...) to re-record one"))
+  /** User-visible shape: column-mapping metadata stripped (physical names
+    * are a storage detail; internals resolve them through the snapshot).
+    */
+  override lazy val schema: StructType = ColumnMapping.stripMapping(
+    snap.schema.getOrElse(
+      throw new IllegalStateException(
+        s"manifest table $dir records no schema — written by a pre-schema " +
+          "writer; read it once through spark.read.format(\"graft-manifest\")" +
+          ".schema(...) to re-record one")))
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -324,15 +404,25 @@ private[graft] case class ManifestTableV2(dir: String,
       else sized
     val parted =
       if (snap.partitionCols.isEmpty) counted
-      else counted + ("partitionCols" -> snap.partitionCols.mkString(", "))
+      else counted + ("partitionCols" -> logicalPartitionCols.mkString(", "))
     parted.asJava
+  }
+
+  /** Declared partition columns at the USER surface — the manifest stores
+    * the immutable physical names; a renamed partition column displays
+    * (and resolves in INSERT OVERWRITE PARTITION) under its current
+    * logical name.
+    */
+  private[sources] def logicalPartitionCols: Seq[String] = snap.schema match {
+    case Some(ss) => snap.partitionCols.map(ColumnMapping.logicalFor(ss, _))
+    case None => snap.partitionCols
   }
 
   /** Declared PARTITIONED-BY columns as identity transforms — `DESCRIBE`
     * and the planner see the same partitioning every write routes by.
     */
   override def partitioning(): Array[Transform] =
-    snap.partitionCols.map(c =>
+    logicalPartitionCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
   /** The pinned snapshot's declarative read — what [[ManifestV2Rewrite]]
@@ -490,8 +580,13 @@ private[graft] case class ManifestMetaTable(dir: String, kind: String)
         // under the empty partition key.
         val s = ManifestStore.currentSnapshot(session, dir).getOrElse(
           ManifestStore.Snapshot(0L, Nil, "none"))
-        s.files.groupBy(f => s.parts.getOrElse(f, Map.empty).toSeq.sorted
-            .map { case (k, v) => s"$k=$v" }.mkString(", "))
+        // recorded values key by PHYSICAL column; render logical names
+        def disp(k: String): String = s.schema match {
+          case Some(ss) => ColumnMapping.logicalFor(ss, k)
+          case None => k
+        }
+        s.files.groupBy(f => s.parts.getOrElse(f, Map.empty).toSeq
+            .map { case (k, v) => s"${disp(k)}=$v" }.sorted.mkString(", "))
           .toSeq.sortBy(_._1)
           .map { case (p, fl) => (p, fl.size.toLong,
             fl.flatMap(s.sizes.get).sum, fl.flatMap(s.rows.get).sum,
@@ -583,7 +678,8 @@ private[sources] class ManifestWriteBuilder(table: ManifestTableV2)
   override def truncate(): WriteBuilder = { replace = true; this }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    val pcols = table.snap.partitionCols.toSet
+    // SQL references logical names; overwritePartitions translates back
+    val pcols = table.logicalPartitionCols.toSet
     val eqs = filters.toSeq.flatMap {
       case _: AlwaysTrue => None
       case org.apache.spark.sql.sources.EqualTo(c, v)
@@ -607,8 +703,9 @@ private[sources] class ManifestWriteBuilder(table: ManifestTableV2)
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           // a PARTITIONED-BY table routes every write through the
           // hive-partitioned writer: per-file partition values land in
-          // the manifest and prune reads exactly
-          val pcols = table.snap.partitionCols
+          // the manifest and prune reads exactly. LOGICAL names here —
+          // the store translates to the immutable physical layout.
+          val pcols = table.logicalPartitionCols
           if (replace || overwrite) {
             if (partitionFilter.nonEmpty)
               ManifestStore.overwritePartitions(data, table.dir, pcols,

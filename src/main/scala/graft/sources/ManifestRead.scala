@@ -283,16 +283,19 @@ private[sources] class ManifestFileIndex(spark: SparkSession, dir: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // filters reference this relation's output = the PHYSICAL schema, so
+    // the pruning probes run in physical currency (stats/partition/bloom
+    // keys are physical by the mapping invariant) — no translation here
     val ranges = ManifestRead.toRanges(dataFilters)
     val ranged =
       if (ranges.isEmpty) snap.files
-      else ManifestStore.pruneFilesWhere(snap, ranges)
+      else ManifestStore.pruneFilesWherePhys(snap, ranges)
     // IN / equality sets prune per VALUE on top of the range envelope:
     // each value probes stats/partition values/blooms, union per set,
     // intersect across conjuncts
     val inSets = ManifestRead.toInSets(dataFilters)
     val kept = inSets.foldLeft(ranged) { case (fs, (c, vs)) =>
-      val admitted = ManifestStore.pruneFilesIn(snap, c, vs).toSet
+      val admitted = ManifestStore.pruneFilesInPhys(snap, c, vs).toSet
       fs.filter(admitted)
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(statusByRel).toArray))

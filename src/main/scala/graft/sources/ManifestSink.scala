@@ -162,7 +162,15 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
       throw new IllegalStateException(
         s"manifest table $dir records no schema — pass one via .schema(...)"))
     val dvFiles = snap.files.flatMap(snap.dvs.get).flatMap(_.files)
-    if (dvFiles.isEmpty)
+    // column mapping: a renamed/dropped-column table's files spell
+    // PHYSICAL names a bare HadoopFsRelation cannot alias (DSv1 returns
+    // the relation itself, no Project above it) — route through the
+    // delegating relation, which the GraftExtensions rewrite re-splices
+    // into the declarative readVersion plan (aliased scan, no Row
+    // boundary with the extensions installed)
+    val mapped = !ColumnMapping.trivial(
+      ColumnMapping.resolve(schema, snap.schema))
+    if (dvFiles.isEmpty && !mapped)
       // native path: vectorized parquet scan over the manifest's file
       // list with stat/partition/bloom data skipping in listFiles
       HadoopFsRelation(
@@ -263,10 +271,19 @@ class ManifestSink(dir: String, appId: String,
       val pcols =
         if (partitionCols.nonEmpty) partitionCols
         else {
-          val declared = ManifestStore.currentSnapshot(spark, dir)
-            .map(_.partitionCols).getOrElse(Nil)
-          if (declared.nonEmpty && declared.forall(plain.columns.contains))
-            declared
+          // declared partitionCols are PHYSICAL; the incoming micro-batch
+          // speaks logical names — translate for the routing check (the
+          // store re-translates at its own boundary, identity both ways
+          // on unmapped tables)
+          val snap0 = ManifestStore.currentSnapshot(spark, dir)
+          val declared = snap0.map(_.partitionCols).getOrElse(Nil)
+          val declaredLogical = snap0.flatMap(_.schema) match {
+            case Some(ss) => declared.map(ColumnMapping.logicalFor(ss, _))
+            case None => declared
+          }
+          if (declaredLogical.nonEmpty &&
+              declaredLogical.forall(plain.columns.contains))
+            declaredLogical
           else Nil
         }
       if (pcols.isEmpty)

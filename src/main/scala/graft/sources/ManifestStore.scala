@@ -418,11 +418,25 @@ object ManifestStore {
     * wrong.
     */
   def pruneFiles(snap: Snapshot, column: String, lo: Any, hi: Any): Seq[String] =
+    pruneFilesPhys(snap, physFor(snap, column), lo, hi)
+
+  /** [[pruneFiles]] in PHYSICAL column currency — what the scan-side
+    * planners call ([[ManifestFileIndex.listFiles]]'s filters reference
+    * the physical scan output; public entry points translate logical →
+    * physical once and delegate here). On unmapped tables the two
+    * currencies coincide and the public forms are pure pass-throughs.
+    */
+  private[sources] def pruneFilesPhys(snap: Snapshot, column: String,
+                                      lo: Any, hi: Any): Seq[String] =
     snap.files.filter { rel =>
       partitionAdmits(snap, rel, column, lo, hi).getOrElse {
         statsAdmit(snap, rel, column, lo, hi)
       } && bloomAdmits(snap, rel, column, lo, hi)
     }
+
+  /** Logical column → the name recorded in file-level metadata. */
+  private def physFor(snap: Snapshot, column: String): String =
+    snap.schema.map(s => ColumnMapping.physFor(s, column)).getOrElse(column)
 
   /** The file subset that can satisfy EVERY range of a conjunctive
     * predicate (`column ∈ [lo, hi]` per entry) — the composite planner for
@@ -431,6 +445,12 @@ object ManifestStore {
     * partition value when recorded, else footer stats.
     */
   def pruneFilesWhere(snap: Snapshot, ranges: Seq[(String, Any, Any)]): Seq[String] =
+    pruneFilesWherePhys(snap,
+      snap.schema.map(s => ColumnMapping.physRanges(s, ranges)).getOrElse(ranges))
+
+  /** [[pruneFilesWhere]] in physical currency (see [[pruneFilesPhys]]). */
+  private[sources] def pruneFilesWherePhys(snap: Snapshot,
+                                           ranges: Seq[(String, Any, Any)]): Seq[String] =
     snap.files.filter { rel =>
       ranges.forall { case (column, lo, hi) =>
         (partitionAdmits(snap, rel, column, lo, hi)
@@ -464,7 +484,8 @@ object ManifestStore {
     */
   private def canonicalProbe(snap: Snapshot, column: String, v: Any): Option[String] =
     if (v == Unbounded) None // open bound: no point probe, keep the file
-    else snap.schema.flatMap(_.fields.find(_.name == column))
+    else snap.schema.flatMap(_.fields.find(f =>
+        ColumnMapping.physicalName(f) == column)) // physical currency here
       .flatMap(_.dataType.typeName match {
         case "long" | "integer" | "short" | "byte" =>
           scala.util.Try(toLong(v).toString).toOption
@@ -501,7 +522,8 @@ object ManifestStore {
                               lo: Any, hi: Any): Option[Boolean] =
     snap.parts.get(rel).flatMap(_.get(column)).map { v =>
       if (v == hiveNullPartition) true // null matches nothing provable: keep
-      else snap.schema.flatMap(s => s.fields.find(_.name == column))
+      else snap.schema.flatMap(s => s.fields.find(f =>
+          ColumnMapping.physicalName(f) == column))
         .map(_.dataType.typeName) match {
         case Some("long" | "integer" | "short" | "byte") =>
           (lo == Unbounded || v.toLong >= toLong(lo)) &&
@@ -522,7 +544,8 @@ object ManifestStore {
                                 lo: Any, hi: Any): Boolean =
     snap.parts.get(rel).flatMap(_.get(column)).exists { v =>
       v != hiveNullPartition &&
-        (snap.schema.flatMap(_.fields.find(_.name == column))
+        (snap.schema.flatMap(_.fields.find(f =>
+            ColumnMapping.physicalName(f) == column))
           .map(_.dataType.typeName) match {
           case Some("long" | "integer" | "short" | "byte") =>
             (lo == Unbounded || v.toLong >= toLong(lo)) &&
@@ -618,7 +641,12 @@ object ManifestStore {
     * of the lake. Missing stats keep a file — safe, never wrong.
     */
   def pruneFilesIn(snap: Snapshot, column: String, values: Seq[Any]): Seq[String] =
-    values.flatMap(v => pruneFiles(snap, column, v, v)).distinct
+    pruneFilesInPhys(snap, physFor(snap, column), values)
+
+  /** [[pruneFilesIn]] in physical currency (see [[pruneFilesPhys]]). */
+  private[sources] def pruneFilesInPhys(snap: Snapshot, column: String,
+                                        values: Seq[Any]): Seq[String] =
+    values.flatMap(v => pruneFilesPhys(snap, column, v, v)).distinct
 
   /** Point-lookup read: rows whose `column` equals one of `values`,
     * scanning only the files [[pruneFilesIn]] keeps. Results are identical
@@ -677,8 +705,11 @@ object ManifestStore {
       require(Set("long", "integer", "short", "byte", "string")(t),
         s"bloom column '$c' must be integral or string (got $t)")
     }
+    // blooms key by PHYSICAL column (file-level artifact, immune to
+    // renames); user columns arrive logical and translate once here
+    val physCols = columns.map(c => ColumnMapping.physFor(schema, c))
     val todo = snap.files.filterNot(rel =>
-      columns.forall(c => snap.blooms.get(rel).exists(_.contains(c))))
+      physCols.forall(c => snap.blooms.get(rel).exists(_.contains(c))))
     if (todo.isEmpty) return snap.version
     // rows map back to manifest entries by parquet file NAME (globally
     // unique: every commit writes under a fresh d-<nonce>/ prefix and part
@@ -692,11 +723,12 @@ object ManifestStore {
     var bits = 256
     while (bits < bitsPerKey.toLong * maxRows && bits < (1 << 20)) bits <<= 1
     val paths = todo.map(new Path(dir, _).toString)
-    val base = spark.read.schema(schema).parquet(paths: _*)
+    val base = spark.read.schema(ColumnMapping.physicalSchema(schema))
+      .parquet(paths: _*)
       .withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
     // one md5 per (row, column); k 24-bit slices of the hex are the k
     // bit positions — the identical derivation BloomIndex.contains probes
-    val hashed = columns.map { c =>
+    val hashed = physCols.map { c =>
       base.filter(col(c).isNotNull)
         .select(col("__file"), lit(c).as("__col"),
           md5(col(c).cast("string")).as("__h"))
@@ -724,7 +756,7 @@ object ManifestStore {
     // column gets the all-zero bloom (provably contains nothing — prunes
     // every probe, correctly)
     val fresh = todo.map { rel =>
-      rel -> columns.map(c =>
+      rel -> physCols.map(c =>
         c -> BloomIndex(bits, k,
           acc.getOrElse((rel, c), new Array[Long](bits / 64)))).toMap
     }.toMap
@@ -870,10 +902,17 @@ object ManifestStore {
   }
 
   private def readSnapshot(spark: SparkSession, dir: String, s: Snapshot,
-                           schema: StructType): DataFrame =
-    if (s.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+                           schema0: StructType): DataFrame = {
+    // column mapping: the scan speaks PHYSICAL (file) names; the output
+    // aliases back to the logical schema. `resolve` fills mapping metadata
+    // a bare caller-supplied schema lacks from the snapshot's own record;
+    // on the (overwhelmingly common) trivial mapping every seam below is
+    // the identity — no extra Project, byte-identical plans.
+    val schema = ColumnMapping.resolve(schema0, s.schema)
+    if (s.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        ColumnMapping.stripMapping(schema))
     else {
-      import org.apache.spark.sql.functions.col
       // merge-on-read: anti-join the live files' tombstones. The dv union
       // is sized by what deletes touched, not the table — AQE broadcasts
       // it; the no-dv path (every append-only and freshly-compacted
@@ -884,8 +923,8 @@ object ManifestStore {
       // RPCs) and prunes files against the query's own filters with the
       // manifest's stats/partition values/blooms — every
       // ManifestStore.read shares the `graft-manifest` read path
-      val base = manifestScan(spark, dir, s, schema)
-      if (dvFiles.isEmpty) base
+      val base = manifestScan(spark, dir, s, ColumnMapping.physicalSchema(schema))
+      if (dvFiles.isEmpty) ColumnMapping.aliasToLogical(base, schema)
       else
         // merge-on-read stays one declarative tree: the vectorized
         // parquet scan (with `_metadata.file_path`/`row_index` row
@@ -895,8 +934,32 @@ object ManifestStore {
         // tombstones of pruned files simply never match.
         withRowIds(base)
           .join(readDvPairs(spark, dir, dvFiles), Seq(dvNameCol, dvIdxCol), "left_anti")
-          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+          .select(ColumnMapping.logicalCols(schema): _*)
     }
+  }
+
+  /** The live rows of `files` with the dv row-identity columns exposed —
+    * LOGICAL columns plus ([[dvNameCol]], [[dvIdxCol]]): the shared scan
+    * every row-level writer plans its tombstones/images from. The scan
+    * itself reads physical names; predicates the caller applies see
+    * logical ones.
+    */
+  private def readFilesWithRowIds(spark: SparkSession, dir: String,
+                                  snap: Snapshot, files: Seq[String],
+                                  schema0: StructType,
+                                  applyDvs: Boolean = true): DataFrame = {
+    val schema = ColumnMapping.resolve(schema0, snap.schema)
+    val ided = ColumnMapping.aliasToLogical(
+      withRowIds(spark.read.schema(ColumnMapping.physicalSchema(schema))
+        .parquet(files.map(new Path(dir, _).toString): _*)),
+      schema, keep = Seq(dvNameCol, dvIdxCol))
+    val dvFiles =
+      if (!applyDvs) Nil
+      else files.flatMap(snap.dvs.get).flatMap(_.files).distinct
+    if (dvFiles.isEmpty) ided
+    else ided.join(readDvPairs(spark, dir, dvFiles),
+      Seq(dvNameCol, dvIdxCol), "left_anti")
+  }
 
   /** The native vectorized scan over one pinned snapshot's file list,
     * planned by [[ManifestFileIndex]] (manifest listing, stat/partition/
@@ -982,8 +1045,9 @@ object ManifestStore {
       def tombstoned: DataFrame = {
         val touched = dvAdded.map(_._1)
         val freshDv = dvAdded.flatMap(_._2).distinct
-        withRowIds(spark.read.schema(schema)
-          .parquet(touched.map(new Path(dir, _).toString): _*))
+        // raw physical rows (prior tombstones NOT applied — the fresh
+        // pairs are disjoint from them by construction), logical columns
+        readFilesWithRowIds(spark, dir, cur, touched, schema, applyDvs = false)
           .join(readDvPairs(spark, dir, freshDv), Seq(dvNameCol, dvIdxCol), "left_semi")
           .select(schema.fieldNames.toIndexedSeq
             .map(org.apache.spark.sql.functions.col): _*)
@@ -1038,8 +1102,8 @@ object ManifestStore {
           val freshTombs = pairDf(nowDv).exceptAll(pairDf(beforeDv))
           // physical rows of only the touched files; the semi-join keys on
           // (basename, row_index) so pairs of untouched files drop out
-          val base = withRowIds(spark.read.schema(schema)
-            .parquet(dvChanged.map(c => new Path(dir, c._1).toString): _*))
+          val base = readFilesWithRowIds(spark, dir, cur,
+            dvChanged.map(_._1), schema, applyDvs = false)
           def rowsOf(p: DataFrame): DataFrame =
             base.join(p, Seq(dvNameCol, dvIdxCol), "left_semi")
               .select(schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -1097,15 +1161,41 @@ object ManifestStore {
     publishLoop(spark, dir, "schema", Nil, (prevFiles, _) => prevFiles,
       dfSchema = Some(newSchema))
 
+  /** ALTER TABLE RENAME/DROP COLUMN: publish a METADATA-ONLY `schema`
+    * commit whose recorded schema is `newSchema` VERBATIM (no widening
+    * merge — a rename/drop is deliberately non-widening), parking
+    * `retire`'s physical names in the [[ColumnMapping.RetiredProp]]
+    * property so a later ADD of the same name can never resurrect the
+    * dropped bytes. The caller derives `newSchema` from a snapshot whose
+    * schema serializes to `baseSchemaJson`; the guard re-checks that base
+    * against every publish attempt's own snapshot and aborts on drift
+    * (ConcurrentModificationException — the caller re-plans), so two
+    * racing ALTERs serialize instead of last-writer-clobbering.
+    */
+  private[sources] def alterColumnsExact(spark: SparkSession, dir: String,
+                                         baseSchemaJson: String,
+                                         newSchema: StructType,
+                                         retire: Seq[String] = Nil): Long =
+    publishLoop(spark, dir, "schema", Nil, (prevFiles, _) => prevFiles,
+      dfSchema = Some(newSchema), schemaExact = true,
+      propsUpdate = p => ColumnMapping.withRetired(p, retire),
+      guard = Some { prev =>
+        if (!prev.schema.map(_.json).contains(baseSchemaJson))
+          throw new java.util.ConcurrentModificationException(
+            s"table schema at $dir changed under ALTER COLUMN — re-plan " +
+              "against the current definition")
+      })
+
   /** CREATE TABLE: publish version 1 of an EMPTY table carrying only the
     * recorded schema (op = `create`, no data files) — the catalog-level
     * "table exists with this shape" commit `spark.sql("CREATE TABLE ...")`
     * needs before any INSERT lands. Refuses a table that already has
     * commits (the catalog maps that to TableAlreadyExistsException).
     */
-  def createEmpty(spark: SparkSession, dir: String, schema: StructType,
+  def createEmpty(spark: SparkSession, dir: String, schema0: StructType,
                   partitionCols: Seq[String] = Nil,
                   props: Map[String, String] = Map.empty): Long = {
+    val schema = ColumnMapping.stripMapping(schema0) // new tables start trivial
     partitionCols.foreach { c =>
       val dt = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -1166,12 +1256,17 @@ object ManifestStore {
     * REPLACE), prior contents stay time-travelable until vacuum.
     */
   private[sources] def publishStaged(spark: SparkSession, dir: String,
-                                     schema: StructType,
+                                     schema0: StructType,
                                      files: Seq[String],
                                      parts: Map[String, Map[String, String]],
                                      partitionCols: Seq[String],
                                      props: Map[String, String],
                                      create: Boolean): Long = {
+    // a CREATE/REPLACE defines a FRESH table shape: mapping metadata a
+    // CTAS query might have inherited is stripped (new definitions start
+    // with the trivial mapping; the staged files were written with the
+    // query's own logical names)
+    val schema = ColumnMapping.stripMapping(schema0)
     partitionCols.foreach { c =>
       val dt = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -1314,7 +1409,16 @@ object ManifestStore {
                           partitionFilter: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     require(partitionFilter.nonEmpty, "empty partition filter — use overwrite")
-    require(partitionFilter.keySet.subsetOf(partitionCols.toSet),
+    val spark = df.sparkSession
+    // column mapping: translate pcols and filter keys to PHYSICAL once
+    // (recorded per-file values are physical); the row-leak probe below
+    // runs BEFORE the physical rename, in the frame's own logical names
+    val snapSchema = currentSnapshot(spark, dir).flatMap(_.schema)
+    def phys(c: String): String =
+      snapSchema.map(ColumnMapping.physFor(_, c)).getOrElse(c)
+    val pcolsP = partitionCols.map(phys)
+    val filterP = partitionFilter.map { case (c, v) => phys(c) -> v }
+    require(filterP.keySet.subsetOf(pcolsP.toSet),
       s"partition filter keys ${partitionFilter.keys.mkString(",")} must be " +
         s"declared partition columns (${partitionCols.mkString(",")})")
     val offending = partitionFilter.map { case (c, v) =>
@@ -1324,10 +1428,10 @@ object ManifestStore {
       "INSERT OVERWRITE PARTITION data carries rows outside the target " +
         "partition — they would silently leak; fix the query or use a " +
         "whole-table overwrite")
-    val spark = df.sparkSession
+    val (dfP, _) = planWrite(spark, dir, df)
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val (fresh, freshParts) =
-      writeHivePartitioned(df, dir, s"d-$nonce", partitionCols)
+      writeHivePartitioned(dfP, dir, s"d-$nonce", pcolsP)
     // the guard runs before combine on EVERY publish attempt with the
     // attempt's own snapshot — stash it so the drop set is judged against
     // exactly the file list combine receives (re-reading inside combine
@@ -1337,7 +1441,7 @@ object ManifestStore {
       val parts = planned.map(_.parts).getOrElse(Map.empty)
       prev.filterNot { rel =>
         val recorded = parts.getOrElse(rel, Map.empty)
-        partitionFilter.forall { case (c, v) =>
+        filterP.forall { case (c, v) =>
           recorded.get(c) match {
             case Some(rv) => rv == v
             case None => throw new IllegalStateException(
@@ -1373,11 +1477,21 @@ object ManifestStore {
                                   = (prev, fresh) => prev ++ fresh): Long = {
     require(partitionCols.nonEmpty, "appendPartitioned needs partition columns")
     val spark = df.sparkSession
+    // column mapping: files + partition paths spell physical names. pcols
+    // arrive logical (DataFrame API) or already-physical (catalog routes
+    // snap.partitionCols) — physFor is the identity for both on unmapped
+    // tables and maps logical → physical on mapped ones.
+    val snap = currentSnapshot(spark, dir)
+    val (dfP, dfSchema) = planWrite(spark, dir, df)
+    val pcolsP = snap.flatMap(_.schema) match {
+      case Some(ss) => partitionCols.map(ColumnMapping.physFor(ss, _))
+      case None => partitionCols
+    }
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val (fresh, freshParts) =
-      writeHivePartitioned(df, dir, s"d-$nonce", partitionCols)
+      writeHivePartitioned(dfP, dir, s"d-$nonce", pcolsP)
     publishLoop(spark, dir, op, fresh, combine,
-      dfSchema = Some(df.schema), freshParts = freshParts)
+      dfSchema = Some(dfSchema), freshParts = freshParts)
   }
 
   /** Write `df` hive-partitioned under `dir/dataRel` and return the
@@ -1569,16 +1683,54 @@ object ManifestStore {
                      maxAttempts: Int = 10,
                      guard: Option[Snapshot => Unit] = None): Long = {
     val spark = df.sparkSession
+    // column mapping: files spell physical names. `planWrite` renames the
+    // logical frame and pre-assigns fresh physical names to evolution-added
+    // columns (a re-added name must never resurrect a dropped column's
+    // data) — identity on unmapped tables. Stale-mapping races are safe by
+    // construction: physical names are immutable once assigned, so a
+    // concurrent rename/drop cannot invalidate what we write; a concurrent
+    // conflicting ADD is refused by mergeSchemas's collision check.
+    val (dfP, dfSchema) = planWrite(spark, dir, df)
     // 1. write the new data files once, under a unique never-renamed prefix
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"d-$nonce"
-    df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+    dfP.write.mode("error").parquet(new Path(dir, dataRel).toString)
     val f = fs(spark, dir)
     val fresh = f.listStatus(new Path(dir, dataRel)).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .sorted.map(n => s"$dataRel/$n")
-    publishLoop(spark, dir, op, fresh, combine, maxAttempts, Some(df.schema),
+    publishLoop(spark, dir, op, fresh, combine, maxAttempts, Some(dfSchema),
       guard = guard)
+  }
+
+  /** The data-file write plan for a logical frame against `dir`'s current
+    * mapping: (frame with physical column names, the frame's LOGICAL
+    * schema with mapping metadata attached) — the second half is what the
+    * manifest records via [[mergeSchemas]]. Columns the table doesn't know
+    * yet (widening evolution in the same commit) get a fresh physical name
+    * when their logical name collides with a live or retired physical one.
+    */
+  private def planWrite(spark: SparkSession, dir: String,
+                        df: DataFrame): (DataFrame, StructType) = {
+    val snap = currentSnapshot(spark, dir)
+    val snapSchema = snap.flatMap(_.schema)
+    snapSchema match {
+      case None => (df, df.schema)
+      case Some(ss) =>
+        val props = snap.map(_.props).getOrElse(Map.empty)
+        val byName = ss.fields.map(f => f.name -> f).toMap
+        val resolved = StructType(df.schema.fields.map { f =>
+          byName.get(f.name) match {
+            case Some(tf) =>
+              ColumnMapping.withPhysical(f, ColumnMapping.physicalName(tf))
+            case None =>
+              ColumnMapping.withPhysical(f,
+                ColumnMapping.freshPhysical(f.name, ss, props))
+          }
+        })
+        if (ColumnMapping.trivial(resolved)) (df, df.schema)
+        else (ColumnMapping.toPhysical(df, resolved), resolved)
+    }
   }
 
   /** Widening-only schema evolution rule: columns present in both must
@@ -1593,7 +1745,8 @@ object ManifestStore {
     * optimizer a license to elide isNull checks over genuinely null data —
     * and a column nullable on either side stays nullable.
     */
-  private[graft] def mergeSchemas(prev: StructType, next: StructType): StructType = {
+  private[graft] def mergeSchemas(prev: StructType, next: StructType,
+                                  prevProps: Map[String, String] = Map.empty): StructType = {
     val byName = next.fields.map(f => f.name -> f).toMap
     prev.fields.foreach { p =>
       byName.get(p.name).foreach { n =>
@@ -1605,12 +1758,30 @@ object ManifestStore {
     val prevNames = prev.fieldNames.toSet
     val carried = prev.fields.map { p =>
       byName.get(p.name) match {
+        // the PREV field wins wholesale (its mapping metadata included —
+        // a write's own resolved metadata can only restate it)
         case Some(n) => p.copy(nullable = p.nullable || n.nullable)
         case None    => p.copy(nullable = true) // new files null-fill it
       }
     }
-    StructType(carried ++ next.fields.filterNot(f => prevNames(f.name))
-      .map(_.copy(nullable = true)))
+    val appended = next.fields.filterNot(f => prevNames(f.name))
+      .map(_.copy(nullable = true))
+    // column-mapping collision backstop: an appended column's PHYSICAL
+    // name must never equal a live or retired physical one (it would
+    // address another column's bytes in old files / resurrect dropped
+    // data). [[planWrite]] pre-assigns fresh names against its planning
+    // snapshot; this re-check runs per publish attempt, so a lost race
+    // against a concurrent rename/drop/add fails loudly instead of
+    // corrupting — the caller's OCC retry (or the user) re-plans.
+    val taken = ColumnMapping.takenPhysical(prev, prevProps)
+    appended.foreach { f =>
+      val phys = ColumnMapping.physicalName(f)
+      require(!taken(phys),
+        s"schema evolution cannot add column '${f.name}': physical name " +
+          s"'$phys' already belongs to a live or dropped column — re-plan " +
+          "the write against the current table state")
+    }
+    StructType(carried ++ appended)
   }
 
   /** Serialize the bloom entries of `files` into the manifest body —
@@ -1668,7 +1839,8 @@ object ManifestStore {
                           freshDvDeltas: Map[String, DvRef] = Map.empty,
                           guard: Option[Snapshot => Unit] = None,
                           propsUpdate: Map[String, String] => Map[String, String]
-                            = identity): Long = {
+                            = identity,
+                          schemaExact: Boolean = false): Long = {
     val f = fs(spark, dir)
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
@@ -1738,9 +1910,14 @@ object ManifestStore {
         files.foreach(rel => carriedSizes.get(rel).foreach(sizesNode.put(rel, _)))
         // the table schema travels in the manifest (self-describing table):
         // widened by each commit under the widening-only evolution rule;
-        // a drop-only commit (fresh = Nil) carries the previous schema
+        // a drop-only commit (fresh = Nil) carries the previous schema.
+        // `schemaExact` (ALTER RENAME/DROP COLUMN) records dfSchema
+        // VERBATIM — the caller's guard proves the base schema unchanged,
+        // so the non-widening edit cannot clobber a concurrent evolution
         val tableSchema = (prev.flatMap(_.schema), dfSchema) match {
-          case (Some(p), Some(n)) => Some(mergeSchemas(p, n))
+          case (_, Some(n)) if schemaExact => Some(n)
+          case (Some(p), Some(n)) =>
+            Some(mergeSchemas(p, n, prev.map(_.props).getOrElse(Map.empty)))
           case (p, n) => n.orElse(p)
         }
         tableSchema.foreach(s => body.put("schema", s.json))
@@ -2085,7 +2262,8 @@ object ManifestStore {
         }
       val nonce = java.util.UUID.randomUUID().toString.take(12)
       val dataRel = s"d-$nonce"
-      df.write.mode("error").parquet(new Path(dir, dataRel).toString)
+      ColumnMapping.toPhysical(df, ColumnMapping.resolve(schema, snap.schema))
+        .write.mode("error").parquet(new Path(dir, dataRel).toString)
       val fresh = f.listStatus(new Path(dir, dataRel)).toSeq
         .map(_.getPath.getName).filter(_.endsWith(".parquet"))
         .sorted.map(n => s"$dataRel/$n")
@@ -2140,13 +2318,14 @@ object ManifestStore {
     val snap = currentSnapshot(spark, dir).getOrElse(return None)
     val touched = pruneFiles(snap, column, lo, hi)
     if (touched.isEmpty) return None
+    val pcol = physFor(snap, column) // file-level metadata keys by physical
     val dropWhole = touched.filter { rel =>
       // a recorded PARTITION value inside the range proves every row
       // matches (one value per file, nulls live in the hive default
       // partition) — whole partitions drop as pure manifest edits even
       // when footer stats are absent
-      partitionWhollyIn(snap, rel, column, lo, hi) ||
-      (snap.stats.get(rel).flatMap(_.get(column)) match {
+      partitionWhollyIn(snap, rel, pcol, lo, hi) ||
+      (snap.stats.get(rel).flatMap(_.get(pcol)) match {
         case Some(ColStats(typ, Some(mn), Some(mx), nulls)) if nulls == 0L =>
           // each side checks independently; Unbounded admits its side
           // (an open-ended range trivially contains that side)
@@ -2263,21 +2442,21 @@ object ManifestStore {
     // remainder takes the dv scan below.
     val (droppedWhole, cand) =
       if (!exactRanges || planRanges.isEmpty) (Seq.empty[String], cand0)
-      else cand0.partition(rel => planRanges.forall { case (c, lo, hi) =>
-        partitionWhollyIn(snap, rel, c, lo, hi) ||
-          statsWhollyIn(snap, rel, c, lo, hi) })
+      else {
+        val rangesP = snap.schema
+          .map(s => ColumnMapping.physRanges(s, planRanges))
+          .getOrElse(planRanges)
+        cand0.partition(rel => rangesP.forall { case (c, lo, hi) =>
+          partitionWhollyIn(snap, rel, c, lo, hi) ||
+            statsWhollyIn(snap, rel, c, lo, hi) })
+      }
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     var deltas = Map.empty[String, DvRef]
     if (cand.nonEmpty) {
       requireUniqueBasenames(snap, dir)
       val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
       // live rows only: row ids exposed, existing tombstones anti-joined
-      val ided = withRowIds(spark.read.schema(schema)
-        .parquet(cand.map(new Path(dir, _).toString): _*))
-      val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
-      val live = if (dvFiles.isEmpty) ided
-        else ided.join(readDvPairs(spark, dir, dvFiles),
-          Seq(dvNameCol, dvIdxCol), "left_anti")
+      val live = readFilesWithRowIds(spark, dir, snap, cand, schema)
       val doomed = live.filter(predicate)
         .select(col(dvNameCol).as("f"), col(dvIdxCol).cast("long").as("i"))
       val dvRel = s"d-dv-$nonce"
@@ -2345,14 +2524,7 @@ object ManifestStore {
     if (cand.isEmpty) return Some(snap.version)
     requireUniqueBasenames(snap, dir)
     val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
-    def liveIded = {
-      val ided = withRowIds(spark.read.schema(schema)
-        .parquet(cand.map(new Path(dir, _).toString): _*))
-      val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
-      if (dvFiles.isEmpty) ided
-      else ided.join(readDvPairs(spark, dir, dvFiles),
-        Seq(dvNameCol, dvIdxCol), "left_anti")
-    }
+    def liveIded = readFilesWithRowIds(spark, dir, snap, cand, schema)
     // 1. tombstone sidecar for the old images
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val dvRel = s"d-dv-$nonce"
@@ -2374,8 +2546,12 @@ object ManifestStore {
     // declared-partitioned table keeps its layout and per-file partition
     // values so pruning survives sustained row-level maintenance
     val dataRel = s"d-$nonce"
-    val updated = liveIded.filter(predicate).withColumns(set)
+    val updated0 = liveIded.filter(predicate).withColumns(set)
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    // fresh images write under physical names (snap.partitionCols already
+    // IS physical — the declared list is fixed at creation)
+    val updated = ColumnMapping.toPhysical(updated0,
+      ColumnMapping.resolve(schema, snap.schema))
     val (freshFiles, freshParts) =
       if (snap.partitionCols.nonEmpty)
         writeHivePartitioned(updated, dir, dataRel, snap.partitionCols)
@@ -2517,12 +2693,7 @@ object ManifestStore {
     var deltas = Map.empty[String, DvRef]
     if (cand.nonEmpty) {
       // live rows in candidate files whose key the batch carries
-      val ided = withRowIds(spark.read.schema(schema)
-        .parquet(cand.map(new Path(dir, _).toString): _*))
-      val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
-      val live = if (dvFiles.isEmpty) ided
-        else ided.join(readDvPairs(spark, dir, dvFiles),
-          Seq(dvNameCol, dvIdxCol), "left_anti")
+      val live = readFilesWithRowIds(spark, dir, snap, cand, schema)
       val dvRel = s"d-dv-$nonce"
       live.join(batch.select(col(keyCol)).filter(col(keyCol).isNotNull),
           Seq(keyCol), "left_semi")
@@ -2540,19 +2711,20 @@ object ManifestStore {
       }
     }
     val dataRel = s"d-$nonce"
+    val (batchP, batchSchema) = planWrite(spark, dir, batch)
     val (freshFiles, freshParts) =
       if (snap.partitionCols.nonEmpty &&
-          snap.partitionCols.forall(batch.columns.contains))
-        writeHivePartitioned(batch, dir, dataRel, snap.partitionCols)
+          snap.partitionCols.forall(batchP.columns.contains))
+        writeHivePartitioned(batchP, dir, dataRel, snap.partitionCols)
       else {
-        batch.write.mode("error").parquet(new Path(dir, dataRel).toString)
+        batchP.write.mode("error").parquet(new Path(dir, dataRel).toString)
         (f.listStatus(new Path(dir, dataRel)).toSeq
           .map(_.getPath.getName).filter(_.endsWith(".parquet"))
           .sorted.map(n => s"$dataRel/$n"),
           Map.empty[String, Map[String, String]])
       }
     try Some(publishLoop(spark, dir, "upsert-dv", freshFiles,
-      (prev, fresh) => prev ++ fresh, dfSchema = Some(batch.schema),
+      (prev, fresh) => prev ++ fresh, dfSchema = Some(batchSchema),
       freshParts = freshParts, freshDvDeltas = deltas, guard = Some(abort)))
     catch { case _: java.util.ConcurrentModificationException => None }
   }
@@ -2696,6 +2868,11 @@ object ManifestStore {
         case _ => None
       }
     val dataRel = s"d-$nonce"
+    // column mapping: fresh images and the canonical staging write under
+    // PHYSICAL names (snap.partitionCols already is physical); every scan
+    // below aliases back to logical so clause/ON expressions see the
+    // user's names
+    val rs = ColumnMapping.resolve(schema, snap.schema)
     try {
       // 1. stage the source ONCE: stable (file, idx) row identity for the
       // insert anti-join, single evaluation of an arbitrary source query.
@@ -2713,8 +2890,9 @@ object ManifestStore {
       var stagedParts = Map.empty[String, Map[String, String]]
       canonicalMap match {
         case Some(mp) =>
-          val img = source.select(schema.fields.toIndexedSeq.map(fd =>
-            col(mp(fd.name)).as(fd.name)): _*)
+          val img = ColumnMapping.toPhysical(
+            source.select(schema.fields.toIndexedSeq.map(fd =>
+              col(mp(fd.name)).as(fd.name)): _*), rs)
           if (pcols.nonEmpty) {
             val (fl, fp) = writeHivePartitioned(img, dir, dataRel, pcols)
             stagedFiles = fl; stagedParts = fp
@@ -2739,13 +2917,13 @@ object ManifestStore {
         } else canonicalMap match {
           case Some(mp) => // re-derive the __s_ view from the staged images
             schema.fields.foldLeft(
-              withRowIds(spark.read.schema(schema).parquet(
-                stagedFiles.map(new Path(dir, _).toString): _*))
+              readFilesWithRowIds(spark, dir, snap, stagedFiles, schema,
+                applyDvs = false)
                 .withColumnRenamed(dvNameCol, srcRidF)
                 .withColumnRenamed(dvIdxCol, srcRidI)) { (d, fd) =>
               d.withColumnRenamed(fd.name, mp(fd.name))
             }
-          case None =>
+          case None => // scratch staging: written/read with __s_ names, unmapped
             withRowIds(spark.read.schema(source.schema).parquet(srcPath.toString))
               .withColumnRenamed(dvNameCol, srcRidF)
               .withColumnRenamed(dvIdxCol, srcRidI)
@@ -2769,14 +2947,8 @@ object ManifestStore {
         }
       requireUniqueBasenames(snap, dir)
       val nameToRel = cand.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
-      def liveCand: DataFrame = {
-        val ided = withRowIds(spark.read.schema(schema)
-          .parquet(cand.map(new Path(dir, _).toString): _*))
-        val dvFiles = cand.flatMap(snap.dvs.get).flatMap(_.files).distinct
-        if (dvFiles.isEmpty) ided
-        else ided.join(readDvPairs(spark, dir, dvFiles),
-          Seq(dvNameCol, dvIdxCol), "left_anti")
-      }
+      def liveCand: DataFrame =
+        readFilesWithRowIds(spark, dir, snap, cand, schema)
       // 3. matched pairs staged once: cardinality check, tombstones,
       // update images, and the insert anti-join all probe this batch-sized
       // parquet instead of re-joining against the table. The canonical
@@ -2881,15 +3053,16 @@ object ManifestStore {
           val dups = m.groupBy(col(srcRidF), col(srcRidI))
             .agg(fcount(lit(1)).as("__graft_n")).filter(col("__graft_n") > 1)
           if (dups.limit(1).count() > 0) {
-            val srcImg = withRowIds(spark.read.schema(schema).parquet(
-                stagedFiles.map(new Path(dir, _).toString): _*))
+            val srcImg = readFilesWithRowIds(spark, dir, snap, stagedFiles,
+                schema, applyDvs = false)
               .withColumnRenamed(dvNameCol, srcRidF)
               .withColumnRenamed(dvIdxCol, srcRidI)
             val extraRel = s"d-x-$nonce"
-            val extra = srcImg.join(dups, Seq(srcRidF, srcRidI))
-              .withColumn("__graft_rep",
-                explode(sequence(lit(2L), col("__graft_n"))))
-              .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+            val extra = ColumnMapping.toPhysical(
+              srcImg.join(dups, Seq(srcRidF, srcRidI))
+                .withColumn("__graft_rep",
+                  explode(sequence(lit(2L), col("__graft_n"))))
+                .select(schema.fieldNames.toIndexedSeq.map(col): _*), rs)
             if (pcols.nonEmpty) {
               val (fl, fp) = writeHivePartitioned(extra, dir, extraRel, pcols)
               freshFiles = freshFiles ++ fl; freshParts = freshParts ++ fp
@@ -2902,7 +3075,8 @@ object ManifestStore {
           }
         }
       } else {
-        (mImages ++ bsImages ++ insImages).reduceOption(_ unionAll _).foreach { df =>
+        (mImages ++ bsImages ++ insImages).reduceOption(_ unionAll _).foreach { df0 =>
+          val df = ColumnMapping.toPhysical(df0, rs)
           if (pcols.nonEmpty) {
             val (fl, fp) = writeHivePartitioned(df, dir, dataRel, pcols)
             freshFiles = fl; freshParts = fp

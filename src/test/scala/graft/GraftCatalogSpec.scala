@@ -535,10 +535,7 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (3, 'c', 'hello')")
     assert(spark.sql(s"SELECT note FROM ${sqlTable(dir)} WHERE k = 3")
       .as[String].head() === "hello")
-    // narrowing shapes refuse
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP COLUMN v")
-    }
+    // type changes still refuse (stored bytes would reinterpret)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN k TYPE INT")
     }
@@ -790,12 +787,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(desc.contains("numFiles") && desc.contains("graft-manifest"), desc)
   }
 
-  test("DROP / RENAME / narrowing ALTER refuse loudly on path tables") {
+  test("DROP TABLE / table RENAME / narrowing ALTER refuse loudly on path tables") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, "a")).toDF("k", "v"), dir)
     intercept[Exception] { spark.sql(s"DROP TABLE ${sqlTable(dir)}") }
+    // TYPE changes refuse (column RENAME/DROP are supported via mapping)
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE ${sqlTable(dir)} RENAME COLUMN v TO w")
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN k TYPE INT")
     }
     // and a missing table is NoSuchTable, not an empty frame
     intercept[Exception] {
