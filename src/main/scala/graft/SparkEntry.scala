@@ -1334,6 +1334,40 @@ object SparkEntry {
                 FROM graft.`$tbl` GROUP BY n_regionkey""")
     }),
 
+    // Column mapping under the driver oracle: CTAS, RENAME COLUMN, DROP
+    // COLUMN, re-ADD of the dropped name (fresh physical identity), one
+    // INSERT in every schema era, one aggregate over the final logical
+    // shape. All three ALTERs are metadata-only (ColumnMapping — Delta's
+    // name-mode mapping re-derived; data files never rewritten). The
+    // n_with_priority column is the NO-RESURRECTION proof: only the
+    // post-re-add era may carry values — a mapping bug that reads the
+    // dropped era's bytes (or mis-addresses the renamed price column
+    // across old/new files) is a driver-level row/hash mismatch. Oracle
+    // re-derives the same relation straight from the raw orders table.
+    "q150_sql_column_mapping" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q150")
+        .toString + "/orders_m"
+      t(s, dir, "orders").createOrReplaceTempView("q150_orders_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT o_orderkey, o_custkey, " +
+        "o_totalprice, o_orderpriority FROM q150_orders_src " +
+        "WHERE o_orderkey % 3 = 0")
+      s.sql(s"ALTER TABLE graft.`$tbl` RENAME COLUMN o_totalprice TO price")
+      s.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN o_orderpriority")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey, o_custkey, " +
+        "o_totalprice FROM q150_orders_src WHERE o_orderkey % 3 = 1")
+      s.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (o_orderpriority STRING)")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey, o_custkey, " +
+        "o_totalprice, o_orderpriority FROM q150_orders_src " +
+        "WHERE o_orderkey % 3 = 2")
+      s.sql(s"""SELECT o_custkey,
+                       count(*) AS n_orders,
+                       CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+                         AS sum_price,
+                       count(o_orderpriority) AS n_with_priority
+                FROM graft.`$tbl`
+                GROUP BY o_custkey""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3363,6 +3397,21 @@ object SparkEntry {
                 CAST(count(note) AS BIGINT) AS n_noted,
                 CAST(sum(n_nationkey) AS BIGINT) AS sum_keys
          FROM evolved GROUP BY n_regionkey""",
+
+    // q150 = the column-mapping lifecycle replayed relationally: every
+    // order contributes its price whatever schema era it landed in (the
+    // renamed column is ONE physical column across all files), but only
+    // the post-re-add era (o_orderkey % 3 = 2) may carry a priority —
+    // the dropped era's values must be dead
+    "q150_sql_column_mapping" ->
+      """SELECT o_custkey,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_price,
+                CAST(count(CASE WHEN o_orderkey % 3 = 2
+                           THEN o_orderpriority END) AS BIGINT)
+                  AS n_with_priority
+         FROM orders GROUP BY o_custkey""",
 
     // q145 = the SQL MERGE upsert replayed relationally: matched keys take
     // the source image (left-join override), unmatched source rows insert
