@@ -300,4 +300,86 @@ class ColumnMappingSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)} WHERE n IS NULL")
       .as[Long].head() === 2L)
   }
+
+  test("catalog scan PRUNES FILES on a renamed column (plan-level proof)") {
+    val dir = tmpDir()
+    ManifestStore.append((1L to 50L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(1), dir)
+    ManifestStore.append((1000L to 1050L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(1), dir)
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} RENAME COLUMN k TO id")
+    // the filter names the LOGICAL column; it must push through the
+    // logical->physical alias into the ManifestFileIndex and prune to ONE
+    // file (physical stat keys match the physical scan attributes)
+    val df = spark.sql(s"SELECT id FROM ${sqlTable(dir)} WHERE id >= 1000")
+    df.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec => s +: nodes(s.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val scans = nodes(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.getClass.getSimpleName == "ManifestFileIndex" =>
+        s.metrics("numFiles").value
+    }
+    assert(scans.nonEmpty, "expected the native manifest scan")
+    assert(scans.sum === 1L,
+      s"renamed-column filter did not prune (scanned ${scans.sum} files)")
+  }
+
+  test("restore crosses mapping eras exactly; stream reads logical columns") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val v1 = snap(dir).version
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} RENAME COLUMN v TO w")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP COLUMN w")
+    assert(snap(dir).schema.get.fieldNames.toSeq === Seq("k"))
+    assert(ColumnMapping.retired(snap(dir).props) === Set("v"))
+
+    // restore to the pre-rename era: the old schema (and its trivial
+    // mapping) come back; the PROPERTY BAG stays current by restore's
+    // documented carry-forward rule, so "v" stays burned in the retired
+    // set even though the restored field v is live again — conservative
+    // and safe (a live field is addressed by the schema, never by
+    // freshPhysical; burned names are simply never handed out again)
+    ManifestStore.restore(spark, dir, v1)
+    val rs = snap(dir)
+    assert(rs.schema.get.fieldNames.toSeq === Seq("k", "v"))
+    assert(ColumnMapping.trivial(rs.schema.get))
+    assert(ColumnMapping.retired(rs.props) === Set("v"),
+      "restore carries the CURRENT property bag (burned names stay burned)")
+    assert(ManifestStore.readLatest(spark, dir).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+    // the restored live column keeps working for writes…
+    ManifestStore.append(Seq((3L, "c")).toDF("k", "v"), dir)
+    assert(spark.sql(s"SELECT v FROM ${sqlTable(dir)} WHERE k = 3")
+      .as[String].head() === "c")
+    // …and a FUTURE evolution never hands the burned name out as a fresh
+    // physical identity (drop again, add again → v_2)
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP COLUMN v")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD COLUMNS (v STRING)")
+    assert(ColumnMapping.physFor(snap(dir).schema.get, "v") === "v_2")
+
+    // streaming source over a mapped table delivers LOGICAL columns
+    val dir2 = tmpDir()
+    ManifestStore.append(Seq((1L, "x")).toDF("k", "v"), dir2)
+    spark.sql(s"ALTER TABLE ${sqlTable(dir2)} RENAME COLUMN v TO label")
+    ManifestStore.append(Seq((2L, "y")).toDF("k", "label"), dir2)
+    val out = tmpDir()
+    val q = spark.readStream.format("graft-manifest")
+      .option("startingVersion", "0").load(dir2)
+      .writeStream.format("memory").queryName("map_stream")
+      .option("checkpointLocation", out + "/cp").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("map_stream")
+      assert(got.columns.toSeq.take(2) === Seq("k", "label"))
+      assert(got.select("k", "label").as[(Long, String)].collect().toSet
+        === Set((1L, "x"), (2L, "y")))
+    } finally q.stop()
+  }
 }
