@@ -1368,6 +1368,34 @@ object SparkEntry {
                 GROUP BY o_custkey""")
     }),
 
+    // Type widening under the driver oracle: CTAS with INT32/FLOAT
+    // columns, ALTER COLUMN TYPE BIGINT/DOUBLE (metadata-only — the
+    // vectorized reader serves the old pages under the widened schema,
+    // no rewrite), a long/double-era INSERT whose region values exceed
+    // the int range, one aggregate across both eras. The float values
+    // are exact halves so the DECIMAL-summed double is portable; the
+    // oracle replays both eras relationally from the raw nation table.
+    "q151_sql_type_widening" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q151")
+        .toString + "/nation_w"
+      t(s, dir, "nation").createOrReplaceTempView("q151_nation_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT n_nationkey AS k, " +
+        "CAST(n_regionkey AS INT) AS region, " +
+        "CAST(n_nationkey * 1.5 AS FLOAT) AS wf FROM q151_nation_src")
+      s.sql(s"ALTER TABLE graft.`$tbl` ALTER COLUMN region TYPE BIGINT")
+      s.sql(s"ALTER TABLE graft.`$tbl` ALTER COLUMN wf TYPE DOUBLE")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT n_nationkey + 100, " +
+        "n_regionkey + 1000000000000, CAST(n_nationkey * 2.5 AS DOUBLE) " +
+        "FROM q151_nation_src WHERE n_nationkey % 2 = 0")
+      s.sql(s"""SELECT region,
+                       count(*) AS n_rows,
+                       sum(k) AS sum_keys,
+                       CAST(sum(CAST(wf AS DECIMAL(18,4))) AS DOUBLE)
+                         AS sum_wf
+                FROM graft.`$tbl`
+                GROUP BY region""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3412,6 +3440,23 @@ object SparkEntry {
                            THEN o_orderpriority END) AS BIGINT)
                   AS n_with_priority
          FROM orders GROUP BY o_custkey""",
+
+    // q151 = the widening lifecycle replayed relationally: the int era
+    // re-read as BIGINT, the float era as its exact double values
+    "q151_sql_type_widening" ->
+      """WITH w AS (
+           SELECT n_nationkey AS k, CAST(n_regionkey AS BIGINT) AS region,
+                  CAST(CAST(n_nationkey * 1.5 AS REAL) AS DOUBLE) AS wf
+           FROM nation
+           UNION ALL
+           SELECT n_nationkey + 100, n_regionkey + 1000000000000,
+                  CAST(n_nationkey * 2.5 AS DOUBLE)
+           FROM nation WHERE n_nationkey % 2 = 0)
+         SELECT region,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(k) AS BIGINT) AS sum_keys,
+                CAST(sum(CAST(wf AS DECIMAL(18,4))) AS DOUBLE) AS sum_wf
+         FROM w GROUP BY region""",
 
     // q145 = the SQL MERGE upsert replayed relationally: matched keys take
     // the source image (left-join override), unmatched source rows insert

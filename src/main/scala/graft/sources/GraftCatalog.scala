@@ -309,12 +309,46 @@ class GraftCatalog extends TableCatalog
           schema = StructType(schema.fields.filterNot(_.name == name))
           retire ::= phys
           props = ColumnMapping.withRetired(props, Seq(phys))
+        case ut: TableChange.UpdateColumnType =>
+          // LOSSLESS widening only ([[ManifestStore.widens]]): the parquet
+          // vectorized reader serves old INT32/FLOAT pages under the
+          // widened read schema natively, so this is METADATA-ONLY — no
+          // file rewrite, stats already live in the long/double stat
+          // space. Narrowing / lossy shapes (long→int, long→double,
+          // double→float) refuse: they would reinterpret stored values.
+          val name = oneCol(ut.fieldNames(), "ALTER COLUMN TYPE")
+          val f = fieldOf(name)
+          require(ManifestStore.widens(f.dataType, ut.newDataType()),
+            s"cannot change column '$name' from ${f.dataType.simpleString} " +
+              s"to ${ut.newDataType().simpleString} — only lossless " +
+              "widenings (byte/short/int→long, byte/short/int/float→" +
+              "double) are metadata-only; anything else would " +
+              "reinterpret immutable files")
+          require(!snap.partitionCols.contains(ColumnMapping.physicalName(f)) ||
+              ut.newDataType() != org.apache.spark.sql.types.DoubleType,
+            s"cannot widen partition column '$name' to double — partition " +
+              "path round-trips are exact for integral/string types only")
+          schema = StructType(schema.fields.map(g =>
+            if (g.name == name) g.copy(dataType = ut.newDataType()) else g))
+        case cm: TableChange.UpdateColumnComment =>
+          val name = oneCol(cm.fieldNames(), "ALTER COLUMN COMMENT")
+          fieldOf(name)
+          schema = StructType(schema.fields.map(g =>
+            if (g.name == name) g.withComment(cm.newComment()) else g))
+        case nl: TableChange.UpdateColumnNullability =>
+          val name = oneCol(nl.fieldNames(), "ALTER COLUMN NULLABILITY")
+          val f = fieldOf(name)
+          require(nl.nullable() || !f.nullable,
+            s"cannot add NOT NULL to '$name': existing files may hold " +
+              "nulls the constraint cannot retroactively prove absent")
+          schema = StructType(schema.fields.map(g =>
+            if (g.name == name) g.copy(nullable = nl.nullable()) else g))
         case other =>
           throw new UnsupportedOperationException(
             s"ALTER TABLE change $other is not supported — the manifest " +
-              "admits ADD COLUMNS (nullable), RENAME COLUMN and DROP " +
-              "COLUMN (both metadata-only via column mapping); type " +
-              "changes would reinterpret immutable files")
+              "admits ADD COLUMNS (nullable), RENAME/DROP COLUMN " +
+              "(metadata-only via column mapping), lossless TYPE " +
+              "widening, COMMENT, and DROP NOT NULL")
       }
       try {
         if (widenOnly)

@@ -1635,7 +1635,16 @@ object ManifestStore {
                   val mn = new String(st.getMinBytes, StandardCharsets.UTF_8)
                   val mx = new String(st.getMaxBytes, StandardCharsets.UTF_8)
                   if (mn.length > 64 || mx.length > 64) None else Some((mn, mx))
-                case _ => Some((st.genericGetMin.toString, st.genericGetMax.toString))
+                case _ =>
+                  // FLOAT bounds render through their EXACT double value:
+                  // Float.toString's shortest form ("0.1") parses as a
+                  // double BELOW (double)0.1f, understating the max — a
+                  // probe at the exact widened value would wrongly prune
+                  def s(v: Any): String = v match {
+                    case f: java.lang.Float => f.doubleValue().toString
+                    case other => other.toString
+                  }
+                  Some((s(st.genericGetMin), s(st.genericGetMax)))
               }
             val nulls = if (st != null && st.isNumNullsSet) st.getNumNulls else 0L
             perCol.get(name) match {
@@ -1719,17 +1728,35 @@ object ManifestStore {
       case Some(ss) =>
         val props = snap.map(_.props).getOrElse(Map.empty)
         val byName = ss.fields.map(f => f.name -> f).toMap
+        // a batch column NARROWER than the table's (widened) type upcasts
+        // losslessly here, so files always carry the declared type and
+        // mergeSchemas' exact-type rule holds (the [[widens]] lattice)
         val resolved = StructType(df.schema.fields.map { f =>
           byName.get(f.name) match {
             case Some(tf) =>
-              ColumnMapping.withPhysical(f, ColumnMapping.physicalName(tf))
+              val typed =
+                if (f.dataType != tf.dataType && widens(f.dataType, tf.dataType))
+                  f.copy(dataType = tf.dataType)
+                else f
+              ColumnMapping.withPhysical(typed, ColumnMapping.physicalName(tf))
             case None =>
               ColumnMapping.withPhysical(f,
                 ColumnMapping.freshPhysical(f.name, ss, props))
           }
         })
-        if (ColumnMapping.trivial(resolved)) (df, df.schema)
-        else (ColumnMapping.toPhysical(df, resolved), resolved)
+        val needsCast = df.schema.fields.zip(resolved.fields)
+          .exists { case (a, b) => a.dataType != b.dataType }
+        if (!needsCast && ColumnMapping.trivial(resolved)) (df, df.schema)
+        else {
+          import org.apache.spark.sql.functions.col
+          val out = df.select(df.columns.toIndexedSeq.map { c =>
+            val rf = resolved.fields(df.columns.indexOf(c))
+            val cast = if (df.schema(c).dataType != rf.dataType)
+              col(c).cast(rf.dataType) else col(c)
+            cast.as(ColumnMapping.physicalName(rf))
+          }: _*)
+          (out, resolved)
+        }
     }
   }
 
@@ -1745,6 +1772,26 @@ object ManifestStore {
     * optimizer a license to elide isNull checks over genuinely null data —
     * and a column nullable on either side stays nullable.
     */
+  /** LOSSLESS type promotions the parquet vectorized reader serves
+    * natively (probed on this Spark: INT32 pages read under a LongType /
+    * DoubleType read schema, FLOAT under DoubleType) — the set behind
+    * `ALTER TABLE ALTER COLUMN … TYPE` as a METADATA-ONLY commit and
+    * behind [[planWrite]]'s automatic upcast of narrower incoming
+    * batches. Long→double and double→float are LOSSY and refused;
+    * decimal/date promotions are out of scope.
+    */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   private[graft] def mergeSchemas(prev: StructType, next: StructType,
                                   prevProps: Map[String, String] = Map.empty): StructType = {
     val byName = next.fields.map(f => f.name -> f).toMap
