@@ -64,6 +64,14 @@ class GraftCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  /** SQL `ALTER TABLE … ADD/DROP CONSTRAINT` routes here only when the
+    * catalog declares the capability (Spark refuses otherwise).
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_TABLE_CONSTRAINT).asJava
+
   private def spark: SparkSession = SparkSession.active
 
   /** `CALL graft.vacuum('/dir', …)` etc — see [[GraftProcedures]]. */
@@ -249,11 +257,55 @@ class GraftCatalog extends TableCatalog
         case sp: TableChange.SetProperty => sp.property() -> sp.value() }.toMap
       val unsets = changes.collect {
         case rp: TableChange.RemoveProperty => rp.property() }
-      sets.keys.foreach(k => require(!GraftCatalog.reservedProps(k),
-        s"table property '$k' is reserved (engine-maintained)"))
+      (sets.keys ++ unsets).foreach(k =>
+        require(!GraftCatalog.reservedProps(k) && !k.startsWith("graft."),
+          s"table property '$k' is reserved (engine-maintained namespace)"))
       ManifestStore.setProperties(spark, dir, sets, unsets)
       return ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir)
         .getOrElse(throw new NoSuchTableException(ident)))
+    }
+    // ADD/DROP CONSTRAINT: engine-managed `graft.check.<name>` properties.
+    // ADD validates EXISTING rows first (one pruning-eligible scan — the
+    // Delta discipline: a constraint that doesn't hold is refused, not
+    // recorded); enforcement of future writes happens at the store's
+    // write choke points ([[ManifestStore]] enforceChecks). CHECK only —
+    // UNIQUE/PK/FK would need global indexes the format doesn't keep.
+    if (changes.forall(c => c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint])) {
+      val snap0 = ManifestStore.currentSnapshot(spark, dir)
+        .getOrElse(throw new NoSuchTableException(ident))
+      changes.foreach {
+        case ac: TableChange.AddConstraint =>
+          val chk = ac.constraint() match {
+            case c: org.apache.spark.sql.connector.catalog.constraints.Check => c
+            case other => throw new UnsupportedOperationException(
+              s"only CHECK constraints are enforceable on write — got " +
+                s"'${other.toDDL}' (UNIQUE/PK/FK need global indexes the " +
+                "manifest format does not keep)")
+          }
+          val sql = Option(chk.predicateSql()).filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              s"CHECK constraint '${chk.name()}' carries no predicate SQL"))
+          val key = s"graft.check.${chk.name()}"
+          require(!snap0.props.contains(key),
+            s"constraint '${chk.name()}' already exists on $dir")
+          // the predicate must resolve against the logical schema AND
+          // hold on every existing row (nulls pass, per ANSI CHECK)
+          val p = org.apache.spark.sql.functions.expr(sql)
+          val bad = ManifestStore.readLatest(spark, dir)
+            .filter(!p && p.isNotNull).limit(1).count()
+          require(bad == 0L,
+            s"cannot add CHECK constraint '${chk.name()}' ($sql): " +
+              "existing rows violate it")
+          ManifestStore.setProperties(spark, dir, Map(key -> sql), Nil)
+        case dc: TableChange.DropConstraint =>
+          val key = s"graft.check.${dc.name()}"
+          if (!snap0.props.contains(key) && !dc.ifExists())
+            throw new IllegalArgumentException(
+              s"no constraint '${dc.name()}' on $dir")
+          ManifestStore.setProperties(spark, dir, Map.empty, Seq(key))
+      }
+      return ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
     }
     val widenOnly = changes.forall(_.isInstanceOf[TableChange.AddColumn])
     var attempts = 0
@@ -274,6 +326,18 @@ class GraftCatalog extends TableCatalog
         schema.fields.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(
             s"no column '$name' in table $dir"))
+      // CHECK predicates reference columns by LOGICAL name; a rename or
+      // drop of a referenced column would silently break them — refuse
+      // (Delta's discipline: drop the constraint first)
+      def constraintsOn(col: String): Seq[String] =
+        snap.props.toSeq.collect {
+          case (k, sql) if k.startsWith("graft.check.") &&
+              spark.sessionState.sqlParser.parseExpression(sql).collect {
+                case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  a.nameParts.head
+              }.contains(col) =>
+            k.stripPrefix("graft.check.")
+        }
       changes.foreach {
         case add: TableChange.AddColumn =>
           val name = oneCol(add.fieldNames(), "ADD COLUMNS")
@@ -291,6 +355,10 @@ class GraftCatalog extends TableCatalog
           val f = fieldOf(from)
           require(!schema.fieldNames.contains(to),
             s"cannot rename '$from' to '$to': column exists")
+          require(constraintsOn(from).isEmpty,
+            s"cannot rename '$from': CHECK constraint(s) " +
+              s"${constraintsOn(from).mkString(", ")} reference it — " +
+              "drop the constraint first")
           val phys = ColumnMapping.physicalName(f)
           schema = StructType(schema.fields.map { g =>
             if (g.name == from)
@@ -306,6 +374,10 @@ class GraftCatalog extends TableCatalog
               "the table's file layout and pruning plan by it")
           require(schema.fields.length > 1,
             s"cannot drop '$name': it is the table's only column")
+          require(constraintsOn(name).isEmpty,
+            s"cannot drop '$name': CHECK constraint(s) " +
+              s"${constraintsOn(name).mkString(", ")} reference it — " +
+              "drop the constraint first")
           schema = StructType(schema.fields.filterNot(_.name == name))
           retire ::= phys
           props = ColumnMapping.withRetired(props, Seq(phys))
@@ -450,6 +522,23 @@ private[graft] case class ManifestTableV2(dir: String,
   private[sources] def logicalPartitionCols: Seq[String] = snap.schema match {
     case Some(ss) => snap.partitionCols.map(ColumnMapping.logicalFor(ss, _))
     case None => snap.partitionCols
+  }
+
+  /** CHECK constraints from the engine-managed `graft.check.<name>`
+    * properties — surfaced so DESCRIBE and Spark's constraint commands
+    * see them; enforcement happens at the store's write choke points.
+    */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    snap.props.toSeq.collect {
+      case (k, sql) if k.startsWith("graft.check.") =>
+        Constraint.check(k.stripPrefix("graft.check."))
+          .predicateSql(sql)
+          .enforced(true)
+          .validationStatus(Constraint.ValidationStatus.VALID)
+          .build(): Constraint
+    }.sortBy(_.name).toArray
   }
 
   /** Declared PARTITIONED-BY columns as identity transforms — `DESCRIBE`

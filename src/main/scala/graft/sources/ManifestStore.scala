@@ -1719,9 +1719,38 @@ object ManifestStore {
     * yet (widening evolution in the same commit) get a fresh physical name
     * when their logical name collides with a live or retired physical one.
     */
+  /** CHECK constraints recorded as `graft.check.<name>` properties —
+    * enforced on every row-bearing write through [[enforceChecks]].
+    */
+  private def checkConstraints(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, sql) if k.startsWith("graft.check.") =>
+        k.stripPrefix("graft.check.") -> sql
+    }.sortBy(_._1)
+
+  /** Wrap a LOGICAL frame with the table's CHECK constraints: a violating
+    * row fails the write with a named error (raise_error inside the
+    * filter — codegen'd, zero cost when no row violates and a pure
+    * identity when the table declares no constraints). NULL predicates
+    * pass, per ANSI CHECK. Rows already in the table satisfy every
+    * recorded constraint by induction (ADD CONSTRAINT validated them),
+    * so rewrites (compaction, survivors) re-check at negligible cost.
+    */
+  private def enforceChecks(df: DataFrame, snap: Option[Snapshot]): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit, raise_error, when}
+    val checks = checkConstraints(snap.map(_.props).getOrElse(Map.empty))
+    checks.foldLeft(df) { case (d, (name, sql)) =>
+      val p = expr(sql)
+      d.filter(when(p || p.isNull, lit(true)).otherwise(raise_error(lit(
+        s"[GRAFT_CHECK_VIOLATION] CHECK constraint '$name' ($sql) " +
+          "violated by a written row"))))
+    }
+  }
+
   private def planWrite(spark: SparkSession, dir: String,
-                        df: DataFrame): (DataFrame, StructType) = {
+                        df0: DataFrame): (DataFrame, StructType) = {
     val snap = currentSnapshot(spark, dir)
+    val df = enforceChecks(df0, snap)
     val snapSchema = snap.flatMap(_.schema)
     snapSchema match {
       case None => (df, df.schema)
@@ -2593,8 +2622,9 @@ object ManifestStore {
     // declared-partitioned table keeps its layout and per-file partition
     // values so pruning survives sustained row-level maintenance
     val dataRel = s"d-$nonce"
-    val updated0 = liveIded.filter(predicate).withColumns(set)
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val updated0 = enforceChecks(
+      liveIded.filter(predicate).withColumns(set)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*), Some(snap))
     // fresh images write under physical names (snap.partitionCols already
     // IS physical — the declared list is fixed at creation)
     val updated = ColumnMapping.toPhysical(updated0,
@@ -2937,9 +2967,9 @@ object ManifestStore {
       var stagedParts = Map.empty[String, Map[String, String]]
       canonicalMap match {
         case Some(mp) =>
-          val img = ColumnMapping.toPhysical(
+          val img = ColumnMapping.toPhysical(enforceChecks(
             source.select(schema.fields.toIndexedSeq.map(fd =>
-              col(mp(fd.name)).as(fd.name)): _*), rs)
+              col(mp(fd.name)).as(fd.name)): _*), Some(snap)), rs)
           if (pcols.nonEmpty) {
             val (fl, fp) = writeHivePartitioned(img, dir, dataRel, pcols)
             stagedFiles = fl; stagedParts = fp
@@ -3123,7 +3153,7 @@ object ManifestStore {
         }
       } else {
         (mImages ++ bsImages ++ insImages).reduceOption(_ unionAll _).foreach { df0 =>
-          val df = ColumnMapping.toPhysical(df0, rs)
+          val df = ColumnMapping.toPhysical(enforceChecks(df0, Some(snap)), rs)
           if (pcols.nonEmpty) {
             val (fl, fp) = writeHivePartitioned(df, dir, dataRel, pcols)
             freshFiles = fl; freshParts = fp

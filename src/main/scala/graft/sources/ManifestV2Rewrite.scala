@@ -57,6 +57,11 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
       GraftUpdateCommand(t, assignments, cond)
     case m: MergeIntoTable => rewriteMerge(m).getOrElse(m)
     case d: DeleteFromTable => d
+    // ADD CONSTRAINT … CHECK: Spark's own strategy runs the existing-row
+    // validation scan and the alterTable call, matching on the v2
+    // relation — splicing it out from underneath would leave the command
+    // plan-less ("No plan for AddCheckConstraint")
+    case ac: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint => ac
     case u: UpdateTable => u
     case rel: DataSourceV2Relation => rel.table match {
       case t: ManifestTableV2 => aliasTo(t.read(session).queryExecution.analyzed, rel.output)
