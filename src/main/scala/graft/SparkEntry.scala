@@ -1396,6 +1396,35 @@ object SparkEntry {
                 GROUP BY region""")
     }),
 
+    // Column DEFAULTs under the driver oracle: CTAS, ADD COLUMNS with a
+    // DEFAULT (metadata-only — pre-evolution rows read the ADD-time
+    // constant via EXISTS_DEFAULT, not null), SET DEFAULT re-pointing
+    // only FUTURE inserts, one partial-column INSERT per era. The
+    // aggregate splits the population by tier so a wrong fill (null, or
+    // history rewritten to the new default) shifts rows between groups —
+    // a driver-level row/hash mismatch.
+    "q152_sql_defaults" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q152")
+        .toString + "/cust_d"
+      t(s, dir, "customer").createOrReplaceTempView("q152_cust_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT c_custkey, c_nationkey " +
+        "FROM q152_cust_src WHERE c_custkey % 2 = 0")
+      s.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (tier BIGINT DEFAULT 1)")
+      s.sql(s"INSERT INTO graft.`$tbl` (c_custkey, c_nationkey) " +
+        "SELECT c_custkey, c_nationkey FROM q152_cust_src " +
+        "WHERE c_custkey % 4 = 1")
+      s.sql(s"ALTER TABLE graft.`$tbl` ALTER COLUMN tier SET DEFAULT 2")
+      s.sql(s"INSERT INTO graft.`$tbl` (c_custkey, c_nationkey) " +
+        "SELECT c_custkey, c_nationkey FROM q152_cust_src " +
+        "WHERE c_custkey % 4 = 3")
+      s.sql(s"""SELECT tier,
+                       count(*) AS n_rows,
+                       sum(c_custkey) AS sum_keys,
+                       sum(c_nationkey) AS sum_nation
+                FROM graft.`$tbl`
+                GROUP BY tier""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3457,6 +3486,25 @@ object SparkEntry {
                 CAST(sum(k) AS BIGINT) AS sum_keys,
                 CAST(sum(CAST(wf AS DECIMAL(18,4))) AS DOUBLE) AS sum_wf
          FROM w GROUP BY region""",
+
+    // q152 = the defaults lifecycle replayed relationally: the CTAS era
+    // reads the ADD-time EXISTS fill (1), the first insert era omits the
+    // column under DEFAULT 1, the second under DEFAULT 2
+    "q152_sql_defaults" ->
+      """WITH d AS (
+           SELECT c_custkey, c_nationkey, CAST(1 AS BIGINT) AS tier
+           FROM customer WHERE c_custkey % 2 = 0
+           UNION ALL
+           SELECT c_custkey, c_nationkey, CAST(1 AS BIGINT)
+           FROM customer WHERE c_custkey % 4 = 1
+           UNION ALL
+           SELECT c_custkey, c_nationkey, CAST(2 AS BIGINT)
+           FROM customer WHERE c_custkey % 4 = 3)
+         SELECT tier,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+                CAST(sum(c_nationkey) AS BIGINT) AS sum_nation
+         FROM d GROUP BY tier""",
 
     // q145 = the SQL MERGE upsert replayed relationally: matched keys take
     // the source image (left-join override), unmatched source rows insert

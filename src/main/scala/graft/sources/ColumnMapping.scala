@@ -59,12 +59,18 @@ private[graft] object ColumnMapping {
     s.fields.forall(f => !f.metadata.contains(PhysicalKey) ||
       f.metadata.getString(PhysicalKey) == f.name)
 
-  /** The schema as the DATA FILES spell it (fields renamed to physical,
-    * mapping metadata dropped — parquet never sees logical names).
+  /** The schema as the DATA FILES spell it: fields renamed to physical,
+    * the mapping key dropped, every OTHER metadata key kept — the parquet
+    * reader consumes EXISTS_DEFAULT from the read schema to fill columns
+    * absent from pre-evolution files, and stripping it here would turn
+    * declared defaults back into nulls.
     */
   def physicalSchema(s: StructType): StructType =
-    StructType(s.fields.map(f =>
-      StructField(physicalName(f), f.dataType, f.nullable)))
+    StructType(s.fields.map { f =>
+      val renamed = StructField(physicalName(f), f.dataType, f.nullable,
+        f.metadata)
+      withPhysical(renamed, renamed.name) // drops the now-redundant key
+    })
 
   /** The physical name of logical column `c` (identity when unmapped —
     * which also safely passes through names that are ALREADY physical,

@@ -68,9 +68,16 @@ class GraftCatalog extends TableCatalog
     * catalog declares the capability (Spark refuses otherwise).
     */
   override def capabilities(): java.util.Set[
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
-      .SUPPORT_TABLE_CONSTRAINT).asJava
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
+    // constraints: see alterTable's ADD/DROP CONSTRAINT. Defaults: Spark
+    // encodes `DEFAULT <expr>` into the CURRENT_DEFAULT / EXISTS_DEFAULT
+    // StructField metadata keys, which travel in the manifest schema —
+    // INSERT-side injection is Spark's own analysis, read-side
+    // existence-fill is the parquet reader's (the manifest just has to
+    // KEEP the metadata; see ColumnMapping.physicalSchema)
+    Set(SUPPORT_TABLE_CONSTRAINT, SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+  }
 
   private def spark: SparkSession = SparkSession.active
 
@@ -345,10 +352,30 @@ class GraftCatalog extends TableCatalog
             "added columns must be nullable — pre-evolution files null-fill")
           require(!schema.fieldNames.contains(name),
             s"column '$name' already exists")
+          // DEFAULT travels as Spark's CURRENT_DEFAULT (future INSERTs,
+          // injected by Spark's analysis) + EXISTS_DEFAULT (the folded
+          // constant pre-evolution rows read instead of null — consumed
+          // by the parquet reader straight from the manifest schema)
+          val base0 = StructField(name, add.dataType(), nullable = true)
+          val withDefault = Option(add.defaultValue()) match {
+            case None => base0
+            case Some(dv) =>
+              import org.apache.spark.sql.catalyst.util.{ResolveDefaultColumns => RDC}
+              val lit = Option(dv.getValue).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"DEFAULT for '$name' does not fold to a constant — " +
+                    "only literal-foldable defaults are supported"))
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              mb.putString(RDC.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+                Option(dv.getSql).getOrElse(lit.toString))
+              mb.putString(RDC.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+                lit.toString)
+              base0.copy(metadata = mb.build())
+          }
           // fresh physical identity when the name was ever used physically
           val phys = ColumnMapping.freshPhysical(name, schema, props)
-          schema = StructType(schema.fields :+ ColumnMapping.withPhysical(
-            StructField(name, add.dataType(), nullable = true), phys))
+          schema = StructType(schema.fields :+
+            ColumnMapping.withPhysical(withDefault, phys))
         case rn: TableChange.RenameColumn =>
           val from = oneCol(rn.fieldNames(), "RENAME COLUMN")
           val to = rn.newName()
@@ -415,6 +442,29 @@ class GraftCatalog extends TableCatalog
               "nulls the constraint cannot retroactively prove absent")
           schema = StructType(schema.fields.map(g =>
             if (g.name == name) g.copy(nullable = nl.nullable()) else g))
+        case ud: TableChange.UpdateColumnDefaultValue =>
+          // SET DEFAULT changes only CURRENT_DEFAULT (future INSERTs);
+          // EXISTS_DEFAULT — what rows predating the column read — is
+          // fixed at ADD time and never rewritten (Delta's rule: a
+          // changed default must not rewrite history). DROP DEFAULT
+          // removes the CURRENT key.
+          import org.apache.spark.sql.catalyst.util.{ResolveDefaultColumns => RDC}
+          val name = oneCol(ud.fieldNames(), "ALTER COLUMN DEFAULT")
+          fieldOf(name)
+          val newSql = Option(ud.newCurrentDefault()).map(dv =>
+            Option(dv.getSql).getOrElse(dv.getExpression.toString))
+            .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+          schema = StructType(schema.fields.map { g =>
+            if (g.name != name) g
+            else {
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(g.metadata)
+              mb.remove(RDC.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+              newSql.foreach(s => mb.putString(
+                RDC.CURRENT_DEFAULT_COLUMN_METADATA_KEY, s))
+              g.copy(metadata = mb.build())
+            }
+          })
         case other =>
           throw new UnsupportedOperationException(
             s"ALTER TABLE change $other is not supported — the manifest " +
