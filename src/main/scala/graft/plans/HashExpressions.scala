@@ -615,6 +615,35 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       exprs => HyperplaneBuckets(exprs.head, litInt(exprs, 1, "dim"),
         litInt(exprs, 2, "tables"), litInt(exprs, 3, "bits"),
         litLong(exprs, 4, "seed")))
+    // Table-valued CDF access — Delta's `table_changes` analog:
+    //   SELECT * FROM graft_changes('/lake/t', 3)        -- versions 3..current
+    //   SELECT * FROM graft_changes('/lake/t', 3, 7)     -- versions 3..7
+    // Both bounds INCLUSIVE (the SQL-facing convention; the store's
+    // (from, to] feed shifts by one underneath). Output schema is the
+    // table's own columns + _change_type/_commit_version/_commit_op,
+    // resolved from the manifest at analysis time — so each table gets
+    // its true shape with no registration step.
+    e.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.sources.ManifestStore.getClass.getName,
+        "graft_changes"),
+      exprs => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = GraftExtensions.litString(exprs, 0, "table directory")
+        val from = litLong(exprs, 1, "fromVersion")
+        require(from >= 1, s"fromVersion must be >= 1 (got $from)")
+        val snap = graft.sources.ManifestStore.currentSnapshot(spark, dir)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no manifest table at $dir"))
+        val to =
+          if (exprs.length > 2) litLong(exprs, 2, "toVersion")
+          else snap.version
+        val schema = snap.schema.getOrElse(throw new IllegalStateException(
+          s"manifest table $dir records no schema"))
+        graft.sources.ManifestStore
+          .changes(spark, dir, from - 1, to, schema)
+          .queryExecution.analyzed
+      }))
   }
 }
 
@@ -642,6 +671,17 @@ object GraftExtensions {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
       case other => throw new IllegalArgumentException(
         s"argument #$i ($what) must be an integer literal, got $other")
+    }
+  }
+
+  /** String literal argument (table paths for the TVFs). */
+  private[plans] def litString(exprs: Seq[Expression], i: Int, what: String): String = {
+    require(exprs.length > i, s"missing literal argument #$i ($what)")
+    exprs(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"argument #$i ($what) must be a string literal, got $other")
     }
   }
 }

@@ -697,4 +697,34 @@ class ManifestReadSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(ManifestStore.currentSnapshot(spark, dir).get.version === before)
   }
+
+  test("graft_changes TVF: SQL access to the change feed, bounds inclusive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf").toString
+    ManifestStore.append(Seq((1L, "a")).toDF("k", "v"), dir)     // v1
+    ManifestStore.append(Seq((2L, "b")).toDF("k", "v"), dir)     // v2
+    ManifestStore.deleteWhere(spark, dir,
+      ManifestStore.currentSnapshot(spark, dir).get.schema.get,
+      col("k") === 1L)                                           // v3
+    // inclusive both ends: versions 2..3 = the second insert + the delete
+    val feed = spark.sql(s"SELECT k, v, _change_type, _commit_version " +
+      s"FROM graft_changes('$dir', 2, 3)")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed === Set((2L, "b", "insert", 2L), (1L, "a", "delete", 3L)))
+    // to-bound defaults to the current version
+    assert(spark.sql(s"SELECT count(*) FROM graft_changes('$dir', 1)")
+      .as[Long].head() === 3L)
+    // the feed composes with plain SQL (aggregate over change types)
+    assert(spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         FROM graft_changes('$dir', 1) GROUP BY _change_type""")
+      .as[(String, Long)].collect().toMap
+      === Map("insert" -> 2L, "delete" -> 1L))
+    // refusals: version 0, missing table
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$dir', 0)").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$dir/nope', 1)").collect()
+    }
+  }
 }
