@@ -166,14 +166,18 @@ class GraftCatalog extends TableCatalog
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val dir = dirOf(ident)
-    val pcols = identityCols(partitions)
+    val (pcols, ccols) = partitionSpec(partitions)
+    ccols.foreach(c => require(schema.fieldNames.contains(c),
+      s"CLUSTER BY column '$c' not in schema"))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // user TBLPROPERTIES persist in the manifest; Spark-internal keys
     // (provider/location/owner + option passthrough) are engine state,
     // not user metadata
     val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
       GraftCatalog.reservedProps(k) }
-    ManifestStore.createEmpty(spark, dir, schema, pcols, userProps)
+    val withCluster = if (ccols.isEmpty) userProps
+      else userProps + (GraftCatalog.clusterProp -> ccols.mkString(","))
+    ManifestStore.createEmpty(spark, dir, schema, pcols, withCluster)
     ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
   }
 
@@ -209,23 +213,43 @@ class GraftCatalog extends TableCatalog
                      info: org.apache.spark.sql.connector.catalog.TableInfo,
                      create: Boolean): GraftStagedTable = {
     val dir = dirOf(ident)
-    val pcols = identityCols(info.partitions())
+    val (pcols, ccols) = partitionSpec(info.partitions())
+    ccols.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"CLUSTER BY column '$c' not in schema"))
     val userProps = info.properties().asScala.toMap.filterNot { case (k, _) =>
       GraftCatalog.reservedProps(k) }
-    GraftStagedTable(dir, info.schema(), pcols, userProps, create)
+    val withCluster = if (ccols.isEmpty) userProps
+      else userProps + (GraftCatalog.clusterProp -> ccols.mkString(","))
+    GraftStagedTable(dir, info.schema(), pcols, withCluster, create)
   }
 
-  /** Identity-transform column names; anything else refuses loudly. */
-  private def identityCols(partitions: Array[Transform]): Seq[String] =
-    partitions.toSeq.map {
+  /** Declared layout from the CREATE transforms: PARTITIONED BY identity
+    * columns (per-file partition values in the manifest) and/or CLUSTER
+    * BY columns (declarative Z-order — recorded as the engine-managed
+    * `graft.cluster` property; `compact_small` and the streaming sink's
+    * autoCompact Z-order by them with no per-call argument, the liquid-
+    * clustering UX). Anything else refuses loudly.
+    */
+  private def partitionSpec(partitions: Array[Transform]): (Seq[String], Seq[String]) = {
+    val pcols = Seq.newBuilder[String]
+    val ccols = Seq.newBuilder[String]
+    partitions.toSeq.foreach {
       case t if t.name == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
-        t.references()(0).fieldNames()(0)
+        pcols += t.references()(0).fieldNames()(0)
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.foreach { r =>
+          require(r.fieldNames().length == 1,
+            "CLUSTER BY supports top-level columns only")
+          ccols += r.fieldNames()(0)
+        }
       case other => throw new UnsupportedOperationException(
-        s"graft tables support PARTITIONED BY identity columns only — " +
-          s"got transform $other (bucket/days/… have no per-file partition " +
-          "value the manifest could record)")
+        s"graft tables support PARTITIONED BY identity columns and " +
+          s"CLUSTER BY — got transform $other (bucket/days/… have no " +
+          "per-file partition value the manifest could record)")
     }
+    (pcols.result(), ccols.result())
+  }
 
   /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN`.
     *
@@ -270,6 +294,33 @@ class GraftCatalog extends TableCatalog
       ManifestStore.setProperties(spark, dir, sets, unsets)
       return ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir)
         .getOrElse(throw new NoSuchTableException(ident)))
+    }
+    // ALTER TABLE CLUSTER BY (cols) / CLUSTER BY NONE: re-point the
+    // declared Z-order dimensions — a property-only commit; the NEXT
+    // maintenance pass clusters by the new columns (existing files are
+    // untouched, Delta's liquid-clustering rule)
+    if (changes.forall(_.isInstanceOf[TableChange.ClusterBy])) {
+      val snap0 = ManifestStore.currentSnapshot(spark, dir)
+        .getOrElse(throw new NoSuchTableException(ident))
+      val ss = snap0.schema.getOrElse(throw new IllegalStateException(
+        s"manifest table $dir records no schema"))
+      changes.foreach { case cb: TableChange.ClusterBy =>
+        val cols = cb.clusteringColumns().toSeq.map { r =>
+          require(r.fieldNames().length == 1,
+            "CLUSTER BY supports top-level columns only")
+          val c = r.fieldNames()(0)
+          require(ss.fieldNames.contains(c),
+            s"CLUSTER BY column '$c' not in table $dir")
+          ColumnMapping.physFor(ss, c) // store the immutable identity
+        }
+        if (cols.isEmpty)
+          ManifestStore.setProperties(spark, dir, Map.empty,
+            Seq(GraftCatalog.clusterProp))
+        else
+          ManifestStore.setProperties(spark, dir,
+            Map(GraftCatalog.clusterProp -> cols.mkString(",")), Nil)
+      }
+      return ManifestTableV2(dir, ManifestStore.currentSnapshot(spark, dir).get)
     }
     // ADD/DROP CONSTRAINT: engine-managed `graft.check.<name>` properties.
     // ADD validates EXISTING rows first (one pruning-eligible scan — the
@@ -510,6 +561,12 @@ private[sources] object GraftCatalog {
   val reservedProps: Set[String] = Set("provider", "location", "owner",
     "external", "version", "op", "numFiles", "numRows", "sizeBytes",
     "partitionCols", ColumnMapping.RetiredProp)
+
+  /** Declared CLUSTER BY columns (PHYSICAL names — immutable across
+    * renames, like partitionCols) — consumed by compact_small / the
+    * streaming sink's autoCompact as the default Z-order dimensions.
+    */
+  val clusterProp: String = "graft.cluster"
 }
 
 /** One manifest table pinned to one [[ManifestStore.Snapshot]] — the DSv2
@@ -591,12 +648,28 @@ private[graft] case class ManifestTableV2(dir: String,
     }.sortBy(_.name).toArray
   }
 
-  /** Declared PARTITIONED-BY columns as identity transforms — `DESCRIBE`
-    * and the planner see the same partitioning every write routes by.
+  /** Declared CLUSTER BY columns at the user surface (logical names). */
+  private[sources] def logicalClusterCols: Seq[String] =
+    snap.props.get(GraftCatalog.clusterProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => snap.schema match {
+        case Some(ss) => ColumnMapping.logicalFor(ss, c)
+        case None => c
+      })
+
+  /** Declared PARTITIONED-BY columns as identity transforms (plus the
+    * CLUSTER BY transform when declared) — `DESCRIBE` and the planner
+    * see the same layout every write/maintenance pass routes by.
     */
-  override def partitioning(): Array[Transform] =
-    logicalPartitionCols.map(c =>
+  override def partitioning(): Array[Transform] = {
+    val parts: Array[Transform] = logicalPartitionCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    val cc = logicalClusterCols
+    if (cc.isEmpty) parts
+    else parts :+ (org.apache.spark.sql.connector.expressions.ClusterByTransform(
+      cc.toIndexedSeq.map(c => org.apache.spark.sql.connector.expressions
+        .Expressions.column(c))): Transform)
+  }
 
   /** The pinned snapshot's declarative read — what [[ManifestV2Rewrite]]
     * splices into the query plan in place of the v2 relation.

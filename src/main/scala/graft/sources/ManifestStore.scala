@@ -2286,9 +2286,21 @@ object ManifestStore {
                                   schema: StructType, minFileBytes: Long,
                                   targetFileBytes: Long,
                                   midFlight: () => Unit,
-                                  zorderCols: Seq[String]): Option[Long] = {
+                                  zorderCols0: Seq[String]): Option[Long] = {
     val f = fs(spark, dir)
     val snap = currentSnapshot(spark, dir).getOrElse(return None)
+    // no explicit Z-order columns → the table's DECLARED clustering
+    // (CREATE/ALTER … CLUSTER BY, stored as immutable physical names in
+    // the graft.cluster property) — every un-parameterized maintenance
+    // pass (CALL compact_small, streaming autoCompact) self-clusters
+    val zorderCols: Seq[String] =
+      if (zorderCols0.nonEmpty) zorderCols0
+      else snap.props.get("graft.cluster").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(c => snap.schema match {
+          case Some(ss) => ColumnMapping.logicalFor(ss, c)
+          case None => c
+        })
     // manifest-recorded sizes first (zero RPCs); stat only pre-sizes files
     val sized = snap.files.map { rel =>
       rel -> snap.sizes.getOrElse(rel,
