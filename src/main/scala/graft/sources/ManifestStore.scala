@@ -3273,13 +3273,22 @@ object ManifestStore {
           } else liveRemain = true
         }
         // delete an emptied d-* dir only past the retention cutoff AND with
-        // no parquet file anywhere in its subtree: a dir holding just
-        // _temporary/ IS an in-flight write whose parquet files don't exist
-        // yet — recursive delete would rip the staging area out from under
-        // the committing writer, which the per-file mod-time guard above
-        // cannot see
+        // no parquet file anywhere in its subtree AND no _temporary/
+        // committer staging area. The last check is load-bearing beyond
+        // the mod-time guard: a writer that created the dir more than the
+        // retention window ago but has not landed its FIRST task file yet
+        // (slow task scheduling under load) presents an old, parquet-empty
+        // dir that contains only _temporary/ — the walk sees nothing to
+        // keep, and a recursive delete would rip the staging area out from
+        // under the committing writer (observed as the committer's
+        // FileNotFoundException on its own task path). A crashed writer's
+        // abandoned _temporary ages out differently: its task parquet
+        // files ARE collected individually above once past retention; only
+        // the empty directory skeleton persists — a zero-byte leak, the
+        // safe trade.
         if (!dryRun && d.getModificationTime < cutoff && !liveRemain &&
-            walkParquet(d.getPath).isEmpty)
+            walkParquet(d.getPath).isEmpty &&
+            !f.exists(new Path(d.getPath, "_temporary")))
           f.delete(d.getPath, true) // only bookkeeping files left
       }
     if (!dryRun) drop.foreach(v => f.delete(manifestPath(dir, v), false): Unit)

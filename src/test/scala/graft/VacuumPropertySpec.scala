@@ -138,4 +138,31 @@ class VacuumPropertySpec extends SparkSpec {
         expect.size.toLong)
     }
   }
+
+  test("vacuum spares an aged dir whose only content is a committer staging area") {
+    // deterministic form of the race the property test caught once under
+    // full-suite load: a writer created its d-<nonce> dir (and the
+    // FileOutputCommitter's _temporary/) more than the retention window
+    // ago but has not landed its first task file — the dir is
+    // parquet-empty and past cutoff, and vacuum must NOT rip it out from
+    // under the in-flight commit
+    val dir = tmpDir()
+    val f = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    ManifestStore.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    val inflight = new org.apache.hadoop.fs.Path(dir, "d-inflight00000")
+    val staging = new org.apache.hadoop.fs.Path(inflight, "_temporary")
+    f.mkdirs(staging)
+    val old = System.currentTimeMillis() - 3600_000L
+    f.setTimes(inflight, old, -1)
+    f.setTimes(staging, old, -1)
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    assert(f.exists(staging),
+      "vacuum deleted an in-flight writer's staging area")
+    // once the writer is gone (staging removed), the skeleton collects
+    f.delete(staging, true)
+    f.setTimes(inflight, old, -1)
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    assert(!f.exists(inflight), "emptied bookkeeping dir should collect")
+  }
 }
