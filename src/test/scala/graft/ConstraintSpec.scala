@@ -119,6 +119,21 @@ class ConstraintSpec extends SparkSpec {
       .as[Long].head() === 2L)
   }
 
+  test("constraints survive TYPE widening of the constrained column") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} AS SELECT " +
+      "CAST(1 AS BIGINT) AS k, CAST(10 AS INT) AS v")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD CONSTRAINT pos CHECK (v > 0)")
+    // widening the constrained column is fine (the predicate resolves
+    // against the widened type) and the gate still holds for long-era
+    // values on both sides of the bound
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (2, ${Int.MaxValue.toLong + 1})")
+    violates(spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (3, ${Long.MinValue})"))
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)}")
+      .as[Long].head() === 2L)
+  }
+
   test("constraints survive rename eras and gate the streaming sink") {
     val dir = tmpDir()
     ManifestStore.append(Seq((1L, 10L)).toDF("k", "v"), dir)
