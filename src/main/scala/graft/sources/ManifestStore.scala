@@ -3257,17 +3257,30 @@ object ManifestStore {
         // (appendPartitioned) nest files under <col>=<value>/ dirs, and a
         // one-level listing would neither vacuum their orphans nor SEE
         // their live files when deciding the dir is empty below
+        // tolerate subtrees vanishing mid-walk: a committer renaming its
+        // attempt dir between our parent listing and the child listing is
+        // normal concurrency, not an error
         def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-          f.listStatus(p).toSeq.flatMap { s =>
+          scala.util.Try(f.listStatus(p).toSeq).getOrElse(Nil).flatMap { s =>
             if (s.isDirectory) walkParquet(s.getPath)
             else if (s.getPath.getName.endsWith(".parquet")) Seq(s) else Nil
           }
         val baseUri = f.makeQualified(d.getPath).toUri
+        // files under a _temporary/ committer staging area are IN-FLIGHT,
+        // not orphans: a task can write its attempt parquet and then sit
+        // past a short retention window before commitTask under load —
+        // deleting it fails the writer's own job commit (the race the
+        // property suite caught). They collect only past a 24 h floor
+        // (genuinely crashed writers), whatever retention the caller set.
+        val stagingCutoff = System.currentTimeMillis() -
+          math.max(retainMillis, 24L * 3600 * 1000)
         var liveRemain = false
         walkParquet(d.getPath).foreach { file =>
           val rel = s"${d.getPath.getName}/" +
             baseUri.relativize(f.makeQualified(file.getPath).toUri).getPath
-          if (!live.contains(rel) && file.getModificationTime < cutoff) {
+          val fileCutoff =
+            if (rel.split('/').contains("_temporary")) stagingCutoff else cutoff
+          if (!live.contains(rel) && file.getModificationTime < fileCutoff) {
             if (!dryRun) f.delete(file.getPath, false): Unit
             dataDeleted += 1
           } else liveRemain = true

@@ -159,6 +159,27 @@ class VacuumPropertySpec extends SparkSpec {
     ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
     assert(f.exists(staging),
       "vacuum deleted an in-flight writer's staging area")
+
+    // a task-attempt parquet INSIDE the staging area is in-flight too:
+    // short retention must not touch it (the second race shape the
+    // property suite caught — attempt written, commitTask lagging)
+    val attempt = new org.apache.hadoop.fs.Path(staging,
+      "0/_temporary/attempt_x/part-00000-y.c000.snappy.parquet")
+    f.mkdirs(attempt.getParent)
+    val os = f.create(attempt); os.write(1); os.close()
+    val stale = System.currentTimeMillis() - 3000L // past retain=0, young vs 24h
+    f.setTimes(attempt, stale, -1)
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    assert(f.exists(attempt),
+      "vacuum deleted an in-flight task attempt inside _temporary")
+    // …but a genuinely crashed writer's staging collects past the 24h floor
+    f.setTimes(attempt, old, -1) // 1h old — still young vs the floor
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    assert(f.exists(attempt), "1h-old staging is inside the 24h floor")
+    f.setTimes(attempt, System.currentTimeMillis() - 25L * 3600_000L, -1)
+    ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
+    assert(!f.exists(attempt), "25h-old crashed staging should collect")
+
     // once the writer is gone (staging removed), the skeleton collects
     f.delete(staging, true)
     f.setTimes(inflight, old, -1)
