@@ -173,8 +173,7 @@ class GraftCatalog extends TableCatalog
     // user TBLPROPERTIES persist in the manifest; Spark-internal keys
     // (provider/location/owner + option passthrough) are engine state,
     // not user metadata
-    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
-      GraftCatalog.reservedProps(k) }
+    val userProps = GraftCatalog.userProps(properties.asScala.toMap)
     val withCluster = if (ccols.isEmpty) userProps
       else userProps + (GraftCatalog.clusterProp -> ccols.mkString(","))
     ManifestStore.createEmpty(spark, dir, schema, pcols, withCluster)
@@ -216,8 +215,7 @@ class GraftCatalog extends TableCatalog
     val (pcols, ccols) = partitionSpec(info.partitions())
     ccols.foreach(c => require(info.schema().fieldNames.contains(c),
       s"CLUSTER BY column '$c' not in schema"))
-    val userProps = info.properties().asScala.toMap.filterNot { case (k, _) =>
-      GraftCatalog.reservedProps(k) }
+    val userProps = GraftCatalog.userProps(info.properties().asScala.toMap)
     val withCluster = if (ccols.isEmpty) userProps
       else userProps + (GraftCatalog.clusterProp -> ccols.mkString(","))
     GraftStagedTable(dir, info.schema(), pcols, withCluster, create)
@@ -567,6 +565,22 @@ private[sources] object GraftCatalog {
     * streaming sink's autoCompact as the default Z-order dimensions.
     */
   val clusterProp: String = "graft.cluster"
+
+  /** The user property bag of a CREATE / staged CTAS / REPLACE: Spark-
+    * internal passthrough keys dropped, the engine-maintained `graft.*`
+    * namespace REFUSED — the same wall ALTER SET TBLPROPERTIES enforces.
+    * A `graft.check.x` smuggled through TBLPROPERTIES would surface as a
+    * never-validated constraint enforced on every write, and a bogus
+    * `graft.cluster` would break later compaction.
+    */
+  private[sources] def userProps(raw: Map[String, String]): Map[String, String] = {
+    raw.keys.find(_.startsWith("graft.")).foreach(k =>
+      throw new IllegalArgumentException(
+        s"table property '$k' is reserved (engine-maintained namespace) — " +
+          "declare constraints via ALTER TABLE ADD CONSTRAINT and " +
+          "clustering via CLUSTER BY"))
+    raw.filterNot { case (k, _) => reservedProps(k) }
+  }
 }
 
 /** One manifest table pinned to one [[ManifestStore.Snapshot]] — the DSv2

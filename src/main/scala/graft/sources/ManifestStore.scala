@@ -1178,7 +1178,21 @@ object ManifestStore {
                                          retire: Seq[String] = Nil): Long =
     publishLoop(spark, dir, "schema", Nil, (prevFiles, _) => prevFiles,
       dfSchema = Some(newSchema), schemaExact = true,
-      propsUpdate = p => ColumnMapping.withRetired(p, retire),
+      // retired physical names also leave the declared CLUSTER BY set in
+      // the SAME commit — a dead physical name left in `graft.cluster`
+      // would wedge every later compact_small / autoCompact pass on an
+      // unresolvable column
+      propsUpdate = p => {
+        val p1 = ColumnMapping.withRetired(p, retire)
+        p1.get(GraftCatalog.clusterProp) match {
+          case Some(cs) if retire.nonEmpty =>
+            val kept = cs.split(",").toSeq.map(_.trim)
+              .filter(_.nonEmpty).filterNot(retire.contains)
+            if (kept.isEmpty) p1 - GraftCatalog.clusterProp
+            else p1 + (GraftCatalog.clusterProp -> kept.mkString(","))
+          case _ => p1
+        }
+      },
       guard = Some { prev =>
         if (!prev.schema.map(_.json).contains(baseSchemaJson))
           throw new java.util.ConcurrentModificationException(
@@ -1421,14 +1435,20 @@ object ManifestStore {
     require(filterP.keySet.subsetOf(pcolsP.toSet),
       s"partition filter keys ${partitionFilter.keys.mkString(",")} must be " +
         s"declared partition columns (${partitionCols.mkString(",")})")
-    val offending = partitionFilter.map { case (c, v) =>
-      !(col(c).cast("string") <=> lit(v))
-    }.reduce(_ || _)
-    require(df.filter(offending).limit(1).count() == 0L,
-      "INSERT OVERWRITE PARTITION data carries rows outside the target " +
-        "partition — they would silently leak; fix the query or use a " +
-        "whole-table overwrite")
-    val (dfP, _) = planWrite(spark, dir, df)
+    // row-leak guard ENFORCED INSIDE THE ONE WRITE (the enforceChecks
+    // raise_error shape), not as a separate pre-write probe: a
+    // nondeterministic source (rand(), re-read external data) evaluated
+    // twice could pass a probe yet write different rows — the guard must
+    // judge exactly the rows that land in files
+    val inTarget = partitionFilter.map { case (c, v) =>
+      col(c).cast("string") <=> lit(v)
+    }.reduce(_ && _)
+    import org.apache.spark.sql.functions.{raise_error, when}
+    val guarded = df.filter(when(inTarget, lit(true)).otherwise(raise_error(lit(
+      "[GRAFT_PARTITION_LEAK] INSERT OVERWRITE PARTITION data carries rows " +
+        "outside the target partition — they would silently leak; fix the " +
+        "query or use a whole-table overwrite"))))
+    val (dfP, _) = planWrite(spark, dir, guarded)
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val (fresh, freshParts) =
       writeHivePartitioned(dfP, dir, s"d-$nonce", pcolsP)
@@ -1735,16 +1755,38 @@ object ManifestStore {
     * pass, per ANSI CHECK. Rows already in the table satisfy every
     * recorded constraint by induction (ADD CONSTRAINT validated them),
     * so rewrites (compaction, survivors) re-check at negligible cost.
+    *
+    * A SUBSET-SCHEMA batch (legal — [[mergeSchemas]] null-fills omitted
+    * prior columns) may omit columns a constraint references; the
+    * constraint must then evaluate against what READERS of the written
+    * rows will see — the column's EXISTS_DEFAULT when one is recorded,
+    * NULL otherwise — so the omitted columns are temporarily added as
+    * those fill literals (and dropped again after the filters), instead
+    * of failing resolution on a batch that is perfectly valid.
     */
   private def enforceChecks(df: DataFrame, snap: Option[Snapshot]): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, lit, raise_error, when}
+    import org.apache.spark.sql.functions.{col, expr, lit, raise_error, when}
     val checks = checkConstraints(snap.map(_.props).getOrElse(Map.empty))
-    checks.foldLeft(df) { case (d, (name, sql)) =>
+    if (checks.isEmpty) return df
+    val missing = snap.flatMap(_.schema).map(ColumnMapping.stripMapping)
+      .map(_.fields.toSeq.filterNot(f => df.columns.contains(f.name)))
+      .getOrElse(Nil)
+    val filled = missing.foldLeft(df) { (d, f) =>
+      import org.apache.spark.sql.catalyst.util.{ResolveDefaultColumns => RDC}
+      // the same fill value the parquet reader serves for a file missing
+      // this column (internal-value existence default, else null)
+      val fill = org.apache.spark.sql.catalyst.expressions.Literal(
+        RDC.getExistenceDefaultValue(f), f.dataType)
+      d.withColumn(f.name, org.apache.spark.sql.graft.StreamingShim.column(fill))
+    }
+    val checked = checks.foldLeft(filled) { case (d, (name, sql)) =>
       val p = expr(sql)
       d.filter(when(p || p.isNull, lit(true)).otherwise(raise_error(lit(
         s"[GRAFT_CHECK_VIOLATION] CHECK constraint '$name' ($sql) " +
           "violated by a written row"))))
     }
+    if (missing.isEmpty) checked
+    else checked.select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   private def planWrite(spark: SparkSession, dir: String,

@@ -104,4 +104,25 @@ class ClusteringSpec extends SparkSpec {
       s"AS SELECT id, v FROM ${sqlTable(dir)}")
     assert(snap(dst).props("graft.cluster") === "id")
   }
+
+  test("DROP COLUMN removes the column from the declared CLUSTER BY set") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, v BIGINT, w STRING) " +
+      "USING graft CLUSTER BY (k, v)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} SELECT id, id * 2, 'x' " +
+      "FROM range(0, 50)")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP COLUMN v")
+    // the SAME commit that retires v's physical name drops it from
+    // graft.cluster — a dead physical name left there would wedge every
+    // later compact_small / autoCompact on an unresolvable column
+    assert(snap(dir).props("graft.cluster") === "k")
+    assert(ManifestStore.compactSmall(spark, dir, snap(dir).schema.get,
+      minFileBytes = Long.MaxValue, targetFileBytes = 1L).isDefined,
+      "maintenance must keep working after the drop")
+    // dropping the LAST cluster column clears the property entirely
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP COLUMN k")
+    assert(!snap(dir).props.contains("graft.cluster"))
+    assert(ManifestStore.compactSmall(spark, dir, snap(dir).schema.get,
+      minFileBytes = Long.MaxValue, targetFileBytes = 1L).isDefined)
+  }
 }

@@ -163,4 +163,39 @@ class ConstraintSpec extends SparkSpec {
       .contains("GRAFT_CHECK_VIOLATION"))
     q.stop()
   }
+
+  test("subset-schema appends evaluate checks against the reader's fill") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, 10L)).toDF("k", "v"), dir)
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // a batch OMITTING the constrained column is legal (mergeSchemas
+    // null-fills) and must not fail resolution: readers see NULL for v,
+    // NULL passes per ANSI CHECK
+    ManifestStore.append(Seq(Tuple1(2L)).toDF("k"), dir)
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)} WHERE v IS NULL")
+      .as[Long].head() === 1L)
+
+    // with an EXISTS_DEFAULT, the omitted column reads the ADD-time
+    // constant — the check must judge THAT value, not NULL: a default
+    // satisfying the constraint admits the batch…
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD COLUMNS (tier BIGINT DEFAULT 5)")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD CONSTRAINT tier_pos " +
+      "CHECK (tier > 0)")
+    ManifestStore.append(Seq((3L, 30L)).toDF("k", "v"), dir)
+    // …and a constraint the fill CANNOT satisfy refuses the subset batch
+    // (rows would be written whose read-back image violates the check)
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP CONSTRAINT tier_pos")
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE tier IS NULL OR tier >= 5")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (4, 40, 1)")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD CONSTRAINT tier_small " +
+      "CHECK (tier < 3)")
+    violates(ManifestStore.append(Seq((5L, 50L)).toDF("k", "v"), dir))
+    // mixed-reference check (present + omitted column) uses the fill for
+    // the omitted side: 5 (tier fill) > v=100 → false → refused
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP CONSTRAINT tier_small")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD CONSTRAINT v_gt_tier " +
+      "CHECK (v > tier)")
+    ManifestStore.append(Seq((6L, 60L)).toDF("k", "v"), dir) // 60 > 5 fill
+    violates(ManifestStore.append(Seq((7L, 2L)).toDF("k", "v"), dir)) // 2 < 5
+  }
 }

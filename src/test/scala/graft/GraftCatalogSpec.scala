@@ -16,6 +16,14 @@ import graft.sources.ManifestStore
   * NATIVE manifest scan (pruned, codegen'd) via [[graft.sources.ManifestV2Rewrite]],
   * deletion-vector tables included (no Row-boundary RDD scan anywhere).
   */
+object GraftCatalogSpec {
+  /** Shared evaluation counter for the single-evaluation overwrite test
+    * (local mode: executor threads share the JVM, so a static counter
+    * sees every UDF invocation).
+    */
+  val evalCount = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class GraftCatalogSpec extends SparkSpec {
   import spark.implicits._
 
@@ -785,6 +793,61 @@ class GraftCatalogSpec extends SparkSpec {
     val desc = spark.sql(s"DESCRIBE TABLE EXTENDED ${sqlTable(dir)}")
       .collect().map(_.mkString("|")).mkString("\n")
     assert(desc.contains("numFiles") && desc.contains("graft-manifest"), desc)
+  }
+
+  test("CREATE/CTAS refuse smuggled graft.* TBLPROPERTIES (ALTER's wall)") {
+    // a 'graft.check.x' through TBLPROPERTIES would surface as a
+    // never-validated constraint enforced on every write; a bogus
+    // 'graft.cluster' would break later compaction — same refusal ALTER
+    // SET TBLPROPERTIES enforces
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${tmpDir()}/p1` (k BIGINT) " +
+        "TBLPROPERTIES ('graft.check.x' = 'k < 0')")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${tmpDir()}/p2` " +
+        "TBLPROPERTIES ('graft.cluster' = 'nope') AS SELECT 1L AS k")
+    }
+    // ordinary user properties still land
+    val dir = tmpDir() + "/p3"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT) " +
+      "TBLPROPERTIES ('team' = 'data-eng')")
+    assert(ManifestStore.currentSnapshot(spark, dir).get.props("team")
+      === "data-eng")
+  }
+
+  test("partial partition overwrite evaluates its source exactly once") {
+    val dir = tmpDir() + "/ptonce"
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (1, 'y'), (2, 'z')")
+    // a NONDETERMINISTIC source evaluated twice (probe + write) could
+    // pass the row-leak probe yet write different rows — the guard must
+    // judge exactly the rows that land, i.e. ONE evaluation
+    GraftCatalogSpec.evalCount.set(0L)
+    val tagged = udf { k: Long =>
+      GraftCatalogSpec.evalCount.incrementAndGet(); "y"
+    }.asNondeterministic()
+    val src = spark.range(10).select(col("id").as("k"),
+      tagged(col("id")).as("p"))
+    ManifestStore.overwritePartitions(src, dir, Seq("p"), Map("p" -> "y"))
+    assert(GraftCatalogSpec.evalCount.get() === 10L,
+      s"source evaluated ${GraftCatalogSpec.evalCount.get()} times — " +
+        "the leak guard must run inside the single write")
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)} WHERE p = 'y'")
+      .as[Long].head() === 10L)
+    // the in-write guard still refuses out-of-partition rows, atomically
+    val vBefore = ManifestStore.currentSnapshot(spark, dir).get.version
+    val e = intercept[Exception] {
+      ManifestStore.overwritePartitions(
+        spark.sql("SELECT CAST(9 AS BIGINT) AS k, 'OTHER' AS p"),
+        dir, Seq("p"), Map("p" -> "y"))
+    }
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: all(t.getCause)
+    assert(all(e).exists(_.contains("GRAFT_PARTITION_LEAK")), e.toString)
+    assert(ManifestStore.currentSnapshot(spark, dir).get.version === vBefore,
+      "a refused overwrite must not commit")
   }
 
   test("DROP TABLE / table RENAME / narrowing ALTER refuse loudly on path tables") {
