@@ -60,27 +60,36 @@ object Bench {
       .map { case (name, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       dropPersisted(spark)
-      // min of 2 timed executions = steady-state plan cost; a single sample
-      // on this shared box occasionally absorbs a GC/contention spike
-      val dt = (1 to 2).map { _ =>
+      // MEDIAN of 3 timed executions = steady-state plan cost, with the
+      // per-query [min, med, max] SPREAD reported alongside: on this
+      // shared box single-shot timings drift ±20% (and occasionally 2×)
+      // with no plan change — the spread is what lets a reader classify
+      // a cross-round delta as noise (bands overlap) vs regression
+      // (bands disjoint) without re-running
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
         dropPersisted(spark)
         d
-      }.min
-      name -> dt
+      }.sorted
+      name -> samples
     }
     // 4-decimal seconds: 0.1 ms grain is far below shared-box noise and
     // keeps the 140-query line ~25% shorter — less likely to fall off a
     // bounded stdout capture
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def med(ss: Seq[Double]): Double = ss(ss.size / 2)
+    val qs = results.map { case (k, ss) => s"\"" + k + "\":" + fmt(med(ss)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val spread = results.map { case (k, ss) =>
+      s"\"" + k + "\":[" + fmt(ss.head) + "," + fmt(ss.last) + "]" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(r => med(r._2)).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""spread":$spread,"sf":"$sfDir"}"""
     // the full map also goes to a file: the driver captures a bounded stdout
     // TAIL, which truncated the single giant line in rounds 3–4 (BENCH_r04
     // arrived `parsed: null` with 58 of 119 queries lost). The file is the
