@@ -222,19 +222,38 @@ class GraftCatalog extends TableCatalog
   }
 
   /** Declared layout from the CREATE transforms: PARTITIONED BY identity
-    * columns (per-file partition values in the manifest) and/or CLUSTER
-    * BY columns (declarative Z-order — recorded as the engine-managed
-    * `graft.cluster` property; `compact_small` and the streaming sink's
-    * autoCompact Z-order by them with no per-call argument, the liquid-
-    * clustering UX). Anything else refuses loudly.
+    * columns or HIDDEN transforms — `days(ts)` / `hours(ts)` /
+    * `bucket(n, col)` ([[PartitionSpec]]: per-file derived partition
+    * value in the manifest; predicates on the SOURCE column auto-prune)
+    * — and/or CLUSTER BY columns (declarative Z-order — recorded as the
+    * engine-managed `graft.cluster` property; `compact_small` and the
+    * streaming sink's autoCompact Z-order by them with no per-call
+    * argument, the liquid-clustering UX). Anything else refuses loudly.
     */
   private def partitionSpec(partitions: Array[Transform]): (Seq[String], Seq[String]) = {
     val pcols = Seq.newBuilder[String]
     val ccols = Seq.newBuilder[String]
+    def oneRef(t: Transform): String = {
+      require(t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"transform ${t.name} supports exactly one top-level column")
+      t.references()(0).fieldNames()(0)
+    }
     partitions.toSeq.foreach {
       case t if t.name == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         pcols += t.references()(0).fieldNames()(0)
+      case t if t.name == "days" =>
+        pcols += PartitionSpec.Spec(PartitionSpec.Days, oneRef(t)).render
+      case t if t.name == "hours" =>
+        pcols += PartitionSpec.Spec(PartitionSpec.Hours, oneRef(t)).render
+      case t if t.name == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform carries no bucket-count literal: $t"))
+        pcols += PartitionSpec.Spec(PartitionSpec.Bucket(n), oneRef(t)).render
       case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
         refs.foreach { r =>
           require(r.fieldNames().length == 1,
@@ -242,9 +261,10 @@ class GraftCatalog extends TableCatalog
           ccols += r.fieldNames()(0)
         }
       case other => throw new UnsupportedOperationException(
-        s"graft tables support PARTITIONED BY identity columns and " +
-          s"CLUSTER BY — got transform $other (bucket/days/… have no " +
-          "per-file partition value the manifest could record)")
+        s"graft tables support PARTITIONED BY identity columns, " +
+          s"days(ts), hours(ts), bucket(n, col), and CLUSTER BY — got " +
+          s"transform $other (months/years add calendar arithmetic that " +
+          "days-range pruning already covers)")
     }
     (pcols.result(), ccols.result())
   }
@@ -445,9 +465,10 @@ class GraftCatalog extends TableCatalog
           val name = oneCol(del.fieldNames(), "DROP COLUMN")
           val f = fieldOf(name)
           val phys = ColumnMapping.physicalName(f)
-          require(!snap.partitionCols.contains(phys),
-            s"cannot drop '$name': it is a declared partition column — " +
-              "the table's file layout and pruning plan by it")
+          require(!snap.partitionCols.exists(s =>
+              PartitionSpec.sourceCol(s) == phys),
+            s"cannot drop '$name': a declared partition field derives " +
+              "from it — the table's file layout and pruning plan by it")
           require(schema.fields.length > 1,
             s"cannot drop '$name': it is the table's only column")
           require(constraintsOn(name).isEmpty,
@@ -470,9 +491,10 @@ class GraftCatalog extends TableCatalog
             s"cannot change column '$name' from ${f.dataType.simpleString} " +
               s"to ${ut.newDataType().simpleString} — only lossless " +
               "widenings (byte/short/int→long, byte/short/int/float→" +
-              "double) are metadata-only; anything else would " +
-              "reinterpret immutable files")
-          require(!snap.partitionCols.contains(ColumnMapping.physicalName(f)) ||
+              "double, decimal(p,s)→decimal(p+k,s)) are metadata-only; " +
+              "anything else would reinterpret immutable files")
+          require(!snap.partitionCols.exists(s =>
+              PartitionSpec.sourceCol(s) == ColumnMapping.physicalName(f)) ||
               ut.newDataType() != org.apache.spark.sql.types.DoubleType,
             s"cannot widen partition column '$name' to double — partition " +
               "path round-trips are exact for integral/string types only")
@@ -641,7 +663,8 @@ private[graft] case class ManifestTableV2(dir: String,
     * logical name.
     */
   private[sources] def logicalPartitionCols: Seq[String] = snap.schema match {
-    case Some(ss) => snap.partitionCols.map(ColumnMapping.logicalFor(ss, _))
+    case Some(ss) => snap.partitionCols.map(
+      PartitionSpec.mapCol(_, ColumnMapping.logicalFor(ss, _)))
     case None => snap.partitionCols
   }
 
@@ -676,8 +699,16 @@ private[graft] case class ManifestTableV2(dir: String,
     * see the same layout every write/maintenance pass routes by.
     */
   override def partitioning(): Array[Transform] = {
-    val parts: Array[Transform] = logicalPartitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val parts: Array[Transform] = logicalPartitionCols.map { c =>
+      val sp = PartitionSpec.parse(c)
+      sp.kind match {
+        case PartitionSpec.Identity => Expressions.identity(sp.col)
+        case PartitionSpec.Days => Expressions.days(sp.col)
+        case PartitionSpec.Hours => Expressions.hours(sp.col)
+        case PartitionSpec.Bucket(n) => Expressions.bucket(n, sp.col)
+      }
+    }.toArray
     val cc = logicalClusterCols
     if (cc.isEmpty) parts
     else parts :+ (org.apache.spark.sql.connector.expressions.ClusterByTransform(
@@ -840,9 +871,11 @@ private[graft] case class ManifestMetaTable(dir: String, kind: String)
         // under the empty partition key.
         val s = ManifestStore.currentSnapshot(session, dir).getOrElse(
           ManifestStore.Snapshot(0L, Nil, "none"))
-        // recorded values key by PHYSICAL column; render logical names
+        // recorded values key by PHYSICAL column (possibly a transform
+        // spec); render with logical inner names
         def disp(k: String): String = s.schema match {
-          case Some(ss) => ColumnMapping.logicalFor(ss, k)
+          case Some(ss) =>
+            PartitionSpec.mapCol(k, ColumnMapping.logicalFor(ss, _))
           case None => k
         }
         s.files.groupBy(f => s.parts.getOrElse(f, Map.empty).toSeq

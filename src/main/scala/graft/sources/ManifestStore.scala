@@ -431,7 +431,8 @@ object ManifestStore {
     snap.files.filter { rel =>
       partitionAdmits(snap, rel, column, lo, hi).getOrElse {
         statsAdmit(snap, rel, column, lo, hi)
-      } && bloomAdmits(snap, rel, column, lo, hi)
+      } && transformAdmits(snap, rel, column, lo, hi) &&
+        bloomAdmits(snap, rel, column, lo, hi)
     }
 
   /** Logical column → the name recorded in file-level metadata. */
@@ -455,6 +456,7 @@ object ManifestStore {
       ranges.forall { case (column, lo, hi) =>
         (partitionAdmits(snap, rel, column, lo, hi)
           .getOrElse(statsAdmit(snap, rel, column, lo, hi))) &&
+          transformAdmits(snap, rel, column, lo, hi) &&
           bloomAdmits(snap, rel, column, lo, hi)
       }
     }
@@ -534,6 +536,79 @@ object ManifestStore {
         case _ => true // unknown partition type: keep, never wrong
       }
     }
+
+  /** HIDDEN-PARTITION-TRANSFORM evidence for a range probe on `column`:
+    * a file whose recorded `days(column)` / `hours(column)` value lies
+    * outside the transformed probe range — or whose `bucket(n, column)`
+    * value differs from the probe value's bucket on a POINT probe — is
+    * dropped. Conjunctive with (never a replacement for) footer stats
+    * and identity partition values; files without a transform entry for
+    * `column`, null partitions, and unparseable values all admit (safe).
+    * Monotonic transforms (days/hours) translate range endpoints
+    * exactly: lo ≤ x ≤ hi ⇒ t(lo) ≤ t(x) ≤ t(hi).
+    */
+  private def transformAdmits(snap: Snapshot, rel: String, column: String,
+                              lo: Any, hi: Any): Boolean =
+    snap.parts.get(rel).forall(_.forall { case (k, v) =>
+      val sp = PartitionSpec.parse(k)
+      if (sp.isIdentity || sp.col != column || v == hiveNullPartition) true
+      else {
+        val dt = snap.schema.flatMap(_.fields.find(f =>
+          ColumnMapping.physicalName(f) == column)).map(_.dataType)
+        val rec = scala.util.Try(v.toLong).toOption
+        (sp.kind, dt, rec) match {
+          case (PartitionSpec.Days | PartitionSpec.Hours, Some(d), Some(r))
+              if d == org.apache.spark.sql.types.TimestampType ||
+                d == org.apache.spark.sql.types.DateType =>
+            def ord(x: Any): Option[Long] =
+              scala.util.Try(PartitionSpec.probeOrd(sp, d, toLong(x))).toOption
+            (lo == Unbounded || ord(lo).forall(r >= _)) &&
+              (hi == Unbounded || ord(hi).forall(r <= _))
+          case (PartitionSpec.Bucket(n), _, Some(r))
+              if lo != Unbounded && hi != Unbounded =>
+            canonicalProbe(snap, column, lo) match {
+              case Some(c) if canonicalProbe(snap, column, hi).contains(c) =>
+                r == PartitionSpec.bucketOf(c, n)
+              case _ => true // range probe: buckets carry no order
+            }
+          case _ => true
+        }
+      }
+    })
+
+  /** [[partitionWhollyIn]] for transform partitions: a recorded
+    * `days`/`hours` value `r` proves every row's source column lies in
+    * `[r·unit, (r+1)·unit)` (DATE days: exactly day `r`), so the file is
+    * wholly inside `[lo, hi]` iff that interval is — AND proves the
+    * source column null-free (a null derives null and lands in the hive
+    * default partition, never here). Buckets prove nothing (collisions).
+    */
+  private def transformWhollyIn(snap: Snapshot, rel: String, column: String,
+                                lo: Any, hi: Any): Boolean =
+    snap.parts.get(rel).exists(_.exists { case (k, v) =>
+      val sp = PartitionSpec.parse(k)
+      sp.col == column && !sp.isIdentity && v != hiveNullPartition && {
+        val dt = snap.schema.flatMap(_.fields.find(f =>
+          ColumnMapping.physicalName(f) == column)).map(_.dataType)
+        val rec = scala.util.Try(v.toLong).toOption
+        (sp.kind, dt, rec) match {
+          case (PartitionSpec.Days, Some(org.apache.spark.sql.types.DateType),
+                Some(r)) =>
+            scala.util.Try(
+              (lo == Unbounded || r >= toLong(lo)) &&
+                (hi == Unbounded || r <= toLong(hi))).getOrElse(false)
+          case (PartitionSpec.Days | PartitionSpec.Hours,
+                Some(org.apache.spark.sql.types.TimestampType), Some(r)) =>
+            val unit = if (sp.kind == PartitionSpec.Days)
+              PartitionSpec.MicrosPerDay else PartitionSpec.MicrosPerHour
+            scala.util.Try(
+              (lo == Unbounded || r * unit >= toLong(lo)) &&
+                (hi == Unbounded || (r + 1) * unit - 1 <= toLong(hi)))
+              .getOrElse(false)
+          case _ => false
+        }
+      }
+    })
 
   /** True iff `rel` records a non-null partition value for `column` that
     * PROVABLY lies inside `[lo, hi]` — the whole-file-covered proof for
@@ -1210,18 +1285,25 @@ object ManifestStore {
                   partitionCols: Seq[String] = Nil,
                   props: Map[String, String] = Map.empty): Long = {
     val schema = ColumnMapping.stripMapping(schema0) // new tables start trivial
-    partitionCols.foreach { c =>
-      val dt = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '$c' not in schema")).dataType.typeName
-      require(Set("long", "integer", "short", "byte", "string").contains(dt),
-        s"partition column '$c' has type $dt — only integral/string columns " +
-          "partition (their hive path round-trip is exact)")
-    }
+    validatePartitionSpecs(schema, partitionCols, s"CREATE $dir")
     publishExternal(spark, dir, op = "create", files = Nil,
       stats = Map.empty, rows = Map.empty, schema = Some(schema),
       parts = Map.empty, partitionCols = partitionCols, props = props)
   }
+
+  /** Each declared partition field (identity name or transform spec)
+    * names a schema column of a transform-compatible type — validated at
+    * declaration so a bad layout fails before the first write.
+    */
+  private def validatePartitionSpecs(schema: StructType, partitionCols: Seq[String],
+                                     where: String): Unit =
+    partitionCols.foreach { c =>
+      val sp = PartitionSpec.parse(c)
+      val f = schema.fields.find(_.name == sp.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '${sp.col}' not in schema"))
+      PartitionSpec.validate(sp, f.dataType, where)
+    }
 
   /** Replace the table contents with `df`. Returns the committed version. */
   def overwrite(df: DataFrame, dir: String): Long =
@@ -1281,14 +1363,7 @@ object ManifestStore {
     // with the trivial mapping; the staged files were written with the
     // query's own logical names)
     val schema = ColumnMapping.stripMapping(schema0)
-    partitionCols.foreach { c =>
-      val dt = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '$c' not in schema")).dataType.typeName
-      require(Set("long", "integer", "short", "byte", "string").contains(dt),
-        s"partition column '$c' has type $dt — only integral/string columns " +
-          "partition (their hive path round-trip is exact)")
-    }
+    validatePartitionSpecs(schema, partitionCols, s"CREATE/REPLACE $dir")
     val hc = spark.sparkContext.hadoopConfiguration
     val meta = files.map(r => r -> footerMeta(hc, dir, r)).toMap
     publishExternal(spark, dir,
@@ -1430,7 +1505,7 @@ object ManifestStore {
     val snapSchema = currentSnapshot(spark, dir).flatMap(_.schema)
     def phys(c: String): String =
       snapSchema.map(ColumnMapping.physFor(_, c)).getOrElse(c)
-    val pcolsP = partitionCols.map(phys)
+    val pcolsP = partitionCols.map(PartitionSpec.mapCol(_, phys))
     val filterP = partitionFilter.map { case (c, v) => phys(c) -> v }
     require(filterP.keySet.subsetOf(pcolsP.toSet),
       s"partition filter keys ${partitionFilter.keys.mkString(",")} must be " +
@@ -1504,7 +1579,8 @@ object ManifestStore {
     val snap = currentSnapshot(spark, dir)
     val (dfP, dfSchema) = planWrite(spark, dir, df)
     val pcolsP = snap.flatMap(_.schema) match {
-      case Some(ss) => partitionCols.map(ColumnMapping.physFor(ss, _))
+      case Some(ss) =>
+        partitionCols.map(PartitionSpec.mapCol(_, ColumnMapping.physFor(ss, _)))
       case None => partitionCols
     }
     val nonce = java.util.UUID.randomUUID().toString.take(12)
@@ -1539,20 +1615,43 @@ object ManifestStore {
                                    partitionCols: Seq[String])
       : (Seq[String], Map[String, Map[String, String]]) = {
     import org.apache.spark.sql.functions.col
-    partitionCols.foreach { c =>
-      val dt = df.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"partition column '$c' not in schema"))
-        .dataType.typeName
-      require(Set("long", "integer", "short", "byte", "string").contains(dt),
-        s"partition column '$c' has type $dt — only integral/string columns " +
-          "partition (their hive path round-trip is exact)")
+    // entries are identity column names OR transform specs (`days(ts)`,
+    // `bucket(8, k)` — [[PartitionSpec]]); each derives ONE partition
+    // value per file, recorded under its rendered spec string
+    val specs = partitionCols.map(PartitionSpec.parse)
+    specs.foreach { sp =>
+      val f = df.schema.fields.find(_.name == sp.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '${sp.col}' not in schema"))
+      PartitionSpec.validate(sp, f.dataType, s"write to $dir")
     }
     val spark = df.sparkSession
-    val clones = partitionCols.map(c => s"__p_$c")
-    val cloned = partitionCols.zip(clones).foldLeft(df) { case (d, (c, cl)) =>
-      d.withColumn(cl, col(c))
+    // identity clones keep the readable `__p_<col>` path segment;
+    // transform clones index (`__p_t<i>`) — a spec string is not a safe
+    // path segment. The clone→spec map recovers the manifest key below.
+    val clones = specs.zipWithIndex.map { case (sp, i) =>
+      if (sp.isIdentity) s"__p_${sp.col}" else s"__p_t$i"
     }
-    cloned.write.mode("error").partitionBy(clones: _*)
+    val keyByClone = clones.zip(specs.map(_.render)).toMap
+    val cloned = specs.zip(clones).foldLeft(df) { case (d, (sp, cl)) =>
+      d.withColumn(cl,
+        PartitionSpec.valueColumn(sp, col(sp.col), df.schema(sp.col).dataType))
+    }
+    // OPTIMIZED WRITE for transform layouts (the Delta discipline): a
+    // hidden-partitioned table is the high-cardinality shape (30 days ×
+    // 8 buckets = 240 values), where the default task-parallel write
+    // emits tasks × values small files per commit. Hash-clustering the
+    // rows on the derived partition values first lands ONE file per
+    // partition value per commit — the steady state the per-file
+    // partition metadata is designed around (compactSmall's partition-
+    // aware grouping handles the tail). A hot partition serializes into
+    // one writer task — the same tradeoff Delta's optimized writes make;
+    // identity-only layouts (typically a handful of values) keep the
+    // task-parallel write and their existing plans.
+    val shaped =
+      if (specs.exists(!_.isIdentity)) cloned.repartition(clones.map(col): _*)
+      else cloned
+    shaped.write.mode("error").partitionBy(clones: _*)
       .parquet(new Path(dir, dataRel).toString)
     val f = fs(spark, dir)
     def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
@@ -1578,12 +1677,13 @@ object ManifestStore {
         renamed
       }
     }
-    // parse each file's partition values back out of its hive path
+    // parse each file's partition values back out of its hive path,
+    // keyed by the declared spec (identity: the plain column name)
     val freshParts = fresh.map { rel =>
       rel -> rel.split("/").toSeq.init.flatMap { seg =>
         seg.split("=", 2) match {
-          case Array(k, v) if k.startsWith("__p_") =>
-            Some(k.stripPrefix("__p_") -> unescapeHive(v))
+          case Array(k, v) if keyByClone.contains(k) =>
+            Some(keyByClone(k) -> unescapeHive(v))
           case _ => None
         }
       }.toMap
@@ -1859,6 +1959,17 @@ object ManifestStore {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+      // DECIMAL(p,s) → DECIMAL(p+k,s): same scale, more precision — the
+      // money-column evolution (amounts outgrowing DECIMAL(10,2)).
+      // Lossless by construction (every (p,s) value is a (p+k,s) value)
+      // and METADATA-ONLY: the vectorized parquet reader serves old
+      // INT32/INT64/FLBA decimal pages under a wider same-scale read
+      // schema natively (probed on this Spark in TypeWideningSpec,
+      // including across the INT32→INT64→FLBA physical boundaries).
+      // Scale changes refuse — they reinterpret the stored unscaled
+      // integers.
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision > d1.precision
       case _ => false
     }
   }
@@ -2578,6 +2689,7 @@ object ManifestStore {
           .getOrElse(planRanges)
         cand0.partition(rel => rangesP.forall { case (c, lo, hi) =>
           partitionWhollyIn(snap, rel, c, lo, hi) ||
+            transformWhollyIn(snap, rel, c, lo, hi) ||
             statsWhollyIn(snap, rel, c, lo, hi) })
       }
     val nonce = java.util.UUID.randomUUID().toString.take(12)
@@ -2845,7 +2957,8 @@ object ManifestStore {
     val (batchP, batchSchema) = planWrite(spark, dir, batch)
     val (freshFiles, freshParts) =
       if (snap.partitionCols.nonEmpty &&
-          snap.partitionCols.forall(batchP.columns.contains))
+          snap.partitionCols.forall(s =>
+            batchP.columns.contains(PartitionSpec.sourceCol(s))))
         writeHivePartitioned(batchP, dir, dataRel, snap.partitionCols)
       else {
         batchP.write.mode("error").parquet(new Path(dir, dataRel).toString)

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit, pmod, unix_micros, crc32, datediff, to_date}
+import org.apache.spark.sql.types._
+
+/** Iceberg-style HIDDEN PARTITIONING for manifest tables: a declared
+  * partition field is either a plain IDENTITY column or a TRANSFORM of a
+  * source column — `days(ts)`, `hours(ts)`, `bucket(n, key)` — recorded
+  * in the manifest's `partitionCols` as its rendered spec string and per
+  * file as one derived partition VALUE. The user never materializes or
+  * filters on a derived column: writes compute the value from the source
+  * column, and reads prune files from ordinary predicates ON THE SOURCE
+  * COLUMN (`ts BETWEEN a AND b`, `key = v`) via the transform's
+  * monotonicity (days/hours) or point mapping (bucket). This is the
+  * reference's hand-rolled `run_id=` landing layout
+  * (`services/staging/app/writer_landing.py:29-35`) generalized: the
+  * transform lives in table metadata, not in every producer's code.
+  *
+  * Spec strings double as the manifest serialization — parentheses cannot
+  * appear in a (physical) column name the engine assigns, so parsing is
+  * unambiguous and identity columns remain plain names (full backward
+  * compatibility with pre-transform manifests).
+  *
+  * Transform semantics (all UTC, timezone-independent):
+  *  - `days(ts)`: floor(micros-since-epoch / 86 400 000 000) for
+  *    TIMESTAMP; the epoch-day value itself for DATE.
+  *  - `hours(ts)`: floor(micros / 3 600 000 000), TIMESTAMP only.
+  *  - `bucket(n, c)`: crc32(canonical string of c) mod n — the repo's
+  *    portable-hash discipline (like the md5 blooms): the executor-side
+  *    derivation (`crc32(CAST(c AS STRING))`) and the driver-side probe
+  *    (java.util.zip.CRC32 over the same UTF-8 bytes) agree bit-for-bit
+  *    with no engine-private hash. Integral/string sources only (the
+  *    types whose canonical string is engine-stable).
+  *
+  * months/years are deliberately absent: their calendar arithmetic adds
+  * little over days() for pruning and a second date library to keep
+  * portable — a days-partitioned table answers month queries with exact
+  * day-range pruning.
+  */
+private[graft] object PartitionSpec {
+
+  sealed trait Kind
+  case object Identity extends Kind
+  case object Days extends Kind
+  case object Hours extends Kind
+  final case class Bucket(n: Int) extends Kind
+
+  final case class Spec(kind: Kind, col: String) {
+    def render: String = kind match {
+      case Identity => col
+      case Days => s"days($col)"
+      case Hours => s"hours($col)"
+      case Bucket(n) => s"bucket($n,$col)"
+    }
+    def isIdentity: Boolean = kind == Identity
+  }
+
+  val MicrosPerDay: Long = 86400000000L
+  val MicrosPerHour: Long = 3600000000L
+
+  private val DaysRe = """days\(([^()]+)\)""".r
+  private val HoursRe = """hours\(([^()]+)\)""".r
+  private val BucketRe = """bucket\((\d+),\s*([^()]+)\)""".r
+
+  def parse(s: String): Spec = s match {
+    case DaysRe(c) => Spec(Days, c.trim)
+    case HoursRe(c) => Spec(Hours, c.trim)
+    case BucketRe(n, c) => Spec(Bucket(n.toInt), c.trim)
+    case c => Spec(Identity, c)
+  }
+
+  /** The SOURCE column a declared partition field derives from. */
+  def sourceCol(s: String): String = parse(s).col
+
+  /** Rewrite the inner column name (logical ↔ physical translation). */
+  def mapCol(s: String, f: String => String): String = {
+    val sp = parse(s)
+    sp.copy(col = f(sp.col)).render
+  }
+
+  /** Source-column types each transform admits — refusal is loud at
+    * declaration AND at write (a manifest hand-edited to an invalid
+    * combination must not silently mis-derive).
+    */
+  def validate(spec: Spec, dt: DataType, where: String): Unit = spec.kind match {
+    case Identity =>
+      require(Set("long", "integer", "short", "byte", "string")(dt.typeName),
+        s"partition column '${spec.col}' has type ${dt.typeName} — only " +
+          s"integral/string columns partition by identity (their hive " +
+          s"path round-trip is exact); $where")
+    case Days =>
+      require(dt == TimestampType || dt == DateType,
+        s"days(${spec.col}) needs a TIMESTAMP or DATE column, got " +
+          s"${dt.typeName}; $where")
+    case Hours =>
+      require(dt == TimestampType,
+        s"hours(${spec.col}) needs a TIMESTAMP column, got ${dt.typeName}; " +
+          where)
+    case Bucket(n) =>
+      require(n > 0, s"bucket(${spec.col}) needs a positive bucket count")
+      require(Set("long", "integer", "short", "byte", "string")(dt.typeName),
+        s"bucket($n, ${spec.col}) needs an integral/string column " +
+          s"(portable canonical string), got ${dt.typeName}; $where")
+  }
+
+  /** The derived partition value as a Column — what the hive-partitioned
+    * writer clones and partitions by. NULL source values derive NULL and
+    * land in the hive default partition (kept by every scan — safe).
+    *
+    * days/hours use exact integer floor arithmetic: `us - pmod(us, unit)`
+    * is an exact multiple of `unit`, so the division is exact in double
+    * and the cast back to long is the true floor quotient — no
+    * truncate-toward-zero error on pre-1970 instants.
+    */
+  def valueColumn(spec: Spec, c: Column, dt: DataType): Column = spec.kind match {
+    case Identity => c
+    case Days if dt == DateType =>
+      datediff(c, to_date(lit("1970-01-01")))
+    case Days => floorDiv(unix_micros(c), MicrosPerDay)
+    case Hours => floorDiv(unix_micros(c), MicrosPerHour)
+    case Bucket(n) => pmod(crc32(c.cast("string").cast("binary")), lit(n.toLong))
+  }
+
+  private def floorDiv(us: Column, unit: Long): Column =
+    ((us - pmod(us, lit(unit))) / lit(unit)).cast("long")
+
+  /** Driver-side transform of a PROBE value already coerced to the stat
+    * space (Long micros for TIMESTAMP sources, Long epoch-days for DATE
+    * sources) — must agree exactly with [[valueColumn]].
+    */
+  def probeOrd(spec: Spec, dt: DataType, statValue: Long): Long = spec.kind match {
+    case Days if dt == DateType => statValue
+    case Days => Math.floorDiv(statValue, MicrosPerDay)
+    case Hours => Math.floorDiv(statValue, MicrosPerHour)
+    case _ => throw new IllegalArgumentException(
+      s"probeOrd is for monotonic transforms, got ${spec.render}")
+  }
+
+  /** Driver-side bucket of a canonical value string — crc32 over UTF-8
+    * bytes mod n, matching `pmod(crc32(CAST(c AS STRING)), n)` exactly.
+    */
+  def bucketOf(canonical: String, n: Int): Long = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(crc.getValue, n.toLong)
+  }
+}

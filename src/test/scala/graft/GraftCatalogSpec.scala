@@ -165,10 +165,12 @@ class GraftCatalogSpec extends SparkSpec {
     val desc = spark.sql(s"DESCRIBE TABLE EXTENDED ${sqlTable(dir)}")
       .collect().map(_.mkString("|")).mkString("\n")
     assert(desc.contains("p"), desc)
-    // non-identity transforms and non-integral/string columns refuse
+    // unsupported transforms and non-integral/string identity columns
+    // refuse (days/hours/bucket are the supported hidden transforms —
+    // see HiddenPartitioningSpec)
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE graft.`${tmpDir()}/t3` (k BIGINT, p STRING) " +
-        "PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"CREATE TABLE graft.`${tmpDir()}/t3` (k BIGINT, " +
+        "ts TIMESTAMP) PARTITIONED BY (months(ts))")
     }
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`${tmpDir()}/t4` (k BIGINT, d DOUBLE) " +

@@ -1,0 +1,283 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ManifestStore, PartitionSpec}
+
+/** Iceberg-style HIDDEN PARTITIONING ([[graft.sources.PartitionSpec]]):
+  * `PARTITIONED BY (days(ts))` / `hours(ts)` / `bucket(n, col)` record a
+  * TRANSFORM in the manifest; writes derive one partition value per file
+  * from the source column, and ordinary predicates ON THE SOURCE COLUMN
+  * prune whole partitions — the user never materializes a date column or
+  * remembers to filter on it (the failure mode of hand-rolled hive
+  * layouts). These tests pin:
+  *  - the derived values (UTC day/hour ordinals, portable crc32 buckets),
+  *  - file-level pruning from source-column predicates (range → days,
+  *    point → bucket) with EXACT file counts,
+  *  - correctness identity: pruned scans ≡ full scan + filter,
+  *  - whole-file metadata deletes on day ranges (retention shape),
+  *  - the SQL lifecycle (CREATE/INSERT/SELECT/DESCRIBE) end-to-end.
+  */
+class HiddenPartitioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-hp").toString
+
+  private def sqlTable(dir: String): String = s"graft.`$dir`"
+
+  private def snap(dir: String) =
+    ManifestStore.currentSnapshot(spark, dir).get
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("days(ts): derived values, range pruning, scan identity") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    // three UTC days, one INSERT each → at least one file per day
+    Seq("2024-01-10", "2024-01-11", "2024-01-12").zipWithIndex.foreach {
+      case (d, i) =>
+        spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+          s"(${i * 2}, TIMESTAMP '$d 01:00:00'), " +
+          s"(${i * 2 + 1}, TIMESTAMP '$d 23:30:00')")
+    }
+    val s0 = snap(dir)
+    assert(s0.partitionCols === Seq("days(ts)"))
+    // derived value = UTC epoch-day ordinal (2024-01-10 = day 19732)
+    val days = s0.files.flatMap(f => s0.parts(f).get("days(ts)")).toSet
+    assert(days === Set("19732", "19733", "19734"), days)
+
+    // range predicate on the SOURCE column prunes to the matching days
+    val kept = ManifestStore.pruneFiles(s0, "ts",
+      ts("2024-01-11T00:00:00Z"), ts("2024-01-11T23:59:59Z"))
+    assert(kept.nonEmpty && kept.size < s0.files.size,
+      s"${kept.size}/${s0.files.size}")
+    assert(kept.forall(f => s0.parts(f)("days(ts)") == "19733"))
+    // …and the SQL scan goes through the same file index: read count ≡
+    // filtered full scan
+    val pruned = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "ts BETWEEN TIMESTAMP '2024-01-11 00:00:00' AND " +
+      "TIMESTAMP '2024-01-11 23:59:59'").as[Long].collect().toSet
+    assert(pruned === Set(2L, 3L))
+    // boundary exactness: a probe at the last micro of day 19732 keeps
+    // day 19732, not 19733
+    val edge = ManifestStore.pruneFiles(s0, "ts",
+      ts("2024-01-10T00:00:00Z"), ts("2024-01-10T23:59:59.999999Z"))
+    assert(edge.forall(f => s0.parts(f)("days(ts)") == "19732"))
+  }
+
+  test("bucket(n, k): portable derivation, point-lookup pruning") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} " +
+      "SELECT id, concat('v', id) FROM range(0, 64)")
+    val s0 = snap(dir)
+    assert(s0.partitionCols === Seq("bucket(4,k)"))
+    // recorded bucket ≡ the driver-side crc32 derivation, per file
+    s0.files.foreach { f =>
+      val rec = s0.parts(f)("bucket(4,k)").toLong
+      assert(0 <= rec && rec < 4)
+    }
+    val buckets = s0.files.map(f => s0.parts(f)("bucket(4,k)")).toSet
+    assert(buckets.size === 4, s"64 keys must cover all 4 buckets: $buckets")
+    // a point lookup prunes to ONE bucket's files
+    val probe = 17L
+    val expect = PartitionSpec.bucketOf(probe.toString, 4)
+    val kept = ManifestStore.pruneFiles(s0, "k", probe, probe)
+    assert(kept.nonEmpty && kept.forall(f =>
+      s0.parts(f)("bucket(4,k)").toLong == expect),
+      s"kept ${kept.size} of ${s0.files.size}")
+    assert(kept.size < s0.files.size)
+    // the lookup itself stays exact
+    assert(ManifestStore.lookup(spark, dir, snap(dir).schema.get, "k",
+      Seq(probe)).select("v").as[String].collect().toSeq === Seq("v17"))
+    // RANGE probes carry no bucket order — nothing wrongly pruned
+    val all = ManifestStore.pruneFiles(s0, "k", 0L, 63L)
+    assert(all.size === s0.files.size)
+  }
+
+  test("hours(ts) + identity compose; DATE days; null partition is safe") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, src STRING, " +
+      "ts TIMESTAMP) PARTITIONED BY (src, hours(ts))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(1, 'a', TIMESTAMP '2024-01-10 05:10:00'), " +
+      "(2, 'a', TIMESTAMP '2024-01-10 06:20:00'), " +
+      "(3, 'b', TIMESTAMP '2024-01-10 05:40:00'), " +
+      "(4, 'a', NULL)")
+    val s0 = snap(dir)
+    assert(s0.partitionCols === Seq("src", "hours(ts)"))
+    // hour ordinal of 2024-01-10T05 UTC = 19732*24 + 5
+    val h5 = (19732L * 24 + 5).toString
+    val conj = ManifestStore.pruneFilesWhere(s0, Seq(
+      ("src", "a", "a"),
+      ("ts", ts("2024-01-10T05:00:00Z"), ts("2024-01-10T05:59:59Z"))))
+    // identity AND transform prune conjunctively; the null-ts file (hive
+    // default partition) is KEPT — conservative, never wrong
+    assert(conj.forall { f =>
+      val p = s0.parts(f)
+      p("src") == "a" &&
+        (p("hours(ts)") == h5 || p("hours(ts)") == "__HIVE_DEFAULT_PARTITION__")
+    })
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE src = 'a' AND " +
+      "ts BETWEEN TIMESTAMP '2024-01-10 05:00:00' AND " +
+      "TIMESTAMP '2024-01-10 05:59:59'").as[Long].collect().toSeq === Seq(1L))
+    // NULL-source rows stay readable (they live in the default partition)
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)} " +
+      "WHERE ts IS NULL").as[Long].head() === 1L)
+
+    // DATE source: derived value is the epoch-day itself
+    val dd = tmpDir() + "/dd"
+    ManifestStore.createEmpty(spark, dd,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, d DATE"),
+      partitionCols = Seq("days(d)"))
+    ManifestStore.appendPartitioned(
+      Seq((1L, java.sql.Date.valueOf("2024-01-10")),
+        (2L, java.sql.Date.valueOf("2024-01-12"))).toDF("k", "d"),
+      dd, Seq("days(d)"))
+    val sd = snap(dd)
+    assert(sd.files.flatMap(f => sd.parts(f).get("days(d)")).toSet
+      === Set("19732", "19734"))
+  }
+
+  test("day-range DELETE drops whole files from metadata alone") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    (10 to 13).foreach { d =>
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+        s"($d, TIMESTAMP '2024-01-$d 03:00:00'), " +
+        s"($d, TIMESTAMP '2024-01-$d 21:00:00')")
+    }
+    // retention delete on the SOURCE column: days 10–11 are wholly
+    // covered → their files drop as a metadata edit, no dv sidecars
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE " +
+      "ts <= TIMESTAMP '2024-01-11 23:59:59.999999'")
+    val s1 = snap(dir)
+    assert(s1.dvs.isEmpty,
+      "wholly-covered day partitions must drop without deletion vectors")
+    assert(s1.files.flatMap(f => s1.parts(f).get("days(ts)")).toSet
+      === Set("19734", "19735"))
+    assert(spark.sql(s"SELECT collect_set(k) FROM ${sqlTable(dir)}")
+      .head().getSeq[Long](0).toSet === Set(12L, 13L))
+  }
+
+  test("hidden partitioning composes with CLUSTER BY, evolution, rewrite ops") {
+    val dir = tmpDir()
+    // contract (round-10 decision): CLUSTER BY composes with transform
+    // partitioning — partitions shard the layout, Z-order clusters
+    // WITHIN each partition's compacted files (compactSmall groups by
+    // recorded partition value). Spark's PARSER refuses the combination
+    // in one CREATE statement ([SPECIFY_CLUSTER_BY_WITH_PARTITIONED_BY_
+    // IS_NOT_ALLOWED]), so the declaration path on a partitioned table
+    // is ALTER TABLE … CLUSTER BY. Partition-spec changes after CREATE
+    // are expressible only through REPLACE TABLE (which redefines
+    // layout); there is no ALTER that mutates partitioning in place.
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP, " +
+      "v STRING) PARTITIONED BY (days(ts))")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} CLUSTER BY (k)")
+    assert(snap(dir).props("graft.cluster") === "k")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} " +
+        s"SELECT /*+ REPARTITION(1) */ id * 3 + $i, " +
+        "TIMESTAMP '2024-01-10 12:00:00', 'x' FROM range(0, 50)")
+    }
+    // compaction groups by derived partition value and keeps it
+    assert(spark.sql(s"CALL graft.compact_small('$dir', 32, 0)")
+      .as[Long].head() > 0L)
+    val s1 = snap(dir)
+    assert(s1.files.forall(f => s1.parts(f)("days(ts)") == "19732"),
+      "compacted outputs must keep the derived partition value")
+    // DROP COLUMN of the transform's source refuses (layout derives from it)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP COLUMN ts")
+    }
+    // renaming the source column is metadata-only; the spec holds the
+    // immutable physical name and writes keep deriving correctly
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} RENAME COLUMN ts TO event_ts")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(1000, TIMESTAMP '2024-01-11 08:00:00', 'y')")
+    val s2 = snap(dir)
+    assert(s2.files.flatMap(f => s2.parts(f).get("days(ts)")).toSet
+      === Set("19732", "19733"))
+    // UPDATE rewrites flow through the partitioned writer too
+    spark.sql(s"UPDATE ${sqlTable(dir)} SET v = 'z' WHERE k = 1000")
+    val s3 = snap(dir)
+    assert(s3.files.forall(f => s3.parts.get(f).exists(_.contains("days(ts)"))),
+      "update images must carry derived partition values")
+    assert(spark.sql(s"SELECT v FROM ${sqlTable(dir)} WHERE k = 1000")
+      .as[String].head() === "z")
+    // REPLACE TABLE redefines the partition spec (the only layout-change
+    // path); the old layout stays time-travelable
+    spark.sql(s"REPLACE TABLE ${sqlTable(dir)} PARTITIONED BY " +
+      s"(bucket(2, k)) AS SELECT k, event_ts, v FROM ${sqlTable(dir)}")
+    assert(snap(dir).partitionCols === Seq("bucket(2,k)"))
+
+    // DESCRIBE/partitioning surfaces the transforms
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, dir))
+    assert(t.partitioning().map(_.toString).toSeq === Seq("bucket(2, k)"))
+  }
+
+  test("executed plan reads fewer files than the snapshot holds (q153 shape)") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    (10 to 15).foreach { d =>
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+        s"($d, TIMESTAMP '2024-01-$d 12:00:00')")
+    }
+    val total = snap(dir).files.size
+    assert(total >= 6)
+    val df = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "ts BETWEEN TIMESTAMP '2024-01-12 00:00:00' AND " +
+      "TIMESTAMP '2024-01-13 23:59:59'")
+    df.collect()
+    // count the files the EXECUTED scan actually listed (walk AQE
+    // wrappers; the manifest file index prunes inside listFiles)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val read = scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(read < total && read > 0,
+      s"scan read $read of $total files — day pruning must reach the plan")
+  }
+
+  test("transform value arithmetic: pre-1970 floors, spec round-trips") {
+    // floorDiv semantics must hold for pre-epoch instants (truncation
+    // toward zero would mis-bin 1969-12-31 into day 0)
+    val dir = tmpDir()
+    ManifestStore.createEmpty(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, ts TIMESTAMP"),
+      partitionCols = Seq("days(ts)"))
+    ManifestStore.appendPartitioned(
+      Seq((1L, ts("1969-12-31T23:00:00Z")), (2L, ts("1970-01-01T01:00:00Z")))
+        .toDF("k", "ts"), dir, Seq("days(ts)"))
+    val s0 = snap(dir)
+    assert(s0.files.flatMap(f => s0.parts(f).get("days(ts)")).toSet
+      === Set("-1", "0"))
+    val kept = ManifestStore.pruneFiles(s0, "ts",
+      ts("1969-12-31T00:00:00Z"), ts("1969-12-31T23:59:59Z"))
+    assert(kept.forall(f => s0.parts(f)("days(ts)") == "-1") && kept.nonEmpty)
+
+    // spec strings round-trip through parse/render and column mapping
+    Seq("k", "days(ts)", "hours(ts)", "bucket(16,user_id)").foreach { s =>
+      assert(PartitionSpec.parse(s).render === s)
+    }
+    assert(PartitionSpec.mapCol("days(a)", _ => "b") === "days(b)")
+    assert(PartitionSpec.sourceCol("bucket(8,a)") === "a")
+  }
+}

@@ -118,6 +118,13 @@ class PlanAuditSpec extends SparkSpec {
       // exact kNN verifier: the broadcast side is the ≤8-row literal QUERY
       // set, not the corpus — the corpus streams through exactly once
       "q23_knn_cosine" -> "8-row query set",
+      // fenced ANN (round-10 graduation): the exact-twin subplan carries
+      // q23's 8-row query-set broadcast, and the recall gate is a 1-ROW
+      // broadcast (the single pass/fail aggregate) joined onto the ≤40
+      // emitted rows — both builds bounded by construction, never the
+      // corpus (the IVF/IVF-PQ subplans themselves stay equi-join only)
+      "q32_ann_ivf" -> "8-row query set + 1-row recall gate",
+      "q42_ann_ivfpq" -> "8-row query set + 1-row recall gate",
       // idf needs the corpus document count on every (group, token) row:
       // the broadcast side is that 1-row aggregate, never the corpus
       "q71_tfidf_terms" -> "1-row corpus-count aggregate",

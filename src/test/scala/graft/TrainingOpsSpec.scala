@@ -240,6 +240,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.65, s"IVF recall $recall below the pinned 0.68 band")
   }
 
+  test("q32/q42 fence floors sit under the measured recall band (sf0.001)") {
+    // the driver queries emit EXACT top-k rows gated in-plan on ANN
+    // recall (SparkEntry.annFenced): q32 floors at 0.55, q42 at 0.45.
+    // Measured at the queries' own configs (nlist=64, nprobe=16;
+    // m=8/ksub=32/rerank=8): 0.75/0.725/0.675 (IVF) and
+    // 0.675/0.675/0.55 (IVF-PQ) across sf0.001/0.01/0.1 — this test
+    // re-derives the sf0.001 point and asserts it clears each floor
+    // with margin, so a drift toward the fence fails HERE before it
+    // empties the driver query
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5, nlist = 64, nprobe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.ivfpqTopK(queries, emb, k = 5, nlist = 64,
+        nprobe = 16, m = 8, ksub = 32, rerankFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rIvf = (exact intersect ivf).size.toDouble / exact.size
+    val rPq = (exact intersect pq).size.toDouble / exact.size
+    info(s"q32-config IVF recall: $rIvf; q42-config IVF-PQ recall: $rPq")
+    assert(rIvf >= 0.65, s"IVF recall $rIvf within one step of the 0.55 fence")
+    assert(rPq >= 0.55, s"IVF-PQ recall $rPq within one step of the 0.45 fence")
+  }
+
   test("IVF-PQ ANN recall vs exact top-k on real embeddings (sf0.001)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -129,4 +129,54 @@ class TypeWideningSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN s SET NOT NULL")
     }
   }
+
+  test("decimal precision widening is metadata-only across physical eras") {
+    // DECIMAL(p,s) → DECIMAL(p+k,s): the money-column evolution. Parquet
+    // stores p≤9 as INT32, p≤18 as INT64, p>18 as FLBA — the widened
+    // read schema must serve ALL THREE physical encodings losslessly,
+    // so this test widens 8,2 → 12,2 → 22,2 and inserts an era at each
+    // precision, asserting exact values and sums across every era
+    // without a file rewrite.
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} AS SELECT " +
+      "CAST(1 AS BIGINT) AS k, CAST(123456.78 AS DECIMAL(8,2)) AS amt")
+    val files0 = snap(dir).files
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN amt TYPE DECIMAL(12,2)")
+    assert(snap(dir).files === files0, "widening must not rewrite files")
+    assert(snap(dir).schema.get("amt").dataType ===
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    // INT64-decimal era: a value exceeding DECIMAL(8,2)
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(2, CAST(9876543210.99 AS DECIMAL(12,2)))")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN amt TYPE DECIMAL(22,2)")
+    // FLBA era: beyond 18 digits
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(3, CAST(12345678901234567890.12 AS DECIMAL(22,2)))")
+    val rows = spark.sql(s"SELECT k, CAST(amt AS STRING) " +
+      s"FROM ${sqlTable(dir)} ORDER BY k").as[(Long, String)].collect().toSeq
+    assert(rows === Seq(1L -> "123456.78", 2L -> "9876543210.99",
+      3L -> "12345678901234567890.12"), rows.toString)
+    assert(spark.sql(s"SELECT CAST(sum(amt) AS STRING) FROM ${sqlTable(dir)}")
+      .as[String].head() === "12345678911111234557.89")
+
+    // a NARROW-decimal batch upcasts on write (planWrite), keeping the
+    // file type uniform at the declared precision
+    graft.sources.ManifestStore.append(
+      spark.sql("SELECT CAST(4 AS BIGINT) AS k, " +
+        "CAST(0.01 AS DECIMAL(8,2)) AS amt"), dir)
+    assert(spark.sql(s"SELECT CAST(amt AS STRING) FROM ${sqlTable(dir)} " +
+      "WHERE k = 4").as[String].head() === "0.01")
+
+    // refusals: scale change (reinterprets unscaled ints), narrowing,
+    // decimal→double (lossy)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN amt TYPE DECIMAL(24,4)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN amt TYPE DECIMAL(10,2)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ALTER COLUMN amt TYPE DOUBLE")
+    }
+  }
 }
