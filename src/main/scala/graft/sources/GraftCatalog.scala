@@ -223,7 +223,8 @@ class GraftCatalog extends TableCatalog
 
   /** Declared layout from the CREATE transforms: PARTITIONED BY identity
     * columns or HIDDEN transforms — `days(ts)` / `hours(ts)` /
-    * `bucket(n, col)` ([[PartitionSpec]]: per-file derived partition
+    * `bucket(n, col)` / `truncate(w, col)`
+    * ([[PartitionSpec]]: per-file derived partition
     * value in the manifest; predicates on the SOURCE column auto-prune)
     * — and/or CLUSTER BY columns (declarative Z-order — recorded as the
     * engine-managed `graft.cluster` property; `compact_small` and the
@@ -254,6 +255,13 @@ class GraftCatalog extends TableCatalog
         }.getOrElse(throw new IllegalArgumentException(
           s"bucket transform carries no bucket-count literal: $t"))
         pcols += PartitionSpec.Spec(PartitionSpec.Bucket(n), oneRef(t)).render
+      case t if t.name == "truncate" =>
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform carries no width literal: $t"))
+        pcols += PartitionSpec.Spec(PartitionSpec.Truncate(w), oneRef(t)).render
       case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
         refs.foreach { r =>
           require(r.fieldNames().length == 1,
@@ -262,9 +270,9 @@ class GraftCatalog extends TableCatalog
         }
       case other => throw new UnsupportedOperationException(
         s"graft tables support PARTITIONED BY identity columns, " +
-          s"days(ts), hours(ts), bucket(n, col), and CLUSTER BY — got " +
-          s"transform $other (months/years add calendar arithmetic that " +
-          "days-range pruning already covers)")
+          s"days(ts), hours(ts), bucket(n, col), truncate(w, col), and " +
+          s"CLUSTER BY — got transform $other (months/years add calendar " +
+          "arithmetic that days-range pruning already covers)")
     }
     (pcols.result(), ccols.result())
   }
@@ -707,6 +715,8 @@ private[graft] case class ManifestTableV2(dir: String,
         case PartitionSpec.Days => Expressions.days(sp.col)
         case PartitionSpec.Hours => Expressions.hours(sp.col)
         case PartitionSpec.Bucket(n) => Expressions.bucket(n, sp.col)
+        case PartitionSpec.Truncate(w) => Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(sp.col))
       }
     }.toArray
     val cc = logicalClusterCols

@@ -571,6 +571,20 @@ object ManifestStore {
                 r == PartitionSpec.bucketOf(c, n)
               case _ => true // range probe: buckets carry no order
             }
+          case (PartitionSpec.Truncate(w),
+                Some(org.apache.spark.sql.types.StringType), _) =>
+            // monotonic on strings: x ≤ y ⇒ prefix_w(x) ≤ prefix_w(y),
+            // so truncate(lo) ≤ recorded-prefix ≤ truncate(hi)
+            def pfx(x: Any): String = PartitionSpec.truncateStr(x.toString, w)
+            (lo == Unbounded || !utf8Lt(v, pfx(lo))) &&
+              (hi == Unbounded || !utf8Lt(pfx(hi), v))
+          case (PartitionSpec.Truncate(_), Some(d), Some(r))
+              if Set("long", "integer", "short", "byte")(d.typeName) =>
+            // monotonic interval floor: floorDiv(x, w)·w
+            def ord(x: Any): Option[Long] =
+              scala.util.Try(PartitionSpec.probeOrd(sp, d, toLong(x))).toOption
+            (lo == Unbounded || ord(lo).forall(r >= _)) &&
+              (hi == Unbounded || ord(hi).forall(r <= _))
           case _ => true
         }
       }
@@ -604,6 +618,15 @@ object ManifestStore {
             scala.util.Try(
               (lo == Unbounded || r * unit >= toLong(lo)) &&
                 (hi == Unbounded || (r + 1) * unit - 1 <= toLong(hi)))
+              .getOrElse(false)
+          case (PartitionSpec.Truncate(w), Some(d), Some(r))
+              if Set("long", "integer", "short", "byte")(d.typeName) =>
+            // r proves every row in [r, r+w-1] and the column null-free;
+            // string truncate proves only a PREFIX (no finite upper
+            // bound on the strings sharing it) — strings stay false
+            scala.util.Try(
+              (lo == Unbounded || r >= toLong(lo)) &&
+                (hi == Unbounded || r + w - 1 <= toLong(hi)))
               .getOrElse(false)
           case _ => false
         }
@@ -1633,9 +1656,20 @@ object ManifestStore {
       if (sp.isIdentity) s"__p_${sp.col}" else s"__p_t$i"
     }
     val keyByClone = clones.zip(specs.map(_.render)).toMap
+    // string-valued transform clones hex-encode into the path (opaque
+    // `__p_tN=` segments; ASCII-safe on POSIX-locale JVMs and
+    // byte-mangling object stores) and decode back to the TRUE value for
+    // the manifest below — pruning never sees the encoding
+    val hexKeys = specs.zip(clones).collect {
+      case (sp, cl) if PartitionSpec.pathHexEncoded(
+          sp, df.schema(sp.col).dataType) => keyByClone(cl)
+    }.toSet
     val cloned = specs.zip(clones).foldLeft(df) { case (d, (sp, cl)) =>
+      val dt = df.schema(sp.col).dataType
+      val raw = PartitionSpec.valueColumn(sp, col(sp.col), dt)
       d.withColumn(cl,
-        PartitionSpec.valueColumn(sp, col(sp.col), df.schema(sp.col).dataType))
+        if (PartitionSpec.pathHexEncoded(sp, dt))
+          org.apache.spark.sql.functions.hex(raw) else raw)
     }
     // OPTIMIZED WRITE for transform layouts (the Delta discipline): a
     // hidden-partitioned table is the high-cardinality shape (30 days ×
@@ -1683,7 +1717,13 @@ object ManifestStore {
       rel -> rel.split("/").toSeq.init.flatMap { seg =>
         seg.split("=", 2) match {
           case Array(k, v) if keyByClone.contains(k) =>
-            Some(keyByClone(k) -> unescapeHive(v))
+            val key = keyByClone(k)
+            val value = unescapeHive(v)
+            val decoded =
+              if (hexKeys(key) && value != hiveNullPartition)
+                PartitionSpec.fromHexUtf8(value)
+              else value
+            Some(key -> decoded)
           case _ => None
         }
       }.toMap

@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 
 /** Iceberg-style HIDDEN PARTITIONING for manifest tables: a declared
   * partition field is either a plain IDENTITY column or a TRANSFORM of a
-  * source column — `days(ts)`, `hours(ts)`, `bucket(n, key)` — recorded
+  * source column — `days(ts)`, `hours(ts)`, `bucket(n, key)`,
+  * `truncate(w, key)` — recorded
   * in the manifest's `partitionCols` as its rendered spec string and per
   * file as one derived partition VALUE. The user never materializes or
   * filters on a derived column: writes compute the value from the source
@@ -32,6 +33,15 @@ import org.apache.spark.sql.types._
   *    (java.util.zip.CRC32 over the same UTF-8 bytes) agree bit-for-bit
   *    with no engine-private hash. Integral/string sources only (the
   *    types whose canonical string is engine-stable).
+  *  - `truncate(w, c)`: for strings the first w UNICODE CODE POINTS
+  *    (Spark's `substring` and the driver probe both count code points,
+  *    so the two agree on supplementary characters); for integrals
+  *    `floorDiv(c, w) · w` (the width-w interval floor). Both are
+  *    MONOTONIC in their column's ordering (a string prefix never sorts
+  *    past a longer string it prefixes; the interval floor never sorts
+  *    past its argument), so range predicates on the source column
+  *    translate to exact endpoint prunes — the domain/URL-prefix layout
+  *    a text corpus shards by, with day-style pruning.
   *
   * months/years are deliberately absent: their calendar arithmetic adds
   * little over days() for pruning and a second date library to keep
@@ -45,6 +55,7 @@ private[graft] object PartitionSpec {
   case object Days extends Kind
   case object Hours extends Kind
   final case class Bucket(n: Int) extends Kind
+  final case class Truncate(w: Int) extends Kind
 
   final case class Spec(kind: Kind, col: String) {
     def render: String = kind match {
@@ -52,6 +63,7 @@ private[graft] object PartitionSpec {
       case Days => s"days($col)"
       case Hours => s"hours($col)"
       case Bucket(n) => s"bucket($n,$col)"
+      case Truncate(w) => s"truncate($w,$col)"
     }
     def isIdentity: Boolean = kind == Identity
   }
@@ -62,11 +74,13 @@ private[graft] object PartitionSpec {
   private val DaysRe = """days\(([^()]+)\)""".r
   private val HoursRe = """hours\(([^()]+)\)""".r
   private val BucketRe = """bucket\((\d+),\s*([^()]+)\)""".r
+  private val TruncateRe = """truncate\((\d+),\s*([^()]+)\)""".r
 
   def parse(s: String): Spec = s match {
     case DaysRe(c) => Spec(Days, c.trim)
     case HoursRe(c) => Spec(Hours, c.trim)
     case BucketRe(n, c) => Spec(Bucket(n.toInt), c.trim)
+    case TruncateRe(w, c) => Spec(Truncate(w.toInt), c.trim)
     case c => Spec(Identity, c)
   }
 
@@ -102,6 +116,11 @@ private[graft] object PartitionSpec {
       require(Set("long", "integer", "short", "byte", "string")(dt.typeName),
         s"bucket($n, ${spec.col}) needs an integral/string column " +
           s"(portable canonical string), got ${dt.typeName}; $where")
+    case Truncate(w) =>
+      require(w > 0, s"truncate(${spec.col}) needs a positive width")
+      require(Set("long", "integer", "short", "byte", "string")(dt.typeName),
+        s"truncate($w, ${spec.col}) needs an integral/string column, " +
+          s"got ${dt.typeName}; $where")
   }
 
   /** The derived partition value as a Column — what the hive-partitioned
@@ -120,6 +139,11 @@ private[graft] object PartitionSpec {
     case Days => floorDiv(unix_micros(c), MicrosPerDay)
     case Hours => floorDiv(unix_micros(c), MicrosPerHour)
     case Bucket(n) => pmod(crc32(c.cast("string").cast("binary")), lit(n.toLong))
+    case Truncate(w) if dt == StringType =>
+      org.apache.spark.sql.functions.substring(c, 1, w) // code points
+    case Truncate(w) =>
+      val cl = c.cast("long")
+      cl - pmod(cl, lit(w.toLong)) // = floorDiv(c, w) * w, exact
   }
 
   private def floorDiv(us: Column, unit: Long): Column =
@@ -133,8 +157,44 @@ private[graft] object PartitionSpec {
     case Days if dt == DateType => statValue
     case Days => Math.floorDiv(statValue, MicrosPerDay)
     case Hours => Math.floorDiv(statValue, MicrosPerHour)
+    case Truncate(w) => Math.floorDiv(statValue, w.toLong) * w
     case _ => throw new IllegalArgumentException(
       s"probeOrd is for monotonic transforms, got ${spec.render}")
+  }
+
+  /** Driver-side `truncate(w, c)` of a STRING probe — the first w Unicode
+    * CODE POINTS, matching Spark's `substring(c, 1, w)` (UTF8String counts
+    * code points, not UTF-16 code units) on supplementary characters too.
+    */
+  def truncateStr(s: String, w: Int): String =
+    if (s.codePointCount(0, s.length) <= w) s
+    else s.substring(0, s.offsetByCodePoints(0, w))
+
+  /** True when the transform derives a STRING partition value (today:
+    * `truncate` over a string column). Those values hex-encode into the
+    * hive path segment (see [[ManifestStore.writeHivePartitioned]]) —
+    * transform clones are opaque `__p_tN=` segments anyway, and raw
+    * non-ASCII values would break on POSIX-locale JVMs and byte-mangling
+    * object stores; the manifest records the DECODED true value, so
+    * pruning never sees the encoding. Long-valued transforms
+    * (days/hours/bucket, integral truncate) render as ASCII digits and
+    * stay readable in the path.
+    */
+  def pathHexEncoded(spec: Spec, dt: DataType): Boolean = spec.kind match {
+    case Truncate(_) => dt == StringType
+    case _ => false
+  }
+
+  /** Invert Spark's `hex(str)` — hex digits back to the UTF-8 string. */
+  def fromHexUtf8(h: String): String = {
+    require(h.length % 2 == 0, s"odd-length hex partition value: $h")
+    val bytes = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Driver-side bucket of a canonical value string — crc32 over UTF-8

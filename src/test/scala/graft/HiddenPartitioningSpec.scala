@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.{ManifestStore, PartitionSpec}
 
 /** Iceberg-style HIDDEN PARTITIONING ([[graft.sources.PartitionSpec]]):
-  * `PARTITIONED BY (days(ts))` / `hours(ts)` / `bucket(n, col)` record a
+  * `PARTITIONED BY (days(ts))` / `hours(ts)` / `bucket(n, col)` /
+  * `truncate(w, col)` record a
   * TRANSFORM in the manifest; writes derive one partition value per file
   * from the source column, and ordinary predicates ON THE SOURCE COLUMN
   * prune whole partitions — the user never materializes a date column or
@@ -274,10 +275,88 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(kept.forall(f => s0.parts(f)("days(ts)") == "-1") && kept.nonEmpty)
 
     // spec strings round-trip through parse/render and column mapping
-    Seq("k", "days(ts)", "hours(ts)", "bucket(16,user_id)").foreach { s =>
+    Seq("k", "days(ts)", "hours(ts)", "bucket(16,user_id)",
+        "truncate(4,url)").foreach { s =>
       assert(PartitionSpec.parse(s).render === s)
     }
     assert(PartitionSpec.mapCol("days(a)", _ => "b") === "days(b)")
     assert(PartitionSpec.sourceCol("bucket(8,a)") === "a")
+  }
+
+  test("truncate(w, s): string prefixes derive, range-prune, match probes") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (url STRING, k BIGINT) " +
+      "PARTITIONED BY (truncate(3, url))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "('aaa-one', 1), ('aab-two', 2), ('abc-three', 3), " +
+      "('abc-four', 4), ('xyz-five', 5)")
+    val s0 = snap(dir)
+    assert(s0.partitionCols === Seq("truncate(3,url)"))
+    val prefixes = s0.files.flatMap(f => s0.parts(f).get("truncate(3,url)")).toSet
+    assert(prefixes === Set("aaa", "aab", "abc", "xyz"), prefixes)
+
+    // range predicate on the SOURCE column prunes by prefix monotonicity:
+    // both endpoints truncate to 'abc' → only the 'abc' files survive
+    val kept = ManifestStore.pruneFiles(s0, "url", "abc", "abczzz")
+    assert(kept.nonEmpty && kept.forall(f =>
+      s0.parts(f)("truncate(3,url)") == "abc"), s"kept $kept")
+    assert(kept.size < s0.files.size)
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "url >= 'abc' AND url <= 'abczzz'").as[Long].collect().toSet
+      === Set(3L, 4L))
+    // endpoints spanning prefixes keep exactly the in-range prefixes:
+    // ['ab','ac'] admits 'abc' ('ab' ≤ 'abc' ≤ 'ac') but not 'aaa'/'xyz'
+    val span = ManifestStore.pruneFiles(s0, "url", "ab", "ac")
+    assert(span.nonEmpty && span.forall(f =>
+      s0.parts(f)("truncate(3,url)") == "abc"))
+
+    // SUPPLEMENTARY characters: Spark's substring and the driver probe
+    // must both count code points, or the derivation and the prune
+    // disagree on emoji-leading keys
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES ('😀😀abc', 6)")
+    val s1 = snap(dir)
+    val emoji = PartitionSpec.truncateStr("😀😀abc", 3)
+    assert(emoji === "😀😀a")
+    assert(s1.files.flatMap(f => s1.parts(f).get("truncate(3,url)"))
+      .toSet.contains(emoji),
+      "executor-side substring must agree with the driver-side probe")
+    val keptE = ManifestStore.pruneFiles(s1,
+      "url", "😀😀abc", "😀😀abc")
+    assert(keptE.nonEmpty && keptE.forall(f =>
+      s1.parts(f)("truncate(3,url)") == emoji))
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} " +
+      "WHERE url = '😀😀abc'").as[Long].head() === 6L)
+  }
+
+  test("truncate(w, k) integral: interval floors, pruning, metadata DELETE") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, v STRING) " +
+      "PARTITIONED BY (truncate(10, k))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} " +
+      "SELECT id, concat('v', id) FROM range(0, 50)")
+    val s0 = snap(dir)
+    assert(s0.partitionCols === Seq("truncate(10,k)"))
+    assert(s0.files.flatMap(f => s0.parts(f).get("truncate(10,k)")).toSet
+      === Set("0", "10", "20", "30", "40"))
+    // a sub-interval range keeps only its floor's files
+    val kept = ManifestStore.pruneFiles(s0, "k", 23L, 27L)
+    assert(kept.nonEmpty && kept.forall(f =>
+      s0.parts(f)("truncate(10,k)") == "20"))
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)} " +
+      "WHERE k BETWEEN 23 AND 27").as[Long].head() === 5L)
+    // negative keys floor correctly (floorDiv, not truncate-toward-zero)
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (-3, 'neg')")
+    val sn = snap(dir)
+    assert(sn.files.flatMap(f => sn.parts(f).get("truncate(10,k)"))
+      .toSet.contains("-10"))
+    // a wholly-covered interval DELETE drops files as pure metadata
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE k BETWEEN 10 AND 29")
+    val s1 = snap(dir)
+    assert(s1.dvs.isEmpty,
+      "wholly-covered truncate partitions must drop without dvs")
+    assert(!s1.files.flatMap(f => s1.parts(f).get("truncate(10,k)")).toSet
+      .exists(Set("10", "20")), "floors 10/20 must be gone")
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)}")
+      .as[Long].head() === 31L) // 50 - 20 + 1 negative
   }
 }
