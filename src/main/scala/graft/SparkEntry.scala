@@ -1567,6 +1567,37 @@ object SparkEntry {
                 GROUP BY grp""")
     }),
 
+    // PREFIX (truncate) hidden partitioning under the driver oracle —
+    // the string-key layout q153's days/bucket pair can't express: the
+    // table shards by the first 6 code points of p_name (46 prefixes at
+    // sf0.01 — dictionary-bounded, the domain/URL-prefix shape a text
+    // corpus shards by), a row-level DELETE exercises the dv path
+    // through the transform-partitioned rewrite, and the final
+    // aggregate's range predicate ON THE SOURCE COLUMN prunes files by
+    // prefix monotonicity (truncate('a'…)='a…' ≤ prefix ≤
+    // truncate('d'…)) — the user never materializes a prefix column.
+    // File-count pins live in HiddenPartitioningSpec; the oracle
+    // replays the surviving population relationally.
+    "q155_prefix_partitioned" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q155")
+        .toString + "/part_pp"
+      t(s, dir, "part").createOrReplaceTempView("q155_part_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` (p_partkey BIGINT, p_name STRING, " +
+        "p_brand STRING, p_retailprice DOUBLE) " +
+        "PARTITIONED BY (truncate(6, p_name))")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT p_partkey, p_name, p_brand, " +
+        "p_retailprice FROM q155_part_src")
+      s.sql(s"DELETE FROM graft.`$tbl` WHERE p_partkey % 10 = 3")
+      s.sql(s"""SELECT p_brand,
+                       count(*) AS n_parts,
+                       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_price,
+                       min(p_name) AS first_name
+                FROM graft.`$tbl`
+                WHERE p_name >= 'a' AND p_name < 'd'
+                GROUP BY p_brand""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3761,6 +3792,19 @@ object SparkEntry {
                 CAST(min(amt) AS VARCHAR) AS min_amt,
                 CAST(max(amt) AS VARCHAR) AS max_amt
          FROM eras GROUP BY grp""",
+
+    // q155 = the post-DELETE population with the prefix-range predicate
+    // replayed relationally (partitioning is physical layout only)
+    "q155_prefix_partitioned" ->
+      """SELECT p_brand,
+                CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price,
+                min(p_name) AS first_name
+         FROM part
+         WHERE p_partkey % 10 <> 3
+           AND p_name >= 'a' AND p_name < 'd'
+         GROUP BY p_brand""",
 
     // q149 = SCD2 replayed as the three row populations: changed keys'
     // closed T1 rows, untouched keys' current T1 rows, changed keys' new

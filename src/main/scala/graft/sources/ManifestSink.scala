@@ -274,15 +274,21 @@ class ManifestSink(dir: String, appId: String,
           // declared partitionCols are PHYSICAL; the incoming micro-batch
           // speaks logical names — translate for the routing check (the
           // store re-translates at its own boundary, identity both ways
-          // on unmapped tables)
+          // on unmapped tables). Entries may be TRANSFORM specs
+          // (`days(ts)` — [[PartitionSpec]]): only the INNER column
+          // translates, and the batch must carry the SOURCE column, not
+          // the rendered spec — a plain-name check here would silently
+          // route a transform-partitioned stream to the unpartitioned
+          // append and erode pruning on every micro-batch.
           val snap0 = ManifestStore.currentSnapshot(spark, dir)
           val declared = snap0.map(_.partitionCols).getOrElse(Nil)
           val declaredLogical = snap0.flatMap(_.schema) match {
-            case Some(ss) => declared.map(ColumnMapping.logicalFor(ss, _))
+            case Some(ss) => declared.map(
+              PartitionSpec.mapCol(_, ColumnMapping.logicalFor(ss, _)))
             case None => declared
           }
-          if (declaredLogical.nonEmpty &&
-              declaredLogical.forall(plain.columns.contains))
+          if (declaredLogical.nonEmpty && declaredLogical.forall(s =>
+              plain.columns.contains(PartitionSpec.sourceCol(s))))
             declaredLogical
           else Nil
         }

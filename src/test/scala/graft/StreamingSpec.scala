@@ -230,6 +230,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sink keeps a TRANSFORM-partitioned target's hidden layout") {
+    // a stream that names no partitionBy must still route through the
+    // table's DECLARED transform layout — a plain-name fallback would
+    // silently append unpartitioned files and erode pruning every batch
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ManifestStore
+    val root = Files.createTempDirectory("manifest-sink-hp")
+    val dir = root.resolve("t").toString
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDS().toDF("id", "ts").writeStream
+      .format("graft-manifest")
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .option("appId", "ingest-hp")
+      .start(dir)
+    try {
+      mem.addData((1L, ts("2024-01-10T05:00:00Z")),
+        (2L, ts("2024-01-11T05:00:00Z")))
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-12T05:00:00Z")))
+      q.processAllAvailable()
+      val s0 = ManifestStore.currentSnapshot(spark, dir).get
+      assert(s0.files.nonEmpty)
+      assert(s0.files.forall(f => s0.parts.get(f).exists(_.contains("days(ts)"))),
+        "every streamed file must record its derived day partition value")
+      assert(s0.files.flatMap(f => s0.parts(f).get("days(ts)")).toSet
+        === Set("19732", "19733", "19734"))
+      val kept = ManifestStore.pruneFiles(s0, "ts",
+        ts("2024-01-11T00:00:00Z"), ts("2024-01-11T23:59:59Z"))
+      assert(kept.nonEmpty && kept.size < s0.files.size,
+        s"day pruning must hold on streamed files: ${kept.size}/${s0.files.size}")
+    } finally q.stop()
+  }
+
   test("streaming lexical maintenance: foreachBatch admission through the persisted shingle index") {
     // the maintained-index twin of the corpus-maintenance test above: each
     // micro-batch probes the PERSISTED postings table (batch×index join,
