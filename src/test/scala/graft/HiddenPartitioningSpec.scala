@@ -328,6 +328,37 @@ class HiddenPartitioningSpec extends SparkSpec {
       "WHERE url = '😀😀abc'").as[Long].head() === 6L)
   }
 
+  test("SQL MERGE into a transform-partitioned table keeps the hidden layout") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP, " +
+      "v STRING) PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(1, TIMESTAMP '2024-01-10 04:00:00', 'a'), " +
+      "(2, TIMESTAMP '2024-01-11 04:00:00', 'b')")
+    Seq((2L, ts("2024-01-11T09:00:00Z"), "b2"),
+        (3L, ts("2024-01-12T09:00:00Z"), "c"))
+      .toDF("k", "ts", "v").createOrReplaceTempView("hp_merge_src")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING hp_merge_src s
+                  ON t.k = s.k
+                  WHEN MATCHED THEN UPDATE SET v = s.v, ts = s.ts
+                  WHEN NOT MATCHED THEN INSERT (k, ts, v)
+                  VALUES (s.k, s.ts, s.v)""")
+    val s0 = snap(dir)
+    // every live file — the untouched insert and BOTH merge image
+    // shapes (matched update, not-matched insert) — carries its derived
+    // day value, so sustained MERGE maintenance never erodes pruning
+    assert(s0.files.forall(f => s0.parts.get(f).exists(_.contains("days(ts)"))),
+      "merge image files must record derived partition values")
+    assert(spark.sql(s"SELECT k, v FROM ${sqlTable(dir)} ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    val kept = ManifestStore.pruneFiles(s0, "ts",
+      ts("2024-01-12T00:00:00Z"), ts("2024-01-12T23:59:59Z"))
+    assert(kept.nonEmpty && kept.size < s0.files.size,
+      s"day pruning must hold over merge images: ${kept.size}/${s0.files.size}")
+    assert(kept.forall(f => s0.parts(f)("days(ts)") == "19734"))
+  }
+
   test("truncate(w, k) integral: interval floors, pruning, metadata DELETE") {
     val dir = tmpDir()
     spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, v STRING) " +
