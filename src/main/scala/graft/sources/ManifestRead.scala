@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, Cast => CCast, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, Filter, PrunedFilteredScan}
@@ -116,7 +116,9 @@ private[sources] object ManifestRead {
     * the translation can only keep too much, never too little.
     */
   def toRanges(filters: Seq[Expression]): Seq[(String, Any, Any)] =
-    filters.flatMap(splitConjuncts).flatMap {
+    filters.flatMap(splitConjuncts)
+      .map(normalizeTsDateCast(_, exact = false))
+      .flatMap(splitConjuncts).map(normalizeStrictBounds).flatMap {
       case CEqualTo(a: Attribute, Literal(v, _)) =>
         statValue(v).map(sv => (a.name, sv, sv))
       case CEqualTo(Literal(v, _), a: Attribute) =>
@@ -139,14 +141,19 @@ private[sources] object ManifestRead {
 
   /** True iff the conjunction of `filters` is EXACTLY the predicate
     * [[toRanges]] renders — every conjunct an equality or INCLUSIVE bound
-    * between an attribute and a stat-typed literal (strict bounds, IN and
-    * every other shape are envelopes, not equivalences). A caller holding
+    * between an attribute and a stat-typed literal, where "inclusive"
+    * includes discrete strict bounds ([[normalizeStrictBounds]]) and
+    * UTC date-cast comparisons ([[normalizeTsDateCast]]); IN,
+    * continuous-domain strict bounds, and every other shape are
+    * envelopes, not equivalences. A caller holding
     * this proof may treat "file wholly inside every range" as "every row
     * matches the predicate" — the whole-file delete planning
     * ([[ManifestStore.deleteWhere]] `exactRanges`).
     */
   def rangesExact(filters: Seq[Expression]): Boolean =
-    filters.flatMap(splitConjuncts).forall {
+    filters.flatMap(splitConjuncts)
+      .map(normalizeTsDateCast(_, exact = true))
+      .flatMap(splitConjuncts).map(normalizeStrictBounds).forall {
       case CEqualTo(_: Attribute, Literal(v, _)) => statValue(v).isDefined
       case CEqualTo(Literal(v, _), _: Attribute) => statValue(v).isDefined
       case CGreaterThanOrEqual(_: Attribute, Literal(v, _)) => statValue(v).isDefined
@@ -159,6 +166,79 @@ private[sources] object ManifestRead {
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
+  }
+
+  /** `CAST(ts AS DATE)` (SQL `date(ts)` / `to_date(ts)`) compared to a
+    * DATE literal is the commonest time-series predicate users write
+    * against a timestamp column — and under a UTC session zone the cast
+    * is a monotone floor whose preimage is an EXACT micros range, so the
+    * comparison rewrites to plain inclusive bounds on the timestamp
+    * attribute and every downstream pruner fires as if the user had
+    * written the range by hand: footer stats, `days(ts)`/`hours(ts)`
+    * hidden-partition evidence, and (via [[rangesExact]]) whole-file
+    * metadata DELETE planning. A non-UTC cast zone leaves the predicate
+    * untouched — translating across an offset would mis-bin boundary
+    * instants and prune files that hold matching rows.
+    *
+    * `exact = true` (the whole-file delete proof) skips the IN rewrite:
+    * `date(ts) IN (d1, d3)` renders only its [d1, d3] ENVELOPE, and
+    * treating that as exact would drop whole files whose days lie
+    * BETWEEN the listed values.
+    */
+  private def normalizeTsDateCast(e: Expression, exact: Boolean): Expression = {
+    val MicrosPerDay = 86400000000L
+    def start(d: Long): Expression =
+      Literal(d * MicrosPerDay, org.apache.spark.sql.types.TimestampType)
+    def end(d: Long): Expression =
+      Literal((d + 1L) * MicrosPerDay - 1L, org.apache.spark.sql.types.TimestampType)
+    object TsDate {
+      def unapply(x: Expression): Option[Attribute] = x match {
+        case c: CCast if c.dataType == org.apache.spark.sql.types.DateType =>
+          c.child match {
+            case a: Attribute
+                if a.dataType == org.apache.spark.sql.types.TimestampType &&
+                  c.timeZoneId.exists(z => scala.util.Try(
+                    java.time.ZoneId.of(z).normalized() ==
+                      java.time.ZoneOffset.UTC).getOrElse(false)) => Some(a)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    object DateLit {
+      def unapply(x: Expression): Option[Long] = x match {
+        case Literal(d: Int, org.apache.spark.sql.types.DateType) => Some(d.toLong)
+        case _ => None
+      }
+    }
+    e match {
+      case CEqualTo(TsDate(a), DateLit(d)) =>
+        CAnd(CGreaterThanOrEqual(a, start(d)), CLessThanOrEqual(a, end(d)))
+      case CEqualTo(DateLit(d), TsDate(a)) =>
+        CAnd(CGreaterThanOrEqual(a, start(d)), CLessThanOrEqual(a, end(d)))
+      case CGreaterThanOrEqual(TsDate(a), DateLit(d)) =>
+        CGreaterThanOrEqual(a, start(d))
+      case CGreaterThan(TsDate(a), DateLit(d)) =>
+        CGreaterThanOrEqual(a, start(d + 1))
+      case CLessThanOrEqual(TsDate(a), DateLit(d)) =>
+        CLessThanOrEqual(a, end(d))
+      case CLessThan(TsDate(a), DateLit(d)) =>
+        CLessThanOrEqual(a, end(d - 1))
+      case CGreaterThanOrEqual(DateLit(d), TsDate(a)) =>
+        CLessThanOrEqual(a, end(d))
+      case CGreaterThan(DateLit(d), TsDate(a)) =>
+        CLessThanOrEqual(a, end(d - 1))
+      case CLessThanOrEqual(DateLit(d), TsDate(a)) =>
+        CGreaterThanOrEqual(a, start(d))
+      case CLessThan(DateLit(d), TsDate(a)) =>
+        CGreaterThanOrEqual(a, start(d + 1))
+      case CIn(TsDate(a), vs) if !exact && vs.nonEmpty &&
+          vs.forall { case DateLit(_) => true; case _ => false } =>
+        val ds = vs.collect { case DateLit(d) => d }
+        CAnd(CGreaterThanOrEqual(a, start(ds.min)),
+          CLessThanOrEqual(a, end(ds.max)))
+      case other => other
+    }
   }
 
   /** `col IN (...)` value sets for per-value pruning: unlike the range
@@ -177,6 +257,67 @@ private[sources] object ManifestRead {
         statValue(v).map(sv => (a.name, Seq(sv)))
       case _ => None
     }
+
+  /** A STRICT bound against a DISCRETE-domain literal is equivalent to
+    * the inclusive bound one step tighter — `ts < X` ≡ `ts <= X-1µs`,
+    * `k > 5` ≡ `k >= 6` — for timestamps (micros), dates (days), and
+    * integrals. This matters twice: [[toRanges]] prunes one stat value
+    * tighter, and [[rangesExact]] can accept the normalized inclusive
+    * form, making `DELETE WHERE ts < cutoff` (and the `date(ts) <= d`
+    * retention shape, which Spark's own optimizer rewrites into a strict
+    * timestamp bound) a whole-file metadata edit instead of a dv scan.
+    * Continuous domains (double/float/string) never rewrite — there is
+    * no "one step". Bounds already at the domain edge (`< MinValue`)
+    * stay as-is: unsatisfiable either way, and the decrement would wrap.
+    */
+  private def normalizeStrictBounds(e: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    def bounds(dt: DataType): Option[(Long, Long)] = dt match {
+      case TimestampType | LongType => Some((Long.MinValue, Long.MaxValue))
+      case DateType | IntegerType => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+      case ShortType => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
+      case ByteType => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
+      case _ => None
+    }
+    object Disc {
+      def unapply(x: Expression): Option[(Long, Long, Long, Long => Literal)] =
+        x match {
+          case l @ Literal(v, dt) => bounds(dt).flatMap { case (mn, mx) =>
+            (v match {
+              case n: Long => Some(n)
+              case n: Int => Some(n.toLong)
+              case n: Short => Some(n.toLong)
+              case n: Byte => Some(n.toLong)
+              case _ => None
+            }).map { n =>
+              val mk = (y: Long) => Literal(dt match {
+                case TimestampType | LongType => y
+                case DateType | IntegerType => y.toInt
+                case ShortType => y.toShort
+                case ByteType => y.toByte
+              }, dt)
+              (n, mn, mx, mk)
+            }
+          }
+          case _ => None
+        }
+    }
+    e match {
+      case CLessThan(a: Attribute, Disc(v, mn, _, mk))
+          if a.dataType == e.children(1).dataType && v != mn =>
+        CLessThanOrEqual(a, mk(v - 1))
+      case CGreaterThan(a: Attribute, Disc(v, _, mx, mk))
+          if a.dataType == e.children(1).dataType && v != mx =>
+        CGreaterThanOrEqual(a, mk(v + 1))
+      case CLessThan(Disc(v, _, mx, mk), a: Attribute) // v < a ≡ a >= v+1
+          if a.dataType == e.children(0).dataType && v != mx =>
+        CGreaterThanOrEqual(a, mk(v + 1))
+      case CGreaterThan(Disc(v, mn, _, mk), a: Attribute) // v > a ≡ a <= v-1
+          if a.dataType == e.children(0).dataType && v != mn =>
+        CLessThanOrEqual(a, mk(v - 1))
+      case other => other
+    }
+  }
 
   /** One-sided ranges carry [[ManifestStore.Unbounded]] on the open side —
     * type-independent, so string columns prune on `col >= lit` too (no

@@ -328,6 +328,68 @@ class HiddenPartitioningSpec extends SparkSpec {
       "WHERE url = '😀😀abc'").as[Long].head() === 6L)
   }
 
+  test("date(ts) predicates translate to exact ts ranges: pruning + metadata DELETE") {
+    // the predicate users actually write against a timestamp column —
+    // CAST(ts AS DATE) cmp DATE literal — must behave exactly like the
+    // hand-written micros range under the engine's UTC discipline
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    (10 to 15).foreach { d =>
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+        s"($d, TIMESTAMP '2024-01-$d 03:00:00'), " +
+        s"($d, TIMESTAMP '2024-01-$d 21:00:00')")
+    }
+    val total = snap(dir).files.size
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+
+    // equality, range, strict bounds, IN — each prunes the executed scan
+    // and returns exactly the right rows
+    val eq = spark.sql(s"SELECT k FROM ${sqlTable(dir)} " +
+      "WHERE date(ts) = DATE '2024-01-12'")
+    assert(eq.as[Long].collect().toSet === Set(12L))
+    assert(filesRead(eq) < total,
+      "date(ts) = d must prune like the hand-written ts range")
+    val rng = spark.sql(s"SELECT k FROM ${sqlTable(dir)} " +
+      "WHERE CAST(ts AS DATE) >= DATE '2024-01-13' " +
+      "AND CAST(ts AS DATE) < DATE '2024-01-15'")
+    assert(rng.as[Long].collect().toSet === Set(13L, 14L))
+    assert(filesRead(rng) < total)
+    val in = spark.sql(s"SELECT k FROM ${sqlTable(dir)} " +
+      "WHERE date(ts) IN (DATE '2024-01-10', DATE '2024-01-11')")
+    assert(in.as[Long].collect().toSet === Set(10L, 11L))
+    assert(filesRead(in) < total, "IN-envelope over dates must prune")
+
+    // whole-file metadata DELETE: date(ts) <= d is an exact range, so
+    // wholly-covered day partitions drop with no dv sidecars
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE date(ts) <= DATE '2024-01-11'")
+    val s1 = snap(dir)
+    assert(s1.dvs.isEmpty,
+      "date-cast retention DELETE must stay a pure metadata edit")
+    assert(s1.files.flatMap(f => s1.parts(f).get("days(ts)")).toSet
+      === Set("19734", "19735", "19736", "19737"))
+    // an IN over non-contiguous days must NOT whole-file-drop its
+    // envelope (d=14 lies between) — dv path, exact rows
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE date(ts) IN (DATE '2024-01-13', DATE '2024-01-15')")
+    assert(spark.sql(s"SELECT collect_set(k) FROM ${sqlTable(dir)}")
+      .head().getSeq[Long](0).toSet === Set(12L, 14L))
+  }
+
   test("SQL MERGE into a transform-partitioned table keeps the hidden layout") {
     val dir = tmpDir()
     spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP, " +
