@@ -178,7 +178,10 @@ private[sources] object ManifestRead {
     * hidden-partition evidence, and (via [[rangesExact]]) whole-file
     * metadata DELETE planning. A non-UTC cast zone leaves the predicate
     * untouched — translating across an offset would mis-bin boundary
-    * instants and prune files that hold matching rows.
+    * instants and prune files that hold matching rows. `year(x)` over a
+    * DATE attribute, or over a TIMESTAMP attribute through the implicit
+    * UTC cast, translates the same way (monotone; proleptic-Gregorian
+    * year bounds from java.time, matching Spark's calendar).
     *
     * `exact = true` (the whole-file delete proof) skips the IN rewrite:
     * `date(ts) IN (d1, d3)` renders only its [d1, d3] ENVELOPE, and
@@ -211,7 +214,84 @@ private[sources] object ManifestRead {
         case _ => None
       }
     }
+    // `year(x)` is monotone too: over a DATE attribute directly, over a
+    // TIMESTAMP attribute through the implicit UTC cast the analyzer
+    // inserts (`Year(Cast(ts AS DATE))` — the TsDate guard applies).
+    // Left = timestamp attribute (micros bounds), Right = date attribute
+    // (epoch-day bounds).
+    object YearOf {
+      def unapply(x: Expression): Option[Either[Attribute, Attribute]] = x match {
+        case org.apache.spark.sql.catalyst.expressions.Year(TsDate(a)) =>
+          Some(Left(a))
+        case org.apache.spark.sql.catalyst.expressions.Year(a: Attribute)
+            if a.dataType == org.apache.spark.sql.types.DateType =>
+          Some(Right(a))
+        case _ => None
+      }
+    }
+    object YearLit {
+      def unapply(x: Expression): Option[Int] = x match {
+        case Literal(y: Int, org.apache.spark.sql.types.IntegerType) => Some(y)
+        case _ => None
+      }
+    }
+    // year bounds in epoch DAYS (proleptic Gregorian, matching Spark);
+    // None when the year arithmetic leaves LocalDate's domain — the
+    // predicate then stays untouched, never a wrong range
+    def yearDays(y: Int): Option[(Long, Long)] = scala.util.Try {
+      (java.time.LocalDate.of(y, 1, 1).toEpochDay,
+        java.time.LocalDate.of(y + 1, 1, 1).toEpochDay - 1L)
+    }.toOption.filter { case (s, t) =>
+      // day·micros must stay in Long (and Int for DATE bounds): years
+      // beyond ±~292k leave the timestamp domain — predicate untouched
+      val lim = Long.MaxValue / MicrosPerDay - 1
+      s >= -lim && t <= lim
+    }
+    def yearBounds(k: Either[Attribute, Attribute],
+                   loY: Option[Int], hiY: Option[Int]): Option[Expression] = {
+      def dayLo(y: Int) = yearDays(y).map(_._1)
+      def dayHi(y: Int) = yearDays(y).map(_._2)
+      val a = k.fold(identity, identity)
+      def bound(day: Long, lower: Boolean): Expression = k match {
+        case Left(_) =>
+          val lit =
+            if (lower) start(day)
+            else Literal((day + 1L) * MicrosPerDay - 1L,
+              org.apache.spark.sql.types.TimestampType)
+          if (lower) CGreaterThanOrEqual(a, lit) else CLessThanOrEqual(a, lit)
+        case Right(_) =>
+          val lit = Literal(day.toInt, org.apache.spark.sql.types.DateType)
+          if (lower) CGreaterThanOrEqual(a, lit) else CLessThanOrEqual(a, lit)
+      }
+      (loY, hiY) match {
+        case (Some(l), Some(h)) => for (lo <- dayLo(l); hi <- dayHi(h))
+          yield CAnd(bound(lo, lower = true), bound(hi, lower = false))
+        case (Some(l), None) => dayLo(l).map(bound(_, lower = true))
+        case (None, Some(h)) => dayHi(h).map(bound(_, lower = false))
+        case _ => None
+      }
+    }
     e match {
+      case CEqualTo(YearOf(k), YearLit(y)) =>
+        yearBounds(k, Some(y), Some(y)).getOrElse(e)
+      case CEqualTo(YearLit(y), YearOf(k)) =>
+        yearBounds(k, Some(y), Some(y)).getOrElse(e)
+      case CGreaterThanOrEqual(YearOf(k), YearLit(y)) =>
+        yearBounds(k, Some(y), None).getOrElse(e)
+      case CGreaterThan(YearOf(k), YearLit(y)) =>
+        yearBounds(k, Some(y + 1), None).getOrElse(e)
+      case CLessThanOrEqual(YearOf(k), YearLit(y)) =>
+        yearBounds(k, None, Some(y)).getOrElse(e)
+      case CLessThan(YearOf(k), YearLit(y)) =>
+        yearBounds(k, None, Some(y - 1)).getOrElse(e)
+      case CGreaterThanOrEqual(YearLit(y), YearOf(k)) =>
+        yearBounds(k, None, Some(y)).getOrElse(e)
+      case CGreaterThan(YearLit(y), YearOf(k)) =>
+        yearBounds(k, None, Some(y - 1)).getOrElse(e)
+      case CLessThanOrEqual(YearLit(y), YearOf(k)) =>
+        yearBounds(k, Some(y), None).getOrElse(e)
+      case CLessThan(YearLit(y), YearOf(k)) =>
+        yearBounds(k, Some(y + 1), None).getOrElse(e)
       case CEqualTo(TsDate(a), DateLit(d)) =>
         CAnd(CGreaterThanOrEqual(a, start(d)), CLessThanOrEqual(a, end(d)))
       case CEqualTo(DateLit(d), TsDate(a)) =>

@@ -340,6 +340,8 @@ class HiddenPartitioningSpec extends SparkSpec {
         s"($d, TIMESTAMP '2024-01-$d 03:00:00'), " +
         s"($d, TIMESTAMP '2024-01-$d 21:00:00')")
     }
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(9, TIMESTAMP '2023-12-31 12:00:00')")
     val total = snap(dir).files.size
 
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
@@ -372,6 +374,13 @@ class HiddenPartitioningSpec extends SparkSpec {
       "WHERE date(ts) IN (DATE '2024-01-10', DATE '2024-01-11')")
     assert(in.as[Long].collect().toSet === Set(10L, 11L))
     assert(filesRead(in) < total, "IN-envelope over dates must prune")
+    // year(ts) is monotone through the implicit UTC cast
+    val yr = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE year(ts) = 2023")
+    assert(yr.as[Long].collect().toSet === Set(9L))
+    assert(filesRead(yr) < total, "year(ts) = y must prune")
+    val yr2 = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE year(ts) >= 2024")
+    assert(yr2.as[Long].collect().toSet === (10L to 15L).toSet)
+    assert(filesRead(yr2) < total)
 
     // whole-file metadata DELETE: date(ts) <= d is an exact range, so
     // wholly-covered day partitions drop with no dv sidecars
