@@ -117,7 +117,7 @@ private[sources] object ManifestRead {
     */
   def toRanges(filters: Seq[Expression]): Seq[(String, Any, Any)] =
     filters.flatMap(splitConjuncts)
-      .map(normalizeTsDateCast(_, exact = false))
+      .map(e => normalizeDateTrunc(normalizeTsDateCast(e, exact = false)))
       .flatMap(splitConjuncts).map(normalizeStrictBounds).flatMap {
       case CEqualTo(a: Attribute, Literal(v, _)) =>
         statValue(v).map(sv => (a.name, sv, sv))
@@ -152,7 +152,7 @@ private[sources] object ManifestRead {
     */
   def rangesExact(filters: Seq[Expression]): Boolean =
     filters.flatMap(splitConjuncts)
-      .map(normalizeTsDateCast(_, exact = true))
+      .map(e => normalizeDateTrunc(normalizeTsDateCast(e, exact = true)))
       .flatMap(splitConjuncts).map(normalizeStrictBounds).forall {
       case CEqualTo(_: Attribute, Literal(v, _)) => statValue(v).isDefined
       case CEqualTo(Literal(v, _), _: Attribute) => statValue(v).isDefined
@@ -337,6 +337,107 @@ private[sources] object ManifestRead {
         statValue(v).map(sv => (a.name, Seq(sv)))
       case _ => None
     }
+
+  /** `date_trunc(unit, ts)` compared to a TIMESTAMP literal — the shape
+    * BI tools generate for every time-bucketed chart — is a monotone
+    * floor for EVERY unit, so each comparison translates to exact micros
+    * bounds on the timestamp attribute (UTC cast zone required, as in
+    * [[normalizeTsDateCast]]): fixed-width units by integer arithmetic,
+    * calendar units (year/quarter/month/week) through java.time's
+    * proleptic Gregorian. An equality against an UNALIGNED literal is
+    * unsatisfiable — left untouched (the row filter returns empty; never
+    * guess a range). Unknown units and domain-edge arithmetic leave the
+    * predicate untouched.
+    */
+  private def normalizeDateTrunc(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.TruncTimestamp
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    val MicrosPerDay = 86400000000L
+    def utcZone(z: Option[String]): Boolean = z.exists(s => scala.util.Try(
+      java.time.ZoneId.of(s).normalized() == java.time.ZoneOffset.UTC)
+      .getOrElse(false))
+    object Trunc {
+      def unapply(x: Expression): Option[(Attribute, String)] = x match {
+        case t @ TruncTimestamp(Literal(f: UTF8String, StringType),
+            a: Attribute, _)
+            if a.dataType == TimestampType && utcZone(t.timeZoneId) =>
+          Some((a, f.toString.toUpperCase(java.util.Locale.ROOT)))
+        case _ => None
+      }
+    }
+    object TsLit {
+      def unapply(x: Expression): Option[Long] = x match {
+        case Literal(v: Long, TimestampType) => Some(v)
+        case _ => None
+      }
+    }
+    // (floor-aligned, next-aligned) around `micros` for `unit`
+    def floorNext(micros: Long, unit: String): Option[(Long, Long)] = {
+      val fixed: Map[String, Long] = Map(
+        "DAY" -> MicrosPerDay, "DD" -> MicrosPerDay,
+        "HOUR" -> 3600000000L, "MINUTE" -> 60000000L,
+        "SECOND" -> 1000000L, "MILLISECOND" -> 1000L)
+      fixed.get(unit) match {
+        case Some(u) => scala.util.Try {
+          val fl = Math.floorDiv(micros, u) * u
+          (fl, Math.addExact(fl, u))
+        }.toOption
+        case None => scala.util.Try {
+          val d = java.time.Instant
+            .ofEpochSecond(Math.floorDiv(micros, 1000000L),
+              Math.floorMod(micros, 1000000L) * 1000L)
+            .atOffset(java.time.ZoneOffset.UTC).toLocalDate
+          val (flD, nxD) = unit match {
+            case "YEAR" | "YYYY" | "YY" =>
+              val f = java.time.LocalDate.of(d.getYear, 1, 1)
+              (f, f.plusYears(1))
+            case "QUARTER" =>
+              val f = java.time.LocalDate.of(d.getYear,
+                ((d.getMonthValue - 1) / 3) * 3 + 1, 1)
+              (f, f.plusMonths(3))
+            case "MON" | "MONTH" | "MM" =>
+              val f = d.withDayOfMonth(1)
+              (f, f.plusMonths(1))
+            case "WEEK" => // Spark's date_trunc WEEK floors to Monday
+              val f = d.minusDays(d.getDayOfWeek.getValue - 1L)
+              (f, f.plusDays(7))
+          }
+          (Math.multiplyExact(flD.toEpochDay, MicrosPerDay),
+            Math.multiplyExact(nxD.toEpochDay, MicrosPerDay))
+        }.toOption
+      }
+    }
+    def lit(v: Long): Expression = Literal(v, TimestampType)
+    // the four bound shapes, all EXACT (see each derivation inline)
+    def ge(a: Attribute, t: Long, u: String) = floorNext(t, u).map {
+      case (fl, nx) => CGreaterThanOrEqual(a, lit(if (fl == t) t else nx)) }
+    def gt(a: Attribute, t: Long, u: String) = floorNext(t, u).map {
+      case (_, nx) => CGreaterThanOrEqual(a, lit(nx)) }
+    def le(a: Attribute, t: Long, u: String) = floorNext(t, u).map {
+      case (_, nx) => CLessThanOrEqual(a, lit(nx - 1)) }
+    def lt(a: Attribute, t: Long, u: String) = floorNext(t, u).map {
+      case (fl, nx) =>
+        CLessThanOrEqual(a, lit(if (fl == t) t - 1 else nx - 1)) }
+    def eq(a: Attribute, t: Long, u: String) = floorNext(t, u).flatMap {
+      case (fl, nx) =>
+        if (fl == t) Some(CAnd(CGreaterThanOrEqual(a, lit(t)),
+          CLessThanOrEqual(a, lit(nx - 1))))
+        else None // unaligned equality: unsatisfiable, leave untouched
+    }
+    e match {
+      case CEqualTo(Trunc(a, u), TsLit(t)) => eq(a, t, u).getOrElse(e)
+      case CEqualTo(TsLit(t), Trunc(a, u)) => eq(a, t, u).getOrElse(e)
+      case CGreaterThanOrEqual(Trunc(a, u), TsLit(t)) => ge(a, t, u).getOrElse(e)
+      case CGreaterThan(Trunc(a, u), TsLit(t)) => gt(a, t, u).getOrElse(e)
+      case CLessThanOrEqual(Trunc(a, u), TsLit(t)) => le(a, t, u).getOrElse(e)
+      case CLessThan(Trunc(a, u), TsLit(t)) => lt(a, t, u).getOrElse(e)
+      case CGreaterThanOrEqual(TsLit(t), Trunc(a, u)) => le(a, t, u).getOrElse(e)
+      case CGreaterThan(TsLit(t), Trunc(a, u)) => lt(a, t, u).getOrElse(e)
+      case CLessThanOrEqual(TsLit(t), Trunc(a, u)) => ge(a, t, u).getOrElse(e)
+      case CLessThan(TsLit(t), Trunc(a, u)) => gt(a, t, u).getOrElse(e)
+      case other => other
+    }
+  }
 
   /** A STRICT bound against a DISCRETE-domain literal is equivalent to
     * the inclusive bound one step tighter — `ts < X` ≡ `ts <= X-1µs`,

@@ -381,6 +381,28 @@ class HiddenPartitioningSpec extends SparkSpec {
     val yr2 = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE year(ts) >= 2024")
     assert(yr2.as[Long].collect().toSet === (10L to 15L).toSet)
     assert(filesRead(yr2) < total)
+    // date_trunc — the BI time-bucket shape — for fixed and calendar units
+    val dt = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "date_trunc('DAY', ts) = TIMESTAMP '2024-01-13 00:00:00'")
+    assert(dt.as[Long].collect().toSet === Set(13L))
+    assert(filesRead(dt) < total, "date_trunc('DAY') equality must prune")
+    val dtm = spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "date_trunc('MONTH', ts) >= TIMESTAMP '2024-01-01 00:00:00'")
+    assert(dtm.as[Long].collect().toSet === (10L to 15L).toSet)
+    assert(filesRead(dtm) < total, "calendar-unit date_trunc must prune")
+    // unaligned equality is unsatisfiable — correct (empty), untranslated
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "date_trunc('DAY', ts) = TIMESTAMP '2024-01-13 05:00:00'")
+      .as[Long].collect().isEmpty)
+    // WEEK floors to Monday (2024-01-13 is a Saturday; its week starts
+    // Mon 2024-01-08) and QUARTER to the quarter's first month — the
+    // translated ranges must agree with Spark's own evaluation
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "date_trunc('WEEK', ts) = TIMESTAMP '2024-01-08 00:00:00'")
+      .as[Long].collect().toSet === (10L to 14L).toSet)
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "date_trunc('QUARTER', ts) = TIMESTAMP '2024-01-01 00:00:00'")
+      .as[Long].collect().toSet === (10L to 15L).toSet)
 
     // whole-file metadata DELETE: date(ts) <= d is an exact range, so
     // wholly-covered day partitions drop with no dv sidecars
