@@ -209,8 +209,18 @@ private[sources] object ManifestRead {
       }
     }
     object DateLit {
+      // same day-domain guard as yearDays: day·micros (and the ±1-day
+      // neighbours the strict-bound rewrites take) must stay in Long. A
+      // representable extreme DATE literal (constant-folded date_add
+      // beyond ~year ±292278) would otherwise wrap to a WRONG micros
+      // bound — e.g. `date(ts) < <huge date>` (true for all rows)
+      // translating to `ts <= <negative>` prunes every file, and via
+      // rangesExact the wrong range would feed whole-file DELETE
+      // planning. Out of domain → no extraction → predicate untouched.
+      private val dayLim = Long.MaxValue / MicrosPerDay - 1
       def unapply(x: Expression): Option[Long] = x match {
-        case Literal(d: Int, org.apache.spark.sql.types.DateType) => Some(d.toLong)
+        case Literal(d: Int, org.apache.spark.sql.types.DateType)
+            if d.toLong >= -dayLim && d.toLong <= dayLim => Some(d.toLong)
         case _ => None
       }
     }

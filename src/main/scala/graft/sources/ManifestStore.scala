@@ -615,18 +615,30 @@ object ManifestStore {
                 Some(org.apache.spark.sql.types.TimestampType), Some(r)) =>
             val unit = if (sp.kind == PartitionSpec.Days)
               PartitionSpec.MicrosPerDay else PartitionSpec.MicrosPerHour
+            // exact ops: plain Long * / + wrap SILENTLY, so the Try would
+            // never fire and a recorded value near the micros domain edge
+            // would falsely prove containment → metadata-dropping a file
+            // with surviving rows. Math.*Exact throws → Try → false
+            // (unprovable), the stated conservative contract.
             scala.util.Try(
-              (lo == Unbounded || r * unit >= toLong(lo)) &&
-                (hi == Unbounded || (r + 1) * unit - 1 <= toLong(hi)))
+              (lo == Unbounded ||
+                Math.multiplyExact(r, unit) >= toLong(lo)) &&
+                (hi == Unbounded ||
+                  Math.subtractExact(Math.multiplyExact(
+                    Math.addExact(r, 1L), unit), 1L) <= toLong(hi)))
               .getOrElse(false)
           case (PartitionSpec.Truncate(w), Some(d), Some(r))
               if Set("long", "integer", "short", "byte")(d.typeName) =>
             // r proves every row in [r, r+w-1] and the column null-free;
             // string truncate proves only a PREFIX (no finite upper
-            // bound on the strings sharing it) — strings stay false
+            // bound on the strings sharing it) — strings stay false.
+            // addExact: a truncate partition over hash-like bigints can
+            // record r near Long.MaxValue, where r+w-1 wraps negative
+            // and would falsely prove containment.
             scala.util.Try(
               (lo == Unbounded || r >= toLong(lo)) &&
-                (hi == Unbounded || r + w - 1 <= toLong(hi)))
+                (hi == Unbounded ||
+                  Math.addExact(r, (w - 1).toLong) <= toLong(hi)))
               .getOrElse(false)
           case _ => false
         }
@@ -1316,12 +1328,50 @@ object ManifestStore {
 
   /** Each declared partition field (identity name or transform spec)
     * names a schema column of a transform-compatible type — validated at
-    * declaration so a bad layout fails before the first write.
+    * declaration so a bad layout fails before the first write. Two
+    * ambiguity classes refuse LOUDLY here instead of silently
+    * re-interpreting:
+    *  - a declared field that parses as a transform while the schema
+    *    ALSO has a column literally named the full spec string (Spark
+    *    permits backtick-quoted names containing parentheses): without
+    *    the refusal, `PARTITIONED BY (days(ts))` on a table carrying a
+    *    column named `days(ts)` would silently partition by the days
+    *    TRANSFORM of the sibling `ts` instead of identity on the named
+    *    column;
+    *  - a function-shaped field naming a transform the engine does not
+    *    implement (`months(ts)`, `years(ts)`, a typo) — these would
+    *    otherwise fall through to identity parsing and die on the
+    *    misleading "not in schema". months/years are deliberately
+    *    absent (see [[PartitionSpec]]): a days-partitioned table
+    *    answers month/year queries with exact day-range pruning, and
+    *    the refusal message says so.
     */
   private def validatePartitionSpecs(schema: StructType, partitionCols: Seq[String],
                                      where: String): Unit =
     partitionCols.foreach { c =>
       val sp = PartitionSpec.parse(c)
+      if (!sp.isIdentity && schema.fields.exists(_.name == c))
+        throw new IllegalArgumentException(
+          s"ambiguous partition field '$c': it parses as the " +
+            s"${sp.render} transform but the schema also has a column " +
+            s"literally named '$c' — rename that column (transform spec " +
+            s"strings are reserved in partition declarations); $where")
+      val FnShape = """([A-Za-z_][A-Za-z0-9_]*)\s*\(.*\)""".r
+      if (sp.isIdentity && !schema.fields.exists(_.name == c)) c match {
+        case FnShape(fn) if fn == "months" || fn == "years" =>
+          throw new IllegalArgumentException(
+            s"unsupported partition transform '$c': months()/years() are " +
+              s"deliberately absent — declare days(${
+                c.replaceAll("""^[A-Za-z_0-9]*\(|\)$""", "")}) instead; a " +
+              s"days-partitioned table answers month/year queries with " +
+              s"exact day-range pruning (year(x)/date_trunc predicates " +
+              s"translate to day ranges at scan planning); $where")
+        case FnShape(fn) =>
+          throw new IllegalArgumentException(
+            s"unknown partition transform '$fn' in '$c' — supported: " +
+              s"days(ts), hours(ts), bucket(n,col), truncate(w,col); $where")
+        case _ =>
+      }
       val f = schema.fields.find(_.name == sp.col).getOrElse(
         throw new IllegalArgumentException(
           s"partition column '${sp.col}' not in schema"))

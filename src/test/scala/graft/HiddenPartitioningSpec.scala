@@ -483,4 +483,70 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)}")
       .as[Long].head() === 31L) // 50 - 20 + 1 negative
   }
+
+  test("truncate floor near Long.MaxValue: DELETE must not falsely cover") {
+    // transformWhollyIn uses Math.*Exact so its Try actually fires on
+    // wrap: a recorded floor near Long.MaxValue makes `r + w - 1` wrap
+    // negative under plain arithmetic, falsely proving containment in
+    // ANY range with a finite upper bound — deleteWhere would then
+    // metadata-drop a file whose rows do NOT match the predicate
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, v STRING) " +
+      "PARTITIONED BY (truncate(4, k))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(9223372036854775806, 'a'), (9223372036854775807, 'b')")
+    val s0 = snap(dir)
+    // recorded floor = floorDiv(MaxValue-1, 4)·4 — r + 3 wraps
+    assert(s0.files.flatMap(f => s0.parts(f).get("truncate(4,k)")).toSet
+      === Set("9223372036854775804"))
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE k >= 0 AND k <= 100")
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)}")
+      .as[Long].head() === 2L,
+      "no row matches k IN [0,100] — a wrapped containment proof " +
+        "would have silently dropped the whole file")
+    // the rows themselves must still be readable and correct
+    assert(spark.sql(s"SELECT v FROM ${sqlTable(dir)} ORDER BY k")
+      .as[String].collect().toSeq === Seq("a", "b"))
+  }
+
+  test("declaration refusals: months/years, unknown transforms, ambiguity") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    // SQL layer: Spark parses months(ts) as a real transform — the
+    // catalog refuses it with the day-range-equivalence rationale
+    val em = intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (months(ts))")
+    }
+    assert(em.getMessage.contains("days-range pruning"), em.getMessage)
+    val ey = intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (years(ts))")
+    }
+    assert(ey.getMessage.contains("months/years"), ey.getMessage)
+    // declaration layer (createEmpty with raw spec strings): the same
+    // transforms refuse loudly with guidance instead of the misleading
+    // "not in schema"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType)))
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestStore.createEmpty(spark, tmpDir(), schema, Seq("months(ts)"))
+    }
+    assert(e1.getMessage.contains("days(ts)") &&
+      e1.getMessage.contains("day-range"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestStore.createEmpty(spark, tmpDir(), schema, Seq("zorder(ts)"))
+    }
+    assert(e2.getMessage.contains("unknown partition transform"), e2.getMessage)
+    // ambiguity: a column literally named `days(ts)` next to a TIMESTAMP
+    // ts — silently re-interpreting the identity declaration as the days
+    // TRANSFORM of the sibling would partition by the wrong thing; the
+    // declaration must fail loudly instead
+    val amb = StructType(Seq(StructField("days(ts)", StringType),
+      StructField("ts", TimestampType)))
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestStore.createEmpty(spark, tmpDir(), amb, Seq("days(ts)"))
+    }
+    assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
+  }
 }
