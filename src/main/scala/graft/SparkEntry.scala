@@ -515,14 +515,29 @@ object SparkEntry {
 
     // HLL-sketch distinct count per group (approx_count_distinct) next to
     // the exact count — the 100 TB form of q31's countDistinct (no shuffle
-    // of distinct pairs, one sketch per group per partition). Rows-only:
-    // DuckDB's HLL implementation differs; accuracy vs exact is asserted in
-    // TrainingOpsSpec.
+    // of distinct pairs, one sketch per group per partition). ORACLE-FENCED
+    // the q44/annFenced way: the builtin sketch and the exact countDistinct
+    // run in ONE plan, a broadcast 1-row gate admits the output only when
+    // every group's |approx − exact| / exact clears the spec-pinned 5%
+    // bound (rsd = 0.02; TrainingOpsSpec pins the same bound), and the
+    // EMITTED rows are the exact counts a relational oracle recomputes —
+    // a regressed HLL drops every row and fails the driver's row-count
+    // check instead of silently weakening to rows-only.
     "q35_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "events")
+      val both = t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("__approx"),
+          countDistinct(col("user_id")).as("distinct_users"),
           count(lit(1)).as("n_events"))
+      val gate = both.agg(max(
+          abs(col("__approx") - col("distinct_users")).cast("double") /
+            greatest(col("distinct_users"), lit(1L)).cast("double"))
+          .as("__err"))
+        .filter(col("__err") <= 0.05)
+        .select(lit(1).as("__g"))
+      both.withColumn("__g", lit(1))
+        .join(broadcast(gate), Seq("__g"))
+        .select(col("event_type"), col("distinct_users"), col("n_events"))
     }),
 
     // As-of join: latest click at-or-before each purchase, per user — the
@@ -2813,6 +2828,14 @@ object SparkEntry {
                 CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
                 count(*) AS n
          FROM flat GROUP BY label, pos""",
+
+    // q35 emits the EXACT distinct counts (the builtin HLL sketch only
+    // gates them in-plan — see the queries entry), so the oracle is plain
+    // relational COUNT(DISTINCT)
+    "q35_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+                count(*) AS n_events
+         FROM events GROUP BY event_type""",
 
     // threshold compared as DOUBLE on both sides: a bare 0.4 literal is
     // DECIMAL(1,1) in DuckDB, and decimal-space comparison drops pairs whose

@@ -125,6 +125,10 @@ class PlanAuditSpec extends SparkSpec {
       // corpus (the IVF/IVF-PQ subplans themselves stay equi-join only)
       "q32_ann_ivf" -> "8-row query set + 1-row recall gate",
       "q42_ann_ivfpq" -> "8-row query set + 1-row recall gate",
+      // fenced builtin HLL (round-11 graduation): the broadcast side is
+      // the 1-ROW pass/fail accuracy gate joined onto the |groups|-row
+      // aggregate output — never the events corpus
+      "q35_approx_distinct" -> "1-row accuracy gate onto |groups| rows",
       // idf needs the corpus document count on every (group, token) row:
       // the broadcast side is that 1-row aggregate, never the corpus
       "q71_tfidf_terms" -> "1-row corpus-count aggregate",
