@@ -152,5 +152,52 @@ object GraftProcedures {
       Seq(ManifestStore.cloneShallow(spark, args.getUTF8String(0).toString,
         args.getUTF8String(1).toString,
         version = Some(args.getLong(2)).filter(_ >= 0)))
+    },
+
+    // `CALL graft.set_partition_spec('/dir', 'hours(ts), bucket(16, k)')` —
+    // ALTER-time partition-spec evolution ([[ManifestStore.setPartitionSpec]]):
+    // one metadata-only commit redeclares the layout for FUTURE writes;
+    // existing files keep pruning under the spec that wrote them (the
+    // layout is per-file). '' = stop partitioning. Spark's ALTER TABLE
+    // grammar has no partitioning clause, so the procedure is the SQL
+    // surface for it (Iceberg needs a parser extension for the same).
+    "set_partition_spec" -> proc("set_partition_spec",
+      Seq(in("table", StringType), in("spec", StringType)),
+      StructType.fromDDL("version BIGINT")) { (spark, args) =>
+      Seq(ManifestStore.setPartitionSpec(spark,
+        args.getUTF8String(0).toString,
+        splitSpecs(args.getUTF8String(1).toString)))
+    },
+
+    // `CALL graft.rewrite_layout('/dir')` — the optional data-migration
+    // half of set_partition_spec: one compact-style full rewrite of the
+    // current contents through the partitioned writer, so every file
+    // derives the CURRENT spec's values. Whole-table op; at scale prefer
+    // incremental migration (new writes land in the new layout).
+    "rewrite_layout" -> proc("rewrite_layout",
+      Seq(in("table", StringType)),
+      StructType.fromDDL("version BIGINT")) { (spark, args) =>
+      val dir = args.getUTF8String(0).toString
+      Seq(ManifestStore.rewriteLayout(spark, dir, schemaOf(spark, dir)))
     })
+
+  /** Split a declared spec list on TOP-LEVEL commas only — `bucket(16, k),
+    * days(ts)` is two fields, the comma inside `bucket(...)` is not a
+    * separator.
+    */
+  private[sources] def splitSpecs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
 }

@@ -117,7 +117,8 @@ class ManifestSinkProvider extends StreamSinkProvider with StreamSourceProvider
         val b = v.toLong
         require(b > 0, s"maxBytesPerTrigger must be positive (got $b)")
         b
-      })
+      },
+      where = ci.get("where").map(_.trim).filter(_.nonEmpty))
   }
 
   override def createSink(sqlContext: SQLContext,

@@ -55,6 +55,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    Soft max (Delta semantics): a single commit larger than the cap
   *    still streams — alone — so progress is guaranteed. Composes with
   *    `maxVersionsPerTrigger` (both caps apply).
+  *  - `where` — a SQL predicate over the table's columns, applied INSIDE
+  *    the source (`.option("where", "ts >= '2024-01-10'")`): rows are
+  *    filtered exactly (same result as `.filter` downstream, which the
+  *    RDD boundary under [[getBatch]] cannot push through), and the
+  *    predicate prunes at the FILE level on both planes — the batch scan
+  *    reads only files whose manifest evidence (stats, identity
+  *    partition values, `days(ts)`-style hidden-transform values) admits
+  *    a match, and `maxBytesPerTrigger` charges only those files' bytes,
+  *    so a stream tailing one day/tenant of a 100 TB firehose admits
+  *    commits at the rate of ITS slice, not the table's.
   */
 class ManifestSource(spark: SparkSession, dir: String,
                      dataSchema: StructType,
@@ -62,7 +72,52 @@ class ManifestSource(spark: SparkSession, dir: String,
                      readChangeFeed: Boolean,
                      ignoreChanges: Boolean,
                      maxVersionsPerTrigger: Option[Long] = None,
-                     maxBytesPerTrigger: Option[Long] = None) extends Source {
+                     maxBytesPerTrigger: Option[Long] = None,
+                     where: Option[String] = None) extends Source {
+
+  /** The `where` predicate resolved against the table schema, rendered as
+    * conjunctive ranges for the metadata pruners ([[admitByBytes]]'s
+    * byte charge). Resolution runs once, on the ANALYZED plan of a probe
+    * frame (the optimizer would fold a filter over an empty relation
+    * away) — unconvertible conjuncts simply don't prune, the row filter
+    * still applies them exactly.
+    */
+  private[graft] val whereRanges: Seq[(String, Any, Any)] = where.toSeq.flatMap { w =>
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+      .filter(org.apache.spark.sql.functions.expr(w))
+    probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap { c =>
+      // the analyzed tree still carries RuntimeReplaceable sugar (BETWEEN
+      // et al. — the optimizer would rewrite them, but it would also fold
+      // the empty probe away): unwrap to the replacement, then inline its
+      // `With` common-subexpression form (RewriteWithExpression's job)
+      // back to the plain conjuncts the range planners understand
+      import org.apache.spark.sql.catalyst.expressions.{
+        CommonExpressionDef, CommonExpressionRef, RuntimeReplaceable, With}
+      val plain = c.transformUp {
+        case r: RuntimeReplaceable => r.replacement
+      }.transformUp {
+        case w: With =>
+          val defs = w.defs.map { case CommonExpressionDef(child, id) =>
+            id -> child
+          }.toMap
+          w.child.transformUp {
+            case ref: CommonExpressionRef => defs(ref.id)
+          }
+      }
+      ManifestRead.toRanges(Seq(plain))
+    }
+  }
+
+  /** The physical QueryExecution of the most recent [[getBatch]] — an
+    * observability/test seam: the micro-batch's file-scan metrics
+    * (numFiles after `where` pruning) live behind the RDD boundary the
+    * streaming engine sees, unreachable from the StreamingQuery.
+    */
+  @volatile private[graft] var lastBatchExecution
+    : Option[org.apache.spark.sql.execution.QueryExecution] = None
 
   /** Highest version this instance has planned or replayed — the rate
     * limiter's floor. Monotonic; getBatch syncs it to the engine's
@@ -80,7 +135,7 @@ class ManifestSource(spark: SparkSession, dir: String,
     */
   private def dataNeutral(op: String): Boolean =
     op == "compact" || op == "bloom" || op == "schema" || op == "create" ||
-      op == "properties"
+      op == "properties" || op.startsWith("set-partition-spec:")
 
   /** Ops that cannot remove or rewrite rows: safe in row mode — appends
     * plus the data-neutral set; `tag`s never commit; everything else
@@ -143,9 +198,16 @@ class ManifestSource(spark: SparkSession, dir: String,
           // charging their full rewritten output would pin every trigger
           // around a large compact to one-version batches; they cost 0
           // against the byte budget (same classifier appendSafe builds on:
-          // no fresh rows can flow from them)
+          // no fresh rows can flow from them). With a `where` predicate,
+          // fresh files PROVABLY disjoint from it (manifest evidence)
+          // charge 0 too — the scan won't read them, so the budget
+          // shouldn't count them.
+          val charged =
+            if (whereRanges.isEmpty) fresh
+            else ManifestStore.pruneFilesWhere(s.copy(files = fresh),
+              whereRanges)
           val b = if (dataNeutral(s.op)) 0L
-            else fresh.map(f => s.sizes.getOrElse(f, 0L)).sum
+            else charged.map(f => s.sizes.getOrElse(f, 0L)).sum
           if (admitted > plannedV && bytes + b > maxB) stop = true
           else {
             admitted = v; bytes += b; prevFiles = s.files.toSet; v += 1
@@ -159,7 +221,16 @@ class ManifestSource(spark: SparkSession, dir: String,
     val from = start.map(asVersion).getOrElse(startingVersion)
     val to = asVersion(end)
     plannedV = math.max(plannedV, to) // restart sync: never plan below this
-    val feed = ManifestStore.changes(spark, dir, from, to, dataSchema)
+    val feed0 = ManifestStore.changes(spark, dir, from, to, dataSchema)
+    // the `where` predicate applies INSIDE the batch plan, where the scan
+    // is still declarative: it pushes into changes()' underlying manifest
+    // scans, whose FileIndex prunes files from the same stats/partition/
+    // transform evidence batch queries use (in CDF mode it filters both
+    // insert and delete rows — the change feed OF the filtered stream)
+    val feed = where match {
+      case Some(w) => feed0.filter(org.apache.spark.sql.functions.expr(w))
+      case None => feed0
+    }
     val out =
       if (readChangeFeed) feed
       else {
@@ -183,6 +254,7 @@ class ManifestSource(spark: SparkSession, dir: String,
     // plan underneath is the ordinary batch plan changes() built. Rows
     // are COPIED off the scan's reused row buffers (same discipline as
     // ManifestSink.addBatch) — a LogicalRDD consumer may buffer them.
+    lastBatchExecution = Some(out.queryExecution)
     org.apache.spark.sql.graft.StreamingShim.streamingDf(
       spark, out.queryExecution.toRdd.map(_.copy()), out.schema)
   }

@@ -1326,6 +1326,96 @@ object ManifestStore {
       parts = Map.empty, partitionCols = partitionCols, props = props)
   }
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's ALTER-time spec change,
+    * re-derived for the manifest): one METADATA-ONLY commit replaces the
+    * DECLARED partition spec — `days(ts)` → `hours(ts)`, add/drop a
+    * `bucket`, or `Nil` to stop partitioning — without rewriting a byte
+    * of data. Sound because the layout is per-file, not per-table: every
+    * file records its own `spec-string → derived value` map
+    * ([[Snapshot.parts]]), and every pruning/containment proof
+    * ([[transformWhollyIn]], [[partitionWhollyIn]], the FileIndex
+    * evidence walk) consults the FILE's recorded entries, never the
+    * table-level declaration — so pre-evolution files keep pruning under
+    * the spec that wrote them, post-evolution files prune under the new
+    * one, and a predicate on the shared SOURCE column prunes both
+    * generations in one scan.
+    *
+    * The declaration only ROUTES writes: the next INSERT/MERGE/stream
+    * batch derives the new spec's values; [[compact]] is the migration
+    * path (rewrites survivors under the current spec). Writers that
+    * planned against an older snapshot commit files laid out by the old
+    * spec — never wrong, only old-layout (their files carry their own
+    * values). One loud wall stands, unchanged: a PARTIAL partition
+    * overwrite ([[overwritePartitions]]) refuses files that lack the
+    * filter key's recorded value, so INSERT OVERWRITE PARTITION cannot
+    * silently duplicate rows across spec generations — compact first,
+    * exactly the message it raises.
+    *
+    * `specs` use LOGICAL column names (the user's view; stored physical
+    * like every declaration), validated against the current schema both
+    * at planning and — via the publish guard — against the attempt's
+    * snapshot, so a concurrent DROP COLUMN cannot race a spec onto a
+    * column that no longer exists. Time travel is exact: each version
+    * reads under its own recorded declaration.
+    */
+  def setPartitionSpec(spark: SparkSession, dir: String,
+                       specs: Seq[String]): Long = {
+    val snap = currentSnapshot(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $dir"))
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"manifest v${snap.version} at $dir records no schema (older " +
+        "writer) — partition-spec evolution needs the recorded schema"))
+    validatePartitionSpecs(schema, specs, s"SET PARTITION SPEC $dir")
+    val specsP = specs.map(PartitionSpec.mapCol(_,
+      ColumnMapping.physFor(schema, _)))
+    publishLoop(spark, dir, s"set-partition-spec:${specsP.mkString(",")}",
+      fresh = Nil, combine = (cur, _) => cur,
+      guard = Some { s =>
+        val sch = s.schema.getOrElse(schema)
+        specsP.foreach { raw =>
+          val sp = PartitionSpec.parse(raw)
+          val f = sch.fields.find(f => ColumnMapping.physicalName(f) == sp.col)
+            .getOrElse(throw new java.util.ConcurrentModificationException(
+              s"partition-spec column '${sp.col}' vanished from $dir while " +
+                "the evolution commit was planned — re-plan against the " +
+                "current schema"))
+          PartitionSpec.validate(sp, f.dataType, s"SET PARTITION SPEC $dir")
+        }
+      },
+      pcolsUpdate = _ => specsP)
+  }
+
+  /** Rewrite the table's CURRENT contents under the CURRENT declared
+    * partition spec — the optional DATA-migration half of
+    * [[setPartitionSpec]] (which is metadata-only: old files keep their
+    * old layout, still correctly pruned by their own recorded values). A
+    * full-snapshot rewrite like [[compact]] — same whole-read, same
+    * abort-on-concurrent-commit guard, same data-neutral "compact" op
+    * (rows are relocated, never changed, so CDF reports nothing and
+    * streaming charges 0 bytes) — but through the hive-partitioned
+    * writer, so every output file derives and records the current spec's
+    * values. Like compact, a whole-table op: on a 100 TB table, migrate
+    * incrementally instead (new writes land in the new layout; retention
+    * DELETEs age the old one out).
+    */
+  def rewriteLayout(spark: SparkSession, dir: String,
+                    schema: StructType): Long = {
+    val snap = currentSnapshot(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no manifest table at $dir"))
+    val cur = readSnapshot(spark, dir, snap, schema)
+    val guard: Option[Snapshot => Unit] = Some { prev =>
+      if (prev.files != snap.files || prev.dvs != snap.dvs)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot changed under rewriteLayout on $dir — retry, or " +
+            "let incremental writes migrate the layout")
+    }
+    if (snap.partitionCols.isEmpty)
+      commit(cur.coalesce(1), dir, "compact", (_, fresh) => fresh,
+        guard = guard)
+    else appendPartitioned(cur, dir, snap.partitionCols, op = "compact",
+      combine = (_, fresh) => fresh, guard = guard)
+  }
+
   /** Each declared partition field (identity name or transform spec)
     * names a schema column of a transform-compatible type — validated at
     * declaration so a bad layout fails before the first write. Two
@@ -1642,7 +1732,8 @@ object ManifestStore {
   private def appendPartitioned(df: DataFrame, dir: String,
                                 partitionCols: Seq[String], op: String,
                                 combine: (Seq[String], Seq[String]) => Seq[String]
-                                  = (prev, fresh) => prev ++ fresh): Long = {
+                                  = (prev, fresh) => prev ++ fresh,
+                                guard: Option[Snapshot => Unit] = None): Long = {
     require(partitionCols.nonEmpty, "appendPartitioned needs partition columns")
     val spark = df.sparkSession
     // column mapping: files + partition paths spell physical names. pcols
@@ -1660,7 +1751,7 @@ object ManifestStore {
     val (fresh, freshParts) =
       writeHivePartitioned(dfP, dir, s"d-$nonce", pcolsP)
     publishLoop(spark, dir, op, fresh, combine,
-      dfSchema = Some(dfSchema), freshParts = freshParts)
+      dfSchema = Some(dfSchema), freshParts = freshParts, guard = guard)
   }
 
   /** Write `df` hive-partitioned under `dir/dataRel` and return the
@@ -2159,7 +2250,9 @@ object ManifestStore {
                           guard: Option[Snapshot => Unit] = None,
                           propsUpdate: Map[String, String] => Map[String, String]
                             = identity,
-                          schemaExact: Boolean = false): Long = {
+                          schemaExact: Boolean = false,
+                          pcolsUpdate: Seq[String] => Seq[String]
+                            = identity): Long = {
     val f = fs(spark, dir)
     // harvest footer stats ONCE per fresh file (outside the retry loop —
     // lost races re-publish the manifest, never re-read footers)
@@ -2275,8 +2368,11 @@ object ManifestStore {
         }
         writeDvsNode(body, files, carriedDvs)
         // declared table-level partition columns travel with the lineage
-        // unchanged (fixed at creation; the catalog routes writes by them)
-        val pcols = prev.map(_.partitionCols).getOrElse(Nil)
+        // (the catalog routes writes by them); pcolsUpdate applies INSIDE
+        // the retry loop against the attempt's own snapshot — the
+        // partition-spec-evolution commit ([[setPartitionSpec]]) composes
+        // with concurrent writers instead of last-writer-dropping
+        val pcols = pcolsUpdate(prev.map(_.partitionCols).getOrElse(Nil))
         if (pcols.nonEmpty) {
           val pArr = body.putArray("partitionCols")
           pcols.foreach(pArr.add)

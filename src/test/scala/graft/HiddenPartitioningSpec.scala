@@ -509,6 +509,139 @@ class HiddenPartitioningSpec extends SparkSpec {
       .as[String].collect().toSeq === Seq("a", "b"))
   }
 
+  test("partition-spec evolution: metadata-only, both generations prune") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    Seq("2024-01-10", "2024-01-11").zipWithIndex.foreach { case (d, i) =>
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+        s"(${i * 2}, TIMESTAMP '$d 01:00:00'), " +
+        s"(${i * 2 + 1}, TIMESTAMP '$d 23:30:00')")
+    }
+    val s0 = snap(dir)
+    val oldGen = s0.files.toSet
+
+    // the evolution commit is METADATA-ONLY: file list identical, old
+    // files keep their recorded days values, declaration flips
+    val v = spark.sql(s"CALL graft.set_partition_spec('$dir', 'hours(ts)')")
+      .head().getLong(0)
+    val s1 = snap(dir)
+    assert(s1.version === v && s1.files.toSet === oldGen)
+    assert(s1.partitionCols === Seq("hours(ts)"))
+    assert(s1.op.startsWith("set-partition-spec:"))
+    assert(oldGen.forall(f => s1.parts(f).contains("days(ts)")),
+      "pre-evolution files must keep their recorded spec values")
+
+    // the next write derives the NEW spec's values
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(10, TIMESTAMP '2024-01-12 05:10:00'), " +
+      "(11, TIMESTAMP '2024-01-12 09:45:00')")
+    val s2 = snap(dir)
+    val newGen = s2.files.toSet -- oldGen
+    assert(newGen.nonEmpty &&
+      newGen.forall(f => s2.parts(f).contains("hours(ts)")))
+    // 2024-01-12T05 = hour ordinal 19734·24 + 5
+    assert(newGen.flatMap(f => s2.parts(f).get("hours(ts)"))
+      === Set((19734L * 24 + 5).toString, (19734L * 24 + 9).toString))
+
+    // pruning works across BOTH generations from one source predicate:
+    // an old-day probe keeps only day files, an hour probe only its hour
+    val oldKept = ManifestStore.pruneFiles(s2, "ts",
+      ts("2024-01-10T00:00:00Z"), ts("2024-01-10T23:59:59Z"))
+    assert(oldKept.nonEmpty && oldKept.size < s2.files.size)
+    assert(oldKept.forall(f => s2.parts(f).get("days(ts)").contains("19732")))
+    val hrKept = ManifestStore.pruneFiles(s2, "ts",
+      ts("2024-01-12T05:00:00Z"), ts("2024-01-12T05:59:59Z"))
+    assert(hrKept.nonEmpty && hrKept.forall(f =>
+      s2.parts(f).get("hours(ts)").contains((19734L * 24 + 5).toString)))
+    // scan identity: pruned results equal the full predicate's rows
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "ts BETWEEN TIMESTAMP '2024-01-12 05:00:00' AND " +
+      "TIMESTAMP '2024-01-12 05:59:59'").as[Long].collect().toSet === Set(10L))
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)}")
+      .as[Long].head() === 6L)
+
+    // a retention DELETE covering an old-generation day is STILL a pure
+    // metadata edit (per-file proof under the file's own old spec)
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE date(ts) <= DATE '2024-01-10'")
+    val s3 = snap(dir)
+    assert(s3.dvs.isEmpty, "old-generation day DELETE must stay metadata-only")
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)}")
+      .as[Long].head() === 4L)
+
+    // time travel reads each version under its own declaration
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)} VERSION AS OF ${s0.version}")
+      .as[Long].head() === 4L)
+  }
+
+  test("rewrite_layout migrates every file to the current spec") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(1, TIMESTAMP '2024-01-10 01:00:00'), " +
+      "(2, TIMESTAMP '2024-01-10 22:00:00'), " +
+      "(3, TIMESTAMP '2024-01-11 03:00:00')")
+    spark.sql(s"CALL graft.set_partition_spec('$dir', 'hours(ts)')")
+    spark.sql(s"CALL graft.rewrite_layout('$dir')")
+    val s1 = snap(dir)
+    // every live file now derives the CURRENT spec — one per hour value
+    assert(s1.files.nonEmpty &&
+      s1.files.forall(f => s1.parts(f).contains("hours(ts)")),
+      "rewrite_layout must re-derive under the evolved spec")
+    assert(s1.files.flatMap(f => s1.parts(f).get("hours(ts)")).toSet
+      === Set(19732L * 24 + 1, 19732L * 24 + 22, 19733L * 24 + 3)
+        .map(_.toString))
+    assert(s1.op === "compact", "the rewrite is a data-neutral commit")
+    // rows unchanged; hour pruning now reaches the old rows too
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    val kept = ManifestStore.pruneFiles(s1, "ts",
+      ts("2024-01-10T22:00:00Z"), ts("2024-01-10T22:59:59Z"))
+    assert(kept.size === 1 &&
+      s1.parts(kept.head)("hours(ts)") === (19732L * 24 + 22).toString)
+  }
+
+  test("spec evolution refusals and un-partitioning") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(1, TIMESTAMP '2024-01-10 01:00:00')")
+    // months refuses with the day-range guidance; bad column refuses;
+    // wrong type refuses — all BEFORE any commit lands
+    val v0 = snap(dir).version
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graft.set_partition_spec('$dir', 'months(ts)')").collect()
+    }
+    assert(e1.getMessage.contains("day-range"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.set_partition_spec('$dir', 'days(nope)')").collect()
+    }
+    assert(e2.getMessage.contains("not in schema"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL graft.set_partition_spec('$dir', 'hours(k)')").collect()
+    }
+    assert(e3.getMessage.contains("TIMESTAMP"), e3.getMessage)
+    assert(snap(dir).version === v0, "refused evolutions must not commit")
+    // multi-field spec with a nested comma parses as two fields
+    spark.sql(s"CALL graft.set_partition_spec('$dir', 'bucket(4, k), days(ts)')")
+    assert(snap(dir).partitionCols === Seq("bucket(4,k)", "days(ts)"))
+    // '' = stop partitioning: future writes are unpartitioned
+    spark.sql(s"CALL graft.set_partition_spec('$dir', '')")
+    assert(snap(dir).partitionCols === Nil)
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(2, TIMESTAMP '2024-01-11 01:00:00')")
+    val s2 = snap(dir)
+    assert(spark.sql(s"SELECT count(*) FROM ${sqlTable(dir)}")
+      .as[Long].head() === 2L)
+    // the old partitioned file still prunes by its recorded day value
+    val kept = ManifestStore.pruneFiles(s2, "ts",
+      ts("2024-01-10T00:00:00Z"), ts("2024-01-10T23:59:59Z"))
+    assert(kept.exists(f => s2.parts.get(f).exists(_.contains("days(ts)"))))
+  }
+
   test("declaration refusals: months/years, unknown transforms, ambiguity") {
     import org.apache.spark.sql.types._
     val dir = tmpDir()

@@ -591,6 +591,90 @@ class StreamingSpec extends SparkSpec {
     assert(drifts(1L) > 1.0, s"shifted batch should alarm: $drifts")
   }
 
+  test("source `where`: transform-pruned batch scans, sliced byte budget") {
+    import graft.sources.ManifestStore
+    val dir = Files.createTempDirectory("stream-where").toString
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    // four commits, one UTC day each → one file per commit (optimized
+    // per-partition write), so per-batch file counts are exact
+    (10 to 13).foreach { d =>
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+        s"($d, TIMESTAMP '2024-01-$d 05:00:00'), " +
+        s"(${d + 100}, TIMESTAMP '2024-01-$d 21:00:00')")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP")
+    val w = "ts BETWEEN TIMESTAMP '2024-01-11 00:00:00' AND " +
+      "TIMESTAMP '2024-01-11 23:59:59.999999'"
+
+    // 1. the batch scan reads ONLY the day's file — pinned on the
+    //    EXECUTED plan of a manually-driven source batch
+    val src = new graft.sources.ManifestSource(spark, dir, schema, 0L,
+      readChangeFeed = false, ignoreChanges = false, where = Some(w))
+    val off = src.getOffset.get
+    src.getBatch(None, off)
+    val qe = src.lastBatchExecution.get
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val rows = qe.executedPlan.executeCollect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val filesRead = scans(qe.executedPlan).map(_.metrics("numFiles").value).sum
+    val total = ManifestStore.currentSnapshot(spark, dir).get.files.size
+    assert(total === 4)
+    assert(filesRead === 1L,
+      s"the where predicate must prune the batch scan to day 19733's " +
+        s"file, read $filesRead of $total")
+    val ks = rows.map(_.getLong(0)).toSet
+    assert(ks === Set(11L, 111L), s"row filter must be exact: $ks")
+
+    // 2. maxBytesPerTrigger charges only the slice: out-of-day commits
+    //    cost 0, so the whole backlog admits in ONE batch at a cap that
+    //    would otherwise chunk it commit-by-commit
+    val per = ManifestStore.readManifest(spark, dir, 2L).sizes.values.sum
+    assert(per > 0L)
+    val sliced = new graft.sources.ManifestSource(spark, dir, schema, 0L,
+      readChangeFeed = false, ignoreChanges = false,
+      maxBytesPerTrigger = Some(per), where = Some(w))
+    // versions: v1 = CREATE (data-neutral), v2..v5 the four day INSERTs
+    assert(sliced.getOffset.map(_.json.toLong) === Some(5L),
+      "a one-day slice must admit the 4-day backlog in one batch")
+    val unsliced = new graft.sources.ManifestSource(spark, dir, schema, 0L,
+      readChangeFeed = false, ignoreChanges = false,
+      maxBytesPerTrigger = Some(per))
+    assert(unsliced.getOffset.map(_.json.toLong) === Some(2L),
+      "without the slice the same cap chunks commit-by-commit")
+
+    // 3. end-to-end: a real stream with the option emits exactly the
+    //    slice's rows, across restarts of the backlog and fresh commits
+    val seen = spark.readStream.format("graft-manifest")
+      .schema(schema)
+      .option("startingVersion", "earliest")
+      .option("where", w)
+      .load(dir)
+      .writeStream.format("memory").queryName("where_slice")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      seen.processAllAvailable()
+      assert(spark.table("where_slice").as[(Long, java.sql.Timestamp)]
+        .collect().map(_._1).toSet === Set(11L, 111L))
+      // fresh commits: one in-slice, one out — only the in-slice rows land
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+        "(211, TIMESTAMP '2024-01-11 09:00:00')")
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+        "(214, TIMESTAMP '2024-01-14 09:00:00')")
+      seen.processAllAvailable()
+      assert(spark.table("where_slice").as[(Long, java.sql.Timestamp)]
+        .collect().map(_._1).toSet === Set(11L, 111L, 211L))
+    } finally seen.stop()
+  }
+
   test("simulator tick: deterministic, advances statuses legally, bumps updated_at") {
     val base = (1 to 200).map(i => (s"id$i", "NEW", ts("2024-01-01 00:00:00"), "loader"))
       .toDF("id", "status", "updated_at", "updated_by")
