@@ -502,15 +502,19 @@ object SparkEntry {
         t(s, dir, "embeddings"), minCosine = 0.4, dim = 64)
     }),
 
-    // The SCALE form of q34: hyperplane-LSH bucketed candidate generation +
-    // the same exact cosine-threshold verify — no full-corpus broadcast, no
-    // O(n²) compare. Oracle-checked against the exact all-pairs SQL: recall
-    // at the pinned (tables, bits) is 100% on the gate data (asserted per
-    // scale factor in TrainingOpsSpec; the per-pair miss probability at
-    // τ=0.4 is < 10⁻⁴).
+    // The hyperplane-LSH operator demonstrator: bucketed candidate
+    // generation + the exact cosine-threshold verify, strategy PINNED to
+    // "lsh" so the oracle keeps checking the LSH plan itself (recall at
+    // the pinned (tables, bits) is 100% on the gate data; per-pair miss
+    // probability at τ=0.4 is < 10⁻⁴). The sf1 scale probe showed that at
+    // THIS low threshold LSH no longer filters (the 95%-random-collision
+    // math in Similarity.cosineNearDupPairsLsh) — the corpus-wide scale
+    // form at low τ is q65's auto-selected blocked exact join; LSH's
+    // scale regime is high-τ near-dup (τ ≥ 0.8, bits ≥ 16).
     "q50_cosine_neardup_lsh" -> ((s, dir) => {
       graft.functions.Similarity.cosineNearDupPairsLsh(
-        t(s, dir, "embeddings"), minCosine = 0.4, dim = 64)
+        t(s, dir, "embeddings"), minCosine = 0.4, dim = 64,
+        strategy = "lsh")
     }),
 
     // HLL-sketch distinct count per group (approx_count_distinct) next to
@@ -812,13 +816,17 @@ object SparkEntry {
         .withColumnsRenamed(Map("node" -> "doc_id", "component" -> "cluster_id"))
     }),
 
-    // Semantic dedup (SemDeDup shape): embedding-cosine near-dup pairs via
-    // the LSH candidate path → connected components → canonical corpus —
-    // drops every vector that lost its semantic-cluster election. The
-    // embedding-space sibling of q49's lexical dedup corpus: catches
-    // paraphrases and translations that share no n-grams. Oracle = exact
-    // all-pairs cosine pairs + recursive-CTE closure (valid because the LSH
-    // path's recall is 100% on the gate data at the pinned parameters).
+    // Semantic dedup (SemDeDup shape): embedding-cosine near-dup pairs →
+    // connected components → canonical corpus — drops every vector that
+    // lost its semantic-cluster election. The embedding-space sibling of
+    // q49's lexical dedup corpus: catches paraphrases and translations
+    // that share no n-grams. At τ = 0.4 the candidate strategy
+    // auto-selects the BLOCKED EXACT join (the sf1 scale probe's finding:
+    // no LSH parameterization filters at low thresholds, and the
+    // qualifying-pair population itself grows ~quadratically in this
+    // corpus — Ω(output) is the floor, and the blocked join walks it in
+    // one equi-join pass). Oracle = exact all-pairs cosine pairs +
+    // recursive-CTE closure (recall is 1 by construction on this path).
     "q65_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val pairs = graft.functions.Similarity.cosineNearDupPairsLsh(
@@ -1658,12 +1666,12 @@ object SparkEntry {
       graft.functions.Corpus.bigramSurprisal(
         t(s, dir, "documents"), "text", "doc_id")),
 
-    // Cross-lingual leakage pairs: embedding near-dups (the q50 LSH
-    // candidate path + exact verify) whose documents carry DIFFERENT
-    // language labels — translated/copied content across language slices,
-    // the pairs a per-language dedup can never see. Oracle is the exact
-    // all-pairs SQL (valid per the q50 recall argument); the lang join is
-    // an id equi-join on the pair list, not the corpus.
+    // Cross-lingual leakage pairs: embedding near-dups (auto-selected
+    // blocked exact join at this low τ — see q65) whose documents carry
+    // DIFFERENT language labels — translated/copied content across
+    // language slices, the pairs a per-language dedup can never see.
+    // Oracle is the exact all-pairs SQL (recall 1 on this path); the lang
+    // join is an id equi-join on the pair list, not the corpus.
     "q128_crosslingual_pairs" -> ((s, dir) => {
       val pairs = graft.functions.Similarity.cosineNearDupPairsLsh(
         t(s, dir, "embeddings"), minCosine = 0.4, dim = 64)

@@ -428,7 +428,37 @@ object Similarity {
   def cosineNearDupPairsLsh(df: DataFrame, minCosine: Double, dim: Int,
                             tables: Int = 48, bits: Int = 4, seed: Long = 42L,
                             maxBucket: Int = 100000,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            strategy: String = "auto"): DataFrame = {
+    // CANDIDATE-STRATEGY PLANNING (the sf0.1→sf1 scale probe's finding):
+    // random-hyperplane LSH only FILTERS when a random pair's chance of
+    // colliding in ≥1 table, 1 − (1 − 0.5^bits)^tables, is small. At a
+    // LOW cosine threshold that is unattainable: per bit, a true pair at
+    // angle θ collides w.p. 1 − θ/π vs 0.5 for a random pair, so at
+    // τ = 0.4 (θ ≈ 66°, p_true ≈ 0.63/bit) the recall-preserving
+    // parameterizations (4 bits × 48 tables → 95% random collision) admit
+    // essentially EVERY pair, and the LSH plumbing (explode, 200M-row
+    // dropDuplicates, two join-backs) is pure overhead on top of the
+    // all-pairs verify it no longer avoids. No (bits, tables) escapes:
+    // raising bits to 8/12 needs 270/1700 tables for recall and still
+    // charges ≥ 0.4× the all-pairs verify in candidates alone. When the
+    // declared parameters are in that regime, `auto` switches to the
+    // BLOCKED EXACT self-join — same result (recall 1 by construction),
+    // one equi-join pass, no dedup. LSH earns its keep at HIGH
+    // thresholds (τ ≥ 0.8 → p_true ≥ 0.9/bit: 16 bits × 48 tables
+    // filters ~1400×) — pass explicit bits/tables for that regime, or
+    // strategy = "lsh" to pin the LSH plan (q50 does, as the
+    // recall-pinned demonstrator).
+    val lshRandomCollisionRate =
+      1.0 - math.pow(1.0 - math.pow(0.5, bits.toDouble), tables.toDouble)
+    val useLsh = strategy match {
+      case "lsh" => true
+      case "exact" => false
+      case _ => lshRandomCollisionRate < 0.25
+    }
+    if (!useLsh)
+      return cosineNearDupPairsBlocked(df, minCosine, idCol = idCol,
+        vecCol = vecCol)
     val vecs = Par.materialize(Par.spread(
       df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))))
     val buckets = Par.materialize(NearDup.pruneHotKeys(
@@ -447,6 +477,44 @@ object Similarity {
       .join(vecs.withColumnsRenamed(Map("_id" -> "id_b", "_v" -> "_vb")), Seq("id_b"))
     cand
       .withColumn("sim", Portable.roundPortable(graft.plans.GraftFunctions.cosine(cand, col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Corpus-wide cosine near-dup pairs by BLOCKED EXACT self-join — the
+    * scale form for LOW thresholds, where no LSH parameterization filters
+    * (see [[cosineNearDupPairsLsh]]'s planning note) and the qualifying
+    * pairs are what they are: Ω(output) is the floor, and this plan walks
+    * it in ONE equi-join pass. Each vector lands in a deterministic
+    * crc32 block of ~`targetBlockRows` rows; the right side replicates to
+    * every block id, the equi-join on the block key meets each unordered
+    * pair exactly once under the `id_a < id_b` join conjunct (pair (x,y)
+    * arises from x's block and from y's block; the order filter keeps
+    * one), and the cosine evaluates inside the join's codegen — no
+    * cartesian/BNLJ node, no candidate dedup, no join-back. Shuffle is
+    * the replicated side, |vectors| × blocks rows — blocks scale as
+    * n / targetBlockRows, so per-task pair work is constant and the total
+    * is the unavoidable n²/2 verify, evenly spread across the cluster.
+    */
+  def cosineNearDupPairsBlocked(df: DataFrame, minCosine: Double,
+                                targetBlockRows: Int = 512,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val vecs = Par.materialize(Par.spread(
+      df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))))
+    val nBlocks = math.max(1L,
+      (vecs.count() + targetBlockRows - 1) / targetBlockRows)
+    val blkOf = pmod(crc32(col("_id").cast("string").cast("binary")),
+      lit(nBlocks))
+    val left = vecs.select(col("_id").as("id_a"), col("_v").as("_va"),
+      blkOf.as("_blk"))
+    val right = vecs.select(col("_id").as("id_b"), col("_v").as("_vb"))
+      .withColumn("_tgt", explode(sequence(lit(0L), lit(nBlocks - 1))))
+    val joined = left.join(right,
+      col("_blk") === col("_tgt") && col("id_a") < col("id_b"))
+    joined
+      .withColumn("sim", Portable.roundPortable(
+        graft.plans.GraftFunctions.cosine(joined, col("_va"), col("_vb")), 6))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -493,6 +493,39 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("blocked exact cosine pairs equal the exact form; auto strategy routes") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.cosineNearDupPairsExact(emb, minCosine = 0.4)
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSet
+    // the blocked join meets each unordered pair exactly once — equal
+    // SETS and equal SIZES (a double-met pair would survive a set compare)
+    val blocked = Similarity.cosineNearDupPairsBlocked(emb, minCosine = 0.4,
+        targetBlockRows = 37) // force many blocks incl. a ragged last one
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
+    assert(blocked.length === blocked.toSet.size, "pair met twice")
+    assert(blocked.toSet === exact,
+      s"${blocked.length} blocked vs ${exact.size} exact")
+    // auto routing: at (bits=4, tables=48) the random-collision math says
+    // LSH cannot filter → the blocked plan (no _tb bucket key) runs; an
+    // explicit strategy="lsh" pins the bucket join
+    val auto = Similarity.cosineNearDupPairsLsh(emb, minCosine = 0.4, dim = 64)
+    assert(!auto.queryExecution.optimizedPlan.toString.contains("_tb"),
+      "degenerate-LSH parameters must route to the blocked exact join")
+    val lsh = Similarity.cosineNearDupPairsLsh(emb, minCosine = 0.4, dim = 64,
+      strategy = "lsh")
+    assert(lsh.queryExecution.optimizedPlan.toString.contains("_tb"),
+      "strategy=lsh must pin the bucket join")
+    // and high-threshold parameters keep the LSH path under auto
+    val hi = Similarity.cosineNearDupPairsLsh(emb, minCosine = 0.9, dim = 64,
+      tables = 48, bits = 16)
+    assert(hi.queryExecution.optimizedPlan.toString.contains("_tb"),
+      "filtering parameters (16 bits) must keep LSH under auto")
+    // the auto-selected blocked result matches exact too (recall 1)
+    assert(auto.select($"id_a", $"id_b", $"sim")
+      .as[(Long, Long, Double)].collect().toSet === exact)
+  }
+
   test("cosine near-dup delegation: LSH by default, broadcast only when provably tiny") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
