@@ -642,6 +642,35 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(kept.exists(f => s2.parts.get(f).exists(_.contains("days(ts)"))))
   }
 
+  test("spec evolution on a MAPPED table: logical names in, physical stored") {
+    // a renamed source column: the user declares the spec with the
+    // LOGICAL name; the manifest stores the immutable PHYSICAL name
+    // (per-file values and paths never re-key on rename)
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP)")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(1, TIMESTAMP '2024-01-10 01:00:00')")
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} RENAME COLUMN ts TO event_ts")
+    spark.sql(s"CALL graft.set_partition_spec('$dir', 'days(event_ts)')")
+    val s0 = snap(dir)
+    assert(s0.partitionCols === Seq("days(ts)"),
+      "declared spec must store the PHYSICAL column name")
+    // writes derive; reads prune from predicates on the LOGICAL name
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(2, TIMESTAMP '2024-01-12 01:00:00')")
+    val s1 = snap(dir)
+    assert(s1.files.exists(f => s1.parts.get(f).exists(
+      _.get("days(ts)").contains("19734"))))
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} WHERE " +
+      "event_ts >= TIMESTAMP '2024-01-12 00:00:00'")
+      .as[Long].collect().toSeq === Seq(2L))
+    // a spec naming a column that never existed still refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.set_partition_spec('$dir', 'days(ts)')").collect()
+    }
+    assert(e.getMessage.contains("not in schema"), e.getMessage)
+  }
+
   test("declaration refusals: months/years, unknown transforms, ambiguity") {
     import org.apache.spark.sql.types._
     val dir = tmpDir()
