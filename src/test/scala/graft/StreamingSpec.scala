@@ -675,6 +675,52 @@ class StreamingSpec extends SparkSpec {
     } finally seen.stop()
   }
 
+  test("a spec-evolution commit is data-neutral to streams: no refusal, no rows, zero bytes") {
+    import graft.sources.ManifestStore
+    val dir = Files.createTempDirectory("stream-evo").toString
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, TIMESTAMP '2024-01-10 01:00:00')")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP")
+    val q = spark.readStream.format("graft-manifest").schema(schema)
+      .option("startingVersion", "earliest").load(dir)
+      .writeStream.format("memory").queryName("evo_stream")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("evo_stream").count() === 1L)
+      // evolution mid-stream: ROW MODE must not refuse it (appendSafe),
+      // must emit nothing for it, and the next insert lands under the
+      // NEW spec and still streams
+      spark.sql(s"CALL graft.set_partition_spec('$dir', 'hours(ts)')")
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+        "(2, TIMESTAMP '2024-01-11 02:30:00')")
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"row stream must survive the evolution commit: ${q.exception}")
+      assert(spark.table("evo_stream").as[(Long, java.sql.Timestamp)]
+        .collect().map(_._1).toSet === Set(1L, 2L))
+    } finally q.stop()
+    // CDF across the evolution commit: the file list is unchanged, so
+    // the change feed carries ZERO rows for it (and tags the inserts
+    // with their own commit versions, skipping the evolution version)
+    val cdf = ManifestStore.changes(spark, dir, 0L,
+      ManifestStore.currentSnapshot(spark, dir).get.version, schema)
+    val byVersion = cdf.groupBy($"_commit_version")
+      .count().as[(Long, Long)].collect().toMap
+    val evoV = (1L to byVersion.keys.max).find { v =>
+      ManifestStore.readManifest(spark, dir, v).op
+        .startsWith("set-partition-spec:")
+    }
+    assert(evoV.isDefined, "the evolution commit must be in the lineage")
+    assert(!byVersion.contains(evoV.get),
+      s"the evolution commit must emit no CDF rows: $byVersion")
+    assert(byVersion.values.sum === 2L, byVersion.toString)
+  }
+
   test("simulator tick: deterministic, advances statuses legally, bumps updated_at") {
     val base = (1 to 200).map(i => (s"id$i", "NEW", ts("2024-01-01 00:00:00"), "loader"))
       .toDF("id", "status", "updated_at", "updated_by")
