@@ -675,6 +675,46 @@ class StreamingSpec extends SparkSpec {
     } finally seen.stop()
   }
 
+  test("source `where` is row-exact under random predicates (property)") {
+    // streamed rows ≡ batch filter, whether or not the predicate
+    // translates to prune ranges: a translatable conjunct prunes files,
+    // an opaque one (modulo arithmetic) only row-filters — NEVER drops a
+    // matching row either way
+    import graft.sources.ManifestStore
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP")
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { round =>
+      val dir = Files.createTempDirectory(s"stream-wp$round").toString
+      spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      (10 to 14).foreach { d =>
+        val ks = (0 until 4).map(i => s"(${d * 100 + i + round * 10000}, " +
+          s"TIMESTAMP '2024-01-$d ${"%02d".format(rnd.nextInt(24))}:30:00')")
+        spark.sql(s"INSERT INTO graft.`$dir` VALUES ${ks.mkString(", ")}")
+      }
+      val lo = 10 + rnd.nextInt(4)
+      val hi = lo + rnd.nextInt(15 - lo)
+      val w = rnd.nextInt(3) match {
+        case 0 => s"ts BETWEEN TIMESTAMP '2024-01-$lo 00:00:00' AND " +
+          s"TIMESTAMP '2024-01-$hi 23:59:59.999999'"
+        case 1 => s"k % ${2 + rnd.nextInt(3)} = 0" // opaque: row filter only
+        case _ => s"k % 2 = 0 AND date(ts) >= DATE '2024-01-$lo'"
+      }
+      val src = new graft.sources.ManifestSource(spark, dir, schema, 0L,
+        readChangeFeed = false, ignoreChanges = false, where = Some(w))
+      val off = src.getOffset.get
+      src.getBatch(None, off)
+      val got = src.lastBatchExecution.get.executedPlan.executeCollect()
+        .map(_.getLong(0)).toSet
+      val want = ManifestStore.readLatest(spark, dir)
+        .filter(org.apache.spark.sql.functions.expr(w))
+        .select($"k").as[Long].collect().toSet
+      assert(got === want, s"round $round where=[$w]: " +
+        s"missing ${want -- got}, phantom ${got -- want}")
+    }
+  }
+
   test("a spec-evolution commit is data-neutral to streams: no refusal, no rows, zero bytes") {
     import graft.sources.ManifestStore
     val dir = Files.createTempDirectory("stream-evo").toString
