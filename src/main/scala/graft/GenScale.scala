@@ -52,13 +52,24 @@ object GenScale {
     val dst = args.lift(1).getOrElse("testdata_sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = session()
+    run(spark, src, dst, k)
+    spark.stop()
+  }
 
+  /** The generator body, callable from tests (main owns session lifecycle). */
+  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     def t(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
-    /** Union K copies of `df`, applying `edit(copyIndex)` to each. */
+    /** Union K copies of `df`, applying `edit(copyIndex)` to copies
+      * 1..K−1. Copy 0 is `df` UNTOUCHED — no key shift by 0, no n_chars
+      * recompute — so its rows are the source bytes by construction
+      * regardless of source schema (a `col + lit(0L)` would widen INT
+      * keys to BIGINT and a recomputed n_chars would diverge if the
+      * generator's n_chars were ever not length(text)).
+      */
     def scaled(df: DataFrame)(edit: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until k).map(i => edit(df, i)).reduce(_ unionAll _)
+      (0 until k).map(i => if (i == 0) df else edit(df, i)).reduce(_ unionAll _)
 
     def shift(c: String, dom: String, i: Int) =
       col(c) + lit(Off(dom) * i)
@@ -90,10 +101,8 @@ object GenScale {
           .withColumn("user_id", shift("user_id", "user", i))
       },
       "documents" -> scaled(t("documents")) { (df, i) =>
-        val txt =
-          if (i == 0) col("text")
-          else array_join(transform(split(col("text"), " "),
-            x => concat(x, lit(s"_$i"))), " ")
+        val txt = array_join(transform(split(col("text"), " "),
+          x => concat(x, lit(s"_$i"))), " ")
         df.withColumn("doc_id", shift("doc_id", "doc", i))
           .withColumn("text", txt)
           .withColumn("n_chars", length(col("text")).cast("long"))
@@ -114,6 +123,5 @@ object GenScale {
         .parquet(s"$dst/$name.parquet")
       println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
-    spark.stop()
   }
 }

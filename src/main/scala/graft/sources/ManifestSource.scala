@@ -93,21 +93,34 @@ class ManifestSource(spark: SparkSession, dir: String,
       // et al. — the optimizer would rewrite them, but it would also fold
       // the empty probe away): unwrap to the replacement, then inline its
       // `With` common-subexpression form (RewriteWithExpression's job)
-      // back to the plain conjuncts the range planners understand
-      import org.apache.spark.sql.catalyst.expressions.{
-        CommonExpressionDef, CommonExpressionRef, RuntimeReplaceable, With}
-      val plain = c.transformUp {
-        case r: RuntimeReplaceable => r.replacement
-      }.transformUp {
-        case w: With =>
-          val defs = w.defs.map { case CommonExpressionDef(child, id) =>
-            id -> child
-          }.toMap
-          w.child.transformUp {
-            case ref: CommonExpressionRef => defs(ref.id)
-          }
-      }
-      ManifestRead.toRanges(Seq(plain))
+      // back to the plain conjuncts the range planners understand.
+      // Scoping: a ref defined in an OUTER With is left in place by the
+      // inner With's pass — transformUp reaches the outer With next and
+      // resolves it there. Implicit casts of untyped literals
+      // (`ts >= '2024-01-10'` analyzes to `ts >= CAST(str AS TIMESTAMP)`)
+      // are folded to typed literals so toRanges sees the shape it
+      // matches. Any surprise shape degrades to "no pruning" (Try) — the
+      // row filter alone is still exact.
+      import org.apache.spark.sql.catalyst.expressions.{Cast,
+        CommonExpressionDef, CommonExpressionRef, Literal,
+        RuntimeReplaceable, With}
+      scala.util.Try {
+        val plain = c.transformUp {
+          case r: RuntimeReplaceable => r.replacement
+        }.transformUp {
+          case w: With =>
+            val defs = w.defs.map { case CommonExpressionDef(child, id) =>
+              id -> child
+            }.toMap
+            w.child.transformUp {
+              case ref: CommonExpressionRef if defs.contains(ref.id) =>
+                defs(ref.id)
+            }
+        }.transformUp {
+          case cast: Cast if cast.foldable => Literal(cast.eval(), cast.dataType)
+        }
+        ManifestRead.toRanges(Seq(plain))
+      }.getOrElse(Nil)
     }
   }
 

@@ -675,6 +675,47 @@ class StreamingSpec extends SparkSpec {
     } finally seen.stop()
   }
 
+  test("source `where`: untyped string literal folds to a typed range (prunes files + slices bytes)") {
+    // the docstring's own example shape — `ts >= '2024-01-12'` analyzes to
+    // `ts >= CAST('2024-01-12' AS TIMESTAMP)`, which whereRanges must fold
+    // back to a typed literal or the byte budget silently charges the
+    // whole commit (ADVICE r11 #1)
+    import graft.sources.ManifestStore
+    val dir = Files.createTempDirectory("stream-where-str").toString
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    (10 to 13).foreach { d =>
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+        s"($d, TIMESTAMP '2024-01-$d 05:00:00')")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP")
+    val w = "ts >= '2024-01-12'"
+    val src = new graft.sources.ManifestSource(spark, dir, schema, 0L,
+      readChangeFeed = false, ignoreChanges = false, where = Some(w))
+    assert(src.whereRanges.nonEmpty,
+      "the implicit CAST around an untyped literal must fold so the " +
+        "range planner sees the conjunct")
+    // byte budget charges only the slice: days 10–11 cost 0, so a cap of
+    // one in-slice commit admits v1(create)+v2+v3+v4 in the first batch;
+    // unfolded ranges would charge v2 the full file and stop at offset 2
+    val per = ManifestStore.readManifest(spark, dir, 4L).sizes.values.sum -
+      ManifestStore.readManifest(spark, dir, 3L).sizes.values.sum
+    assert(per > 0L) // exactly day 12's fresh file
+    val sliced = new graft.sources.ManifestSource(spark, dir, schema, 0L,
+      readChangeFeed = false, ignoreChanges = false,
+      maxBytesPerTrigger = Some(per), where = Some(w))
+    assert(sliced.getOffset.map(_.json.toLong) === Some(4L),
+      "out-of-slice commits must charge 0 bytes under a string-literal where")
+    // and the rows are exact
+    val full = new graft.sources.ManifestSource(spark, dir, schema, 0L,
+      readChangeFeed = false, ignoreChanges = false, where = Some(w))
+    full.getBatch(None, full.getOffset.get)
+    val ks = full.lastBatchExecution.get.executedPlan.executeCollect()
+      .map(_.getLong(0)).toSet
+    assert(ks === Set(12L, 13L))
+  }
+
   test("source `where` is row-exact under random predicates (property)") {
     // streamed rows ≡ batch filter, whether or not the predicate
     // translates to prune ranges: a translatable conjunct prunes files,
