@@ -172,13 +172,35 @@ object GraftProcedures {
     // `CALL graft.rewrite_layout('/dir')` — the optional data-migration
     // half of set_partition_spec: one compact-style full rewrite of the
     // current contents through the partitioned writer, so every file
-    // derives the CURRENT spec's values. Whole-table op; at scale prefer
-    // incremental migration (new writes land in the new layout).
+    // derives the CURRENT spec's values. Whole-table op; at scale use
+    // migrate_layout below (bounded, incremental, retry-friendly).
     "rewrite_layout" -> proc("rewrite_layout",
       Seq(in("table", StringType)),
       StructType.fromDDL("version BIGINT")) { (spark, args) =>
       val dir = args.getUTF8String(0).toString
       Seq(ManifestStore.rewriteLayout(spark, dir, schemaOf(spark, dir)))
+    },
+
+    // `CALL graft.migrate_layout('/dir', max_bytes => 10737418240)` — the
+    // 100 TB migration path ([[ManifestStore.migrateLayout]]): each call
+    // rewrites up to max_bytes of OLD-GENERATION files (recorded layout
+    // missing a current-spec field) in one optimistic commit; repeat until
+    // files_remaining = 0. -1 = unbounded (all old-generation files in one
+    // call). version is NULL when there was nothing to migrate or a
+    // concurrent conflict aborted the call (retry).
+    "migrate_layout" -> proc("migrate_layout",
+      Seq(in("table", StringType), in("max_bytes", LongType, "-1")),
+      StructType.fromDDL(
+        "version BIGINT, files_rewritten INT, files_remaining INT")) {
+      (spark, args) =>
+        val dir = args.getUTF8String(0).toString
+        ManifestStore.migrateLayout(spark, dir, schemaOf(spark, dir),
+          maxBytes = Some(args.getLong(1)).filter(_ >= 0)) match {
+          // Seq[Any]: unadorned Seq(v, done, left) would unify on Long and
+          // silently WIDEN the Int counts, breaking the declared INT row
+          case Some((v, done, left)) => Seq[Any](v, done, left)
+          case None => Seq[Any](null, 0, 0)
+        }
     })
 
   /** Split a declared spec list on TOP-LEVEL commas only — `bucket(16, k),

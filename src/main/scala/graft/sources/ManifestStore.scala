@@ -1416,6 +1416,83 @@ object ManifestStore {
       combine = (_, fresh) => fresh, guard = guard)
   }
 
+  /** INCREMENTAL layout migration — [[rewriteLayout]] bounded to the files
+    * that actually need it: rewrites only files whose RECORDED layout does
+    * not derive every field of the CURRENT declared spec (pre-evolution
+    * generations), optionally capped at `maxBytes` of input per call, each
+    * call ONE optimistic commit. The 100 TB migration shape rewriteLayout's
+    * own scaladoc defers to: a cron of bounded calls walks the old
+    * generation day by day while writes continue, instead of one
+    * whole-table rewrite holding a snapshot-wide abort guard.
+    *
+    * Selection: a file is OLD-GENERATION iff the current spec's rendered
+    * fields are not all present in its recorded per-file values
+    * ([[Snapshot.parts]]) — files carrying a SUPERSET (a later spec
+    * dropped a field) still prune under every declared field and are left
+    * alone; an unpartitioned declaration has nothing to derive, so
+    * migration is always a no-op there. Candidates are taken in sorted
+    * order (deterministic convergence) while cumulative recorded size
+    * stays within `maxBytes`, always admitting at least one — an
+    * oversized file migrates alone, so progress is guaranteed.
+    *
+    * Concurrency (the [[compactSmall]] rules, same data-neutral "compact"
+    * op — rows relocate, CDF reports nothing, streams charge 0 bytes):
+    * the commit re-bases on concurrent APPENDs (their files are not in
+    * the migrated set and pass through); a concurrent rewrite/DELETE that
+    * removed a migrated file, or new deletion vectors on one, abort with
+    * None — the rows were dropped or already rewritten, and swapping in
+    * our copy would resurrect them. Returns None (nothing old-generation,
+    * or aborted) or (version, filesRewritten, filesRemaining) — remaining
+    * counts the old-generation files this bounded call did not reach.
+    */
+  def migrateLayout(spark: SparkSession, dir: String, schema: StructType,
+                    maxBytes: Option[Long] = None): Option[(Long, Int, Int)] =
+    migrateLayout(spark, dir, schema, maxBytes, () => ())
+
+  /** [[migrateLayout]] with the race-injection seam ([[compactSmall]]'s
+    * pattern): `midFlight` runs after the migrated set is fixed and
+    * before the commit.
+    */
+  private[graft] def migrateLayout(spark: SparkSession, dir: String,
+                                   schema: StructType, maxBytes: Option[Long],
+                                   midFlight: () => Unit): Option[(Long, Int, Int)] = {
+    val snap = currentSnapshot(spark, dir).getOrElse(return None)
+    val want = snap.partitionCols.map(c => PartitionSpec.parse(c).render).toSet
+    if (want.isEmpty) return None // nothing to derive under no declaration
+    val oldGen = snap.files.filterNot(rel =>
+      want.subsetOf(snap.parts.getOrElse(rel, Map.empty[String, String]).keySet))
+      .sorted
+    if (oldGen.isEmpty) return None
+    val f = fs(spark, dir)
+    val selected = maxBytes match {
+      case None => oldGen
+      case Some(cap) =>
+        var used = 0L
+        oldGen.takeWhile { rel =>
+          val sz = snap.sizes.getOrElse(rel,
+            f.getFileStatus(new Path(dir, rel)).getLen)
+          val admit = used == 0L || used + sz <= cap // ≥1 file: never stall
+          if (admit) used += sz
+          admit
+        }
+    }
+    val selectedSet = selected.toSet
+    val cur = readSnapshot(spark, dir, snap.copy(files = selected), schema)
+    midFlight()
+    val combine = (prev: Seq[String], fresh: Seq[String]) => {
+      if (!selectedSet.forall(prev.contains))
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot changed under migrateLayout on $dir — a concurrent " +
+            "commit rewrote or dropped a migrating file; retry")
+      prev.filterNot(selectedSet.contains) ++ fresh
+    }
+    try {
+      val v = appendPartitioned(cur, dir, snap.partitionCols, op = "compact",
+        combine = combine, guard = Some(dvUnchangedGuard(snap, selected)))
+      Some((v, selected.size, oldGen.size - selected.size))
+    } catch { case _: java.util.ConcurrentModificationException => None }
+  }
+
   /** Each declared partition field (identity name or transform spec)
     * names a schema column of a transform-compatible type — validated at
     * declaration so a bad layout fails before the first write. Two

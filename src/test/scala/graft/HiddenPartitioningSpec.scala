@@ -603,6 +603,89 @@ class HiddenPartitioningSpec extends SparkSpec {
       s1.parts(kept.head)("hours(ts)") === (19732L * 24 + 22).toString)
   }
 
+  test("migrate_layout: bounded calls walk only the old generation; second pass is a no-op") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    // three old-generation day files
+    (10 to 12).foreach { d =>
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+        s"($d, TIMESTAMP '2024-01-$d 05:00:00')")
+    }
+    spark.sql(s"CALL graft.set_partition_spec('$dir', 'hours(ts)')")
+    // one NEW-generation file — must never be rewritten by migration
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(13, TIMESTAMP '2024-01-13 07:00:00')")
+    val s0 = snap(dir)
+    val newGen = s0.files.filter(f => s0.parts(f).contains("hours(ts)"))
+    assert(newGen.size === 1 && s0.files.size === 4)
+
+    // bounded to one file's bytes per call: exactly one old file migrates,
+    // remaining counts down deterministically
+    val oneFile = s0.sizes(s0.files.filterNot(newGen.contains).min)
+    val r1 = spark.sql(
+      s"CALL graft.migrate_layout('$dir', max_bytes => $oneFile)").head()
+    assert(!r1.isNullAt(0) && r1.getInt(1) === 1 && r1.getInt(2) === 2,
+      s"first bounded call must rewrite 1 of 3 old-generation files: $r1")
+    val s1 = snap(dir)
+    assert(newGen.forall(s1.files.contains),
+      "the new-generation file must survive migration untouched")
+    assert(s1.files.count(f => s1.parts(f).contains("hours(ts)")) === 2)
+
+    // unbounded call finishes the walk; every file now derives hours(ts)
+    val r2 = spark.sql(s"CALL graft.migrate_layout('$dir')").head()
+    assert(r2.getInt(1) === 2 && r2.getInt(2) === 0, s"$r2")
+    val s2 = snap(dir)
+    assert(s2.files.forall(f => s2.parts(f).contains("hours(ts)")))
+    assert(s2.op === "compact", "migration commits are data-neutral")
+    // rows are intact and hour pruning reaches the migrated generation
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} ORDER BY k")
+      .as[Long].collect().toSeq === Seq(10L, 11L, 12L, 13L))
+    val kept = ManifestStore.pruneFiles(s2, "ts",
+      ts("2024-01-11T05:00:00Z"), ts("2024-01-11T05:59:59Z"))
+    assert(kept.size === 1 &&
+      s2.parts(kept.head)("hours(ts)") === (19733L * 24 + 5).toString)
+
+    // third call: NOTHING old-generation left — version NULL, counts 0
+    val r3 = spark.sql(s"CALL graft.migrate_layout('$dir')").head()
+    assert(r3.isNullAt(0) && r3.getInt(1) === 0 && r3.getInt(2) === 0,
+      s"a fully-migrated table must no-op: $r3")
+    assert(snap(dir).version === s2.version, "a no-op must not commit")
+  }
+
+  test("migrate_layout races: concurrent append survives, concurrent rewrite aborts") {
+    val dir = tmpDir()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP")
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    (10 to 11).foreach { d =>
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+        s"($d, TIMESTAMP '2024-01-$d 05:00:00')")
+    }
+    spark.sql(s"CALL graft.set_partition_spec('$dir', 'hours(ts)')")
+
+    // an INSERT landing mid-migration re-bases the commit: its file
+    // passes through combine untouched, migration still succeeds
+    val r1 = ManifestStore.migrateLayout(spark, dir, schema, None, () =>
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+        "(99, TIMESTAMP '2024-01-19 09:00:00')"): Unit)
+    assert(r1.exists(_._2 === 2), s"append must not abort migration: $r1")
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} ORDER BY k")
+      .as[Long].collect().toSeq === Seq(10L, 11L, 99L),
+      "no row lost or duplicated across the race")
+
+    // a competing whole-table rewrite that replaces a migrating file
+    // aborts the migration (rows already rewritten; swapping ours back
+    // would resurrect the pre-rewrite copies)
+    spark.sql(s"CALL graft.set_partition_spec('$dir', 'days(ts)')")
+    val r2 = ManifestStore.migrateLayout(spark, dir, schema, None, () =>
+      ManifestStore.rewriteLayout(spark, dir, schema): Unit)
+    assert(r2.isEmpty, s"migration must abort when its files vanished: $r2")
+    assert(spark.sql(s"SELECT k FROM ${sqlTable(dir)} ORDER BY k")
+      .as[Long].collect().toSeq === Seq(10L, 11L, 99L))
+  }
+
   test("spec evolution refusals and un-partitioning") {
     val dir = tmpDir()
     spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +

@@ -156,4 +156,105 @@ class PartitionedRacePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("where-filtered CDF stream under INSERT ∥ DELETE ∥ evolution: admitted ≡ the slice of each commit") {
+    // the round-11 row-exactness property (static predicates, static
+    // table) composed with the op mix above: a `where`-sliced change-feed
+    // stream tails the table WHILE appends land, whole days get
+    // retention-deleted, and the partition spec flips generations —
+    // admitted inserts must be exactly the slice of every appended batch,
+    // admitted deletes exactly the slice of every successful DELETE, and
+    // the data-neutral evolution/compaction commits must emit NOTHING
+    (1 to 2).foreach { seed =>
+      val dir = tmpDir()
+      spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      // the slice: batches 1..3's days (fixed, mid-range — appends keep
+      // producing out-of-slice days past batch 3)
+      val w = s"ts BETWEEN TIMESTAMP '${dayOf(1)} 00:00:00' AND " +
+        s"TIMESTAMP '${dayOf(3)} 23:59:59.999999'"
+      val sliceBatches = Set(1L, 2L, 3L)
+      val schema =
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, ts TIMESTAMP")
+      val qn = s"where_race_$seed"
+      val stream = spark.readStream.format("graft-manifest")
+        .schema(schema)
+        .option("startingVersion", "earliest")
+        .option("readChangeFeed", "true")
+        .option("where", w)
+        .load(dir)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", Files.createTempDirectory("ckpt-wr").toString)
+        .start()
+
+      val appended = new ConcurrentLinkedQueue[Long]()
+      val deleted = new ConcurrentLinkedQueue[Long]()
+      val errors = new ConcurrentLinkedQueue[Throwable]()
+      val deadline = System.currentTimeMillis() + 4000
+      def loop(name: String)(body: scala.util.Random => Unit): Thread = {
+        val t = new Thread(() => {
+          val r = new scala.util.Random(seed * 1409 + name.hashCode)
+          try while (System.currentTimeMillis() < deadline) body(r)
+          catch { case e: Throwable => errors.add(e): Unit }
+        }, name)
+        t.start(); t
+      }
+      val nextBatch = new java.util.concurrent.atomic.AtomicLong(0L)
+      val appender = loop("appender") { _ =>
+        val b = nextBatch.getAndIncrement()
+        val d = dayOf(b)
+        val values = (0 until 5).map(i =>
+          s"(${b * 10 + i}, TIMESTAMP '$d ${"%02d".format(3 * i + 2)}:15:00')")
+        spark.sql(s"INSERT INTO graft.`$dir` VALUES ${values.mkString(", ")}")
+        appended.add(b)
+        Thread.sleep(60)
+      }
+      val deleter = loop("deleter") { r =>
+        Thread.sleep(250)
+        val done = appended.toArray(Array.empty[java.lang.Long])
+        val cand = done.filterNot(b => deleted.contains(b))
+        if (cand.nonEmpty) {
+          val b = cand(r.nextInt(cand.length)).longValue()
+          try {
+            spark.sql(s"DELETE FROM graft.`$dir` " +
+              s"WHERE date(ts) = DATE '${dayOf(b)}'")
+            deleted.add(b): Unit
+          } catch {
+            case e: Throwable if causeChain(e).exists(
+              _.isInstanceOf[java.util.ConcurrentModificationException]) => ()
+          }
+        }
+      }
+      val evolver = loop("evolver") { r =>
+        Thread.sleep(400)
+        val spec = if (r.nextBoolean()) "hours(ts)" else "days(ts)"
+        ManifestStore.setPartitionSpec(spark, dir, Seq(spec)): Unit
+      }
+      try {
+        Seq(appender, deleter, evolver).foreach(_.join(30000))
+        assert(errors.isEmpty, s"seed $seed: racing thread failed: " +
+          s"${Option(errors.peek()).map(causeChain(_).mkString(" <- "))}")
+        stream.processAllAvailable()
+      } finally stream.stop()
+
+      val rows = spark.table(qn)
+        .select($"k", $"_change_type").as[(Long, String)].collect()
+      def keysOf(bs: Set[Long]) = bs.flatMap(b => (0 until 5).map(b * 10 + _))
+      val wantIns = keysOf(appended.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue()).toSet & sliceBatches)
+      val wantDel = keysOf(deleted.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue()).toSet & sliceBatches)
+      val gotIns = rows.filter(_._2 == "insert").map(_._1).toSet
+      val gotDel = rows.filter(_._2 == "delete").map(_._1).toSet
+      assert(gotIns === wantIns, s"seed $seed: sliced inserts diverged " +
+        s"(missing ${wantIns -- gotIns}, phantom ${gotIns -- wantIns})")
+      assert(gotDel === wantDel, s"seed $seed: sliced deletes diverged " +
+        s"(missing ${wantDel -- gotDel}, phantom ${gotDel -- wantDel})")
+      // and nothing else leaked through (no duplicate emissions, no rows
+      // from evolution commits)
+      assert(rows.length === wantIns.size + wantDel.size,
+        s"seed $seed: ${rows.length} rows for ${wantIns.size} inserts + " +
+          s"${wantDel.size} deletes")
+    }
+  }
 }
