@@ -66,11 +66,16 @@ object Bench {
       // with no plan change — the spread is what lets a reader classify
       // a cross-round delta as noise (bands overlap) vs regression
       // (bands disjoint) without re-running
-      val samples = (1 to 3).map { _ =>
+      val samples = (1 to 3).map { i =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9
         dropPersisted(spark)
+        // debug flag: per-sample seconds IN EXECUTION ORDER (the reported
+        // spread is sorted, which hides whether a slow sample was the
+        // cold first or a mid-session spike)
+        if (sys.env.contains("SPARK_GRAFT_STAGES"))
+          System.err.println(f"[sample] $name #$i $d%.4f")
         d
       }.sorted
       name -> samples

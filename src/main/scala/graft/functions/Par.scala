@@ -57,14 +57,30 @@ object Par {
     *    replaces its subplan with an opaque RDD scan, hiding the joins the
     *    audit wants to pin).
     */
-  def materialize(df: DataFrame): DataFrame =
+  def materialize(df: DataFrame): DataFrame = {
+    // storage for the materialized blocks, `spark.graft.materialize.level`:
+    //  - `memdisk` (default): MEMORY_AND_DISK, deserialized — zero read
+    //    overhead, the right choice for blocks re-read many times;
+    //  - `ser`: MEMORY_AND_DISK_SER — compact blocks (columnar-ish row
+    //    bytes instead of object graphs), bounded GC scanning; the choice
+    //    for ITERATIVE plans whose checkpoints are large relative to the
+    //    heap (PageRank/connected-components intermediates), where
+    //    deserialized block churn makes stage times heap-state-dependent.
+    val level = df.sparkSession.conf.get("spark.graft.materialize.level",
+        "memdisk") match {
+      case "memdisk" => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case "ser" => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.materialize.level must be memdisk|ser, got '$other'")
+    }
     df.sparkSession.conf.get("spark.graft.materialize", "localCheckpoint") match {
-      case "localCheckpoint" => df.localCheckpoint()
-      case "persist" => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "localCheckpoint" => df.localCheckpoint(eager = true, level)
+      case "persist" => df.persist(level)
       case "off" => df
       case other => throw new IllegalArgumentException(
         s"spark.graft.materialize must be localCheckpoint|persist|off, got '$other'")
     }
+  }
 
   /** Drop every cached RDD in the session — the cleanup hook for `persist`
     * mode, whose cache entries otherwise outlive their operator call (each
