@@ -34,7 +34,6 @@ import org.apache.spark.sql.functions._
 object AdmissionProbe {
 
   private val lexP = pipeline.ShingleIndex.Params(n = 3, minJaccard = 0.2)
-  private val vecP = pipeline.VectorIndex.Params(dim = 64)
   private val minCosine = 0.4
   // far above every scaled corpus id (GenScale copy shifts cap at K×1e6/1e7)
   private val idShift = 900000000L
@@ -76,6 +75,13 @@ object AdmissionProbe {
     val dataDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val root = args.lift(2).getOrElse("/tmp/graft_admission_idx")
     val reps = args.lift(3).map(_.toInt).getOrElse(3)
+    // optional LSH re-pick (build and probe must agree): `bits` is the
+    // BUILD parameter that holds bucket occupancy flat as the corpus
+    // grows; `tables` is its recall partner (more bits per bucket key →
+    // more tables for the same true-pair recall)
+    val bits = args.lift(4).map(_.toInt).getOrElse(4)
+    val tables = args.lift(5).map(_.toInt).getOrElse(48)
+    val vecP = pipeline.VectorIndex.Params(dim = 64, tables = tables, bits = bits)
     val spark = session()
 
     mode match {
@@ -91,6 +97,7 @@ object AdmissionProbe {
         val nLex = pipeline.ShingleIndex.postings(spark, s"$root/shingle").count()
         val nVec = pipeline.VectorIndex.postings(spark, s"$root/vector").count()
         println(s"""{"mode":"build","corpus":"$dataDir","index":"$root",""" +
+          s""""bits":$bits,"tables":$tables,""" +
           s""""lex_build_sec":${fmt(tLex)},"vec_build_sec":${fmt(tVec)},""" +
           s""""lex_postings":$nLex,"vec_postings":$nVec}""")
 
@@ -111,6 +118,7 @@ object AdmissionProbe {
             minCosine, vecP).count())
         def med(ss: Seq[Double]) = ss.sorted.apply(ss.size / 2)
         println(s"""{"mode":"probe","batch":"$dataDir","index":"$root",""" +
+          s""""bits":$bits,"tables":$tables,""" +
           s""""lex_admit_sec":[${lexS.map(fmt).mkString(",")}],""" +
           s""""lex_admit_med":${fmt(med(lexS))},"lex_admitted":$lexN,""" +
           s""""vec_admit_sec":[${vecS.map(fmt).mkString(",")}],""" +

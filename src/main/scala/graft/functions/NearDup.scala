@@ -407,12 +407,24 @@ object NearDup {
                                      idCol: String, n: Int, minJaccard: Double,
                                      maxBucket: Int = 1000): DataFrame = {
     val ba = shingleDocs(batch, textCol, idCol, n)
+    val baInv = ba.select(col("_id"), explode(col("_sh")).as("_h"))
+    // The corpus index is touched ONLY on the keys the batch actually
+    // probes: the leftsemi against the batch's (small, derived from a
+    // materialized frame) key set runs as a broadcast filter inside the
+    // postings scan, so the hot-key aggregation and the candidate join
+    // shuffle |batch keys| × occupancy rows — never the corpus. This is
+    // semantically identical to pruning the full index first: a key the
+    // batch never probes joins no candidate, and key-equality filtering
+    // leaves every probed key's posting count unchanged, so exactly the
+    // same keys exceed maxBucket. (Before this restriction, every
+    // admission re-aggregated the FULL postings table — the
+    // ∝-corpus-per-batch term the round-12 admission probe measured.)
+    val probed = exPostings.select(col("_id"), col("_h"))
+      .join(baInv.select(col("_h")).distinct(), Seq("_h"), "leftsemi")
     // hot-key prune applies to the CORPUS index (its posting lists are what
     // amplify the cross join); the batch index needs none — batch-internal
     // fan-out is bounded by the batch size
-    val exInv = pruneHotKeys(
-      exPostings.select(col("_id"), col("_h")), "_h", maxBucket)
-    val baInv = ba.select(col("_id"), explode(col("_sh")).as("_h"))
+    val exInv = pruneHotKeys(probed, "_h", maxBucket)
     // existing↔batch candidates: batch index joins the corpus index by key
     val crossIds = baInv.as("b").join(exInv.as("e"), col("b._h") === col("e._h"))
       .select(col("e._id").as("id_a"), col("b._id").as("id_b"))

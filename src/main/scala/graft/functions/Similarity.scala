@@ -585,8 +585,21 @@ object Similarity {
                                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val ex = exVectors
     val ba = prepVectors(batch, idCol, vecCol)
-    val exInv = Par.materialize(NearDup.pruneHotKeys(exPostings, "_tb", maxBucket))
     val baInv = Par.materialize(bucketPostings(ba, dim, tables, bits, seed))
+    // corpus postings restricted to the buckets the batch probes — a
+    // broadcast leftsemi (≤ tables·2^bits distinct keys) inside the
+    // postings scan, so hot-bucket counting and the candidate join work on
+    // the probed slice, and the full corpus postings are never shuffled or
+    // cached per batch. Identical semantics: key-equality filtering leaves
+    // every probed bucket's occupancy count unchanged (same buckets exceed
+    // maxBucket), and unprobed buckets join nothing. At small `bits` every
+    // bucket is probed and this is a pass-through — the occupancy term the
+    // admission probe measures is then structural, which is exactly why
+    // `bits` is the BUILD parameter to re-pick as the index grows
+    // (BASELINE.md §Round 12).
+    val probed = exPostings.join(
+      baInv.select(col("_tb")).distinct(), Seq("_tb"), "leftsemi")
+    val exInv = NearDup.pruneHotKeys(probed, "_tb", maxBucket)
     // existing↔batch candidates: the batch's buckets probe the corpus index
     val crossIds = baInv.as("b").join(exInv.as("e"), col("b._tb") === col("e._tb"))
       .select(col("e._id").as("id_a"), col("b._id").as("id_b"))
