@@ -43,4 +43,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with checkpointed intermediates needs headroom; the box has
   // 128 GiB and the driver is the only executor in local mode
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // fixed, pre-touched heap: G1 otherwise starts at a small committed heap
+  // and expands + zeroes tens of GB DURING the first heavy stage — measured
+  // as 36–51 s first q82 samples at sf1 (two 15.9 s AQE stages that later
+  // run in 2–4 s), restored to 18.9–20.6 s by pre-touch (BASELINE.md
+  // §Round 12). The zeroing moves to JVM startup, which no timed section
+  // includes.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

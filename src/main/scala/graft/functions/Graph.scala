@@ -47,15 +47,20 @@ object Graph {
     // the normalized edge list is referenced by nodes, degrees, AND the
     // join fold — materialize it once or the upstream edge derivation
     // (often itself a join+distinct) re-runs per reference
+    // iteration-scoped blocks, re-read `iters` times then dropped —
+    // serialized storage (compact bytes, bounded GC scanning) measured
+    // 36–43 s → 22–28 s on the cold first sf1 sample and eliminated the
+    // first-sample cliff entirely (BASELINE.md §Round 12); an explicit
+    // spark.graft.materialize.level still overrides
     val e = Par.materialize(
       edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst")).distinct())
+        col(dstCol).cast("long").as("dst")).distinct(), defaultLevel = "ser")
     val nodes = Par.materialize(
       e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
+        .union(e.select(col("dst").as("node"))).distinct(), defaultLevel = "ser")
     // fold inverse out-degree into the edges once; reused every iteration
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = Par.materialize(e.join(deg, "src"))
+    val withDeg = Par.materialize(e.join(deg, "src"), defaultLevel = "ser")
     // N is exact; teleport/init are single IEEE divisions both engines
     // reproduce from the same integers and source-decimal literals
     val n = nodes.count()
@@ -85,7 +90,8 @@ object Graph {
       // full job; at 3 iterations that tripled wall-clock on the gate
       // graph); long runs truncate lineage periodically like
       // connectedComponents — the plan, not the values, changes
-      ranks = if (it % checkpointEvery == 0 && it < iters) Par.materialize(next)
+      ranks = if (it % checkpointEvery == 0 && it < iters)
+                Par.materialize(next, defaultLevel = "ser")
               else next
     }
     ranks

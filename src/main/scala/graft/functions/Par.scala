@@ -57,7 +57,7 @@ object Par {
     *    replaces its subplan with an opaque RDD scan, hiding the joins the
     *    audit wants to pin).
     */
-  def materialize(df: DataFrame): DataFrame = {
+  def materialize(df: DataFrame, defaultLevel: String = "memdisk"): DataFrame = {
     // storage for the materialized blocks, `spark.graft.materialize.level`:
     //  - `memdisk` (default): MEMORY_AND_DISK, deserialized — zero read
     //    overhead, the right choice for blocks re-read many times;
@@ -66,8 +66,12 @@ object Par {
     //    for ITERATIVE plans whose checkpoints are large relative to the
     //    heap (PageRank/connected-components intermediates), where
     //    deserialized block churn makes stage times heap-state-dependent.
+    // An operator that KNOWS its blocks are iteration-scoped and re-read
+    // only a handful of times passes `defaultLevel = "ser"`; an explicitly
+    // set session conf still wins (the user lever outranks the operator
+    // default).
     val level = df.sparkSession.conf.get("spark.graft.materialize.level",
-        "memdisk") match {
+        defaultLevel) match {
       case "memdisk" => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       case "ser" => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       case other => throw new IllegalArgumentException(
