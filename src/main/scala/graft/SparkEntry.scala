@@ -1621,6 +1621,48 @@ object SparkEntry {
                 GROUP BY p_brand""")
     }),
 
+    // CALENDAR hidden partitioning under the driver oracle — months()/
+    // years() transforms (round 12; previously a documented refusal):
+    // orders shard by months(o_orderdate) (~80 calendar partitions at
+    // sf0.01), a retention DELETE wholly covering 1995's twelve months
+    // drops them as pure metadata (the calendar interval inverses prove
+    // whole-month containment), the spec then EVOLVES months→years
+    // (metadata-only) so the replay INSERT derives the coarser layout,
+    // and the final aggregate's source-column range predicate prunes
+    // BOTH layout generations. File-level pins live in
+    // HiddenPartitioningSpec; the oracle replays the population
+    // relationally (partitioning is physical layout only).
+    "q156_calendar_partitioned" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q156")
+        .toString + "/orders_cal"
+      t(s, dir, "orders").createOrReplaceTempView("q156_orders_src")
+      s.sql(s"CREATE TABLE graft.`$tbl` (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderdate TIMESTAMP, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (months(o_orderdate))")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey, o_custkey, " +
+        "o_orderdate, o_totalprice FROM q156_orders_src " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey, o_custkey, " +
+        "o_orderdate, o_totalprice FROM q156_orders_src " +
+        "WHERE o_orderkey % 2 = 1")
+      // retention: 1995's months are wholly covered → metadata-only drop
+      s.sql(s"DELETE FROM graft.`$tbl` WHERE " +
+        "o_orderdate <= TIMESTAMP '1995-12-31 23:59:59.999999'")
+      s.sql(s"CALL graft.set_partition_spec('$tbl', 'years(o_orderdate)')")
+      s.sql(s"INSERT INTO graft.`$tbl` SELECT o_orderkey, o_custkey, " +
+        "o_orderdate, o_totalprice FROM q156_orders_src " +
+        "WHERE o_orderkey % 5 = 2")
+      s.sql(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                       count(*) AS n_orders,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_price,
+                       sum(o_orderkey % 997) AS sum_tail
+                FROM graft.`$tbl`
+                WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+                GROUP BY 1""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3836,6 +3878,26 @@ object SparkEntry {
          WHERE p_partkey % 10 <> 3
            AND p_name >= 'a' AND p_name < 'd'
          GROUP BY p_brand""",
+
+    // q156 = the post-retention population plus the replay slice,
+    // replayed relationally (the calendar layout is physical only): the
+    // two INSERT halves cover every order once, the DELETE removes
+    // 1995, the evolved-spec INSERT re-adds the %5=2 slice at all dates
+    "q156_calendar_partitioned" ->
+      """WITH tbl AS (
+           SELECT * FROM orders
+           WHERE o_orderdate > TIMESTAMP '1995-12-31 23:59:59.999999'
+           UNION ALL
+           SELECT * FROM orders WHERE o_orderkey % 5 = 2)
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price,
+                CAST(sum(o_orderkey % 997) AS BIGINT) AS sum_tail
+         FROM tbl
+         WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+         GROUP BY 1""",
 
     // q149 = SCD2 replayed as the three row populations: changed keys'
     // closed T1 rows, untouched keys' current T1 rows, changed keys' new

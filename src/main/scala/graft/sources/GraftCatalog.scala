@@ -248,6 +248,10 @@ class GraftCatalog extends TableCatalog
         pcols += PartitionSpec.Spec(PartitionSpec.Days, oneRef(t)).render
       case t if t.name == "hours" =>
         pcols += PartitionSpec.Spec(PartitionSpec.Hours, oneRef(t)).render
+      case t if t.name == "months" =>
+        pcols += PartitionSpec.Spec(PartitionSpec.Months, oneRef(t)).render
+      case t if t.name == "years" =>
+        pcols += PartitionSpec.Spec(PartitionSpec.Years, oneRef(t)).render
       case t if t.name == "bucket" =>
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -270,9 +274,8 @@ class GraftCatalog extends TableCatalog
         }
       case other => throw new UnsupportedOperationException(
         s"graft tables support PARTITIONED BY identity columns, " +
-          s"days(ts), hours(ts), bucket(n, col), truncate(w, col), and " +
-          s"CLUSTER BY — got transform $other (months/years add calendar " +
-          "arithmetic that days-range pruning already covers)")
+          s"years(ts), months(ts), days(ts), hours(ts), bucket(n, col), " +
+          s"truncate(w, col), and CLUSTER BY — got transform $other")
     }
     (pcols.result(), ccols.result())
   }
@@ -714,6 +717,8 @@ private[graft] case class ManifestTableV2(dir: String,
         case PartitionSpec.Identity => Expressions.identity(sp.col)
         case PartitionSpec.Days => Expressions.days(sp.col)
         case PartitionSpec.Hours => Expressions.hours(sp.col)
+        case PartitionSpec.Months => Expressions.months(sp.col)
+        case PartitionSpec.Years => Expressions.years(sp.col)
         case PartitionSpec.Bucket(n) => Expressions.bucket(n, sp.col)
         case PartitionSpec.Truncate(w) => Expressions.apply("truncate",
           Expressions.literal(w), Expressions.column(sp.col))

@@ -544,8 +544,9 @@ object ManifestStore {
     * dropped. Conjunctive with (never a replacement for) footer stats
     * and identity partition values; files without a transform entry for
     * `column`, null partitions, and unparseable values all admit (safe).
-    * Monotonic transforms (days/hours) translate range endpoints
-    * exactly: lo ≤ x ≤ hi ⇒ t(lo) ≤ t(x) ≤ t(hi).
+    * Monotonic transforms (days/hours/months/years, integral/string
+    * truncate) translate range endpoints exactly:
+    * lo ≤ x ≤ hi ⇒ t(lo) ≤ t(x) ≤ t(hi).
     */
   private def transformAdmits(snap: Snapshot, rel: String, column: String,
                               lo: Any, hi: Any): Boolean =
@@ -557,7 +558,8 @@ object ManifestStore {
           ColumnMapping.physicalName(f) == column)).map(_.dataType)
         val rec = scala.util.Try(v.toLong).toOption
         (sp.kind, dt, rec) match {
-          case (PartitionSpec.Days | PartitionSpec.Hours, Some(d), Some(r))
+          case (PartitionSpec.Days | PartitionSpec.Hours |
+                PartitionSpec.Months | PartitionSpec.Years, Some(d), Some(r))
               if d == org.apache.spark.sql.types.TimestampType ||
                 d == org.apache.spark.sql.types.DateType =>
             def ord(x: Any): Option[Long] =
@@ -592,7 +594,8 @@ object ManifestStore {
 
   /** [[partitionWhollyIn]] for transform partitions: a recorded
     * `days`/`hours` value `r` proves every row's source column lies in
-    * `[r·unit, (r+1)·unit)` (DATE days: exactly day `r`), so the file is
+    * `[r·unit, (r+1)·unit)` (DATE days: exactly day `r`; months/years:
+    * the calendar interval `[start(r), start(r+1))`), so the file is
     * wholly inside `[lo, hi]` iff that interval is — AND proves the
     * source column null-free (a null derives null and lands in the hive
     * default partition, never here). Buckets prove nothing (collisions).
@@ -611,6 +614,34 @@ object ManifestStore {
             scala.util.Try(
               (lo == Unbounded || r >= toLong(lo)) &&
                 (hi == Unbounded || r <= toLong(hi))).getOrElse(false)
+          case (PartitionSpec.Months | PartitionSpec.Years,
+                Some(org.apache.spark.sql.types.DateType), Some(r)) =>
+            // r proves every row's day in [start(r), start(r+1)); the
+            // calendar inverse throws on domain overflow → Try → false.
+            scala.util.Try {
+              def start(i: Long): Long =
+                if (sp.kind == PartitionSpec.Months)
+                  PartitionSpec.monthStartEpochDay(i)
+                else PartitionSpec.yearStartEpochDay(i)
+              (lo == Unbounded || start(r) >= toLong(lo)) &&
+                (hi == Unbounded ||
+                  Math.subtractExact(start(Math.addExact(r, 1L)), 1L) <=
+                    toLong(hi))
+            }.getOrElse(false)
+          case (PartitionSpec.Months | PartitionSpec.Years,
+                Some(org.apache.spark.sql.types.TimestampType), Some(r)) =>
+            // same proof in micros: [start(r)·day, start(r+1)·day − 1].
+            scala.util.Try {
+              def startUs(i: Long): Long = Math.multiplyExact(
+                if (sp.kind == PartitionSpec.Months)
+                  PartitionSpec.monthStartEpochDay(i)
+                else PartitionSpec.yearStartEpochDay(i),
+                PartitionSpec.MicrosPerDay)
+              (lo == Unbounded || startUs(r) >= toLong(lo)) &&
+                (hi == Unbounded ||
+                  Math.subtractExact(startUs(Math.addExact(r, 1L)), 1L) <=
+                    toLong(hi))
+            }.getOrElse(false)
           case (PartitionSpec.Days | PartitionSpec.Hours,
                 Some(org.apache.spark.sql.types.TimestampType), Some(r)) =>
             val unit = if (sp.kind == PartitionSpec.Days)
@@ -710,6 +741,7 @@ object ManifestStore {
     case l: Long => l
     case i: Int => i.toLong
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    case d: java.sql.Date => d.toLocalDate.toEpochDay // DATE stat space
     case other => other.toString.toLong
   }
 
@@ -1506,12 +1538,9 @@ object ManifestStore {
     *    TRANSFORM of the sibling `ts` instead of identity on the named
     *    column;
     *  - a function-shaped field naming a transform the engine does not
-    *    implement (`months(ts)`, `years(ts)`, a typo) — these would
-    *    otherwise fall through to identity parsing and die on the
-    *    misleading "not in schema". months/years are deliberately
-    *    absent (see [[PartitionSpec]]): a days-partitioned table
-    *    answers month/year queries with exact day-range pruning, and
-    *    the refusal message says so.
+    *    implement (a typo like `week(ts)`) — these would otherwise fall
+    *    through to identity parsing and die on the misleading "not in
+    *    schema"; the refusal lists the supported transforms instead.
     */
   private def validatePartitionSpecs(schema: StructType, partitionCols: Seq[String],
                                      where: String): Unit =
@@ -1525,18 +1554,11 @@ object ManifestStore {
             s"strings are reserved in partition declarations); $where")
       val FnShape = """([A-Za-z_][A-Za-z0-9_]*)\s*\(.*\)""".r
       if (sp.isIdentity && !schema.fields.exists(_.name == c)) c match {
-        case FnShape(fn) if fn == "months" || fn == "years" =>
-          throw new IllegalArgumentException(
-            s"unsupported partition transform '$c': months()/years() are " +
-              s"deliberately absent — declare days(${
-                c.replaceAll("""^[A-Za-z_0-9]*\(|\)$""", "")}) instead; a " +
-              s"days-partitioned table answers month/year queries with " +
-              s"exact day-range pruning (year(x)/date_trunc predicates " +
-              s"translate to day ranges at scan planning); $where")
         case FnShape(fn) =>
           throw new IllegalArgumentException(
             s"unknown partition transform '$fn' in '$c' — supported: " +
-              s"days(ts), hours(ts), bucket(n,col), truncate(w,col); $where")
+              s"years(ts), months(ts), days(ts), hours(ts), " +
+              s"bucket(n,col), truncate(w,col); $where")
         case _ =>
       }
       val f = schema.fields.find(_.name == sp.col).getOrElse(

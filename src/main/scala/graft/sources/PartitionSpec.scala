@@ -6,8 +6,8 @@ import org.apache.spark.sql.types._
 
 /** Iceberg-style HIDDEN PARTITIONING for manifest tables: a declared
   * partition field is either a plain IDENTITY column or a TRANSFORM of a
-  * source column — `days(ts)`, `hours(ts)`, `bucket(n, key)`,
-  * `truncate(w, key)` — recorded
+  * source column — `years(ts)`, `months(ts)`, `days(ts)`, `hours(ts)`,
+  * `bucket(n, key)`, `truncate(w, key)` — recorded
   * in the manifest's `partitionCols` as its rendered spec string and per
   * file as one derived partition VALUE. The user never materializes or
   * filters on a derived column: writes compute the value from the source
@@ -43,10 +43,21 @@ import org.apache.spark.sql.types._
   *    translate to exact endpoint prunes — the domain/URL-prefix layout
   *    a text corpus shards by, with day-style pruning.
   *
-  * months/years are deliberately absent: their calendar arithmetic adds
-  * little over days() for pruning and a second date library to keep
-  * portable — a days-partitioned table answers month queries with exact
-  * day-range pruning.
+  *  - `months(ts)` / `years(ts)`: months (years) since 1970-01 in the
+  *    proleptic Gregorian calendar — `months(2024-03-07T10:00Z) = 650`,
+  *    `years(1969-12-31) = -1`. The executor derivation goes through the
+  *    UTC epoch-DAY first (`date_add(epoch, floorDiv(micros, day))`) so
+  *    it is session-timezone-independent like days/hours, and the driver
+  *    probe uses `java.time.LocalDate` — the same proleptic Gregorian
+  *    calendar Spark 3+ uses, so the two agree on every instant
+  *    including pre-1970 (negative indexes) and leap days. Both are
+  *    MONOTONIC in the source column, so range predicates (and the
+  *    `year(x)`/`date_trunc` rewrites in [[ManifestRead]]) prune
+  *    exactly; the driver-side interval inverses
+  *    ([[monthStartEpochDay]]/[[yearStartEpochDay]]) give containment
+  *    proofs for whole-partition metadata deletes. Calendar edges that
+  *    overflow `LocalDate`'s domain throw into the callers' `Try` —
+  *    conservatively "no prune"/"unprovable", never wrong.
   */
 private[graft] object PartitionSpec {
 
@@ -54,6 +65,8 @@ private[graft] object PartitionSpec {
   case object Identity extends Kind
   case object Days extends Kind
   case object Hours extends Kind
+  case object Months extends Kind
+  case object Years extends Kind
   final case class Bucket(n: Int) extends Kind
   final case class Truncate(w: Int) extends Kind
 
@@ -62,6 +75,8 @@ private[graft] object PartitionSpec {
       case Identity => col
       case Days => s"days($col)"
       case Hours => s"hours($col)"
+      case Months => s"months($col)"
+      case Years => s"years($col)"
       case Bucket(n) => s"bucket($n,$col)"
       case Truncate(w) => s"truncate($w,$col)"
     }
@@ -73,12 +88,16 @@ private[graft] object PartitionSpec {
 
   private val DaysRe = """days\(([^()]+)\)""".r
   private val HoursRe = """hours\(([^()]+)\)""".r
+  private val MonthsRe = """months\(([^()]+)\)""".r
+  private val YearsRe = """years\(([^()]+)\)""".r
   private val BucketRe = """bucket\((\d+),\s*([^()]+)\)""".r
   private val TruncateRe = """truncate\((\d+),\s*([^()]+)\)""".r
 
   def parse(s: String): Spec = s match {
     case DaysRe(c) => Spec(Days, c.trim)
     case HoursRe(c) => Spec(Hours, c.trim)
+    case MonthsRe(c) => Spec(Months, c.trim)
+    case YearsRe(c) => Spec(Years, c.trim)
     case BucketRe(n, c) => Spec(Bucket(n.toInt), c.trim)
     case TruncateRe(w, c) => Spec(Truncate(w.toInt), c.trim)
     case c => Spec(Identity, c)
@@ -111,6 +130,14 @@ private[graft] object PartitionSpec {
       require(dt == TimestampType,
         s"hours(${spec.col}) needs a TIMESTAMP column, got ${dt.typeName}; " +
           where)
+    case Months =>
+      require(dt == TimestampType || dt == DateType,
+        s"months(${spec.col}) needs a TIMESTAMP or DATE column, got " +
+          s"${dt.typeName}; $where")
+    case Years =>
+      require(dt == TimestampType || dt == DateType,
+        s"years(${spec.col}) needs a TIMESTAMP or DATE column, got " +
+          s"${dt.typeName}; $where")
     case Bucket(n) =>
       require(n > 0, s"bucket(${spec.col}) needs a positive bucket count")
       require(Set("long", "integer", "short", "byte", "string")(dt.typeName),
@@ -138,6 +165,13 @@ private[graft] object PartitionSpec {
       datediff(c, to_date(lit("1970-01-01")))
     case Days => floorDiv(unix_micros(c), MicrosPerDay)
     case Hours => floorDiv(unix_micros(c), MicrosPerHour)
+    case Months =>
+      val d = utcDate(c, dt)
+      ((org.apache.spark.sql.functions.year(d) - lit(1970)) * lit(12) +
+        org.apache.spark.sql.functions.month(d) - lit(1)).cast("long")
+    case Years =>
+      (org.apache.spark.sql.functions.year(utcDate(c, dt)) - lit(1970))
+        .cast("long")
     case Bucket(n) => pmod(crc32(c.cast("string").cast("binary")), lit(n.toLong))
     case Truncate(w) if dt == StringType =>
       org.apache.spark.sql.functions.substring(c, 1, w) // code points
@@ -149,6 +183,18 @@ private[graft] object PartitionSpec {
   private def floorDiv(us: Column, unit: Long): Column =
     ((us - pmod(us, lit(unit))) / lit(unit)).cast("long")
 
+  /** The source instant's UTC calendar DATE as a Column — for TIMESTAMP
+    * via the epoch-day floor (session-timezone-independent, exactly
+    * `floorDiv(micros, day)` like the days() transform), for DATE the
+    * column itself. `year`/`month` over a DATE are timezone-free, so
+    * months/years derive identically on every executor configuration.
+    */
+  private def utcDate(c: Column, dt: DataType): Column =
+    if (dt == DateType) c
+    else org.apache.spark.sql.functions.date_add(
+      to_date(lit("1970-01-01")),
+      floorDiv(unix_micros(c), MicrosPerDay).cast("int"))
+
   /** Driver-side transform of a PROBE value already coerced to the stat
     * space (Long micros for TIMESTAMP sources, Long epoch-days for DATE
     * sources) — must agree exactly with [[valueColumn]].
@@ -157,10 +203,38 @@ private[graft] object PartitionSpec {
     case Days if dt == DateType => statValue
     case Days => Math.floorDiv(statValue, MicrosPerDay)
     case Hours => Math.floorDiv(statValue, MicrosPerHour)
+    case Months | Years =>
+      // LocalDate is Spark 3+'s own proleptic Gregorian; ofEpochDay
+      // throws outside ±~365M-year domain → callers' Try → no prune.
+      val day = if (dt == DateType) statValue
+                else Math.floorDiv(statValue, MicrosPerDay)
+      val d = java.time.LocalDate.ofEpochDay(day)
+      val m = (d.getYear - 1970L) * 12L + (d.getMonthValue - 1)
+      if (spec.kind == Months) m else d.getYear - 1970L
     case Truncate(w) => Math.floorDiv(statValue, w.toLong) * w
     case _ => throw new IllegalArgumentException(
       s"probeOrd is for monotonic transforms, got ${spec.render}")
   }
+
+  /** First epoch-day of month index `m` (months since 1970-01) — the
+    * interval inverse for months() containment proofs: a recorded value
+    * `m` proves every row's source day lies in
+    * `[monthStartEpochDay(m), monthStartEpochDay(m+1))`. Throws via
+    * `LocalDate.of` when the year leaves its ±999,999,999 domain —
+    * callers Try→unprovable (never a silent wrap).
+    */
+  def monthStartEpochDay(m: Long): Long = {
+    val y = Math.addExact(1970L, Math.floorDiv(m, 12L))
+    java.time.LocalDate.of(Math.toIntExact(y),
+      Math.floorMod(m, 12L).toInt + 1, 1).toEpochDay
+  }
+
+  /** First epoch-day of year index `y` (years since 1970) — [[monthStartEpochDay]]'s
+    * years() sibling.
+    */
+  def yearStartEpochDay(y: Long): Long =
+    java.time.LocalDate.of(
+      Math.toIntExact(Math.addExact(1970L, y)), 1, 1).toEpochDay
 
   /** Driver-side `truncate(w, c)` of a STRING probe — the first w Unicode
     * CODE POINTS, matching Spark's `substring(c, 1, w)` (UTF8String counts

@@ -166,11 +166,11 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.mkString("|")).mkString("\n")
     assert(desc.contains("p"), desc)
     // unsupported transforms and non-integral/string identity columns
-    // refuse (days/hours/bucket are the supported hidden transforms —
-    // see HiddenPartitioningSpec)
+    // refuse (years/months/days/hours/bucket/truncate are the supported
+    // hidden transforms — see HiddenPartitioningSpec)
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`${tmpDir()}/t3` (k BIGINT, " +
-        "ts TIMESTAMP) PARTITIONED BY (months(ts))")
+        "ts TIMESTAMP) PARTITIONED BY (weeks(ts))")
     }
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`${tmpDir()}/t4` (k BIGINT, d DOUBLE) " +

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.{ManifestStore, PartitionSpec}
 
 /** Iceberg-style HIDDEN PARTITIONING ([[graft.sources.PartitionSpec]]):
-  * `PARTITIONED BY (days(ts))` / `hours(ts)` / `bucket(n, col)` /
-  * `truncate(w, col)` record a
+  * `PARTITIONED BY (days(ts))` / `hours(ts)` / `months(ts)` / `years(ts)`
+  * / `bucket(n, col)` / `truncate(w, col)` record a
   * TRANSFORM in the manifest; writes derive one partition value per file
   * from the source column, and ordinary predicates ON THE SOURCE COLUMN
   * prune whole partitions — the user never materializes a date column or
@@ -275,8 +275,8 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(kept.forall(f => s0.parts(f)("days(ts)") == "-1") && kept.nonEmpty)
 
     // spec strings round-trip through parse/render and column mapping
-    Seq("k", "days(ts)", "hours(ts)", "bucket(16,user_id)",
-        "truncate(4,url)").foreach { s =>
+    Seq("k", "days(ts)", "hours(ts)", "months(ts)", "years(ts)",
+        "bucket(16,user_id)", "truncate(4,url)").foreach { s =>
       assert(PartitionSpec.parse(s).render === s)
     }
     assert(PartitionSpec.mapCol("days(a)", _ => "b") === "days(b)")
@@ -692,13 +692,13 @@ class HiddenPartitioningSpec extends SparkSpec {
       "PARTITIONED BY (days(ts))")
     spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
       "(1, TIMESTAMP '2024-01-10 01:00:00')")
-    // months refuses with the day-range guidance; bad column refuses;
-    // wrong type refuses — all BEFORE any commit lands
+    // unknown transform refuses; bad column refuses; wrong type
+    // refuses — all BEFORE any commit lands
     val v0 = snap(dir).version
     val e1 = intercept[Exception] {
-      spark.sql(s"CALL graft.set_partition_spec('$dir', 'months(ts)')").collect()
+      spark.sql(s"CALL graft.set_partition_spec('$dir', 'weeks(ts)')").collect()
     }
-    assert(e1.getMessage.contains("day-range"), e1.getMessage)
+    assert(e1.getMessage.contains("unknown partition transform"), e1.getMessage)
     val e2 = intercept[Exception] {
       spark.sql(s"CALL graft.set_partition_spec('$dir', 'days(nope)')").collect()
     }
@@ -754,31 +754,141 @@ class HiddenPartitioningSpec extends SparkSpec {
     assert(e.getMessage.contains("not in schema"), e.getMessage)
   }
 
-  test("declaration refusals: months/years, unknown transforms, ambiguity") {
+  test("months(ts): calendar derivation, range pruning, metadata DELETE") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    // four calendar months spanning a leap February and a pre-1970
+    // instant (month index −1 = 1969-12; 2024-01 = (2024−1970)·12 = 648)
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(1, TIMESTAMP '1969-12-31 23:00:00'), " +
+      "(2, TIMESTAMP '2024-01-15 12:00:00'), " +
+      "(3, TIMESTAMP '2024-01-31 23:59:59.999999'), " +
+      "(4, TIMESTAMP '2024-02-29 06:00:00'), " +
+      "(5, TIMESTAMP '2024-03-01 00:00:00')")
+    val s0 = snap(dir)
+    assert(s0.partitionCols === Seq("months(ts)"))
+    assert(s0.files.flatMap(f => s0.parts(f).get("months(ts)")).toSet
+      === Set("-1", "648", "649", "650"))
+    // all of February (leap day included) prunes to month 649 alone
+    val feb = ManifestStore.pruneFiles(s0, "ts",
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-29T23:59:59.999999Z"))
+    assert(feb.nonEmpty && feb.forall(f => s0.parts(f)("months(ts)") == "649"))
+    // boundary exactness: the last micro of January stays in 648
+    val jan = ManifestStore.pruneFiles(s0, "ts",
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-31T23:59:59.999999Z"))
+    assert(jan.nonEmpty && jan.forall(f => s0.parts(f)("months(ts)") == "648"))
+    // a year(ts) predicate rewrites to a ts range that drops month −1
+    assert(spark.sql(s"SELECT collect_set(k) FROM ${sqlTable(dir)} " +
+      "WHERE year(ts) = 2024").head().getSeq[Long](0).toSet
+      === Set(2L, 3L, 4L, 5L))
+    val y24 = ManifestStore.pruneFiles(s0, "ts",
+      ts("2024-01-01T00:00:00Z"), ts("2024-12-31T23:59:59.999999Z"))
+    assert(y24.forall(f => s0.parts(f)("months(ts)") != "-1") && y24.nonEmpty)
+    // retention DELETE wholly covering months −1 and 648 is metadata-only
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE " +
+      "ts <= TIMESTAMP '2024-01-31 23:59:59.999999'")
+    val s1 = snap(dir)
+    assert(s1.dvs.isEmpty,
+      "wholly-covered month partitions must drop without deletion vectors")
+    assert(s1.files.flatMap(f => s1.parts(f).get("months(ts)")).toSet
+      === Set("649", "650"))
+    assert(spark.sql(s"SELECT collect_set(k) FROM ${sqlTable(dir)}")
+      .head().getSeq[Long](0).toSet === Set(4L, 5L))
+  }
+
+  test("years(d) over DATE: derivation, pruning, metadata DELETE, evolution") {
+    val dir = tmpDir()
+    spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, d DATE) " +
+      "PARTITIONED BY (years(d))")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(1, DATE '1969-06-01'), (2, DATE '2023-12-31'), " +
+      "(3, DATE '2024-01-01'), (4, DATE '2024-12-31')")
+    val s0 = snap(dir)
+    assert(s0.files.flatMap(f => s0.parts(f).get("years(d)")).toSet
+      === Set("-1", "53", "54"))
+    // a calendar-year range on the DATE source keeps year 54 alone
+    val y24 = ManifestStore.pruneFiles(s0, "d",
+      java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-12-31"))
+    assert(y24.nonEmpty && y24.forall(f => s0.parts(f)("years(d)") == "54"))
+    // wholly-covered years drop from a retention DELETE as metadata
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE d <= DATE '2023-12-31'")
+    val s1 = snap(dir)
+    assert(s1.dvs.isEmpty)
+    assert(s1.files.flatMap(f => s1.parts(f).get("years(d)")).toSet
+      === Set("54"))
+    // spec EVOLUTION into the calendar family: future writes derive
+    // months, old years-generation files keep pruning by their layout
+    spark.sql(s"CALL graft.set_partition_spec('$dir', 'months(d)')")
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (5, DATE '2025-02-10')")
+    val s2 = snap(dir)
+    assert(s2.files.exists(f => s2.parts(f).get("months(d)").contains("661")))
+    val feb25 = ManifestStore.pruneFiles(s2, "d",
+      java.sql.Date.valueOf("2025-02-01"), java.sql.Date.valueOf("2025-02-28"))
+    assert(feb25.nonEmpty &&
+      feb25.forall(f => s2.parts(f).get("months(d)").contains("661")))
+  }
+
+  test("months/years executor derivation ≡ driver probeOrd on calendar edges") {
+    import org.apache.spark.sql.types.TimestampType
+    val instants = Seq(
+      "1969-12-31T23:59:59.999999Z", "1970-01-01T00:00:00Z",
+      "1999-12-31T23:59:59.999999Z", "2000-02-29T12:00:00Z",
+      "1900-02-28T23:59:59Z", "1900-03-01T00:00:00Z", // 1900 is NOT leap
+      "2024-02-29T00:00:00Z", "2024-03-01T00:00:00Z",
+      "1969-01-01T00:00:00Z", "1777-07-04T09:00:00Z")
+    val mSpec = PartitionSpec.parse("months(ts)")
+    val ySpec = PartitionSpec.parse("years(ts)")
+    val rows = instants.map(ts).toDF("ts").select(
+      PartitionSpec.valueColumn(mSpec, col("ts"), TimestampType).as("m"),
+      PartitionSpec.valueColumn(ySpec, col("ts"), TimestampType).as("y"))
+      .collect()
+    instants.zip(rows).foreach { case (s, r) =>
+      val i = java.time.Instant.parse(s)
+      val us = Math.addExact(
+        Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+      assert(r.getLong(0) === PartitionSpec.probeOrd(mSpec, TimestampType, us),
+        s"months($s)")
+      assert(r.getLong(1) === PartitionSpec.probeOrd(ySpec, TimestampType, us),
+        s"years($s)")
+    }
+    // the interval inverses bound each index: start(m) ≤ day < start(m+1)
+    instants.foreach { s =>
+      val day = Math.floorDiv(java.time.Instant.parse(s).getEpochSecond, 86400L)
+      val m = PartitionSpec.probeOrd(mSpec, TimestampType,
+        java.time.Instant.parse(s).getEpochSecond * 1000000L)
+      assert(PartitionSpec.monthStartEpochDay(m) <= day &&
+        day < PartitionSpec.monthStartEpochDay(m + 1), s)
+      val y = PartitionSpec.probeOrd(ySpec, TimestampType,
+        java.time.Instant.parse(s).getEpochSecond * 1000000L)
+      assert(PartitionSpec.yearStartEpochDay(y) <= day &&
+        day < PartitionSpec.yearStartEpochDay(y + 1), s)
+    }
+  }
+
+  test("declaration refusals: unknown transforms, wrong types, ambiguity") {
     import org.apache.spark.sql.types._
     val dir = tmpDir()
-    // SQL layer: Spark parses months(ts) as a real transform — the
-    // catalog refuses it with the day-range-equivalence rationale
+    // SQL layer: an unimplemented function-shaped transform refuses with
+    // the supported list, not a misleading "not in schema"
     val em = intercept[UnsupportedOperationException] {
       spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (months(ts))")
+        "PARTITIONED BY (weeks(ts))")
     }
-    assert(em.getMessage.contains("days-range pruning"), em.getMessage)
-    val ey = intercept[UnsupportedOperationException] {
+    assert(em.getMessage.contains("got transform"), em.getMessage)
+    // months/years need a TIMESTAMP/DATE source — integral refuses
+    val ey = intercept[Exception] {
       spark.sql(s"CREATE TABLE ${sqlTable(dir)} (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (years(ts))")
+        "PARTITIONED BY (years(k))")
     }
-    assert(ey.getMessage.contains("months/years"), ey.getMessage)
-    // declaration layer (createEmpty with raw spec strings): the same
-    // transforms refuse loudly with guidance instead of the misleading
-    // "not in schema"
+    assert(ey.getMessage.contains("TIMESTAMP or DATE"), ey.getMessage)
+    // declaration layer (createEmpty with raw spec strings)
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("ts", TimestampType)))
     val e1 = intercept[IllegalArgumentException] {
-      ManifestStore.createEmpty(spark, tmpDir(), schema, Seq("months(ts)"))
+      ManifestStore.createEmpty(spark, tmpDir(), schema, Seq("months(k)"))
     }
-    assert(e1.getMessage.contains("days(ts)") &&
-      e1.getMessage.contains("day-range"), e1.getMessage)
+    assert(e1.getMessage.contains("TIMESTAMP or DATE"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       ManifestStore.createEmpty(spark, tmpDir(), schema, Seq("zorder(ts)"))
     }
