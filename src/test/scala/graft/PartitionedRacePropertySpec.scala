@@ -227,7 +227,15 @@ class PartitionedRacePropertySpec extends SparkSpec {
       }
       val evolver = loop("evolver") { r =>
         Thread.sleep(400)
-        val spec = if (r.nextBoolean()) "hours(ts)" else "days(ts)"
+        // calendar generations included: the stream's file pruning and
+        // byte slicing must survive months(ts) layouts too (a month
+        // wholly contains the slice's days, so month evidence keeps the
+        // slice files and the row filter stays exact)
+        val spec = r.nextInt(3) match {
+          case 0 => "days(ts)"
+          case 1 => "hours(ts)"
+          case _ => "months(ts)"
+        }
         ManifestStore.setPartitionSpec(spark, dir, Seq(spec)): Unit
       }
       try {
