@@ -130,13 +130,9 @@ private[graft] object PartitionSpec {
       require(dt == TimestampType,
         s"hours(${spec.col}) needs a TIMESTAMP column, got ${dt.typeName}; " +
           where)
-    case Months =>
+    case Months | Years =>
       require(dt == TimestampType || dt == DateType,
-        s"months(${spec.col}) needs a TIMESTAMP or DATE column, got " +
-          s"${dt.typeName}; $where")
-    case Years =>
-      require(dt == TimestampType || dt == DateType,
-        s"years(${spec.col}) needs a TIMESTAMP or DATE column, got " +
+        s"${spec.render} needs a TIMESTAMP or DATE column, got " +
           s"${dt.typeName}; $where")
     case Bucket(n) =>
       require(n > 0, s"bucket(${spec.col}) needs a positive bucket count")
