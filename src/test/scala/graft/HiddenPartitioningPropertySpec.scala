@@ -53,6 +53,9 @@ class HiddenPartitioningPropertySpec extends SparkSpec {
       case d if d.contains("STRING") =>
         rows.asInstanceOf[Seq[Option[String]]].zipWithIndex
           .map { case (v, i) => (i.toLong, v) }.toDF("id", "k")
+      case d if d.contains("DATE") =>
+        rows.asInstanceOf[Seq[Option[java.sql.Date]]].zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("id", "k")
       case _ =>
         rows.asInstanceOf[Seq[Option[Long]]].zipWithIndex
           .map { case (v, i) => (i.toLong, v) }.toDF("id", "k")
@@ -99,6 +102,46 @@ class HiddenPartitioningPropertySpec extends SparkSpec {
         val b = vals(rnd.nextInt(vals.size))
         val (lo, hi) = if (a.before(b)) (a, b) else (b, a)
         val (k, t) = checkProbe(dir, "id BIGINT, k TIMESTAMP", lo, hi)
+        probes += 1; if (k < t) pruned += 1
+      }
+    }
+
+    // months / years over TIMESTAMP — the random bands span
+    // Dec-1969→Feb-1970 (negative calendar indexes across the epoch
+    // month/year boundary) and Jan–Feb 2024 (a leap February), so range
+    // probes cross month AND year edges
+    Seq("months(k)", "years(k)").foreach { spec =>
+      val rows: Seq[Option[java.sql.Timestamp]] =
+        (0 until 120).map(_ => if (rnd.nextInt(10) == 0) None
+          else Some(ts(randSec())))
+      val dir = build(spec, "id BIGINT, k TIMESTAMP", rows)
+      val vals = rows.flatten
+      (0 until 12).foreach { _ =>
+        val a = vals(rnd.nextInt(vals.size))
+        val b = vals(rnd.nextInt(vals.size))
+        val (lo, hi) = if (a.before(b)) (a, b) else (b, a)
+        val (k, t) = checkProbe(dir, "id BIGINT, k TIMESTAMP", lo, hi)
+        probes += 1; if (k < t) pruned += 1
+      }
+    }
+
+    // months / years over DATE (epoch-day stat space; same calendar
+    // edges expressed as days: 1969-11…1970-03 and 2023-12…2024-04)
+    Seq("months(k)", "years(k)").foreach { spec =>
+      def randDay(): Long =
+        if (rnd.nextBoolean()) -40L + rnd.nextLong(81L)
+        else 19690L + rnd.nextLong(120L)
+      val rows: Seq[Option[java.sql.Date]] =
+        (0 until 120).map(_ => if (rnd.nextInt(10) == 0) None
+          else Some(java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(randDay()))))
+      val dir = build(spec, "id BIGINT, k DATE", rows)
+      val vals = rows.flatten
+      (0 until 12).foreach { _ =>
+        val a = vals(rnd.nextInt(vals.size))
+        val b = vals(rnd.nextInt(vals.size))
+        val (lo, hi) = if (a.before(b)) (a, b) else (b, a)
+        val (k, t) = checkProbe(dir, "id BIGINT, k DATE", lo, hi)
         probes += 1; if (k < t) pruned += 1
       }
     }
