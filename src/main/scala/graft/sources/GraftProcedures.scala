@@ -95,9 +95,14 @@ object GraftProcedures {
       Seq(ManifestStore.compact(spark, dir, schemaOf(spark, dir), args.getInt(1)))
     },
 
+    // max_input_mb bounds ONE call's rewrite to that much small-file
+    // input (whole partition groups, ≥ 1 per call) — the 100 TB form:
+    // repeat until version comes back NULL (debt drained), each call one
+    // optimistic commit, like migrate_layout. -1 = unbounded.
     "compact_small" -> proc("compact_small",
       Seq(in("table", StringType), in("min_file_mb", IntegerType, "32"),
-        in("target_file_mb", IntegerType, "128"), in("zorder", StringType, "''")),
+        in("target_file_mb", IntegerType, "128"), in("zorder", StringType, "''"),
+        in("max_input_mb", LongType, "-1")),
       StructType.fromDDL("version BIGINT")) { (spark, args) =>
       val dir = args.getUTF8String(0).toString
       val zo = args.getUTF8String(3).toString
@@ -105,7 +110,9 @@ object GraftProcedures {
         minFileBytes = args.getInt(1) * 1024L * 1024,
         targetFileBytes = args.getInt(2) * 1024L * 1024,
         zorderCols = if (zo.isEmpty) Nil
-          else zo.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+          else zo.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty),
+        maxInputBytes = Some(args.getLong(4)).filter(_ >= 0)
+          .map(_ * 1024L * 1024))
         .map(Long.box).orNull) // null = nothing to compact (< 2 small files)
     },
 

@@ -2699,13 +2699,20 @@ object ManifestStore {
     * duplicated: exactly the small files read are the ones removed.
     * Returns None (nothing to do: fewer than 2 small files) or the new
     * version.
+    *
+    * `maxInputBytes` bounds ONE call's rewrite to that much small-file
+    * INPUT (whole partition groups, deterministic walk, always ≥ 1 group
+    * so an oversized group cannot stall the debt) — the 100 TB form, like
+    * [[migrateLayout]]: months of micro-batch debt drain one bounded
+    * optimistic commit at a time, and repeated calls converge to None.
     */
   def compactSmall(spark: SparkSession, dir: String, schema: StructType,
                    minFileBytes: Long = 32L * 1024 * 1024,
                    targetFileBytes: Long = 128L * 1024 * 1024,
-                   zorderCols: Seq[String] = Nil): Option[Long] =
+                   zorderCols: Seq[String] = Nil,
+                   maxInputBytes: Option[Long] = None): Option[Long] =
     compactSmall(spark, dir, schema, minFileBytes, targetFileBytes, () => (),
-      zorderCols)
+      zorderCols, maxInputBytes)
 
   /** [[compactSmall]] with a race-injection seam: `midFlight` runs after
     * the small-file set is fixed and before the commit — the window a
@@ -2718,13 +2725,14 @@ object ManifestStore {
                                   targetFileBytes: Long,
                                   midFlight: () => Unit): Option[Long] =
     compactSmall(spark, dir, schema, minFileBytes, targetFileBytes, midFlight,
-      Nil)
+      Nil, None)
 
   private[graft] def compactSmall(spark: SparkSession, dir: String,
                                   schema: StructType, minFileBytes: Long,
                                   targetFileBytes: Long,
                                   midFlight: () => Unit,
-                                  zorderCols0: Seq[String]): Option[Long] = {
+                                  zorderCols0: Seq[String],
+                                  maxInputBytes: Option[Long]): Option[Long] = {
     val f = fs(spark, dir)
     val snap = currentSnapshot(spark, dir).getOrElse(return None)
     // no explicit Z-order columns → the table's DECLARED clustering
@@ -2754,10 +2762,28 @@ object ManifestStore {
     // gain nothing from a rewrite and are left alone, which also means
     // compaction never consolidates ACROSS partitions — the deliberate
     // tradeoff that preserves pruning metadata.
-    val groups = small
+    val allGroups = small
       .groupBy(s => snap.parts.getOrElse(s._1, Map.empty[String, String]))
       .filter(_._2.size >= 2).toSeq
-    if (groups.isEmpty) return None // nothing to gain from a rewrite
+    if (allGroups.isEmpty) return None // nothing to gain from a rewrite
+    // bounded form: walk the groups in a deterministic order (smallest
+    // member path — stable across retries against the same snapshot) and
+    // take whole groups while their summed INPUT stays under the cap; the
+    // first group is always taken so one oversized partition's debt still
+    // drains. Unselected groups wait for the next call — each call is one
+    // optimistic commit, so a 100 TB backlog compacts in bounded bites.
+    val groups = maxInputBytes match {
+      case None => allGroups
+      case Some(cap) =>
+        var acc = 0L
+        var taken = 0
+        allGroups.sortBy(_._2.map(_._1).min).takeWhile { g =>
+          val sz = g._2.map(_._2).sum
+          val take = taken == 0 || acc + sz <= cap
+          if (take) { acc += sz; taken += 1 }
+          take
+        }
+    }
     val smallSet = groups.flatMap(_._2.map(_._1)).toSet
     midFlight()
     val freshAll = Seq.newBuilder[String]

@@ -860,6 +860,67 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.compactSmall(spark, dir2, pschema, minFileBytes = 1L << 20).isEmpty)
   }
 
+  test("bounded compactSmall drains debt one partition group per call, converges") {
+    val dir = tmpDir()
+    val pschema = StructType.fromDDL("k BIGINT, v STRING, lang STRING")
+    // three commits → three small files in each of three partition groups
+    (0 until 3).foreach { i =>
+      ManifestStore.appendPartitioned(
+        Seq((i * 10 + 1L, "a", "en"), (i * 10 + 2L, "b", "de"),
+          (i * 10 + 3L, "c", "fr")).toDF("k", "v", "lang"), dir, Seq("lang"))
+    }
+    val before = ManifestStore.currentSnapshot(spark, dir).get
+    assert(before.files.size === 9)
+    val want = ManifestStore.read(spark, dir, pschema)
+      .as[(Long, String, String)].collect().toSet
+    // a cap below any group's input still takes exactly ONE group (the
+    // ≥1 rule: an oversized group must not stall the walk)
+    def langsOf(s: ManifestStore.Snapshot): Map[String, Int] =
+      s.files.groupBy(f => s.parts(f)("lang")).map { case (l, fs) => l -> fs.size }
+    val v1 = ManifestStore.compactSmall(spark, dir, pschema,
+      minFileBytes = 1L << 20, maxInputBytes = Some(1L))
+    assert(v1.nonEmpty)
+    val s1 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(langsOf(s1).values.toSeq.sorted === Seq(1, 3, 3),
+      s"exactly one group compacts per bounded call: ${langsOf(s1)}")
+    // untouched groups keep their file IDENTITIES (no hidden rewrite)
+    assert(s1.files.count(before.files.toSet) === 6)
+    // repeated calls drain the remaining groups, then converge to None
+    assert(ManifestStore.compactSmall(spark, dir, pschema,
+      minFileBytes = 1L << 20, maxInputBytes = Some(1L)).nonEmpty)
+    assert(ManifestStore.compactSmall(spark, dir, pschema,
+      minFileBytes = 1L << 20, maxInputBytes = Some(1L)).nonEmpty)
+    assert(ManifestStore.compactSmall(spark, dir, pschema,
+      minFileBytes = 1L << 20, maxInputBytes = Some(1L)).isEmpty,
+      "drained debt must converge to None")
+    val sEnd = ManifestStore.currentSnapshot(spark, dir).get
+    assert(langsOf(sEnd).values.toSeq.sorted === Seq(1, 1, 1))
+    // rows exact through the whole walk
+    assert(ManifestStore.read(spark, dir, pschema)
+      .as[(Long, String, String)].collect().toSet === want)
+    // a generous cap covering two groups' input takes two in one call
+    val dir2 = tmpDir()
+    (0 until 2).foreach { i =>
+      ManifestStore.appendPartitioned(
+        Seq((i + 1L, "a", "en"), (i + 10L, "b", "de"),
+          (i + 20L, "c", "fr")).toDF("k", "v", "lang"), dir2, Seq("lang"))
+    }
+    val s2 = ManifestStore.currentSnapshot(spark, dir2).get
+    // total − 1 admits any two groups but never all three, whatever
+    // order the deterministic walk visits them in
+    val cap2 = s2.files.map(f => s2.sizes(f)).sum - 1
+    assert(ManifestStore.compactSmall(spark, dir2, pschema,
+      minFileBytes = 1L << 20, maxInputBytes = Some(cap2)).nonEmpty)
+    val s3 = ManifestStore.currentSnapshot(spark, dir2).get
+    assert(langsOf(s3).values.toSeq.sorted === Seq(1, 1, 2),
+      s"cap covering two groups compacts exactly two: ${langsOf(s3)}")
+    // SQL surface: the bounded arg reaches the procedure
+    assert(!spark.sql(s"CALL graft.compact_small('$dir2', 1, 128, '', 1)")
+      .head().isNullAt(0))
+    assert(spark.sql(s"CALL graft.compact_small('$dir2', 1, 128, '', 1)")
+      .head().isNullAt(0), "second bounded CALL on drained debt is NULL")
+  }
+
   test("vacuum walks partitioned subtrees: orphans go, live nested files stay") {
     val dir = tmpDir()
     val pschema = StructType.fromDDL("k BIGINT, v STRING, lang STRING")
