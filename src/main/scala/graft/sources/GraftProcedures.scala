@@ -48,6 +48,21 @@ object GraftProcedures {
     case other => other
   }
 
+  /** An optional byte-bound argument: SQL NULL and -1 both mean
+    * "unbounded" (InternalRow.getLong reads a NULL slot as 0, which would
+    * otherwise become the TIGHTEST bound), and the long arg is taken as
+    * RAW BYTES. */
+  private def bytesArg(args: InternalRow, i: Int): Option[Long] =
+    if (args.isNullAt(i)) None else Some(args.getLong(i)).filter(_ >= 0)
+
+  /** [[bytesArg]] with the long arg in MEBIBYTES, saturating instead of
+    * wrapping on the ×2²⁰ (a huge "effectively unbounded" request must
+    * not overflow negative and become one-group-per-call). */
+  private def mbToBytes(args: InternalRow, i: Int): Option[Long] =
+    bytesArg(args, i).map(mb =>
+      if (mb > Long.MaxValue / (1024L * 1024)) Long.MaxValue
+      else mb * 1024L * 1024)
+
   /** One procedure: `ps` ins, `out` row schema, `fn(spark, args)` → one
     * result row (scala values; strings converted).
     */
@@ -97,8 +112,11 @@ object GraftProcedures {
 
     // max_input_mb bounds ONE call's rewrite to that much small-file
     // input (whole partition groups, ≥ 1 per call) — the 100 TB form:
-    // repeat until version comes back NULL (debt drained), each call one
-    // optimistic commit, like migrate_layout. -1 = unbounded.
+    // repeat until version comes back NULL, each call one optimistic
+    // commit, like migrate_layout (and like it, NULL also covers a
+    // transient concurrent-conflict abort — re-call to distinguish).
+    // -1 or SQL NULL = unbounded; needs target ≥ 2×min to converge
+    // (see ManifestStore.compactSmall).
     "compact_small" -> proc("compact_small",
       Seq(in("table", StringType), in("min_file_mb", IntegerType, "32"),
         in("target_file_mb", IntegerType, "128"), in("zorder", StringType, "''"),
@@ -111,8 +129,7 @@ object GraftProcedures {
         targetFileBytes = args.getInt(2) * 1024L * 1024,
         zorderCols = if (zo.isEmpty) Nil
           else zo.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty),
-        maxInputBytes = Some(args.getLong(4)).filter(_ >= 0)
-          .map(_ * 1024L * 1024))
+        maxInputBytes = mbToBytes(args, 4))
         .map(Long.box).orNull) // null = nothing to compact (< 2 small files)
     },
 
@@ -202,7 +219,7 @@ object GraftProcedures {
       (spark, args) =>
         val dir = args.getUTF8String(0).toString
         ManifestStore.migrateLayout(spark, dir, schemaOf(spark, dir),
-          maxBytes = Some(args.getLong(1)).filter(_ >= 0)) match {
+          maxBytes = bytesArg(args, 1)) match {
           // Seq[Any]: unadorned Seq(v, done, left) would unify on Long and
           // silently WIDEN the Int counts, breaking the declared INT row
           case Some((v, done, left)) => Seq[Any](v, done, left)

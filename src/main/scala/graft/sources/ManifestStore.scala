@@ -1477,6 +1477,24 @@ object ManifestStore {
     * or aborted) or (version, filesRewritten, filesRemaining) — remaining
     * counts the old-generation files this bounded call did not reach.
     */
+  /** First-fit prefix of `items` whose summed `sizeOf` stays within
+    * `cap`, always admitting the FIRST item (an oversized head must not
+    * stall a bounded maintenance walk) — the one capped-selection rule
+    * [[migrateLayout]] and the bounded [[compactSmall]] share. The
+    * admitted-count test (not `acc == 0`) keeps zero-byte heads from
+    * admitting everything after them.
+    */
+  private def takeBounded[T](items: Seq[T], cap: Long)(sizeOf: T => Long): Seq[T] = {
+    var acc = 0L
+    var taken = 0
+    items.takeWhile { it =>
+      val sz = sizeOf(it)
+      val take = taken == 0 || acc + sz <= cap
+      if (take) { acc += sz; taken += 1 }
+      take
+    }
+  }
+
   def migrateLayout(spark: SparkSession, dir: String, schema: StructType,
                     maxBytes: Option[Long] = None): Option[(Long, Int, Int)] =
     migrateLayout(spark, dir, schema, maxBytes, () => ())
@@ -1499,14 +1517,8 @@ object ManifestStore {
     val selected = maxBytes match {
       case None => oldGen
       case Some(cap) =>
-        var used = 0L
-        oldGen.takeWhile { rel =>
-          val sz = snap.sizes.getOrElse(rel,
-            f.getFileStatus(new Path(dir, rel)).getLen)
-          val admit = used == 0L || used + sz <= cap // ≥1 file: never stall
-          if (admit) used += sz
-          admit
-        }
+        takeBounded(oldGen, cap)(rel => snap.sizes.getOrElse(rel,
+          f.getFileStatus(new Path(dir, rel)).getLen))
     }
     val selectedSet = selected.toSet
     val cur = readSnapshot(spark, dir, snap.copy(files = selected), schema)
@@ -2705,6 +2717,15 @@ object ManifestStore {
     * so an oversized group cannot stall the debt) — the 100 TB form, like
     * [[migrateLayout]]: months of micro-batch debt drain one bounded
     * optimistic commit at a time, and repeated calls converge to None.
+    * Two fine-print clauses of that drain protocol: (a) None also covers
+    * a CONCURRENT-CONFLICT abort (same as migrateLayout's NULL) —
+    * conflicts are transient, so a drain loop that wants certainty
+    * re-calls after a None and treats two consecutive Nones as drained;
+    * (b) convergence needs `targetFileBytes ≥ 2 × minFileBytes` (each
+    * multi-file group's outputs are then ≥ targetFileBytes/2 ≥
+    * minFileBytes and leave the debt set) — with a smaller target a
+    * group can re-enter the small set each call and the loop rewrites
+    * it forever.
     */
   def compactSmall(spark: SparkSession, dir: String, schema: StructType,
                    minFileBytes: Long = 32L * 1024 * 1024,
@@ -2775,14 +2796,7 @@ object ManifestStore {
     val groups = maxInputBytes match {
       case None => allGroups
       case Some(cap) =>
-        var acc = 0L
-        var taken = 0
-        allGroups.sortBy(_._2.map(_._1).min).takeWhile { g =>
-          val sz = g._2.map(_._2).sum
-          val take = taken == 0 || acc + sz <= cap
-          if (take) { acc += sz; taken += 1 }
-          take
-        }
+        takeBounded(allGroups.sortBy(_._2.map(_._1).min), cap)(_._2.map(_._2).sum)
     }
     val smallSet = groups.flatMap(_._2.map(_._1)).toSet
     midFlight()
