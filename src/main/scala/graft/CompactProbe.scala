@@ -105,10 +105,14 @@ object CompactProbe {
         v.map(_ => dt)
       }
       val sorted = times.sorted
+      // every bounded call may return None (debt already drained, or a
+      // conflict abort) — report calls:0 with a null median rather than
+      // indexing into an empty sample
+      val med = if (sorted.isEmpty) "null" else fmt(sorted(sorted.size / 2))
       println(s"""{"probe":"compact","table":"$name","mode":"bounded",""" +
         s""""total_groups":$g,"files_before":$before,"calls":${times.size},""" +
         s""""per_call_sec":[${times.map(fmt).mkString(",")}],""" +
-        s""""median":${fmt(sorted(sorted.size / 2))}}""")
+        s""""median":$med}""")
       val t0 = System.nanoTime()
       ManifestStore.compactSmall(spark, d, schema)
       val dt = (System.nanoTime() - t0) / 1e9

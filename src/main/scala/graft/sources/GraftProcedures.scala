@@ -124,6 +124,18 @@ object GraftProcedures {
       StructType.fromDDL("version BIGINT")) { (spark, args) =>
       val dir = args.getUTF8String(0).toString
       val zo = args.getUTF8String(3).toString
+      // convergence precondition of the bounded drain protocol (see
+      // ManifestStore.compactSmall's scaladoc): with target < 2×min a
+      // multi-file group's outputs can re-enter the small set every call
+      // and a repeat-until-None loop never terminates — refuse loudly at
+      // the user-facing surface instead of looping forever
+      // target 0 stays a deliberate one-shot escape hatch ("one output per
+      // group"); the core still logs the convergence warning for it
+      require(args.getInt(2) == 0 || args.getInt(2) >= 2 * args.getInt(1),
+        s"compact_small: target_file_mb (${args.getInt(2)}) must be >= " +
+          s"2 * min_file_mb (${args.getInt(1)}) or a repeated drain loop " +
+          "may never converge (rewritten groups can re-enter the small set); " +
+          "pass target_file_mb = 0 for a deliberate one-shot full-group rewrite")
       Seq(ManifestStore.compactSmall(spark, dir, schemaOf(spark, dir),
         minFileBytes = args.getInt(1) * 1024L * 1024,
         targetFileBytes = args.getInt(2) * 1024L * 1024,

@@ -57,6 +57,8 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ManifestStore")
+
   /** Open-bound marker for the pruning range APIs: a `(column, lo, hi)`
     * range with `Unbounded` on one side is a one-sided predicate
     * (`col >= lo` / `col <= hi`) and prunes on the bounded side alone.
@@ -806,6 +808,93 @@ object ManifestStore {
           .filter(col(column).isin(values.map(lit): _*))
     }
   }
+
+  /** [[pruneFilesIn]] for a LARGE integral probe set — the batched planner
+    * behind index-admission reads, where one batch probes thousands of
+    * keys at once and the per-value × per-file walk above would cost
+    * |values|·|files| driver work. Each evidence kind is consulted ONCE
+    * per file with any-of semantics (a file survives unless an evidence
+    * kind proves EVERY probe value absent):
+    *  - identity partition value: recorded v ∈ probe set;
+    *  - `bucket(n)` / integral `truncate(w)` transform value: recorded
+    *    ordinal ∈ the probe set's transformed ordinals (precomputed once
+    *    per declared spec);
+    *  - manifest min-max stats: some probe value ∈ [min, max] (one binary
+    *    search over the sorted probe set).
+    * Any-of is deliberately one step weaker than the exact
+    * OR-of-per-value-conjunctions (a file could pass stats on one value
+    * and partition evidence on another) — weaker only ever KEEPS extra
+    * files, at O(|files|·log|values|) instead of O(|files|·|values|).
+    * Empty probe sets and non-integral columns keep every file: the
+    * caller's row-level equality join stays the single source of truth,
+    * this planner only shrinks its I/O.
+    */
+  def pruneFilesAnyOf(snap: Snapshot, column: String,
+                      values: Array[Long]): Seq[String] = {
+    if (values.isEmpty) return snap.files
+    val phys = physFor(snap, column)
+    val integral = snap.schema.flatMap(_.fields.find(f =>
+        ColumnMapping.physicalName(f) == phys))
+      .exists(f => Set("long", "integer", "short", "byte")(f.dataType.typeName))
+    if (!integral) return snap.files
+    val sorted = values.distinct.sorted
+    def containsValue(v: Long): Boolean =
+      java.util.Arrays.binarySearch(sorted, v) >= 0
+    // transformed probe-ordinal set per declared transform spec, computed
+    // once (specs repeat across every file of a generation)
+    val ordCache = scala.collection.mutable.Map.empty[String, Option[java.util.HashSet[java.lang.Long]]]
+    def ordsFor(specStr: String, sp: PartitionSpec.Spec): Option[java.util.HashSet[java.lang.Long]] =
+      ordCache.getOrElseUpdate(specStr, sp.kind match {
+        case PartitionSpec.Bucket(n) =>
+          val s = new java.util.HashSet[java.lang.Long]()
+          sorted.foreach(v => s.add(PartitionSpec.bucketOf(v.toString, n)))
+          Some(s)
+        case PartitionSpec.Truncate(w) =>
+          val s = new java.util.HashSet[java.lang.Long]()
+          sorted.foreach(v => s.add(Math.floorDiv(v, w.toLong) * w))
+          Some(s)
+        case _ => None // identity handled inline; calendar: not integral
+      })
+    snap.files.filter { rel =>
+      val partOk = snap.parts.get(rel).forall(_.forall { case (k, v) =>
+        val sp = scala.util.Try(PartitionSpec.parse(k)).getOrElse(
+          PartitionSpec.Spec(PartitionSpec.Identity, k))
+        if (sp.col != phys || v == hiveNullPartition) true
+        else if (sp.isIdentity)
+          scala.util.Try(v.toLong).toOption.forall(containsValue)
+        else ordsFor(k, sp) match {
+          case Some(ords) =>
+            scala.util.Try(v.toLong).toOption.forall(ords.contains)
+          case None => true
+        }
+      })
+      val statOk = snap.typedStats.get(rel).flatMap(_.get(phys)) match {
+        case Some(("long", mn: Long, mx: Long)) =>
+          val i = java.util.Arrays.binarySearch(sorted, mn)
+          val from = if (i >= 0) i else -i - 1
+          from < sorted.length && sorted(from) <= mx
+        case _ => true
+      }
+      partOk && statOk
+    }
+  }
+
+  /** Read restricted to [[pruneFilesAnyOf]]'s kept files — a SUPERSET
+    * read (kept files may hold non-probe rows): the caller's equality
+    * join / semi filter supplies the exact row predicate. This is the
+    * scan shape index admission wants — metadata shrinks the I/O, the
+    * join stays the row-level truth — so unlike [[lookup]] no `isin`
+    * filter is attached (a million-key `isin` would not codegen).
+    */
+  def readAnyOf(spark: SparkSession, dir: String, schema: StructType,
+                column: String, values: Array[Long]): DataFrame =
+    currentSnapshot(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(s) =>
+        readSnapshot(spark, dir,
+          s.copy(files = pruneFilesAnyOf(s, column, values)), schema)
+    }
 
   /** Build per-file [[BloomIndex]]es for `columns` and commit them as a
     * metadata-only version (op = `bloom`, no data files written) — the
@@ -2754,6 +2843,15 @@ object ManifestStore {
                                   midFlight: () => Unit,
                                   zorderCols0: Seq[String],
                                   maxInputBytes: Option[Long]): Option[Long] = {
+    // convergence fine-print (b) in the scaladoc, surfaced at runtime: a
+    // warning, not a require — deliberate one-shot uses (e.g. minFileBytes
+    // = MaxValue to force-compact everything once) are legitimate; only
+    // REPEATED drain loops risk non-termination, and the SQL procedure
+    // enforces the precondition hard at its surface.
+    if (minFileBytes <= Long.MaxValue / 2 && targetFileBytes < 2 * minFileBytes)
+      log.warn(s"compactSmall on $dir: targetFileBytes=$targetFileBytes < " +
+        s"2*minFileBytes=${2 * minFileBytes} — rewritten groups can re-enter " +
+        "the small set, so a repeat-until-None drain loop may never converge")
     val f = fs(spark, dir)
     val snap = currentSnapshot(spark, dir).getOrElse(return None)
     // no explicit Z-order columns → the table's DECLARED clustering

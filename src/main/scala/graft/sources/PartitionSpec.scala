@@ -176,8 +176,18 @@ private[graft] object PartitionSpec {
       cl - pmod(cl, lit(w.toLong)) // = floorDiv(c, w) * w, exact
   }
 
-  private def floorDiv(us: Column, unit: Long): Column =
-    ((us - pmod(us, lit(unit))) / lit(unit)).cast("long")
+  private def floorDiv(us: Column, unit: Long): Column = {
+    // `us - pmod(us, unit)` is exactly divisible by `unit`, but Spark's
+    // `/` is DOUBLE division: beyond 2^53 (timestamps past ~year 2255,
+    // e.g. 9999-12-31 sentinels) the quotient could round off by a day
+    // and a containment proof over the recorded value would mislabel a
+    // boundary row into the adjacent partition. DECIMAL(38,0) division
+    // keeps every representable micros value exact (the true quotient has
+    // ≤ 19 digits, well inside precision 38), so the executor derivation
+    // matches Math.floorDiv across the full TIMESTAMP domain.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    ((us - pmod(us, lit(unit))).cast(dec) / lit(unit).cast(dec)).cast("long")
+  }
 
   /** The source instant's UTC calendar DATE as a Column — for TIMESTAMP
     * via the epoch-day floor (session-timezone-independent, exactly

@@ -866,6 +866,37 @@ class HiddenPartitioningSpec extends SparkSpec {
     }
   }
 
+  test("transform derivation is exact beyond 2^53 micros (double-division regression)") {
+    // |micros| > 2^53 (≈ year 2255) used to route through double division
+    // in the executor floorDiv: the quotient could round off by one unit,
+    // mislabeling a boundary row into the adjacent day/month/year — and
+    // transformWhollyIn uses recorded values for irreversible metadata
+    // DELETEs. Pin exactness on both domain extremes, sweeping ±1 micro
+    // around day boundaries where a mis-rounded quotient must flip.
+    import org.apache.spark.sql.types.TimestampType
+    val edges = Seq("9999-12-31T00:00:00Z", "9999-06-01T00:00:00Z",
+      "0001-01-01T00:00:00Z", "0100-03-01T00:00:00Z")
+    val micros = edges.flatMap { s =>
+      val i = java.time.Instant.parse(s)
+      val us = Math.addExact(
+        Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+      Seq(us - 1, us, us + 1)
+    }
+    val specs = Seq("days(ts)", "hours(ts)", "months(ts)", "years(ts)")
+      .map(PartitionSpec.parse)
+    val cols = specs.zipWithIndex.map { case (sp, i) =>
+      PartitionSpec.valueColumn(sp, col("ts"), TimestampType).as(s"c$i") }
+    val rows = micros.toDF("us")
+      .select(org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"))
+      .select(cols: _*).collect()
+    micros.zip(rows).foreach { case (us, r) =>
+      specs.zipWithIndex.foreach { case (sp, i) =>
+        assert(r.getLong(i) === PartitionSpec.probeOrd(sp, TimestampType, us),
+          s"${sp.render} at micros=$us")
+      }
+    }
+  }
+
   test("declaration refusals: unknown transforms, wrong types, ambiguity") {
     import org.apache.spark.sql.types._
     val dir = tmpDir()
