@@ -35,8 +35,12 @@ object AdmissionProbe {
 
   private val lexP = pipeline.ShingleIndex.Params(n = 3, minJaccard = 0.2)
   private val minCosine = 0.4
-  // far above every scaled corpus id (GenScale copy shifts cap at K×1e6/1e7)
-  private val idShift = 900000000L
+  // far above every scaled corpus id: GenScale doc/vec copy shifts are
+  // K×1e6, so K=1000 (the sf100-scale third decade) reaches ~1e9 — the
+  // old 9e8 shift would have COLLIDED with copies ≥ 900 and keyed
+  // admission on phantom id equality (the q145/q147 probe-literal
+  // envelope bug class, round 12). 2e9 clears K ≤ 1999.
+  private val idShift = 2000000000L
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -81,14 +85,25 @@ object AdmissionProbe {
     // more tables for the same true-pair recall)
     val bits = args.lift(4).map(_.toInt).getOrElse(4)
     val tables = args.lift(5).map(_.toInt).getOrElse(48)
-    val vecP = pipeline.VectorIndex.Params(dim = 64, tables = tables, bits = bits)
+    // bucket-layout build parameters (round 13): N > 0 declares a
+    // bucket(N, key) hidden-partition layout on the postings tables so
+    // admission prunes postings FILES from the batch's probe keys.
+    // Sizing rule: N ≈ corpusPostings / rowsPerBucket (the probe runner
+    // scales N with the corpus decade, holding per-bucket bytes fixed —
+    // the deployment shape where per-batch I/O saturates at
+    // |batch keys| × bucketBytes regardless of corpus size).
+    val lexBuckets = args.lift(6).map(_.toInt).getOrElse(0)
+    val vecBuckets = args.lift(7).map(_.toInt).getOrElse(0)
+    val vecP = pipeline.VectorIndex.Params(dim = 64, tables = tables,
+      bits = bits, buckets = vecBuckets)
     val spark = session()
 
     mode match {
       case "build" =>
         val t0 = System.nanoTime()
         pipeline.ShingleIndex.append(spark, s"$root/shingle",
-          spark.read.parquet(s"$dataDir/documents.parquet"), lexP)
+          spark.read.parquet(s"$dataDir/documents.parquet"),
+          lexP.copy(buckets = lexBuckets))
         val tLex = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         pipeline.VectorIndex.append(spark, s"$root/vector",
@@ -96,8 +111,14 @@ object AdmissionProbe {
         val tVec = (System.nanoTime() - t1) / 1e9
         val nLex = pipeline.ShingleIndex.postings(spark, s"$root/shingle").count()
         val nVec = pipeline.VectorIndex.postings(spark, s"$root/vector").count()
+        val fLex = graft.sources.ManifestStore
+          .currentSnapshot(spark, s"$root/shingle/postings").map(_.files.size).getOrElse(0)
+        val fVec = graft.sources.ManifestStore
+          .currentSnapshot(spark, s"$root/vector/postings").map(_.files.size).getOrElse(0)
         println(s"""{"mode":"build","corpus":"$dataDir","index":"$root",""" +
           s""""bits":$bits,"tables":$tables,""" +
+          s""""lex_buckets":$lexBuckets,"vec_buckets":$vecBuckets,""" +
+          s""""lex_files":$fLex,"vec_files":$fVec,""" +
           s""""lex_build_sec":${fmt(tLex)},"vec_build_sec":${fmt(tVec)},""" +
           s""""lex_postings":$nLex,"vec_postings":$nVec}""")
 
@@ -116,13 +137,36 @@ object AdmissionProbe {
         val (vecS, vecN) = timed(reps)(() =>
           pipeline.VectorIndex.admit(spark, s"$root/vector", batchVecs,
             minCosine, vecP).count())
+        // file-prune evidence: the exact kept/total postings-file counts
+        // the admission reads plan from the batch's probe keys — the
+        // "files read ∝ batch keys, not corpus" pin per decade
+        import graft.sources.ManifestStore
+        def keptOf(dirp: String, column: String, keys: DataFrame): String = {
+          val ks = graft.functions.Par.collectLongsBounded(keys.distinct())
+          ManifestStore.currentSnapshot(spark, dirp) match {
+            case Some(s) =>
+              val kept = ks.map(ManifestStore.pruneFilesAnyOf(s, column, _)
+                .size).getOrElse(s.files.size)
+              s"""{"keys":${ks.map(_.length).getOrElse(-1)},"kept":$kept,"total":${s.files.size}}"""
+            case None => """{"keys":0,"kept":0,"total":0}"""
+          }
+        }
+        val lexKeys = graft.plans.GraftFunctions.wordShingleHashes(
+          batchDocs, col("text"), lexP.n)
+        val lexPrune = keptOf(s"$root/shingle/postings", "_h",
+          batchDocs.select(explode(lexKeys).as("_h")))
+        val vecPrune = keptOf(s"$root/vector/postings", "_tb",
+          graft.functions.Similarity.bucketPostings(
+            graft.functions.Similarity.prepVectors(batchVecs, "vec_id", "embedding"),
+            vecP.dim, vecP.tables, vecP.bits, vecP.seed).select(col("_tb")))
         def med(ss: Seq[Double]) = ss.sorted.apply(ss.size / 2)
         println(s"""{"mode":"probe","batch":"$dataDir","index":"$root",""" +
           s""""bits":$bits,"tables":$tables,""" +
           s""""lex_admit_sec":[${lexS.map(fmt).mkString(",")}],""" +
           s""""lex_admit_med":${fmt(med(lexS))},"lex_admitted":$lexN,""" +
           s""""vec_admit_sec":[${vecS.map(fmt).mkString(",")}],""" +
-          s""""vec_admit_med":${fmt(med(vecS))},"vec_admitted":$vecN}""")
+          s""""vec_admit_med":${fmt(med(vecS))},"vec_admitted":$vecN,""" +
+          s""""lex_prune":$lexPrune,"vec_prune":$vecPrune}""")
 
       case other => sys.error(s"unknown mode '$other' (build|probe)")
     }

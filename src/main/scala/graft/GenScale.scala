@@ -51,13 +51,22 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("testdata_sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional comma-list restricting which tables to generate — the
+    // third-decade probes (K=1000) need only documents/embeddings, and
+    // replicating lineitem 1000× would cost ~25 GB for nothing
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val spark = session()
-    run(spark, src, dst, k)
+    run(spark, src, dst, k, only)
     spark.stop()
   }
 
-  /** The generator body, callable from tests (main owns session lifecycle). */
-  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  /** The generator body, callable from tests (main owns session lifecycle).
+    * `only` restricts output to the named tables (None = all) — the
+    * per-table frames are independent, so a subset is byte-identical to
+    * the same tables of a full run.
+    */
+  def run(spark: SparkSession, src: String, dst: String, k: Int,
+          only: Option[Set[String]] = None): Unit = {
     def t(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
@@ -118,7 +127,7 @@ object GenScale {
           .withColumn("embedding", emb)
       })
 
-    out.foreach { case (name, df) =>
+    out.filter(o => only.forall(_.contains(o._1))).foreach { case (name, df) =>
       df.repartition(32).write.mode("overwrite")
         .parquet(s"$dst/$name.parquet")
       println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")

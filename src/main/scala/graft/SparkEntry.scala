@@ -1663,6 +1663,47 @@ object SparkEntry {
                 GROUP BY 1""")
     }),
 
+    // MERGE with UNCORRELATED SUBQUERIES in clause conditions and values
+    // (round 13; Delta refuses these): an IN-subquery gate on a matched
+    // UPDATE, a NOT IN gate on a matched DELETE (first-match-wins after
+    // the update clause), an EXISTS-gated NOT MATCHED BY SOURCE update,
+    // and a scalar-subquery assignment value. The IN probes pre-join the
+    // subquery into the staged source (never collected); scalar/EXISTS
+    // evaluate once per MERGE. Oracle replays the clause lattice
+    // relationally (customer keys are non-null, so NOT IN is two-valued
+    // here — the null case is spec-pinned in GraftCatalogSpec).
+    "q157_merge_subquery" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q157")
+        .toString + "/orders_sq"
+      t(s, dir, "orders").createOrReplaceTempView("q157_orders_src")
+      t(s, dir, "customer").createOrReplaceTempView("q157_customer")
+      s.sql(s"CREATE TABLE graft.`$tbl` AS SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus FROM q157_orders_src")
+      s.sql(s"""MERGE INTO graft.`$tbl` t USING (
+                  SELECT o_orderkey, o_custkey FROM q157_orders_src
+                  WHERE o_orderkey % 2 = 0
+                ) s ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED AND s.o_custkey IN (
+                    SELECT c_custkey FROM q157_customer
+                    WHERE c_mktsegment = 'BUILDING')
+                  THEN UPDATE SET o_custkey = t.o_custkey +
+                    (SELECT min(c_custkey) FROM q157_customer)
+                WHEN MATCHED AND s.o_custkey NOT IN (
+                    SELECT c_custkey FROM q157_customer
+                    WHERE c_mktsegment = 'AUTOMOBILE')
+                  THEN DELETE
+                WHEN NOT MATCHED BY SOURCE AND EXISTS (
+                    SELECT 1 FROM q157_customer
+                    WHERE c_mktsegment = 'MACHINERY')
+                  THEN UPDATE SET o_orderstatus = 'MX'""")
+      s.sql(s"""SELECT o_orderstatus,
+                       count(*) AS n_orders,
+                       sum(o_custkey) AS sum_cust,
+                       sum(o_orderkey % 997) AS sum_tail
+                FROM graft.`$tbl`
+                GROUP BY o_orderstatus""")
+    }),
+
     // Per-source token-count Gini: document-length inequality within each
     // source (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ) — the
     // corpus-balance audit that flags sources where a few huge documents
@@ -3898,6 +3939,41 @@ object SparkEntry {
          WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
          GROUP BY 1""",
+
+    // q157 = the subquery-conditioned MERGE replayed relationally:
+    // first-match-wins clause lattice over a left join, with the IN /
+    // NOT IN / EXISTS / scalar subqueries evaluated inline by DuckDB
+    "q157_merge_subquery" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+         src AS (
+           SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+         bld AS (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         auto AS (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         joined AS (
+           SELECT b.o_orderkey AS k, b.o_custkey AS c, b.o_orderstatus AS st,
+                  s.o_orderkey AS sk, s.o_custkey AS sc
+           FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey),
+         kept AS (
+           SELECT k,
+                  CASE WHEN sk IS NOT NULL AND sc IN (SELECT * FROM bld)
+                       THEN c + (SELECT min(c_custkey) FROM customer)
+                       ELSE c END AS c,
+                  CASE WHEN sk IS NULL AND EXISTS (
+                         SELECT 1 FROM customer
+                         WHERE c_mktsegment = 'MACHINERY')
+                       THEN 'MX' ELSE st END AS st
+           FROM joined
+           WHERE NOT (sk IS NOT NULL
+                      AND NOT (sc IN (SELECT * FROM bld))
+                      AND sc NOT IN (SELECT * FROM auto)))
+         SELECT st AS o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(c) AS BIGINT) AS sum_cust,
+                CAST(sum(k % 997) AS BIGINT) AS sum_tail
+         FROM kept GROUP BY st""",
 
     // q149 = SCD2 replayed as the three row populations: changed keys'
     // closed T1 rows, untouched keys' current T1 rows, changed keys' new

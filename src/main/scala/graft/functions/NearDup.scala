@@ -438,6 +438,88 @@ object NearDup {
       exShingles.unionByName(ba), minJaccard)
   }
 
+  /** [[incrementalJaccardPairsIndexed]] against PERSISTED index tables,
+    * with FILE-level pruning derived from the batch: the two reader
+    * thunks receive the driver-collected probe sets (`None` = the set
+    * exceeded the bounded-collect cap — serve the full table) and return
+    * a SUPERSET of the rows those keys/ids can touch, typically a
+    * [[graft.sources.ManifestStore]] `readAnyOf` whose partition/stat
+    * evidence drops whole postings files. Semantics are byte-identical
+    * to the DataFrame form: every downstream join keys on exactly the
+    * probed column, so superset reads change I/O, never results.
+    *
+    *  - `postingsFor(batch's distinct shingle keys)`: the row-level
+    *    broadcast leftsemi below still applies — pruning only shrinks
+    *    the scan feeding it. This is the residual ∝-corpus SCAN term the
+    *    round-12 admission probe measured after the semi-filter fix.
+    *  - `shinglesFor(candidates' corpus ids)`: exact verification reads
+    *    only the shingle sets of documents that actually appear in a
+    *    candidate pair (∝ batch × occupancy) instead of the whole corpus
+    *    — on an id-clustered table (append order) that is a handful of
+    *    files regardless of corpus size.
+    *
+    * Driver-side state is bounded by `collectCap` per set (see
+    * [[Par.collectLongsBounded]]); above the cap each reader degrades to
+    * its full-scan plan — the pre-round-13 shape, correct at any size.
+    */
+  def incrementalJaccardPairsStored(postingsFor: Option[Array[Long]] => DataFrame,
+                                    shinglesFor: Option[Array[Long]] => DataFrame,
+                                    batch: DataFrame, textCol: String,
+                                    idCol: String, n: Int, minJaccard: Double,
+                                    maxBucket: Int = 1000,
+                                    collectCap: Int = 1 << 20): DataFrame = {
+    val ba = shingleDocs(batch, textCol, idCol, n)
+    val baInv = ba.select(col("_id"), explode(col("_sh")).as("_h"))
+    val probeKeys = Par.collectLongsBounded(
+      baInv.select(col("_h")).distinct(), collectCap)
+    // the key set is already on the driver — the row-level restriction is
+    // an InSet filter inside the scan (no distinct recompute, no broadcast
+    // exchange); only the cap-exceeded fallback pays the semi join
+    val exPostings = postingsFor(probeKeys).select(col("_id"), col("_h"))
+    val probed = probeKeys match {
+      case Some(ks) => exPostings.filter(col("_h").isInCollection(ks.toSeq))
+      case None => exPostings
+        .join(baInv.select(col("_h")).distinct(), Seq("_h"), "leftsemi")
+    }
+    val exInv = pruneHotKeys(probed, "_h", maxBucket)
+    // materialized so the collected candidate-id set and the verify join
+    // read the SAME computed candidates (and the probe join runs once)
+    val crossIds = Par.materialize(
+      baInv.as("b").join(exInv.as("e"), col("b._h") === col("e._h"))
+        .select(col("e._id").as("id_a"), col("b._id").as("id_b"))
+        .dropDuplicates("id_a", "id_b"))
+    val corpusIds = Par.collectLongsBounded(
+      crossIds.select(col("id_a")).distinct(), collectCap)
+    val selfIds = baInv.as("l").join(baInv.as("r"),
+        col("l._h") === col("r._h") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b"),
+      shinglesFor(corpusIds).unionByName(ba), minJaccard)
+  }
+
+  /** [[admitBatchIndexed]] against PERSISTED index tables with file-level
+    * pruning — see [[incrementalJaccardPairsStored]]. `exIds` is the
+    * corpus id column (a one-column, column-pruned scan — kept FULL so
+    * the defensive ids-disjoint anti-join never depends on pruning).
+    */
+  def admitBatchStored(postingsFor: Option[Array[Long]] => DataFrame,
+                       shinglesFor: Option[Array[Long]] => DataFrame,
+                       exIds: DataFrame,
+                       batch: DataFrame, textCol: String, idCol: String,
+                       n: Int, minJaccard: Double,
+                       maxBucket: Int = 1000): DataFrame = {
+    // no extra materialize here: the candidate set is already cached
+    // inside the stored pair plan (the one eager checkpoint this path
+    // pays), and verify from it is consumed exactly once below
+    val pairs = incrementalJaccardPairsStored(
+      postingsFor, shinglesFor, batch, textCol, idCol, n, minJaccard, maxBucket)
+    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
+    batch.join(dropped, Seq(idCol), "left_anti")
+      .join(exIds.select(col("_id").as("_exid")),
+        col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
+  }
+
   /** Benchmark decontamination pairs: every (eval doc, corpus doc) pair
     * whose n-gram Jaccard overlap reaches `minJaccard` — the check every
     * production training pipeline runs before shipping data, so a benchmark

@@ -86,6 +86,26 @@ object Par {
     }
   }
 
+  /** Collect a single-LONG-column frame to the driver ONLY when it is
+    * provably small: at most `cap` distinct values (the plan ships
+    * `limit(cap+1)`, so the driver never holds more than cap+1 longs —
+    * 8 MB at the 2^20 default). `None` when the set exceeds the cap —
+    * callers fall back to their full-scan plan. This is the control-plane
+    * seam index admission uses to turn a batch's probe keys / candidate
+    * ids into FILE-pruning predicates ([[graft.sources.ManifestStore]]
+    * `pruneFilesAnyOf`): the collected set is ∝ batch (never ∝ corpus),
+    * the same boundedness class as the broadcast the admission semi-join
+    * already ships to every executor.
+    */
+  def collectLongsBounded(df: DataFrame, cap: Int = 1 << 20): Option[Array[Long]] = {
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) None
+    // nulls never survive an equality join, so they carry no pruning
+    // information — drop them (an empty survivor set keeps every file
+    // downstream, which is the safe direction)
+    else Some(rows.filter(!_.isNullAt(0)).map(_.getLong(0)))
+  }
+
   /** Drop every cached RDD in the session — the cleanup hook for `persist`
     * mode, whose cache entries otherwise outlive their operator call (each
     * near-dup/similarity invocation pins its signature tables; a long-lived

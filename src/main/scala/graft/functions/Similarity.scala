@@ -621,6 +621,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** [[incrementalCosinePairsIndexed]] against PERSISTED index tables,
+    * with FILE-level pruning derived from the batch — the semantic twin
+    * of [[graft.functions.NearDup.incrementalJaccardPairsStored]]:
+    * `postingsFor` receives the batch's distinct (table,bucket) probe
+    * keys, `vectorsFor` the candidate pairs' corpus ids (each `None`
+    * above the bounded-collect cap → full table), and each returns a
+    * SUPERSET of the touched rows (a `readAnyOf` pruned read) — every
+    * downstream join keys on exactly the probed column, so superset
+    * reads change I/O, never results. This deletes the two residual
+    * ∝-corpus scan terms the round-12 admission probe measured in the
+    * filtering regime: the postings scan feeding the semi filter, and
+    * the corpus-vectors scan that re-attaches candidate embeddings.
+    */
+  def incrementalCosinePairsStored(postingsFor: Option[Array[Long]] => DataFrame,
+                                   vectorsFor: Option[Array[Long]] => DataFrame,
+                                   batch: DataFrame,
+                                   minCosine: Double, dim: Int,
+                                   tables: Int = 48, bits: Int = 4, seed: Long = 42L,
+                                   maxBucket: Int = 100000,
+                                   idCol: String = "vec_id", vecCol: String = "embedding",
+                                   collectCap: Int = 1 << 20): DataFrame = {
+    val ba = prepVectors(batch, idCol, vecCol)
+    val baInv = Par.materialize(bucketPostings(ba, dim, tables, bits, seed))
+    val probeKeys = Par.collectLongsBounded(
+      baInv.select(col("_tb")).distinct(), collectCap)
+    // key set already on the driver → InSet filter inside the scan; only
+    // the cap-exceeded fallback pays the distinct + semi join
+    val exPostings = postingsFor(probeKeys)
+    val probed = probeKeys match {
+      case Some(ks) => exPostings.filter(col("_tb").isInCollection(ks.toSeq))
+      case None => exPostings.join(
+        baInv.select(col("_tb")).distinct(), Seq("_tb"), "leftsemi")
+    }
+    val exInv = NearDup.pruneHotKeys(probed, "_tb", maxBucket)
+    // materialized so the collected candidate-id set and the verify join
+    // read the SAME computed candidates (and the probe join runs once)
+    val crossIds = Par.materialize(
+      baInv.as("b").join(exInv.as("e"), col("b._tb") === col("e._tb"))
+        .select(col("e._id").as("id_a"), col("b._id").as("id_b"))
+        .dropDuplicates("id_a", "id_b"))
+    val corpusIds = Par.collectLongsBounded(
+      crossIds.select(col("id_a")).distinct(), collectCap)
+    val selfIds = baInv.as("l").join(baInv.as("r"),
+        col("l._tb") === col("r._tb") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val candIds = crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b")
+    // id_a resolves against (pruned) corpus ∪ batch, id_b against the batch
+    val cand = candIds
+      .join(vectorsFor(corpusIds).unionByName(ba)
+        .withColumnsRenamed(Map("_id" -> "id_a", "_v" -> "_va")), Seq("id_a"))
+      .join(ba.withColumnsRenamed(Map("_id" -> "id_b", "_v" -> "_vb")), Seq("id_b"))
+    cand
+      .withColumn("sim",
+        Portable.roundPortable(graft.plans.GraftFunctions.cosine(cand, col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** [[admitVectorBatchIndexed]] against PERSISTED index tables with
+    * file-level pruning — see [[incrementalCosinePairsStored]]. `exIds`
+    * is the corpus id column (kept FULL: the defensive ids-disjoint
+    * anti-join never depends on pruning).
+    */
+  def admitVectorBatchStored(postingsFor: Option[Array[Long]] => DataFrame,
+                             vectorsFor: Option[Array[Long]] => DataFrame,
+                             exIds: DataFrame, batch: DataFrame,
+                             minCosine: Double, dim: Int,
+                             tables: Int = 48, bits: Int = 4, seed: Long = 42L,
+                             maxBucket: Int = 100000,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // no extra materialize: the candidate set is already cached inside the
+    // stored pair plan, and verify from it is consumed exactly once
+    val pairs = incrementalCosinePairsStored(postingsFor,
+      vectorsFor, batch, minCosine, dim, tables, bits, seed, maxBucket,
+      idCol, vecCol)
+    admitByPairs(batch, pairs, exIds.select(col("_id").as(idCol)), idCol)
+  }
+
   /** Batch admission under incremental SEMANTIC dedup: the batch vectors
     * that survive against the existing corpus and their own batch — the
     * embedding-space sibling of [[NearDup.admitBatch]] with the identical

@@ -41,8 +41,18 @@ object ShingleIndex {
   val postingsSchema: StructType = StructType.fromDDL("_id BIGINT, _h BIGINT")
   val shinglesSchema: StructType = StructType.fromDDL("_id BIGINT, _sh ARRAY<BIGINT>")
 
+  /** `buckets > 0` declares a `bucket(buckets, _h)` hidden-partition
+    * layout on the postings table: each append lands one file per touched
+    * bucket (the partitioned writer hash-clusters first), and admission
+    * derives partition predicates from the batch's probe keys so the
+    * postings SCAN prunes whole files — the deployment sizing rule is
+    * buckets ≈ corpusPostingsBytes / targetFileBytes, making per-batch
+    * postings I/O saturate at |batch keys| × targetFileBytes regardless
+    * of corpus size. 0 (default) keeps the unpartitioned layout; the
+    * admission SEMANTICS are identical either way (spec-pinned).
+    */
   final case class Params(n: Int = 3, minJaccard: Double = 0.5,
-                          maxBucket: Int = 1000)
+                          maxBucket: Int = 1000, buckets: Int = 0)
 
   private def postingsDir(dir: String) = s"$dir/postings"
   private def shinglesDir(dir: String) = s"$dir/shingles"
@@ -64,8 +74,12 @@ object ShingleIndex {
     val sh = NearDup.shingleDocs(batch, textCol, idCol, p.n)
     if (!sh.isEmpty) {
       ManifestStore.append(sh, shinglesDir(dir))
-      ManifestStore.append(
-        sh.select(col("_id"), explode(col("_sh")).as("_h")), postingsDir(dir)): Unit
+      val postings = sh.select(col("_id"), explode(col("_sh")).as("_h"))
+      if (p.buckets > 0)
+        ManifestStore.appendPartitioned(postings, postingsDir(dir),
+          Seq(s"bucket(${p.buckets},_h)")): Unit
+      else
+        ManifestStore.append(postings, postingsDir(dir)): Unit
     }
   }
 
@@ -75,9 +89,26 @@ object ShingleIndex {
     * currently holds.
     */
   def admit(spark: SparkSession, dir: String, batch: DataFrame, p: Params,
-            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    NearDup.admitBatchIndexed(postings(spark, dir), shingles(spark, dir),
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // pruned readers: the batch's probe keys / the candidates' corpus ids
+    // become FILE predicates (bucket-layout partition values when declared,
+    // min-max id stats always), so per-batch index I/O stops scaling with
+    // the corpus; above the bounded-collect cap each degrades to the full
+    // table — identical results either way (every join re-keys the rows)
+    val postingsFor: Option[Array[Long]] => DataFrame = {
+      case Some(keys) => ManifestStore.readAnyOf(
+        spark, postingsDir(dir), postingsSchema, "_h", keys)
+      case None => postings(spark, dir)
+    }
+    val shinglesFor: Option[Array[Long]] => DataFrame = {
+      case Some(ids) => ManifestStore.readAnyOf(
+        spark, shinglesDir(dir), shinglesSchema, "_id", ids)
+      case None => shingles(spark, dir)
+    }
+    NearDup.admitBatchStored(postingsFor, shinglesFor,
+      shingles(spark, dir).select(col("_id")),
       batch, textCol, idCol, p.n, p.minJaccard, p.maxBucket)
+  }
 
   /** One maintenance step: admit the batch, append the survivors'
     * fingerprints, return the survivors. The admitted set is materialized

@@ -39,8 +39,14 @@ object VectorIndex {
   val postingsSchema: StructType = StructType.fromDDL("_id BIGINT, _tb BIGINT")
   val vectorsSchema: StructType = StructType.fromDDL("_id BIGINT, _v ARRAY<DOUBLE>")
 
+  /** `buckets > 0` declares a `bucket(buckets, _tb)` hidden-partition
+    * layout on the postings table (see
+    * [[graft.pipeline.ShingleIndex.Params]] — same sizing rule, same
+    * spec-pinned semantics-identity with the unpartitioned layout).
+    */
   final case class Params(dim: Int, tables: Int = 48, bits: Int = 4,
-                          seed: Long = 42L, maxBucket: Int = 100000)
+                          seed: Long = 42L, maxBucket: Int = 100000,
+                          buckets: Int = 0)
 
   private def postingsDir(dir: String) = s"$dir/postings"
   private def vectorsDir(dir: String) = s"$dir/vectors"
@@ -62,9 +68,13 @@ object VectorIndex {
     val prepped = Similarity.prepVectors(batch, idCol, vecCol)
     if (!prepped.isEmpty) {
       ManifestStore.append(prepped, vectorsDir(dir))
-      ManifestStore.append(
-        Similarity.bucketPostings(prepped, p.dim, p.tables, p.bits, p.seed),
-        postingsDir(dir)): Unit
+      val postings =
+        Similarity.bucketPostings(prepped, p.dim, p.tables, p.bits, p.seed)
+      if (p.buckets > 0)
+        ManifestStore.appendPartitioned(postings, postingsDir(dir),
+          Seq(s"bucket(${p.buckets},_tb)")): Unit
+      else
+        ManifestStore.append(postings, postingsDir(dir)): Unit
     }
   }
 
@@ -75,10 +85,24 @@ object VectorIndex {
     */
   def admit(spark: SparkSession, dir: String, batch: DataFrame,
             minCosine: Double, p: Params,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    Similarity.admitVectorBatchIndexed(
-      postings(spark, dir), vectors(spark, dir), batch,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // pruned readers (see ShingleIndex.admit): probe keys / candidate ids
+    // become file predicates; above the collect cap → full table; results
+    // identical either way (every join re-keys the rows)
+    val postingsFor: Option[Array[Long]] => DataFrame = {
+      case Some(keys) => ManifestStore.readAnyOf(
+        spark, postingsDir(dir), postingsSchema, "_tb", keys)
+      case None => postings(spark, dir)
+    }
+    val vectorsFor: Option[Array[Long]] => DataFrame = {
+      case Some(ids) => ManifestStore.readAnyOf(
+        spark, vectorsDir(dir), vectorsSchema, "_id", ids)
+      case None => vectors(spark, dir)
+    }
+    Similarity.admitVectorBatchStored(postingsFor, vectorsFor,
+      vectors(spark, dir).select(col("_id")), batch,
       minCosine, p.dim, p.tables, p.bits, p.seed, p.maxBucket, idCol, vecCol)
+  }
 
   /** One maintenance step: admit the batch, append the survivors, return
     * them. The admitted set is materialized BEFORE the append so the

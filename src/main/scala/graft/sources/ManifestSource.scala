@@ -55,6 +55,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    Soft max (Delta semantics): a single commit larger than the cap
   *    still streams — alone — so progress is guaranteed. Composes with
   *    `maxVersionsPerTrigger` (both caps apply).
+  *
+  *    Known v1-wrapper interaction (measured, round 13): under
+  *    `Trigger.AvailableNow` Spark wraps a v1 `Source` and snapshots its
+  *    FIRST `getOffset` as the drain target — with a per-trigger cap
+  *    set, that snapshot is the CAPPED offset, so each AvailableNow run
+  *    drains exactly one capped batch and terminates (the Kafka v1
+  *    source had the same flaw; Spark fixed it for v2 sources via
+  *    SupportsTriggerAvailableNow). Until this source grows a v2
+  *    MicroBatchStream form: use AvailableNow WITHOUT per-trigger caps
+  *    (full drain, one batch per commit group), or a continuous trigger
+  *    with the caps (bounded batches, drains fully).
   *  - `where` — a SQL predicate over the table's columns, applied INSIDE
   *    the source (`.option("where", "ts >= '2024-01-10'")`): rows are
   *    filtered exactly (same result as `.filter` downstream, which the

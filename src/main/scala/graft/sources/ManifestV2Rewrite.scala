@@ -90,9 +90,12 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * (equality conjuncts become manifest pruning keys), and duplicate
     * matched TARGET keys (row-preserving, per standard MERGE; duplicate
     * matched SOURCE rows are a cardinality violation and error at
-    * execution). Refused (None → Spark's own unsupported-MERGE error,
-    * never silently different semantics): schema evolution, nested-field
-    * assignment, subqueries inside clause conditions or values.
+    * execution). Clause conditions and assignment values may carry
+    * UNCORRELATED subqueries (scalar, EXISTS, single-column source-side
+    * IN — see the rekeySub note below; Delta refuses all of these).
+    * Refused (None → Spark's own unsupported-MERGE error, never silently
+    * different semantics): nested-field assignment, subqueries in the ON
+    * condition, correlated subqueries.
     *
     * Clause expressions re-key for the command's own fresh scan: target
     * attributes by their column name, source attributes under the `__s_`
@@ -114,10 +117,47 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
           n.startsWith("__graft"))) return None // helper-prefix collision
     // carried expressions stay RESOLVED (CheckAnalysis walks the command's
     // fields); the command re-keys them onto its fresh scans at RUN time.
-    // Subqueries are refused — they reference plans a by-name
-    // re-resolution cannot carry.
+    // Subqueries in the ON condition are refused — pruning-key derivation
+    // and the staged join cannot carry them.
     def rekey(e: Expression): Option[Expression] =
       if (!e.resolved || SubqueryExpression.hasSubquery(e)) None else Some(e)
+    // CLAUSE conditions and assignment values additionally admit
+    // UNCORRELATED subqueries (round 13; Delta refuses these): each is a
+    // runtime CONSTANT with respect to the merged rows, so it extracts
+    // into a resolved placeholder attribute plus a carried plan —
+    // scalar/EXISTS evaluate once at run time, `x IN (subquery)` pre-joins
+    // the subquery into the staged source relation (the scalable form; x
+    // must reference only SOURCE columns — a target-side IN belongs in
+    // the source query). Correlated subqueries, multi-column IN, and
+    // nested subqueries inside the IN probe still refuse.
+    val subqs = scala.collection.mutable.ArrayBuffer.empty[MergeSubquery]
+    def rekeySub(e: Expression): Option[Expression] = {
+      if (!e.resolved) return None
+      var ok = true
+      val out = e.transformDown {
+        case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+            if s.outerAttrs.isEmpty && s.joinCond.isEmpty =>
+          val nm = s"__graft_subq_${subqs.size}"
+          subqs += MergeSubquery(nm, "scalar", s.plan, None, s.dataType)
+          AttributeReference(nm, s.dataType)()
+        case s: org.apache.spark.sql.catalyst.expressions.Exists
+            if s.outerAttrs.isEmpty && s.joinCond.isEmpty =>
+          val nm = s"__graft_subq_${subqs.size}"
+          subqs += MergeSubquery(nm, "exists", s.plan, None,
+            org.apache.spark.sql.types.BooleanType)
+          AttributeReference(nm, org.apache.spark.sql.types.BooleanType)()
+        case in @ org.apache.spark.sql.catalyst.expressions.InSubquery(values, lq)
+            if lq.outerAttrs.isEmpty && lq.joinCond.isEmpty &&
+              values.size == 1 && values.head.references.subsetOf(srcOut) &&
+              !SubqueryExpression.hasSubquery(values.head) =>
+          val nm = s"__graft_subq_${subqs.size}"
+          subqs += MergeSubquery(nm, "in", lq.plan, Some(values.head),
+            org.apache.spark.sql.types.BooleanType)
+          AttributeReference(nm, org.apache.spark.sql.types.BooleanType)()
+        case s: SubqueryExpression => ok = false; s
+      }
+      if (ok) Some(out) else None
+    }
     val byName = m.sourceTable.output.groupBy(_.name)
     // WITH SCHEMA EVOLUTION: source-only columns WIDEN the target schema
     // (nullable adds — the only evolution the manifest admits); ambiguous
@@ -155,7 +195,7 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
     def assignsOf(assigns: Seq[Assignment]): Option[Seq[(String, Expression)]] = {
       val pairs = assigns.map {
         case Assignment(k: AttributeReference, v) if tgtOut.contains(k) =>
-          rekey(v).map(k.name -> _)
+          rekeySub(v).map(k.name -> _)
         case _ => None // nested-field or non-attribute assignment key
       }
       if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten)
@@ -164,24 +204,24 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // INSERT assignments; None (outer) = unsupported shape
     def clauseOf(a: MergeAction): Option[ClauseSpec] = a match {
       case DeleteAction(c) =>
-        c.map(rekey) match {
+        c.map(rekeySub) match {
           case Some(None) => None
           case rc => Some(ClauseSpec(rc.flatten, None))
         }
       case UpdateAction(c, assigns, fromStar) =>
-        (c.map(rekey), assignsOf(assigns)) match {
+        (c.map(rekeySub), assignsOf(assigns)) match {
           case (Some(None), _) | (_, None) => None
           case (rc, Some(set)) =>
             val full = if (fromStar) set ++ addedPairs else set
             Some(ClauseSpec(rc.flatten, Some(full)))
         }
       case UpdateStarAction(c) =>
-        (c.map(rekey), star()) match {
+        (c.map(rekeySub), star()) match {
           case (Some(None), _) | (_, None) => None
           case (rc, Some(set)) => Some(ClauseSpec(rc.flatten, Some(set)))
         }
       case InsertAction(c, assigns) =>
-        (c.map(rekey), assignsOf(assigns)) match {
+        (c.map(rekeySub), assignsOf(assigns)) match {
           case (Some(None), _) | (_, None) => None
           case (rc, Some(set)) =>
             // a full-coverage insert under evolution carries the widened
@@ -193,7 +233,7 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
             Some(ClauseSpec(rc.flatten, Some(full)))
         }
       case InsertStarAction(c) =>
-        (c.map(rekey), star()) match {
+        (c.map(rekeySub), star()) match {
           case (Some(None), _) | (_, None) => None
           case (rc, Some(set)) => Some(ClauseSpec(rc.flatten, Some(set)))
         }
@@ -227,7 +267,8 @@ class ManifestV2Rewrite(session: SparkSession) extends Rule[LogicalPlan] {
     Some(GraftMergeCommand(t, m.sourceTable, cond, matched, notMatched,
       bySource, equiKeys,
       evolveTo = if (m.withSchemaEvolution &&
-        evolved.length > t.schema.length) Some(evolved) else None))
+        evolved.length > t.schema.length) Some(evolved) else None,
+      clauseSubqueries = subqs.toSeq))
   }
 
   /** Splice `plan` where a relation with `target` attributes stood: a
@@ -306,6 +347,17 @@ private[sources] case class GraftDeleteCommand(table: ManifestTableV2,
 private[sources] case class ClauseSpec(cond: Option[Expression],
                                        set: Option[Seq[(String, Expression)]])
 
+/** One extracted UNCORRELATED subquery from a MERGE clause condition or
+  * assignment value: `name` is the resolved placeholder attribute spliced
+  * where the subquery stood, `plan` the analyzed subquery, `value` the IN
+  * probe expression (source-side refs only; None for scalar/EXISTS).
+  * Resolved ONCE per MERGE at run time — see [[GraftMergeCommand]].
+  */
+private[sources] case class MergeSubquery(name: String, kind: String,
+                                          plan: LogicalPlan,
+                                          value: Option[Expression],
+                                          dataType: org.apache.spark.sql.types.DataType)
+
 /** SQL MERGE (full clause surface) → one [[ManifestStore.mergeRows]]
   * `merge-dv` commit. Carried expressions stay resolved against the
   * original target/source relations (the analyzed plan must pass
@@ -323,7 +375,8 @@ private[sources] case class GraftMergeCommand(table: ManifestTableV2,
                                               notMatched: Seq[ClauseSpec],
                                               bySource: Seq[ClauseSpec],
                                               equiKeys: Seq[(String, Expression)],
-                                              evolveTo: Option[StructType] = None)
+                                              evolveTo: Option[StructType] = None,
+                                              clauseSubqueries: Seq[MergeSubquery] = Nil)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     // WITH SCHEMA EVOLUTION: widen first (idempotent metadata commit —
@@ -333,10 +386,15 @@ private[sources] case class GraftMergeCommand(table: ManifestTableV2,
       ManifestStore.evolveSchema(session, table.dir, w); w
     }.getOrElse(table.schema)
     import org.apache.spark.sql.catalyst.expressions.AttributeSet
-    import org.apache.spark.sql.graft.StreamingShim.{column, ofRows}
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.graft.StreamingShim.{column, expressionOf, ofRows}
     val srcIds = AttributeSet(source.output)
+    // placeholder-name → replacement expression, filled by the subquery
+    // resolution below; rekeyed() substitutes these FIRST
+    val repl = scala.collection.mutable.Map.empty[String, Expression]
     def rekeyed(e: Expression): org.apache.spark.sql.Column =
       column(e.transform {
+        case a: AttributeReference if repl.contains(a.name) => repl(a.name)
         case a: AttributeReference if srcIds.contains(a) =>
           UnresolvedAttribute.quoted(s"__s_${a.name}")
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
@@ -344,8 +402,48 @@ private[sources] case class GraftMergeCommand(table: ManifestTableV2,
     def clause(c: ClauseSpec): ManifestStore.MergeClause =
       ManifestStore.MergeClause(c.cond.map(rekeyed),
         c.set.map(_.map { case (n, e) => n -> rekeyed(e) }.toMap))
-    val srcDf = ofRows(session, source).select(source.output.map(a =>
+    var srcDf = ofRows(session, source).select(source.output.map(a =>
       column(a).as(s"__s_${a.name}")): _*)
+    // resolve carried uncorrelated subqueries ONCE per MERGE — they are
+    // constants with respect to the merged rows. Scalar/EXISTS evaluate
+    // here (one job each); IN pre-joins the subquery into the staged
+    // source relation and reduces to a boolean hit column with exact
+    // three-valued IN semantics (empty set → FALSE even for a null probe;
+    // null probe against a non-empty set → NULL; no hit but the set has a
+    // null → NULL; else FALSE) — the scalable form: the subquery is
+    // joined, never collected.
+    clauseSubqueries.zipWithIndex.foreach { case (sq, i) => sq.kind match {
+      case "scalar" =>
+        val rows = ofRows(session, sq.plan).limit(2).collect()
+        if (rows.length > 1) throw new IllegalStateException(
+          s"[GRAFT_SCALAR_SUBQUERY] a scalar subquery in a MERGE clause of " +
+            s"${table.dir} returned more than one row")
+        repl(sq.name) = org.apache.spark.sql.catalyst.expressions.Literal
+          .create(rows.headOption.map(_.get(0)).orNull, sq.dataType)
+      case "exists" =>
+        repl(sq.name) = org.apache.spark.sql.catalyst.expressions.Literal(
+          !ofRows(session, sq.plan).isEmpty)
+      case "in" =>
+        val sub = ofRows(session, sq.plan).toDF("k")
+        val st = sub.agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.count(col("k")).as("nn")).head()
+        val subEmpty = st.getLong(0) == 0L
+        val hasNull = st.getLong(1) < st.getLong(0)
+        val hitCol = s"__s_graft_subq_${i}_hit"
+        val keyCol = s"__graft_subq_${i}_key"
+        val probe = rekeyed(sq.value.get) // source-side refs → __s_ names
+        if (!subEmpty) {
+          val keyed = sub.where(col("k").isNotNull).distinct()
+            .select(col("k").as(keyCol), lit(true).as(hitCol))
+          srcDf = srcDf.join(keyed, probe === col(keyCol), "left").drop(keyCol)
+        }
+        repl(sq.name) = expressionOf(
+          if (subEmpty) lit(false)
+          else when(probe.isNull, lit(null).cast("boolean"))
+            .when(col(hitCol).isNotNull, lit(true))
+            .otherwise(if (hasNull) lit(null).cast("boolean") else lit(false)))
+    }}
     if (ManifestStore.mergeRows(session, table.dir, mergeSchema,
         srcDf, rekeyed(cond), matched.map(clause),
         notMatched.map(clause), bySource.map(clause),

@@ -396,6 +396,63 @@ class GraftCatalogSpec extends SparkSpec {
       "merge staging dirs must be dropped after the commit")
   }
 
+  test("MERGE clause conditions and values carry uncorrelated subqueries") {
+    val dir = tmpDir()
+    ManifestStore.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    Seq((1L, "A1"), (2L, "B1"), (9L, "i")).toDF("k", "v")
+      .createOrReplaceTempView("sq_src")
+    Seq(("A1"), ("zz")).toDF("allow").createOrReplaceTempView("sq_allow")
+    // IN-subquery clause condition: only source rows whose v is in the
+    // allow list update; the rest of the matched set stays
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING sq_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v IN (SELECT allow FROM sq_allow) THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "A1", 2L -> "b", 3L -> "c", 9L -> "i"))
+    // scalar subquery in an assignment VALUE + EXISTS in a condition
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING sq_src s ON t.k = s.k " +
+      "WHEN MATCHED AND EXISTS (SELECT 1 FROM sq_allow WHERE allow = 'zz') " +
+      "THEN UPDATE SET v = (SELECT max(allow) FROM sq_allow)")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "zz", 2L -> "zz", 3L -> "c", 9L -> "zz"))
+    // NOT IN three-valued semantics: a NULL in the subquery result makes
+    // NOT IN unknown (never true) — no row may update
+    Seq(Some("A1"), None).toDF("allow").createOrReplaceTempView("sq_null")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING sq_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v NOT IN (SELECT allow FROM sq_null) " +
+      "THEN UPDATE SET v = 'nope'")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "zz", 2L -> "zz", 3L -> "c", 9L -> "zz"),
+      "NOT IN against a null-bearing set is UNKNOWN for every probe")
+    // empty subquery set: IN → false for every probe (even null), NOT IN
+    // → true
+    spark.sql("SELECT allow FROM sq_allow WHERE false")
+      .createOrReplaceTempView("sq_empty")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING sq_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v NOT IN (SELECT allow FROM sq_empty) " +
+      "THEN UPDATE SET v = concat(t.v, '!')")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) ===
+      Set(1L -> "zz!", 2L -> "zz!", 3L -> "c", 9L -> "zz!"))
+    // a scalar subquery returning >1 row errors loudly at execution
+    val em = intercept[Exception] {
+      spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING sq_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = (SELECT allow FROM sq_allow)")
+    }
+    assert(causeChainContains(em, "GRAFT_SCALAR_SUBQUERY") ||
+      causeChainContains(em, "MORE_THAN_ONE_ROW"), em.toString)
+    // correlated subqueries still refuse (no silent semantics change)
+    val ec = intercept[Exception] {
+      spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING sq_src s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v IN (SELECT allow FROM sq_allow WHERE allow = t.v) " +
+        "THEN UPDATE SET *")
+    }
+    assert(ec.getMessage != null, ec.toString)
+  }
+
+  private def causeChainContains(e: Throwable, needle: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => Option(t.getMessage).exists(_.contains(needle)))
+
   test("MERGE preserves duplicate matched TARGET rows (row-level, not keyed)") {
     val dir = tmpDir()
     ManifestStore.append(

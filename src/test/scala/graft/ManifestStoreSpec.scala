@@ -941,6 +941,57 @@ class ManifestStoreSpec extends SparkSpec {
       Set((9L, "z", "en"), (10L, "y", "fr")))
   }
 
+  test("pruneFilesAnyOf: stats / identity / bucket evidence, safe fallbacks") {
+    // stats evidence: three disjoint-range single-file appends; a probe
+    // set intersecting two of the ranges keeps exactly those files
+    val dir = tmpDir()
+    Seq(0L, 100L, 200L).foreach { base =>
+      ManifestStore.append(
+        (base until base + 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), dir)
+    }
+    val s1 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(s1.files.size === 3)
+    assert(ManifestStore.pruneFilesAnyOf(s1, "k", Array(5L)).size === 1)
+    assert(ManifestStore.pruneFilesAnyOf(s1, "k", Array(5L, 205L)).size === 2)
+    assert(ManifestStore.pruneFilesAnyOf(s1, "k", Array(50L, 150L)).isEmpty)
+    // empty probe set and non-integral columns keep everything (the
+    // caller's row-level join stays the truth)
+    assert(ManifestStore.pruneFilesAnyOf(s1, "k", Array.empty[Long]) === s1.files)
+    assert(ManifestStore.pruneFilesAnyOf(s1, "v", Array(5L)) === s1.files)
+    // readAnyOf executes exactly the kept files and is row-complete for
+    // the probed keys
+    val pruned = ManifestStore.readAnyOf(spark, dir, schema, "k", Array(5L, 205L))
+    assert(pruned.inputFiles.length === 2)
+    assert(pruned.filter($"k".isin(5L, 205L)).as[(Long, String)].collect().toSet ===
+      Set(5L -> "v5", 205L -> "v205"))
+
+    // identity partition evidence beats stats: same k range in every file,
+    // but the recorded partition value separates them
+    val dir2 = tmpDir()
+    ManifestStore.appendPartitioned(
+      Seq((1L, 1L, "a"), (2L, 1L, "b"), (1L, 2L, "c"), (2L, 2L, "d"))
+        .toDF("p", "k", "v"), dir2, Seq("p"))
+    val s2 = ManifestStore.currentSnapshot(spark, dir2).get
+    assert(s2.files.size >= 2)
+    val keptP = ManifestStore.pruneFilesAnyOf(s2, "p", Array(1L))
+    assert(keptP.nonEmpty && keptP.size < s2.files.size)
+
+    // bucket transform evidence: recorded ordinal ∈ transformed probe set;
+    // equality vs the full scan proves the evidence never over-prunes
+    val dir3 = tmpDir()
+    ManifestStore.appendPartitioned(
+      (0L until 64L).map(k => (k, s"v$k")).toDF("k", "v"), dir3,
+      Seq("bucket(8,k)"))
+    val s3 = ManifestStore.currentSnapshot(spark, dir3).get
+    assert(s3.files.size === 8)
+    val probe = Array(3L, 17L)
+    val kept3 = ManifestStore.pruneFilesAnyOf(s3, "k", probe)
+    assert(kept3.size <= 2 && kept3.nonEmpty)
+    val got = ManifestStore.readAnyOf(spark, dir3, schema, "k", probe)
+      .filter($"k".isin(probe.toSeq: _*)).as[(Long, String)].collect().toSet
+    assert(got === Set(3L -> "v3", 17L -> "v17"))
+  }
+
   test("deleteRange keeps null rows even when a file's bounds sit inside the range") {
     val dir = tmpDir()
     val rows = Seq[(java.lang.Long, String)]((10L, "in"), (null, "keepme"), (20L, "in2"))

@@ -96,4 +96,83 @@ class ShingleIndexSpec extends SparkSpec {
     assert(ShingleIndex.shingles(spark, dir).count() ===
       docs.filter($"doc_id" % 2 === 0).count(), "admit must not mutate the index")
   }
+
+  test("bucket(N,_h) postings layout: identical admission, pruned postings files") {
+    import org.apache.spark.sql.functions.{col, explode, lit}
+    import graft.sources.ManifestStore
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val flat = Files.createTempDirectory("graft-shflat").toString
+    val bk = Files.createTempDirectory("graft-shbk").toString
+    val pb = p.copy(buckets = 64)
+    // two appends per layout → several files per bucket generation
+    Seq(0, 1).foreach { i =>
+      val part = docs.filter($"doc_id" % 2 === i)
+      ShingleIndex.append(spark, flat, part, p)
+      ShingleIndex.append(spark, bk, part, pb)
+    }
+    // a realistic batch admits IDENTICALLY across layouts (the layout is
+    // I/O, never semantics)
+    val big = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(900000100L))
+    val aBig = ShingleIndex.admit(spark, flat, big, p)
+      .select($"doc_id").as[Long].collect().toSet
+    val bBig = ShingleIndex.admit(spark, bk, big, pb)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(aBig === bBig)
+    // a TINY batch (3 shingles) must prune the bucketed table to ≤ 3
+    // bucket groups of files — the files-read ∝ batch-keys pin
+    val tiny = Seq((900000001L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val aT = ShingleIndex.admit(spark, flat, tiny, p)
+      .select($"doc_id").as[Long].collect().toSet
+    val bT = ShingleIndex.admit(spark, bk, tiny, pb)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(aT === bT)
+    val keys = tiny.select(explode(graft.plans.GraftFunctions
+        .wordShingleHashes(tiny, col("text"), p.n)).as("_h"))
+      .distinct().as[Long].collect()
+    assert(keys.length === 3)
+    val snap = ManifestStore.currentSnapshot(spark, s"$bk/postings").get
+    val kept = ManifestStore.pruneFilesAnyOf(snap, "_h", keys)
+    // ≤ one file per probed bucket per append (2 appends × ≤3 buckets)
+    assert(kept.size <= 6 && kept.size < snap.files.size,
+      s"kept ${kept.size} of ${snap.files.size}")
+    // the pruned read executes exactly the kept files, and is row-complete
+    // for the probed keys (superset semantics: pruned ∩ keys = full ∩ keys)
+    val pruned = ManifestStore.readAnyOf(spark, s"$bk/postings",
+      ShingleIndex.postingsSchema, "_h", keys)
+    assert(pruned.inputFiles.length === kept.size)
+    val keySeq = keys.toSeq
+    val viaPruned = pruned.filter($"_h".isin(keySeq: _*))
+      .as[(Long, Long)].collect().toSet
+    val viaFull = ShingleIndex.postings(spark, bk)
+      .filter($"_h".isin(keySeq: _*)).as[(Long, Long)].collect().toSet
+    assert(viaPruned === viaFull)
+  }
+
+  test("bounded-collect overflow degrades to the full-scan readers (None)") {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val ex = NearDup.admitBatch(corpus, batch, "text", "doc_id", p.n, p.minJaccard)
+      .select($"doc_id").as[Long].collect().toSet
+    // collectCap = 0 forces every probe set over the cap: the readers must
+    // be handed None and the full-scan plan must produce identical pairs
+    val exSh = NearDup.shingleDocs(corpus, "text", "doc_id", p.n)
+    val full: Option[Array[Long]] => DataFrame = {
+      case Some(_) => fail("cap-exceeded path must pass None to its readers")
+      case None => exSh.select($"_id",
+        org.apache.spark.sql.functions.explode($"_sh").as("_h"))
+    }
+    val fullSh: Option[Array[Long]] => DataFrame = {
+      case Some(_) => fail("cap-exceeded path must pass None to its readers")
+      case None => exSh
+    }
+    val pairs = NearDup.incrementalJaccardPairsStored(full, fullSh, batch,
+      "text", "doc_id", p.n, p.minJaccard, p.maxBucket, collectCap = 0)
+    val dropped = pairs.select($"id_b").as[Long].collect().toSet
+    val admitted = batch.select($"doc_id").as[Long].collect().toSet -- dropped
+    assert(admitted === ex)
+  }
 }

@@ -819,4 +819,105 @@ class StreamingSpec extends SparkSpec {
     assert(t1.filter($"status" === "NEW")
       .filter($"updated_at" =!= ts("2024-01-01 00:00:00")).count() == 0)
   }
+
+  test("crash MID-foreachBatch: restart replays the batch, history absorbs it, latest converges") {
+    // the reference's at-least-once-extract / exactly-once-staging triangle
+    // (SURVEY §3.1) under REAL failure, not a graceful restart: kill the
+    // query after the history append but before the latest merge, restart
+    // from the same checkpoint, and assert the end-to-end contract —
+    // history has no duplicates (O-11 idempotent dedup absorbs the whole
+    // replayed batch) and latest equals the batch-mode answer.
+    import graft.operators.Merge
+    import graft.sources.ManifestStore
+    val root = Files.createTempDirectory("crash-recovery")
+    val srcDir = root.resolve("src").toString
+    val histDir = root.resolve("hist").toString
+    val latestDir = root.resolve("latest").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, updated_at TIMESTAMP, payload_hash STRING")
+    // two source commits → with maxVersions=1, two micro-batches
+    ManifestStore.append(Seq(
+      (1L, ts("2024-01-10 10:00:00"), "h1a"),
+      (2L, ts("2024-01-10 10:00:00"), "h2a")).toDF("id", "updated_at", "payload_hash"), srcDir)
+    ManifestStore.append(Seq(
+      (1L, ts("2024-01-10 11:00:00"), "h1b"), // id 1 advances
+      (3L, ts("2024-01-10 11:00:00"), "h3a")).toDF("id", "updated_at", "payload_hash"), srcDir)
+
+    // default trigger + processAllAvailable, NOT Trigger.AvailableNow:
+    // with per-trigger caps on a v1 source, the AvailableNow wrapper
+    // snapshots the CAPPED first getOffset as "available" and each run
+    // drains exactly one capped batch (documented on ManifestSource) —
+    // this test wants the multi-batch replay, which the continuous
+    // trigger's processAllAvailable drives fully
+    @volatile var boom = true
+    def runOnce(failMidBatch: Boolean): Option[Throwable] = {
+      val q = spark.readStream.format("graft-manifest").schema(schema)
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "1")
+        .load(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.toDF()
+            val hist = ManifestStore.read(b.sparkSession, histDir, schema)
+            val delta = Merge.historyDelta(hist, b)
+            if (!delta.isEmpty) ManifestStore.append(delta, histDir): Unit
+            // the injected crash: history committed, latest NOT — the
+            // exact window at-least-once replay must repair
+            if (failMidBatch && boom) {
+              boom = false
+              throw new RuntimeException("injected mid-batch crash")
+            }
+            val cur = ManifestStore.read(b.sparkSession, latestDir, schema)
+            ManifestStore.overwrite(
+              Merge.latestUpsert(cur, b, "id", "updated_at"), latestDir): Unit
+          }
+        }
+        .start()
+      try { q.processAllAvailable(); None }
+      catch { case e: Throwable
+          if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+            .exists(t => Option(t.getMessage)
+              .exists(_.contains("injected mid-batch crash"))) =>
+        Some(e) }
+      finally q.stop()
+    }
+
+    val failed = runOnce(failMidBatch = true)
+    def causeChain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(failed.exists(causeChain(_).exists(t =>
+      Option(t.getMessage).exists(_.contains("injected mid-batch crash")))),
+      s"the first run must die on the injected crash, got $failed")
+    // mid-flight state is visible: batch 0's history landed, latest did not
+    val histMid = ManifestStore.read(spark, histDir, schema)
+      .as[(Long, java.sql.Timestamp, String)].collect().toSet
+    assert(histMid === Set(
+      (1L, ts("2024-01-10 10:00:00"), "h1a"),
+      (2L, ts("2024-01-10 10:00:00"), "h2a")),
+      s"batch 0's history append must be committed before the crash: $histMid")
+    assert(ManifestStore.currentSnapshot(spark, latestDir).isEmpty,
+      "latest must NOT exist yet — the crash landed between the two writes")
+
+    assert(runOnce(failMidBatch = false).isEmpty, "the restart must drain cleanly")
+    // contract 1: history holds every source row exactly once — the
+    // replayed batch 0 was absorbed by the idempotent dedup, not doubled
+    val allSrc = ManifestStore.read(spark, srcDir, schema)
+    val histRows = ManifestStore.read(spark, histDir, schema)
+    assert(histRows.count() === 4L, "no duplicates from the replay")
+    assert(histRows.as[(Long, java.sql.Timestamp, String)].collect().toSet ===
+      allSrc.as[(Long, java.sql.Timestamp, String)].collect().toSet)
+    // contract 2: latest equals the batch-mode answer over the full feed
+    val expected = Merge.latestUpsert(
+      ManifestStore.read(spark, latestDir, schema).limit(0), allSrc,
+      "id", "updated_at").as[(Long, java.sql.Timestamp, String)].collect().toSet
+    val gotLatest = ManifestStore.read(spark, latestDir, schema)
+      .as[(Long, java.sql.Timestamp, String)].collect().toSet
+    assert(gotLatest === expected)
+    assert(gotLatest.map(_._1) === Set(1L, 2L, 3L))
+    assert(gotLatest.contains((1L, ts("2024-01-10 11:00:00"), "h1b")),
+      "newer-wins must hold across the crash/replay boundary")
+  }
 }

@@ -94,4 +94,54 @@ class VectorIndexSpec extends SparkSpec {
     val held = VectorIndex.vectors(spark, dir).count()
     assert(held === emb.filter($"vec_id" % 2 === 0).count(), "admit must not mutate the index")
   }
+
+  test("bucket(N,_tb) postings layout: identical admission, pruned postings files") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.ManifestStore
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val flat = Files.createTempDirectory("graft-vecflat").toString
+    val bk = Files.createTempDirectory("graft-vecbk").toString
+    val pb = p.copy(buckets = 256)
+    Seq(0, 1).foreach { i =>
+      val part = emb.filter($"vec_id" % 2 === i)
+      VectorIndex.append(spark, flat, part, p)
+      VectorIndex.append(spark, bk, part, pb)
+    }
+    // a multi-vector batch admits IDENTICALLY across layouts
+    val big = emb.filter($"vec_id" % 7 === 0)
+      .withColumn("vec_id", $"vec_id" + org.apache.spark.sql.functions.lit(900000100L))
+    val aBig = VectorIndex.admit(spark, flat, big, tau, p)
+      .select($"vec_id").as[Long].collect().toSet
+    val bBig = VectorIndex.admit(spark, bk, big, tau, pb)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(aBig === bBig)
+    // ONE probe vector touches ≤ `tables` buckets: with 256 declared
+    // buckets the prune must keep at most tables × appends file groups
+    val minId = emb.agg(org.apache.spark.sql.functions.min($"vec_id"))
+      .as[Long].head()
+    val one = emb.filter($"vec_id" === minId)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(900000001L))
+    val aOne = VectorIndex.admit(spark, flat, one, tau, p)
+      .select($"vec_id").as[Long].collect().toSet
+    val bOne = VectorIndex.admit(spark, bk, one, tau, pb)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(aOne === bOne)
+    val keys = Similarity.bucketPostings(
+        Similarity.prepVectors(one, "vec_id", "embedding"),
+        pb.dim, pb.tables, pb.bits, pb.seed)
+      .select(col("_tb")).distinct().as[Long].collect()
+    assert(keys.length <= pb.tables)
+    val snap = ManifestStore.currentSnapshot(spark, s"$bk/postings").get
+    val kept = ManifestStore.pruneFilesAnyOf(snap, "_tb", keys)
+    assert(kept.size < snap.files.size, s"kept ${kept.size} of ${snap.files.size}")
+    val pruned = ManifestStore.readAnyOf(spark, s"$bk/postings",
+      VectorIndex.postingsSchema, "_tb", keys)
+    assert(pruned.inputFiles.length === kept.size)
+    val keySeq = keys.toSeq
+    val viaPruned = pruned.filter($"_tb".isin(keySeq: _*))
+      .as[(Long, Long)].collect().toSet
+    val viaFull = VectorIndex.postings(spark, bk)
+      .filter($"_tb".isin(keySeq: _*)).as[(Long, Long)].collect().toSet
+    assert(viaPruned === viaFull)
+  }
 }
