@@ -94,31 +94,50 @@ object AdmissionProbe {
     // |batch keys| × bucketBytes regardless of corpus size).
     val lexBuckets = args.lift(6).map(_.toInt).getOrElse(0)
     val vecBuckets = args.lift(7).map(_.toInt).getOrElse(0)
+    // id-bucket layout for the exact-verify tables (shingles/vectors):
+    // sizing rule is rows/idBucket fixed, so candidate-id pruning reads
+    // ≈ |candidate ids| files at any corpus size
+    val lexIdBuckets = args.lift(8).map(_.toInt).getOrElse(0)
+    val vecIdBuckets = args.lift(9).map(_.toInt).getOrElse(0)
+    // family filter ("lex" | "vec" | "both"): a bits re-pick rebuilds only
+    // the vector index — the lexical build at the big decades is the
+    // expensive half and is parameter-independent
+    val family = args.lift(10).getOrElse("both")
+    val doLex = family == "both" || family == "lex"
+    val doVec = family == "both" || family == "vec"
     val vecP = pipeline.VectorIndex.Params(dim = 64, tables = tables,
-      bits = bits, buckets = vecBuckets)
+      bits = bits, buckets = vecBuckets, idBuckets = vecIdBuckets)
     val spark = session()
 
     mode match {
       case "build" =>
         val t0 = System.nanoTime()
-        pipeline.ShingleIndex.append(spark, s"$root/shingle",
+        if (doLex) pipeline.ShingleIndex.append(spark, s"$root/shingle",
           spark.read.parquet(s"$dataDir/documents.parquet"),
-          lexP.copy(buckets = lexBuckets))
+          lexP.copy(buckets = lexBuckets, idBuckets = lexIdBuckets))
         val tLex = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
-        pipeline.VectorIndex.append(spark, s"$root/vector",
+        if (doVec) pipeline.VectorIndex.append(spark, s"$root/vector",
           spark.read.parquet(s"$dataDir/embeddings.parquet"), vecP)
         val tVec = (System.nanoTime() - t1) / 1e9
-        val nLex = pipeline.ShingleIndex.postings(spark, s"$root/shingle").count()
-        val nVec = pipeline.VectorIndex.postings(spark, s"$root/vector").count()
+        val nLex = if (doLex)
+          pipeline.ShingleIndex.postings(spark, s"$root/shingle").count() else 0L
+        val nVec = if (doVec)
+          pipeline.VectorIndex.postings(spark, s"$root/vector").count() else 0L
         val fLex = graft.sources.ManifestStore
           .currentSnapshot(spark, s"$root/shingle/postings").map(_.files.size).getOrElse(0)
         val fVec = graft.sources.ManifestStore
           .currentSnapshot(spark, s"$root/vector/postings").map(_.files.size).getOrElse(0)
+        val fLexSh = graft.sources.ManifestStore
+          .currentSnapshot(spark, s"$root/shingle/shingles").map(_.files.size).getOrElse(0)
+        val fVecV = graft.sources.ManifestStore
+          .currentSnapshot(spark, s"$root/vector/vectors").map(_.files.size).getOrElse(0)
         println(s"""{"mode":"build","corpus":"$dataDir","index":"$root",""" +
           s""""bits":$bits,"tables":$tables,""" +
           s""""lex_buckets":$lexBuckets,"vec_buckets":$vecBuckets,""" +
+          s""""lex_id_buckets":$lexIdBuckets,"vec_id_buckets":$vecIdBuckets,""" +
           s""""lex_files":$fLex,"vec_files":$fVec,""" +
+          s""""lex_shingle_files":$fLexSh,"vec_vector_files":$fVecV,""" +
           s""""lex_build_sec":${fmt(tLex)},"vec_build_sec":${fmt(tVec)},""" +
           s""""lex_postings":$nLex,"vec_postings":$nVec}""")
 
@@ -131,12 +150,12 @@ object AdmissionProbe {
           .parquet(s"$dataDir/embeddings.parquet")
           .filter(col("vec_id") % 7 === 0)
           .withColumn("vec_id", col("vec_id") + lit(idShift))
-        val (lexS, lexN) = timed(reps)(() =>
+        val (lexS, lexN) = if (doLex) timed(reps)(() =>
           pipeline.ShingleIndex.admit(spark, s"$root/shingle", batchDocs, lexP)
-            .count())
-        val (vecS, vecN) = timed(reps)(() =>
+            .count()) else (Seq(0.0), 0L)
+        val (vecS, vecN) = if (doVec) timed(reps)(() =>
           pipeline.VectorIndex.admit(spark, s"$root/vector", batchVecs,
-            minCosine, vecP).count())
+            minCosine, vecP).count()) else (Seq(0.0), 0L)
         // file-prune evidence: the exact kept/total postings-file counts
         // the admission reads plan from the batch's probe keys — the
         // "files read ∝ batch keys, not corpus" pin per decade
@@ -153,12 +172,14 @@ object AdmissionProbe {
         }
         val lexKeys = graft.plans.GraftFunctions.wordShingleHashes(
           batchDocs, col("text"), lexP.n)
-        val lexPrune = keptOf(s"$root/shingle/postings", "_h",
+        val lexPrune = if (doLex) keptOf(s"$root/shingle/postings", "_h",
           batchDocs.select(explode(lexKeys).as("_h")))
-        val vecPrune = keptOf(s"$root/vector/postings", "_tb",
+          else """{"keys":0,"kept":0,"total":0}"""
+        val vecPrune = if (doVec) keptOf(s"$root/vector/postings", "_tb",
           graft.functions.Similarity.bucketPostings(
             graft.functions.Similarity.prepVectors(batchVecs, "vec_id", "embedding"),
             vecP.dim, vecP.tables, vecP.bits, vecP.seed).select(col("_tb")))
+          else """{"keys":0,"kept":0,"total":0}"""
         def med(ss: Seq[Double]) = ss.sorted.apply(ss.size / 2)
         println(s"""{"mode":"probe","batch":"$dataDir","index":"$root",""" +
           s""""bits":$bits,"tables":$tables,""" +

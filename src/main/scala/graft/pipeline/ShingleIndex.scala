@@ -51,8 +51,18 @@ object ShingleIndex {
     * of corpus size. 0 (default) keeps the unpartitioned layout; the
     * admission SEMANTICS are identical either way (spec-pinned).
     */
+  /** `idBuckets > 0` is the same declaration for the SHINGLES table, keyed
+    * on `_id` — the exact-verification side. Without it a hash-spread
+    * write leaves every shingles file spanning the full id range, so the
+    * candidate-id `readAnyOf` can prove nothing and exact verification
+    * re-scans the whole corpus's shingle sets per batch (the second
+    * residual ∝-corpus term the round-13 admission probe measured); with
+    * it, verification reads ≈ |candidate ids| files regardless of corpus
+    * size. Same semantics-identity pin as `buckets`.
+    */
   final case class Params(n: Int = 3, minJaccard: Double = 0.5,
-                          maxBucket: Int = 1000, buckets: Int = 0)
+                          maxBucket: Int = 1000, buckets: Int = 0,
+                          idBuckets: Int = 0)
 
   private def postingsDir(dir: String) = s"$dir/postings"
   private def shinglesDir(dir: String) = s"$dir/shingles"
@@ -73,7 +83,11 @@ object ShingleIndex {
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val sh = NearDup.shingleDocs(batch, textCol, idCol, p.n)
     if (!sh.isEmpty) {
-      ManifestStore.append(sh, shinglesDir(dir))
+      if (p.idBuckets > 0)
+        ManifestStore.appendPartitioned(sh, shinglesDir(dir),
+          Seq(s"bucket(${p.idBuckets},_id)")): Unit
+      else
+        ManifestStore.append(sh, shinglesDir(dir)): Unit
       val postings = sh.select(col("_id"), explode(col("_sh")).as("_h"))
       if (p.buckets > 0)
         ManifestStore.appendPartitioned(postings, postingsDir(dir),

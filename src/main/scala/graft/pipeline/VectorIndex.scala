@@ -44,9 +44,15 @@ object VectorIndex {
     * [[graft.pipeline.ShingleIndex.Params]] — same sizing rule, same
     * spec-pinned semantics-identity with the unpartitioned layout).
     */
+  /** `idBuckets > 0` bucket-partitions the VECTORS table on `_id` — the
+    * exact-verification side (see [[graft.pipeline.ShingleIndex.Params]]:
+    * without it, candidate-id pruning can prove nothing against
+    * hash-spread files and verification re-scans every corpus vector per
+    * batch). Same spec-pinned semantics-identity as `buckets`.
+    */
   final case class Params(dim: Int, tables: Int = 48, bits: Int = 4,
                           seed: Long = 42L, maxBucket: Int = 100000,
-                          buckets: Int = 0)
+                          buckets: Int = 0, idBuckets: Int = 0)
 
   private def postingsDir(dir: String) = s"$dir/postings"
   private def vectorsDir(dir: String) = s"$dir/vectors"
@@ -67,7 +73,11 @@ object VectorIndex {
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val prepped = Similarity.prepVectors(batch, idCol, vecCol)
     if (!prepped.isEmpty) {
-      ManifestStore.append(prepped, vectorsDir(dir))
+      if (p.idBuckets > 0)
+        ManifestStore.appendPartitioned(prepped, vectorsDir(dir),
+          Seq(s"bucket(${p.idBuckets},_id)")): Unit
+      else
+        ManifestStore.append(prepped, vectorsDir(dir)): Unit
       val postings =
         Similarity.bucketPostings(prepped, p.dim, p.tables, p.bits, p.seed)
       if (p.buckets > 0)

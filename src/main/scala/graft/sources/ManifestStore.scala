@@ -312,11 +312,53 @@ object ManifestStore {
       .collectFirst { case scala.util.Success(s) => s }
   }
 
+  /** Parsed-snapshot cache — the metadata analog of the file-pruning work:
+    * a committed manifest version is IMMUTABLE (create is the atomic
+    * claim; nothing ever rewrites a version file), so its parse is pure
+    * and can serve every subsequent read of that version. Without it,
+    * every `read`/`readAnyOf`/`currentSnapshot` re-parses the full JSON —
+    * ∝ total files per CALL, which the round-13 admission probe measured
+    * as a per-batch metadata term on a 64k-file postings table (a 45 MB
+    * manifest, parsed several times per admission).
+    *
+    * Hits are validated against the manifest file's (length, mtime) taken
+    * BEFORE the cached read: the claim-then-body write means a racing
+    * reader can see a partial file, but a partial body fails JSON parse
+    * and is never cached, and a body landing after the stat changes the
+    * stat — the next call re-reads. Entry count is bounded (LRU); the
+    * snapshot objects are immutable, so sharing across sessions is safe.
+    */
+  private val snapCacheMax = 16
+  private val snapCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Snapshot)](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Snapshot)]): Boolean =
+        size() > snapCacheMax
+    }
+
   def readManifest(spark: SparkSession, dir: String, version: Long): Snapshot = {
     val f = fs(spark, dir)
-    val in = f.open(manifestPath(dir, version))
+    val p = manifestPath(dir, version)
+    val st = f.getFileStatus(p) // missing version throws, as f.open did
+    val key = p.toString
+    snapCache.synchronized {
+      snapCache.get(key) match {
+        case (len, mt, s) if len == st.getLen && mt == st.getModificationTime =>
+          return s
+        case _ =>
+      }
+    }
+    val in = f.open(p)
     val body = try org.apache.commons.io.IOUtils.toString(in, StandardCharsets.UTF_8)
                finally in.close()
+    val snap = parseManifest(body)
+    snapCache.synchronized {
+      snapCache.put(key, (st.getLen, st.getModificationTime, snap)): Unit
+    }
+    snap
+  }
+
+  private def parseManifest(body: String): Snapshot = {
     val root = mapper.readTree(body)
     val files = (0 until root.path("files").size()).map(root.path("files").get(_).asText())
     val statsNode = root.path("stats")

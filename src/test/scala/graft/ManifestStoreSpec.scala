@@ -1002,4 +1002,28 @@ class ManifestStoreSpec extends SparkSpec {
     val out = ManifestStore.read(spark, dir, schema).collect()
     assert(out.length === 1 && out.head.isNullAt(0) && out.head.getString(1) === "keepme")
   }
+
+  test("snapshot cache: a committed version parses once; new commits and " +
+       "dir reuse invalidate") {
+    val dir = tmpDir()
+    ManifestStore.append(df(1L -> "a"), dir)
+    val s1 = ManifestStore.currentSnapshot(spark, dir).get
+    // second read of the same immutable version serves the CACHED parse
+    // (object identity — the metadata analog of not re-scanning data)
+    assert(ManifestStore.currentSnapshot(spark, dir).get eq s1)
+    // a new commit is seen immediately (version listing is never cached)
+    ManifestStore.append(df(2L -> "b", 3L -> "c"), dir)
+    val s2 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(s2.version === s1.version + 1)
+    // time travel back to v1 serves the cached first parse
+    assert(ManifestStore.readManifest(spark, dir, s1.version) eq s1)
+    // pathological dir reuse: delete the table, recreate the SAME version
+    // number with different content — the stat validation (length/mtime)
+    // must reject the stale entry instead of serving it
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    ManifestStore.append(df(10L -> "x", 11L -> "y", 12L -> "z"), dir)
+    val s3 = ManifestStore.currentSnapshot(spark, dir).get
+    assert(s3.version === s1.version && !(s3 eq s1))
+    assert(contents(dir) === Set(10L -> "x", 11L -> "y", 12L -> "z"))
+  }
 }

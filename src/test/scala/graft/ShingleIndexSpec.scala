@@ -175,4 +175,46 @@ class ShingleIndexSpec extends SparkSpec {
     val admitted = batch.select($"doc_id").as[Long].collect().toSet -- dropped
     assert(admitted === ex)
   }
+
+  test("bucket(N,_id) shingles layout: identical admission, pruned verify files") {
+    import org.apache.spark.sql.functions.lit
+    import graft.sources.ManifestStore
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val flat = Files.createTempDirectory("graft-shidflat").toString
+    val idb = Files.createTempDirectory("graft-shidbk").toString
+    val pi = p.copy(buckets = 64, idBuckets = 32)
+    Seq(0, 1).foreach { i =>
+      val part = docs.filter($"doc_id" % 2 === i)
+      ShingleIndex.append(spark, flat, part, p)
+      ShingleIndex.append(spark, idb, part, pi)
+    }
+    // admission is layout-blind: flat vs fully bucketed (postings AND
+    // shingles) must admit the same batch rows
+    val batch = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(900000100L))
+    val a = ShingleIndex.admit(spark, flat, batch, p)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = ShingleIndex.admit(spark, idb, batch, pi)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // a small candidate-id set prunes the shingles table to ≤ one file per
+    // id bucket per append — the verification-reads ∝ candidates pin
+    val ids = docs.filter($"doc_id" % 97 === 0)
+      .select($"doc_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.length <= 8)
+    val snap = ManifestStore.currentSnapshot(spark, s"$idb/shingles").get
+    val kept = ManifestStore.pruneFilesAnyOf(snap, "_id", ids)
+    assert(kept.size <= ids.length * 2 && kept.size < snap.files.size,
+      s"kept ${kept.size} of ${snap.files.size}")
+    // superset semantics: pruned ∩ ids = full ∩ ids, shingle sets intact
+    val idSeq = ids.toSeq
+    val viaPruned = ManifestStore.readAnyOf(spark, s"$idb/shingles",
+        ShingleIndex.shinglesSchema, "_id", ids)
+      .filter($"_id".isin(idSeq: _*)).as[(Long, Seq[Long])].collect()
+      .map { case (i, sh) => (i, sh.sorted) }.toSet
+    val viaFull = ShingleIndex.shingles(spark, idb)
+      .filter($"_id".isin(idSeq: _*)).as[(Long, Seq[Long])].collect()
+      .map { case (i, sh) => (i, sh.sorted) }.toSet
+    assert(viaPruned === viaFull)
+  }
 }

@@ -144,4 +144,44 @@ class VectorIndexSpec extends SparkSpec {
       .filter($"_tb".isin(keySeq: _*)).as[(Long, Long)].collect().toSet
     assert(viaPruned === viaFull)
   }
+
+  test("bucket(N,_id) vectors layout: identical admission, pruned verify files") {
+    import org.apache.spark.sql.functions.lit
+    import graft.sources.ManifestStore
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val flat = Files.createTempDirectory("graft-vecidflat").toString
+    val idb = Files.createTempDirectory("graft-vecidbk").toString
+    val pi = p.copy(buckets = 256, idBuckets = 32)
+    Seq(0, 1).foreach { i =>
+      val part = emb.filter($"vec_id" % 2 === i)
+      VectorIndex.append(spark, flat, part, p)
+      VectorIndex.append(spark, idb, part, pi)
+    }
+    // admission is layout-blind: flat vs fully bucketed (postings AND
+    // vectors) must admit the same batch rows
+    val batch = emb.filter($"vec_id" % 7 === 0)
+      .withColumn("vec_id", $"vec_id" + lit(900000100L))
+    val a = VectorIndex.admit(spark, flat, batch, tau, p)
+      .select($"vec_id").as[Long].collect().toSet
+    val b = VectorIndex.admit(spark, idb, batch, tau, pi)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(a === b)
+    // a small candidate-id set prunes the vectors table to ≤ one file per
+    // id bucket per append — the verification-reads ∝ candidates pin
+    val ids = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.length <= 8)
+    val snap = ManifestStore.currentSnapshot(spark, s"$idb/vectors").get
+    val kept = ManifestStore.pruneFilesAnyOf(snap, "_id", ids)
+    assert(kept.size <= ids.length * 2 && kept.size < snap.files.size,
+      s"kept ${kept.size} of ${snap.files.size}")
+    // superset semantics: pruned ∩ ids = full ∩ ids, vectors intact
+    val idSeq = ids.toSeq
+    val viaPruned = ManifestStore.readAnyOf(spark, s"$idb/vectors",
+        VectorIndex.vectorsSchema, "_id", ids)
+      .filter($"_id".isin(idSeq: _*)).as[(Long, Seq[Double])].collect().toSet
+    val viaFull = VectorIndex.vectors(spark, idb)
+      .filter($"_id".isin(idSeq: _*)).as[(Long, Seq[Double])].collect().toSet
+    assert(viaPruned === viaFull)
+  }
 }
