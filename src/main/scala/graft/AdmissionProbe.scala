@@ -105,6 +105,11 @@ object AdmissionProbe {
     val family = args.lift(10).getOrElse("both")
     val doLex = family == "both" || family == "lex"
     val doVec = family == "both" || family == "vec"
+    // batch-size axis: probe the `% batchMod == 0` slice (default 7 — the
+    // q141/q142 batch). Varying batchMod at a FIXED index measures the
+    // other half of the deployment claim: admission ∝ batch keys at any
+    // corpus size (the corpus axis is the decade table).
+    val batchMod = args.lift(11).map(_.toInt).getOrElse(7)
     val vecP = pipeline.VectorIndex.Params(dim = 64, tables = tables,
       bits = bits, buckets = vecBuckets, idBuckets = vecIdBuckets)
     val spark = session()
@@ -144,11 +149,11 @@ object AdmissionProbe {
       case "probe" =>
         def batchDocs: DataFrame = spark.read
           .parquet(s"$dataDir/documents.parquet")
-          .filter(col("doc_id") % 7 === 0)
+          .filter(col("doc_id") % batchMod === 0)
           .withColumn("doc_id", col("doc_id") + lit(idShift))
         def batchVecs: DataFrame = spark.read
           .parquet(s"$dataDir/embeddings.parquet")
-          .filter(col("vec_id") % 7 === 0)
+          .filter(col("vec_id") % batchMod === 0)
           .withColumn("vec_id", col("vec_id") + lit(idShift))
         val (lexS, lexN) = if (doLex) timed(reps)(() =>
           pipeline.ShingleIndex.admit(spark, s"$root/shingle", batchDocs, lexP)
@@ -182,7 +187,7 @@ object AdmissionProbe {
           else """{"keys":0,"kept":0,"total":0}"""
         def med(ss: Seq[Double]) = ss.sorted.apply(ss.size / 2)
         println(s"""{"mode":"probe","batch":"$dataDir","index":"$root",""" +
-          s""""bits":$bits,"tables":$tables,""" +
+          s""""bits":$bits,"tables":$tables,"batch_mod":$batchMod,""" +
           s""""lex_admit_sec":[${lexS.map(fmt).mkString(",")}],""" +
           s""""lex_admit_med":${fmt(med(lexS))},"lex_admitted":$lexN,""" +
           s""""vec_admit_sec":[${vecS.map(fmt).mkString(",")}],""" +
