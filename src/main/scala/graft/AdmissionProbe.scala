@@ -11,25 +11,34 @@ import org.apache.spark.sql.functions._
   * probe makes visible". This main splits the two:
   *
   * {{{
-  * runMain graft.AdmissionProbe build /root/testdata/sf0.1 /tmp/idx_sf01
-  * runMain graft.AdmissionProbe probe /root/testdata/sf0.01 /tmp/idx_sf01
+  * // args: mode dataDir idxRoot [reps bits tables lexBuckets vecBuckets
+  * //        lexIdBuckets vecIdBuckets lex|vec|both batchMod]
+  * runMain graft.AdmissionProbe build /root/testdata/sf0.1 /tmp/i 3 16 48 64 24 1 1
+  * runMain graft.AdmissionProbe probe /root/testdata/sf0.01 /tmp/i 5 16 48
   * }}}
   *
   * `build` bootstraps the persisted [[graft.pipeline.ShingleIndex]] /
   * [[graft.pipeline.VectorIndex]] tables from a corpus (untimed work the
-  * deployment pays once, then amortizes via incremental appends) and
-  * compacts them to steady-state file counts. `probe` then times
-  * ADMISSION-ONLY of a FIXED batch (the sf0.01 `% 7 == 0` slice — the
-  * q141/q142 batch shape, byte-identical whichever index it probes, ids
-  * shifted above every scaled corpus id so admission never keys on a
-  * collision) against whatever index sits at the root: 3 timed reps per
-  * family in one JVM, per-rep seconds + median printed as one JSON line.
-  * Comparing `probe` medians against a 10× index isolates the admission
-  * exponent the suite's in-query builds masked (BASELINE.md §Round 12).
+  * deployment pays once, then amortizes via incremental appends),
+  * optionally under the key-pruned layouts: `lexBuckets`/`vecBuckets`
+  * declare `bucket(N, _h|_tb)` on the postings, `lexIdBuckets`/
+  * `vecIdBuckets` declare `bucket(N, _id)` on the verify-side tables, and
+  * the family filter rebuilds one side only (a bits re-pick needs no new
+  * lexical build). `probe` then times ADMISSION-ONLY of a FIXED batch
+  * (the sf0.01 `% batchMod == 0` slice, default 7 — the q141/q142 batch
+  * shape, byte-identical whichever index it probes, ids shifted above
+  * every scaled corpus id so admission never keys on a collision)
+  * against whatever index sits at the root: timed reps in one JVM,
+  * per-rep seconds + median + the kept/total postings-file counts the
+  * batch's keys plan, printed as one JSON line. The two measurement
+  * axes (BASELINE.md §Round 12–13): decades of `build` corpora at a
+  * fixed batch expose any ∝-corpus admission term (kept files must
+  * SATURATE at the batch's key count); growing `batchMod` slices at a
+  * fixed index show cost ∝ batch.
   *
   * Same parameters as the oracle queries (lexical n=3 j≥0.2; semantic
-  * 48×4-bit hyperplane LSH, seed 42, cos≥0.4), so the timed plan is the
-  * one the correctness gate proves right.
+  * hyperplane LSH, seed 42, cos≥0.4), so the timed plan is the one the
+  * correctness gate proves right.
   */
 object AdmissionProbe {
 

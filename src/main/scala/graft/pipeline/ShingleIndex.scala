@@ -50,6 +50,12 @@ object ShingleIndex {
     * postings I/O saturate at |batch keys| × targetFileBytes regardless
     * of corpus size. 0 (default) keeps the unpartitioned layout; the
     * admission SEMANTICS are identical either way (spec-pinned).
+    *
+    * Pick by the measured crossover (BASELINE.md §Round 13): the flat
+    * layout's contiguous scan WINS while corpusBytes / scanThroughput <
+    * |batch keys| × perFileCost (both sides measured at the sf100-scale
+    * decade); beyond it the bucketed layout's cost is saturated —
+    * ∝ batch keys, corpus-independent — which is the 100 TB regime.
     */
   /** `idBuckets > 0` is the same declaration for the SHINGLES table, keyed
     * on `_id` — the exact-verification side. Without it a hash-spread
