@@ -112,6 +112,8 @@ object AdmissionProbe {
     // the vector index — the lexical build at the big decades is the
     // expensive half and is parameter-independent
     val family = args.lift(10).getOrElse("both")
+    require(Set("lex", "vec", "both")(family),
+      s"family arg must be lex|vec|both, got '$family'")
     val doLex = family == "both" || family == "lex"
     val doVec = family == "both" || family == "vec"
     // batch-size axis: probe the `% batchMod == 0` slice (default 7 — the
@@ -152,8 +154,12 @@ object AdmissionProbe {
           s""""lex_id_buckets":$lexIdBuckets,"vec_id_buckets":$vecIdBuckets,""" +
           s""""lex_files":$fLex,"vec_files":$fVec,""" +
           s""""lex_shingle_files":$fLexSh,"vec_vector_files":$fVecV,""" +
-          s""""lex_build_sec":${fmt(tLex)},"vec_build_sec":${fmt(tVec)},""" +
-          s""""lex_postings":$nLex,"vec_postings":$nVec}""")
+          // a skipped family emits null, never a fabricated zero — a
+          // downstream table aggregator must not ingest placeholders
+          s""""lex_build_sec":${if (doLex) fmt(tLex) else "null"},""" +
+          s""""vec_build_sec":${if (doVec) fmt(tVec) else "null"},""" +
+          s""""lex_postings":${if (doLex) nLex.toString else "null"},""" +
+          s""""vec_postings":${if (doVec) nVec.toString else "null"}}""")
 
       case "probe" =>
         def batchDocs: DataFrame = spark.read
@@ -186,21 +192,24 @@ object AdmissionProbe {
         }
         val lexKeys = graft.plans.GraftFunctions.wordShingleHashes(
           batchDocs, col("text"), lexP.n)
+        // a skipped family emits nulls, never fabricated zero-measurements
         val lexPrune = if (doLex) keptOf(s"$root/shingle/postings", "_h",
-          batchDocs.select(explode(lexKeys).as("_h")))
-          else """{"keys":0,"kept":0,"total":0}"""
+          batchDocs.select(explode(lexKeys).as("_h"))) else "null"
         val vecPrune = if (doVec) keptOf(s"$root/vector/postings", "_tb",
           graft.functions.Similarity.bucketPostings(
             graft.functions.Similarity.prepVectors(batchVecs, "vec_id", "embedding"),
             vecP.dim, vecP.tables, vecP.bits, vecP.seed).select(col("_tb")))
-          else """{"keys":0,"kept":0,"total":0}"""
+          else "null"
         def med(ss: Seq[Double]) = ss.sorted.apply(ss.size / 2)
+        def secsOf(on: Boolean, ss: Seq[Double], n: Long, tag: String): String =
+          if (on) s""""${tag}_admit_sec":[${ss.map(fmt).mkString(",")}],""" +
+            s""""${tag}_admit_med":${fmt(med(ss))},"${tag}_admitted":$n,"""
+          else s""""${tag}_admit_sec":null,"${tag}_admit_med":null,""" +
+            s""""${tag}_admitted":null,"""
         println(s"""{"mode":"probe","batch":"$dataDir","index":"$root",""" +
           s""""bits":$bits,"tables":$tables,"batch_mod":$batchMod,""" +
-          s""""lex_admit_sec":[${lexS.map(fmt).mkString(",")}],""" +
-          s""""lex_admit_med":${fmt(med(lexS))},"lex_admitted":$lexN,""" +
-          s""""vec_admit_sec":[${vecS.map(fmt).mkString(",")}],""" +
-          s""""vec_admit_med":${fmt(med(vecS))},"vec_admitted":$vecN,""" +
+          secsOf(doLex, lexS, lexN, "lex") +
+          secsOf(doVec, vecS, vecN, "vec") +
           s""""lex_prune":$lexPrune,"vec_prune":$vecPrune}""")
 
       case other => sys.error(s"unknown mode '$other' (build|probe)")

@@ -500,8 +500,10 @@ object NearDup {
 
   /** [[admitBatchIndexed]] against PERSISTED index tables with file-level
     * pruning — see [[incrementalJaccardPairsStored]]. `exIds` is the
-    * corpus id column (a one-column, column-pruned scan — kept FULL so
-    * the defensive ids-disjoint anti-join never depends on pruning).
+    * corpus id column; callers may pass a read pruned to the BATCH's ids
+    * (the anti-join only ever matches ids the batch carries, and a
+    * pruned read is a superset of those rows by the same guarantee the
+    * candidate path relies on), or the full column-pruned scan.
     */
   def admitBatchStored(postingsFor: Option[Array[Long]] => DataFrame,
                        shinglesFor: Option[Array[Long]] => DataFrame,

@@ -682,8 +682,9 @@ object Similarity {
 
   /** [[admitVectorBatchIndexed]] against PERSISTED index tables with
     * file-level pruning — see [[incrementalCosinePairsStored]]. `exIds`
-    * is the corpus id column (kept FULL: the defensive ids-disjoint
-    * anti-join never depends on pruning).
+    * is the corpus id column; callers may pass a read pruned to the
+    * BATCH's ids (the anti-join only matches ids the batch carries; a
+    * pruned read is a superset of those rows), or the full scan.
     */
   def admitVectorBatchStored(postingsFor: Option[Array[Long]] => DataFrame,
                              vectorsFor: Option[Array[Long]] => DataFrame,

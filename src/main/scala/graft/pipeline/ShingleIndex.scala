@@ -125,8 +125,18 @@ object ShingleIndex {
         spark, shinglesDir(dir), shinglesSchema, "_id", ids)
       case None => shingles(spark, dir)
     }
-    NearDup.admitBatchStored(postingsFor, shinglesFor,
-      shingles(spark, dir).select(col("_id")),
+    // the defensive ids-disjoint anti-join needs only corpus rows whose
+    // _id ∈ batch ids — prune the shingles scan by the batch's own ids
+    // (superset-correct by the same pruneFilesAnyOf guarantee the
+    // candidate path relies on; cap overflow degrades to the full scan,
+    // which previously ran unconditionally)
+    val exIds = graft.functions.Par.collectLongsBounded(
+        batch.select(col(idCol).cast("long")).distinct()) match {
+      case Some(ids) => ManifestStore.readAnyOf(
+        spark, shinglesDir(dir), shinglesSchema, "_id", ids).select(col("_id"))
+      case None => shingles(spark, dir).select(col("_id"))
+    }
+    NearDup.admitBatchStored(postingsFor, shinglesFor, exIds,
       batch, textCol, idCol, p.n, p.minJaccard, p.maxBucket)
   }
 

@@ -109,8 +109,15 @@ object VectorIndex {
         spark, vectorsDir(dir), vectorsSchema, "_id", ids)
       case None => vectors(spark, dir)
     }
-    Similarity.admitVectorBatchStored(postingsFor, vectorsFor,
-      vectors(spark, dir).select(col("_id")), batch,
+    // prune the defensive ids-disjoint scan by the batch's own ids (see
+    // ShingleIndex.admit — superset-correct, cap degrades to full scan)
+    val exIds = graft.functions.Par.collectLongsBounded(
+        batch.select(col(idCol).cast("long")).distinct()) match {
+      case Some(ids) => ManifestStore.readAnyOf(
+        spark, vectorsDir(dir), vectorsSchema, "_id", ids).select(col("_id"))
+      case None => vectors(spark, dir).select(col("_id"))
+    }
+    Similarity.admitVectorBatchStored(postingsFor, vectorsFor, exIds, batch,
       minCosine, p.dim, p.tables, p.bits, p.seed, p.maxBucket, idCol, vecCol)
   }
 

@@ -325,16 +325,44 @@ object ManifestStore {
     * BEFORE the cached read: the claim-then-body write means a racing
     * reader can see a partial file, but a partial body fails JSON parse
     * and is never cached, and a body landing after the stat changes the
-    * stat — the next call re-reads. Entry count is bounded (LRU); the
-    * snapshot objects are immutable, so sharing across sessions is safe.
+    * stat — the next call re-reads. The snapshot objects are immutable,
+    * so sharing across sessions is safe.
+    *
+    * Boundary (the immutable-version contract, stated): an EXTERNAL actor
+    * that deletes a table directory and recreates the SAME version number
+    * with a byte-length-identical body within one mtime tick of the
+    * original write would be served the prior parse. No library operation
+    * can do this — versions are create-only, vacuum drops old versions
+    * without reuse, restore/overwrite always claim a NEW version — so the
+    * exposure requires rewriting table history in place, which the format
+    * forbids independently of this cache. (Realistic dir reuse — tests,
+    * redeploys — changes length or lands in a later tick; spec-covered.)
+    *
+    * Bounded two ways: entry count (LRU) and total WEIGHT in file entries
+    * — one 64k-file snapshot retains tens of MB of parsed maps, so a
+    * count-only cap could pin GBs. Over-weight evicts eldest-first.
     */
   private val snapCacheMax = 16
+  private val snapCacheMaxWeight = 131072L // total cached file entries
   private val snapCache =
     new java.util.LinkedHashMap[String, (Long, Long, Snapshot)](32, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, (Long, Long, Snapshot)]): Boolean =
         size() > snapCacheMax
     }
+  private def snapCacheTrim(): Unit = {
+    var weight = 0L
+    snapCache.values().forEach(v => weight += v._3.files.size.toLong max 1L)
+    val it = snapCache.entrySet().iterator()
+    // never evict down to empty: the most-recent (last in access order)
+    // entry survives even if it alone exceeds the weight cap — the
+    // hugest table keeps exactly one cached snapshot
+    while (weight > snapCacheMaxWeight && snapCache.size() > 1 && it.hasNext) {
+      val e = it.next()
+      weight -= e.getValue._3.files.size.toLong max 1L
+      it.remove()
+    }
+  }
 
   def readManifest(spark: SparkSession, dir: String, version: Long): Snapshot = {
     val f = fs(spark, dir)
@@ -354,6 +382,7 @@ object ManifestStore {
     val snap = parseManifest(body)
     snapCache.synchronized {
       snapCache.put(key, (st.getLen, st.getModificationTime, snap)): Unit
+      snapCacheTrim()
     }
     snap
   }
