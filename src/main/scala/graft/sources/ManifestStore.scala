@@ -69,6 +69,11 @@ object ManifestStore {
     */
   case object Unbounded
 
+  /** `deltaChain` is the version's distance from its nearest FULL
+    * manifest (0 = this version's file is itself a checkpoint) — the
+    * write side consults it to decide when a commit must checkpoint
+    * instead of appending another delta (see [[publishLoop]]).
+    */
   final case class Snapshot(version: Long, files: Seq[String], op: String,
                             stats: Map[String, Map[String, ColStats]] = Map.empty,
                             rows: Map[String, Long] = Map.empty,
@@ -78,7 +83,8 @@ object ManifestStore {
                             dvs: Map[String, DvRef] = Map.empty,
                             sizes: Map[String, Long] = Map.empty,
                             partitionCols: Seq[String] = Nil,
-                            props: Map[String, String] = Map.empty) {
+                            props: Map[String, String] = Map.empty,
+                            deltaChain: Int = 0) {
 
     /** Stat bounds parsed into their primitive space ONCE per Snapshot
       * instance (`(typ, min, max)` — Long/Double/String by typ). The
@@ -364,31 +370,82 @@ object ManifestStore {
     }
   }
 
-  def readManifest(spark: SparkSession, dir: String, version: Long): Snapshot = {
-    val f = fs(spark, dir)
-    val p = manifestPath(dir, version)
-    val st = f.getFileStatus(p) // missing version throws, as f.open did
-    val key = p.toString
+  private def snapCacheGet(key: String,
+                           st: org.apache.hadoop.fs.FileStatus): Option[Snapshot] =
     snapCache.synchronized {
       snapCache.get(key) match {
         case (len, mt, s) if len == st.getLen && mt == st.getModificationTime =>
-          return s
-        case _ =>
+          Some(s)
+        case _ => None
       }
     }
-    val in = f.open(p)
-    val body = try org.apache.commons.io.IOUtils.toString(in, StandardCharsets.UTF_8)
-               finally in.close()
-    val snap = parseManifest(body)
+
+  private def snapCachePut(key: String, st: org.apache.hadoop.fs.FileStatus,
+                           snap: Snapshot): Unit =
     snapCache.synchronized {
       snapCache.put(key, (st.getLen, st.getModificationTime, snap)): Unit
       snapCacheTrim()
     }
+
+  /** Test hook: drop every cached parse so a spec can prove the COLD
+    * reconstruction path (delta chains resolved from disk, not from the
+    * write-side's warm entries).
+    */
+  private[graft] def snapCacheClear(): Unit =
+    snapCache.synchronized(snapCache.clear())
+
+  /** Resolve `version` to its full [[Snapshot]]. A version file is either
+    * a FULL manifest (checkpoint — the complete state, parseable alone)
+    * or a DELTA carrying only the commit's adds/removes/metadata patches
+    * plus an explicit `base` pointer to the snapshot it was computed
+    * against (see [[publishLoop]]). Deltas resolve iteratively: walk the
+    * base chain DOWN until a checkpoint or a cached snapshot, then fold
+    * the deltas forward, caching every intermediate — so a warm reader
+    * pays one small parse per new version, and a cold reader pays one
+    * checkpoint parse plus the (bounded) chain of small deltas, never
+    * more. The base pointer names the version the WRITER actually based
+    * on (not `version - 1`): a crashed writer's unparseable corpse is
+    * never anyone's base, so chains skip corpses by construction.
+    */
+  def readManifest(spark: SparkSession, dir: String, version: Long): Snapshot = {
+    val f = fs(spark, dir)
+    // walk down: collect unresolved delta roots (ends oldest-first)
+    var pending = List.empty[(Long, com.fasterxml.jackson.databind.JsonNode,
+      org.apache.hadoop.fs.FileStatus)]
+    var cur = version
+    var base: Snapshot = null
+    while (base == null) {
+      val p = manifestPath(dir, cur)
+      val st = f.getFileStatus(p) // missing version throws, as f.open did
+      snapCacheGet(p.toString, st) match {
+        case Some(s) => base = s
+        case None =>
+          val root = mapper.readTree(readFully(f, p))
+          if (root.hasNonNull("base")) {
+            val b = root.path("base").asLong()
+            require(b < cur, s"manifest v$cur at $dir claims base v$b — " +
+              "a base must be an earlier version")
+            pending ::= (cur, root, st)
+            cur = b
+          } else {
+            base = parseSnapshot(root)
+            snapCachePut(p.toString, st, base)
+          }
+      }
+    }
+    // fold forward, oldest delta first
+    var snap = base
+    pending.foreach { case (v, root, st) =>
+      require(snap.version == root.path("base").asLong(),
+        s"delta v$v at $dir resolved against v${snap.version}, " +
+          s"expected v${root.path("base").asLong()}")
+      snap = applyDelta(snap, root)
+      snapCachePut(manifestPath(dir, v).toString, st, snap)
+    }
     snap
   }
 
-  private def parseManifest(body: String): Snapshot = {
-    val root = mapper.readTree(body)
+  private def parseSnapshot(root: com.fasterxml.jackson.databind.JsonNode): Snapshot = {
     val files = (0 until root.path("files").size()).map(root.path("files").get(_).asText())
     val statsNode = root.path("stats")
     val stats = if (statsNode.isMissingNode) Map.empty[String, Map[String, ColStats]]
@@ -451,6 +508,118 @@ object ManifestStore {
     Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
       stats, rows, schema, parts, blooms, dvs, sizes, pcols, props)
   }
+
+  /** One file's complete per-file manifest metadata, as carried by a
+    * delta's `add`/`patch` entries. REPLACE-ALL semantics per rel: an
+    * entry states the file's entire metadata after the commit — an absent
+    * field means the file has none (so a patch can both set and clear).
+    */
+  private final case class FileMeta(rel: String,
+                                    stats: Option[Map[String, ColStats]],
+                                    rows: Option[Long],
+                                    size: Option[Long],
+                                    parts: Option[Map[String, String]],
+                                    blooms: Option[Map[String, BloomIndex]],
+                                    dv: Option[DvRef])
+
+  private def parseColStats(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, ColStats] =
+    node.properties().asScala.iterator.map { c =>
+      val v = c.getValue
+      c.getKey -> ColStats(v.path("t").asText(),
+        Option(v.get("min")).filterNot(_.isNull).map(_.asText()),
+        Option(v.get("max")).filterNot(_.isNull).map(_.asText()),
+        v.path("nulls").asLong())
+    }.toMap
+
+  private def parseBloomCols(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, BloomIndex] =
+    node.properties().asScala.iterator.map { c =>
+      val v = c.getValue
+      val raw = java.util.Base64.getDecoder.decode(v.path("b64").asText())
+      val bb = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val words = new Array[Long](raw.length / 8)
+      bb.asLongBuffer().get(words)
+      c.getKey -> BloomIndex(v.path("m").asInt(), v.path("k").asInt(), words)
+    }.toMap
+
+  private def parseFileMeta(e: com.fasterxml.jackson.databind.JsonNode): FileMeta =
+    FileMeta(e.path("f").asText(),
+      stats = Option(e.get("stats")).map(parseColStats),
+      rows = Option(e.get("rows")).map(_.asLong()),
+      size = Option(e.get("size")).map(_.asLong()),
+      parts = Option(e.get("parts")).map(_.properties().asScala.iterator
+        .map(c => c.getKey -> c.getValue.asText()).toMap),
+      blooms = Option(e.get("blooms")).map(parseBloomCols),
+      dv = Option(e.get("dv")).map { v =>
+        DvRef((0 until v.path("files").size())
+          .map(v.path("files").get(_).asText()), v.path("deleted").asLong())
+      })
+
+  /** Apply a DELTA manifest body to the snapshot it was computed against.
+    * `remove` drops files (and all their per-file metadata); `add`
+    * appends new files IN ORDER with their metadata; `patch` replaces a
+    * SURVIVING file's metadata wholesale (dv appends, bloom builds).
+    * Schema/partitionCols/props are recorded in full in every delta (they
+    * are small and commit-scoped rules like props-compose already applied
+    * on the write side), so they come from the delta alone.
+    */
+  private def applyDelta(base: Snapshot,
+                         root: com.fasterxml.jackson.databind.JsonNode): Snapshot = {
+    val rm = root.path("remove")
+    val removed = (0 until rm.size()).map(rm.get(_).asText()).toSet
+    def entries(name: String): Seq[FileMeta] = {
+      val n = root.path(name)
+      (0 until n.size()).map(i => parseFileMeta(n.get(i)))
+    }
+    val adds = entries("add")
+    val patches = entries("patch")
+    val files = base.files.filterNot(removed) ++ adds.map(_.rel)
+    def upd[T](baseMap: Map[String, T], get: FileMeta => Option[T]): Map[String, T] = {
+      var m = if (removed.isEmpty) baseMap else baseMap -- removed
+      (adds.iterator ++ patches.iterator).foreach { e =>
+        get(e) match {
+          case Some(v) => m = m.updated(e.rel, v)
+          case None => m -= e.rel
+        }
+      }
+      m
+    }
+    val schemaNode = root.path("schema")
+    val schema =
+      if (schemaNode.isMissingNode) None
+      else Some(org.apache.spark.sql.types.DataType.fromJson(schemaNode.asText())
+        .asInstanceOf[StructType])
+    val pcolsNode = root.path("partitionCols")
+    val pcols = if (pcolsNode.isMissingNode) Nil
+    else (0 until pcolsNode.size()).map(pcolsNode.get(_).asText())
+    val propsNode = root.path("props")
+    val props = if (propsNode.isMissingNode) Map.empty[String, String]
+    else propsNode.properties().asScala.iterator
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    Snapshot(root.path("version").asLong(), files, root.path("op").asText(),
+      stats = upd(base.stats, _.stats), rows = upd(base.rows, _.rows),
+      schema = schema, parts = upd(base.parts, _.parts),
+      blooms = upd(base.blooms, _.blooms), dvs = upd(base.dvs, _.dv),
+      sizes = upd(base.sizes, _.size), partitionCols = pcols, props = props,
+      deltaChain = base.deltaChain + 1)
+  }
+
+  /** Delta-chain cap: a commit whose previous snapshot already carries
+    * this many deltas writes a FULL manifest (checkpoint) instead. Per-
+    * table override via the `graft.checkpoint.interval` property. The
+    * trade: commit metadata cost drops from ∝ total table files to
+    * ∝ touched files for interval−1 of every interval commits, while a
+    * cold read pays at most one checkpoint parse + interval−1 small
+    * deltas (the warm path pays neither — the snapshot cache serves the
+    * base).
+    */
+  private[sources] val checkpointIntervalProp = "graft.checkpoint.interval"
+  private def checkpointInterval(props: Map[String, String]): Int =
+    props.get(checkpointIntervalProp)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .map(v => math.max(1, math.min(10000, v))).getOrElse(20)
 
   /** The latest version under the manifest-recorded schema — the
     * self-describing read: no caller-supplied StructType, pre-evolution
@@ -2506,6 +2675,214 @@ object ManifestStore {
     }
   }
 
+  /** The snapshot a COLD PARSE of a full manifest for this state would
+    * yield: per-file maps restricted to the committed file list, empty
+    * inner maps and empty dv refs dropped (the serializers never write
+    * them, so a parse never returns them). Both manifest serializers and
+    * the delta diff work from this normal form — it is what makes
+    * "reconstructed snapshot == written snapshot" hold field-for-field.
+    */
+  private def normalizedSnapshot(version: Long, files: Seq[String], op: String,
+                                 stats: Map[String, Map[String, ColStats]],
+                                 rows: Map[String, Long],
+                                 schema: Option[StructType],
+                                 parts: Map[String, Map[String, String]],
+                                 blooms: Map[String, Map[String, BloomIndex]],
+                                 dvs: Map[String, DvRef],
+                                 sizes: Map[String, Long],
+                                 pcols: Seq[String],
+                                 props: Map[String, String]): Snapshot =
+    Snapshot(version, files, op,
+      stats = files.iterator.flatMap(r =>
+        stats.get(r).filter(_.nonEmpty).map(r -> _)).toMap,
+      rows = files.iterator.flatMap(r => rows.get(r).map(r -> _)).toMap,
+      schema = schema,
+      parts = files.iterator.flatMap(r =>
+        parts.get(r).filter(_.nonEmpty).map(r -> _)).toMap,
+      blooms = files.iterator.flatMap(r =>
+        blooms.get(r).filter(_.nonEmpty).map(r -> _)).toMap,
+      dvs = files.iterator.flatMap(r =>
+        dvs.get(r).filter(_.files.nonEmpty).map(r -> _)).toMap,
+      sizes = files.iterator.flatMap(r => sizes.get(r).map(r -> _)).toMap,
+      partitionCols = pcols, props = props)
+
+  /** Serialize a normalized snapshot as a FULL manifest (checkpoint) —
+    * the classic single-manifest body, unchanged on disk since v1 so
+    * every existing table keeps parsing.
+    */
+  private def fullBodyOf(s: Snapshot): String = {
+    val body = mapper.createObjectNode()
+    body.put("version", s.version)
+    body.put("op", s.op)
+    val arr = body.putArray("files")
+    s.files.foreach(arr.add)
+    val statsNode = body.putObject("stats")
+    s.files.foreach { rel =>
+      s.stats.get(rel).filter(_.nonEmpty).foreach { cols =>
+        val fNode = statsNode.putObject(rel)
+        cols.foreach { case (c, cs) =>
+          val cn = fNode.putObject(c)
+          cn.put("t", cs.typ)
+          cs.min.foreach(cn.put("min", _))
+          cs.max.foreach(cn.put("max", _))
+          cn.put("nulls", cs.nullCount): Unit
+        }
+      }
+    }
+    val rowsNode = body.putObject("rows")
+    s.files.foreach(rel => s.rows.get(rel).foreach(rowsNode.put(rel, _)))
+    val sizesNode = body.putObject("sizes")
+    s.files.foreach(rel => s.sizes.get(rel).foreach(sizesNode.put(rel, _)))
+    s.schema.foreach(sc => body.put("schema", sc.json))
+    val partsWritten = s.files.flatMap(rel =>
+      s.parts.get(rel).filter(_.nonEmpty).map(rel -> _))
+    if (partsWritten.nonEmpty) {
+      val partsNode = body.putObject("parts")
+      partsWritten.foreach { case (rel, kvs) =>
+        val n = partsNode.putObject(rel)
+        kvs.foreach { case (k, v) => n.put(k, v): Unit }
+      }
+    }
+    writeBloomsNode(body, s.files, s.blooms)
+    writeDvsNode(body, s.files, s.dvs)
+    if (s.partitionCols.nonEmpty) {
+      val pArr = body.putArray("partitionCols")
+      s.partitionCols.foreach(pArr.add)
+    }
+    if (s.props.nonEmpty) {
+      val prNode = body.putObject("props")
+      s.props.toSeq.sorted.foreach { case (k, v) => prNode.put(k, v): Unit }
+    }
+    mapper.writeValueAsString(body)
+  }
+
+  /** One file's complete per-file metadata as a delta `add`/`patch` entry
+    * — the write half of [[parseFileMeta]]'s replace-all contract.
+    */
+  private def writeFileEntry(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+                             rel: String, s: Snapshot): Unit = {
+    val e = arr.addObject()
+    e.put("f", rel)
+    s.stats.get(rel).filter(_.nonEmpty).foreach { cols =>
+      val n = e.putObject("stats")
+      cols.foreach { case (c, cs) =>
+        val cn = n.putObject(c)
+        cn.put("t", cs.typ)
+        cs.min.foreach(cn.put("min", _))
+        cs.max.foreach(cn.put("max", _))
+        cn.put("nulls", cs.nullCount): Unit
+      }
+    }
+    s.rows.get(rel).foreach(e.put("rows", _))
+    s.sizes.get(rel).foreach(e.put("size", _))
+    s.parts.get(rel).filter(_.nonEmpty).foreach { kvs =>
+      val n = e.putObject("parts")
+      kvs.foreach { case (k, v) => n.put(k, v): Unit }
+    }
+    s.blooms.get(rel).filter(_.nonEmpty).foreach { cols =>
+      val n = e.putObject("blooms")
+      cols.foreach { case (c, b) =>
+        val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.words.foreach(bb.putLong)
+        val cn = n.putObject(c)
+        cn.put("m", b.bits)
+        cn.put("k", b.k)
+        cn.put("b64", java.util.Base64.getEncoder.encodeToString(bb.array())): Unit
+      }
+    }
+    s.dvs.get(rel).foreach { ref =>
+      val n = e.putObject("dv")
+      val fArr = n.putArray("files")
+      ref.files.foreach(fArr.add)
+      n.put("deleted", ref.deleted): Unit
+    }
+  }
+
+  /** Bloom maps compare by CONTENT: BloomIndex carries an Array, whose
+    * case-class equality is reference identity — structural == would call
+    * every carried bloom "changed" and every commit would patch them all.
+    */
+  private def bloomColsEq(a: Option[Map[String, BloomIndex]],
+                          b: Option[Map[String, BloomIndex]]): Boolean = (a, b) match {
+    case (None, None) => true
+    case (Some(x), Some(y)) =>
+      x.size == y.size && x.forall { case (c, bi) =>
+        y.get(c).exists(o => o.bits == bi.bits && o.k == bi.k &&
+          java.util.Arrays.equals(o.words, bi.words))
+      }
+    case _ => false
+  }
+
+  /** Serialize `next` as a DELTA against `prev`, or None when a full
+    * manifest is the better (or only correct) form:
+    *   - the survivors' relative order changed — a delta expresses
+    *     exactly drop-in-place + append-at-tail, nothing else;
+    *   - the commit touched most of the table (overwrite, truncate, full
+    *     compaction) — the delta would be no smaller than a checkpoint,
+    *     and checkpointing resets the chain for free.
+    * Surviving files whose per-file metadata changed (dv appends, bloom
+    * builds) become `patch` entries carrying the file's COMPLETE new
+    * metadata. Schema/partitionCols/props are recorded in full — they are
+    * bytes-small and make every delta self-contained for the table-level
+    * planes.
+    */
+  private def serializeDelta(prev: Snapshot, next: Snapshot): Option[String] = {
+    val nextSet = next.files.toSet
+    val prevSet = prev.files.toSet
+    val removed = prev.files.filterNot(nextSet)
+    val removedSet = removed.toSet
+    val adds = next.files.filterNot(prevSet)
+    if (prev.files.filterNot(removedSet) ++ adds != next.files) return None
+    // eq-first per plane: the incremental write-side construction
+    // structure-shares surviving entries with prev, so the common case
+    // is reference identity — the scan costs ∝ files but with a
+    // hash-lookup constant, no deep compares
+    def refEq[T](a: Option[T], b: Option[T])(cmp: (T, T) => Boolean): Boolean =
+      (a, b) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) =>
+          (x.asInstanceOf[AnyRef] eq y.asInstanceOf[AnyRef]) || cmp(x, y)
+        case _ => false
+      }
+    def metaEq(rel: String): Boolean =
+      refEq(prev.stats.get(rel), next.stats.get(rel))(_ == _) &&
+        prev.rows.get(rel) == next.rows.get(rel) &&
+        prev.sizes.get(rel) == next.sizes.get(rel) &&
+        refEq(prev.parts.get(rel), next.parts.get(rel))(_ == _) &&
+        refEq(prev.dvs.get(rel), next.dvs.get(rel))(_ == _) &&
+        refEq(prev.blooms.get(rel), next.blooms.get(rel))(
+          (x, y) => bloomColsEq(Some(x), Some(y)))
+    val patches = next.files.filter(r => prevSet(r) && !metaEq(r))
+    if (adds.size + removed.size + patches.size >= next.files.size) return None
+    val body = mapper.createObjectNode()
+    body.put("version", next.version)
+    body.put("op", next.op)
+    body.put("base", prev.version)
+    if (removed.nonEmpty) {
+      val a = body.putArray("remove")
+      removed.foreach(a.add)
+    }
+    if (adds.nonEmpty) {
+      val a = body.putArray("add")
+      adds.foreach(writeFileEntry(a, _, next))
+    }
+    if (patches.nonEmpty) {
+      val a = body.putArray("patch")
+      patches.foreach(writeFileEntry(a, _, next))
+    }
+    next.schema.foreach(sc => body.put("schema", sc.json))
+    if (next.partitionCols.nonEmpty) {
+      val pArr = body.putArray("partitionCols")
+      next.partitionCols.foreach(pArr.add)
+    }
+    if (next.props.nonEmpty) {
+      val prNode = body.putObject("props")
+      next.props.toSeq.sorted.foreach { case (k, v) => prNode.put(k, v): Unit }
+    }
+    Some(mapper.writeValueAsString(body))
+  }
+
   /** The optimistic slot-claim loop, separated from the data write so ops
     * that only DROP files (a delete whose matches cover whole files) can
     * commit with `fresh = Nil` and no data job at all.
@@ -2560,37 +2937,15 @@ object ManifestStore {
         guard.foreach(g => g(prev.getOrElse(Snapshot(0L, Nil, "none"))))
         val version = math.max(claimed, prevV) + 1
         val files = combine(prev.map(_.files).getOrElse(Nil), fresh)
-        val body = mapper.createObjectNode()
-        body.put("version", version)
-        body.put("op", op)
-        val arr = body.putArray("files")
-        files.foreach(arr.add)
         // stats travel with the lineage: surviving files keep the bounds
         // their adding commit harvested, fresh files add theirs
         val carried = prev.map(_.stats).getOrElse(Map.empty) ++ freshStats
-        val statsNode = body.putObject("stats")
-        files.foreach { rel =>
-          carried.get(rel).filter(_.nonEmpty).foreach { cols =>
-            val fNode = statsNode.putObject(rel)
-            cols.foreach { case (c, cs) =>
-              val cn = fNode.putObject(c)
-              cn.put("t", cs.typ)
-              cs.min.foreach(cn.put("min", _))
-              cs.max.foreach(cn.put("max", _))
-              cn.put("nulls", cs.nullCount): Unit
-            }
-          }
-        }
         // exact per-file row counts (same footer read as the stats): the
         // metadata-only COUNT(*) path; carried through commits like stats
         val carriedRows = prev.map(_.rows).getOrElse(Map.empty) ++ freshRows
-        val rowsNode = body.putObject("rows")
-        files.foreach(rel => carriedRows.get(rel).foreach(rowsNode.put(rel, _)))
         // per-file byte sizes (same footer open): the read path's
         // FileIndex plans splits and sizeInBytes with zero re-stat RPCs
         val carriedSizes = prev.map(_.sizes).getOrElse(Map.empty) ++ freshSizes
-        val sizesNode = body.putObject("sizes")
-        files.foreach(rel => carriedSizes.get(rel).foreach(sizesNode.put(rel, _)))
         // the table schema travels in the manifest (self-describing table):
         // widened by each commit under the widening-only evolution rule;
         // a drop-only commit (fresh = Nil) carries the previous schema.
@@ -2603,20 +2958,10 @@ object ManifestStore {
             Some(mergeSchemas(p, n, prev.map(_.props).getOrElse(Map.empty)))
           case (p, n) => n.orElse(p)
         }
-        tableSchema.foreach(s => body.put("schema", s.json))
         // explicit per-file partition values travel with the lineage like
         // stats: surviving partitioned files keep theirs, fresh files add
         // theirs; rewritten files (compaction, MERGE) simply drop out
         val carriedParts = prev.map(_.parts).getOrElse(Map.empty) ++ freshParts
-        val partsWritten = files.flatMap(rel =>
-          carriedParts.get(rel).filter(_.nonEmpty).map(rel -> _))
-        if (partsWritten.nonEmpty) {
-          val partsNode = body.putObject("parts")
-          partsWritten.foreach { case (rel, kvs) =>
-            val n = partsNode.putObject(rel)
-            kvs.foreach { case (k, v) => n.put(k, v): Unit }
-          }
-        }
         // blooms travel with the lineage like stats: surviving files keep
         // theirs, rewritten files (compaction, MERGE) drop out and stay
         // un-bloomed (= un-prunable, safe) until the next buildBlooms pass.
@@ -2628,7 +2973,6 @@ object ManifestStore {
         val carriedBlooms = prevBlooms ++ freshBlooms.map { case (rel, cols) =>
           rel -> (prevBlooms.getOrElse(rel, Map.empty) ++ cols)
         }
-        writeBloomsNode(body, files, carriedBlooms)
         // dv refs: carried like stats; deltas APPEND to the current ref
         // (the deleteWhere guard proves the base unchanged, so append is
         // exact); rewritten files drop their entries with themselves
@@ -2637,26 +2981,68 @@ object ManifestStore {
           val ex = prevDvs.getOrElse(rel, DvRef(Nil, 0L))
           rel -> DvRef(ex.files ++ d.files, ex.deleted + d.deleted)
         }
-        writeDvsNode(body, files, carriedDvs)
         // declared table-level partition columns travel with the lineage
         // (the catalog routes writes by them); pcolsUpdate applies INSIDE
         // the retry loop against the attempt's own snapshot — the
         // partition-spec-evolution commit ([[setPartitionSpec]]) composes
-        // with concurrent writers instead of last-writer-dropping
+        // with concurrent writers instead of last-writer-dropping.
+        // propsUpdate likewise, so concurrent SET/UNSET compose.
         val pcols = pcolsUpdate(prev.map(_.partitionCols).getOrElse(Nil))
-        if (pcols.nonEmpty) {
-          val pArr = body.putArray("partitionCols")
-          pcols.foreach(pArr.add)
-        }
-        // user table properties travel likewise; propsUpdate applies
-        // INSIDE the retry loop against the attempt's own snapshot, so
-        // concurrent SET/UNSET compose instead of last-writer-dropping
         val props = propsUpdate(prev.map(_.props).getOrElse(Map.empty))
-        if (props.nonEmpty) {
-          val prNode = body.putObject("props")
-          props.toSeq.sorted.foreach { case (k, v) => prNode.put(k, v): Unit }
+        // the committed snapshot, NORMALIZED exactly as a cold parse of
+        // its serialized form yields it (per-file maps restricted to the
+        // file list, empty inner maps dropped) — the single state both
+        // serializers and the delta diff work from. Built INCREMENTALLY
+        // from prev when it exists: the carried maps structure-share with
+        // prev's, so dropping the removed rels and vetting only the
+        // CHANGED keys costs ∝ the commit, where a rebuild-from-scratch
+        // costs ∝ total table files per commit — the residual in-memory
+        // half of the metadata term the delta bodies remove on disk.
+        // Equivalence with the from-scratch form: prev is normalized, so
+        // its surviving entries need no re-vetting; only fresh/changed
+        // keys can introduce out-of-list or empty entries.
+        val next = prev match {
+          case Some(p) =>
+            val filesSet = files.toSet
+            val removed = p.files.filterNot(filesSet)
+            def inc[T](carriedM: Map[String, T], changedKeys: Iterable[String],
+                       keep: T => Boolean): Map[String, T] = {
+              var r = if (removed.isEmpty) carriedM else carriedM -- removed
+              changedKeys.foreach { k =>
+                r.get(k) match {
+                  case Some(v) if !filesSet(k) || !keep(v) => r -= k
+                  case _ =>
+                }
+              }
+              r
+            }
+            Snapshot(version, files, op,
+              stats = inc(carried, freshStats.keys, (_: Map[String, ColStats]).nonEmpty),
+              rows = inc(carriedRows, freshRows.keys, (_: Long) => true),
+              schema = tableSchema,
+              parts = inc(carriedParts, freshParts.keys,
+                (_: Map[String, String]).nonEmpty),
+              blooms = inc(carriedBlooms, freshBlooms.keys,
+                (_: Map[String, BloomIndex]).nonEmpty),
+              dvs = inc(carriedDvs, freshDvDeltas.keys,
+                (_: DvRef).files.nonEmpty),
+              sizes = inc(carriedSizes, freshSizes.keys, (_: Long) => true),
+              partitionCols = pcols, props = props)
+          case None =>
+            normalizedSnapshot(version, files, op, carried, carriedRows,
+              tableSchema, carriedParts, carriedBlooms, carriedDvs,
+              carriedSizes, pcols, props)
         }
-        if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
+        // delta-or-checkpoint: a delta body carries only the commit's own
+        // adds/removes/patches + an explicit base pointer; fall back to a
+        // full manifest when the chain hits the checkpoint interval, the
+        // commit rewrote most of the table, or the survivors' ORDER
+        // changed (a delta can only express drop-in-place + append)
+        val body = prev
+          .filter(_.deltaChain + 1 < checkpointInterval(props))
+          .flatMap(p => serializeDelta(p, next))
+          .getOrElse(fullBodyOf(next))
+        if (publish(f, dir, version, body)) return version
         attempt += 1
       }
     }
@@ -2750,49 +3136,13 @@ object ManifestStore {
           s"table $dir advanced to slot $version while a v$e commit was " +
             "planned — replan against the current snapshot")
       }
-      val body = mapper.createObjectNode()
-      body.put("version", version)
-      body.put("op", op)
-      val arr = body.putArray("files")
-      files.foreach(arr.add)
-      val statsNode = body.putObject("stats")
-      files.foreach { rel =>
-        stats.get(rel).filter(_.nonEmpty).foreach { cols =>
-          val fNode = statsNode.putObject(rel)
-          cols.foreach { case (c, cs) =>
-            val cn = fNode.putObject(c)
-            cn.put("t", cs.typ)
-            cs.min.foreach(cn.put("min", _))
-            cs.max.foreach(cn.put("max", _))
-            cn.put("nulls", cs.nullCount): Unit
-          }
-        }
-      }
-      val rowsNode = body.putObject("rows")
-      files.foreach(rel => rows.get(rel).foreach(rowsNode.put(rel, _)))
-      val sizesNode = body.putObject("sizes")
-      files.foreach(rel => sizes.get(rel).foreach(sizesNode.put(rel, _)))
-      schema.foreach(s => body.put("schema", s.json))
-      val partsWritten = files.flatMap(rel =>
-        parts.get(rel).filter(_.nonEmpty).map(rel -> _))
-      if (partsWritten.nonEmpty) {
-        val partsNode = body.putObject("parts")
-        partsWritten.foreach { case (rel, kvs) =>
-          val n = partsNode.putObject(rel)
-          kvs.foreach { case (k, v) => n.put(k, v): Unit }
-        }
-      }
-      writeBloomsNode(body, files, blooms)
-      writeDvsNode(body, files, dvs)
-      if (partitionCols.nonEmpty) {
-        val pArr = body.putArray("partitionCols")
-        partitionCols.foreach(pArr.add)
-      }
-      if (props.nonEmpty) {
-        val prNode = body.putObject("props")
-        props.toSeq.sorted.foreach { case (k, v) => prNode.put(k, v): Unit }
-      }
-      if (publish(f, dir, version, mapper.writeValueAsString(body))) return version
+      // always a FULL manifest: external publishes (CTAS/REPLACE, restore,
+      // clone) redefine the table or re-reference an old state wholesale —
+      // a delta would be no smaller, and an arbitrary file ORDER is only
+      // expressible in the full form
+      val body = fullBodyOf(normalizedSnapshot(version, files, op, stats,
+        rows, schema, parts, blooms, dvs, sizes, partitionCols, props))
+      if (publish(f, dir, version, body)) return version
       attempt += 1
     }
     throw new java.io.IOException(
@@ -3881,8 +4231,27 @@ object ManifestStore {
     // their files count toward the live set — a tag is a durable pin
     val tagged = tags(spark, dir).values.toSet
     val (dropCand, keepTail) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    val drop = dropCand.filterNot(tagged)
     val keep = dropCand.filter(tagged) ++ keepTail
+    // a kept version may be a DELTA whose reconstruction walks base
+    // pointers past the keep window: retain every manifest its chain
+    // needs (dropping a base would make the kept version unreadable on a
+    // cold start). Chain-needed manifests are kept but do NOT make their
+    // file lists live — time travel outside retention already contracts
+    // that a parseable old manifest's data may be gone.
+    val keepSet = keep.toSet
+    def baseOf(v: Long): Option[Long] = scala.util.Try {
+      val root = mapper.readTree(readFully(f, manifestPath(dir, v)))
+      if (root.hasNonNull("base")) Some(root.path("base").asLong()) else None
+    }.toOption.flatten.filter(_ < v)
+    val chainNeeded = scala.collection.mutable.Set.empty[Long]
+    keep.foreach { kv =>
+      var b = baseOf(kv)
+      while (b.exists(x => !keepSet(x) && !chainNeeded(x))) {
+        chainNeeded += b.get
+        b = baseOf(b.get)
+      }
+    }
+    val drop = dropCand.filterNot(tagged).filterNot(chainNeeded)
     // Read every KEPT manifest; if any fails (crashed writer's half-write
     // OR a transient store error), data-file deletion is skipped entirely
     // this run. Folding a failed read into an empty file list would remove

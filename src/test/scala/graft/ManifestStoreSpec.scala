@@ -930,10 +930,12 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.appendPartitioned(
       Seq((10L, "y", "fr")).toDF("k", "v", "lang"), dir, Seq("lang"))                // v3
     // keep only the latest version, no retention delay: v1's nested
-    // partitioned files are orphans now and must be walked + deleted
+    // partitioned files are orphans now and must be walked + deleted.
+    // v3 is a DELTA based on v2, so the chain closure retains v2's
+    // manifest (not its data) — only v1's manifest drops
     val (manifestsDropped, dataDeleted) =
       ManifestStore.vacuum(spark, dir, keepVersions = 1, retainMillis = 0L)
-    assert(manifestsDropped === 2 && dataDeleted >= 2, s"($manifestsDropped, $dataDeleted)")
+    assert(manifestsDropped === 1 && dataDeleted >= 2, s"($manifestsDropped, $dataDeleted)")
     // the live table is untouched — including the NESTED v3 files a
     // one-level listing would have missed when judging dirs empty
     assert(ManifestStore.read(spark, dir, pschema)
