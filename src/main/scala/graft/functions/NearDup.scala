@@ -199,7 +199,11 @@ object NearDup {
                          pairs: DataFrame, minSim: Double = 0.95): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
     val b = df.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
-    pairs.select(col("id_a"), col("id_b"))
+    // spread the pair ids first: the O(len²) Levenshtein pipeline below
+    // otherwise runs at the width AQE leaves on the candidate exchange —
+    // 1-2 byte-sized partitions for a KB-scale pair set (see
+    // verifyJaccardSides; same collapse, heavier per-row compute)
+    Par.spread(pairs.select(col("id_a"), col("id_b")), force = true)
       .join(a, Seq("id_a"))
       .join(b, Seq("id_b"))
       .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
@@ -709,7 +713,17 @@ object NearDup {
     */
   private def verifyJaccardSides(candIds: DataFrame, aShingles: DataFrame,
                                  bShingles: DataFrame, minJaccard: Double): DataFrame = {
-    val cand = candIds
+    // Spread the id pairs before the array attach: AQE sizes the post-dedup
+    // exchange by BYTES, and candidate pairs are 16 bytes/row — at the
+    // admission shapes it coalesces the read to 1-2 partitions, and the
+    // whole verify pipeline (shingle-array broadcast joins +
+    // array_intersect + the downstream dropped-id aggregate) fuses into
+    // that 1-2-task WholeStageCodegen span (measured: 2 tasks × ~3 s of
+    // "time in aggregation build" at the q141 shape — the dominant
+    // admission term). One round-robin exchange of the bare id pairs buys
+    // full-width verification; the verify cost itself is ∝ pairs × |set|,
+    // unchanged.
+    val cand = Par.spread(candIds, force = true)
       .join(aShingles.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "sh_a")), Seq("id_a"))
       .join(bShingles.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "sh_b")), Seq("id_b"))
     cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -15,9 +15,21 @@ import org.apache.spark.sql.functions._
   * relative to the operator's own join/agg shuffles.
   */
 object Par {
-  def spread(df: DataFrame): DataFrame = {
+  /** `force = true` skips the stats heuristic and always round-robins to
+    * the session parallelism. The verify stages of the near-dup family
+    * need this: their input is a candidate-PAIR frame (16 bytes/row — the
+    * byte-cheap proxy of guide-§8 shape) whose plan stats are useless in
+    * both directions — localCheckpoint leaves carry origin stats, so the
+    * join-multiplied estimate reads as terabytes (heuristic says "already
+    * wide": no-op) while the actual bytes are KBs that AQE then coalesces
+    * to 1-2 partitions, serializing the CPU-heavy array/cosine verify
+    * fused on top. The forced exchange costs ∝ pair bytes and buys
+    * full-width verification at any scale.
+    */
+  def spread(df: DataFrame, force: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (force) return df.repartition(n)
     // estimate the scan's split count from logical-plan size stats — NOT
     // df.rdd.getNumPartitions, which compiles the whole physical plan and
     // materializes an RDD lineage that is then thrown away (one extra plan

@@ -472,7 +472,10 @@ object Similarity {
         col("l._tb") === col("r._tb") && col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val cand = candIds
+    // spread before the vector attach — the cosine verify otherwise fuses
+    // onto the AQE-coalesced 1-2-partition candidate read (see
+    // NearDup.verifyJaccardSides for the measured collapse)
+    val cand = Par.spread(candIds, force = true)
       .join(vecs.withColumnsRenamed(Map("_id" -> "id_a", "_v" -> "_va")), Seq("id_a"))
       .join(vecs.withColumnsRenamed(Map("_id" -> "id_b", "_v" -> "_vb")), Seq("id_b"))
     cand
@@ -610,8 +613,12 @@ object Similarity {
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val candIds = crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b")
-    // id_a resolves against corpus ∪ batch, id_b against the batch only
-    val cand = candIds
+    // id_a resolves against corpus ∪ batch, id_b against the batch only.
+    // Spread the pair ids before the vector attach: AQE coalesces the
+    // byte-tiny candidate exchange to 1-2 partitions and the cosine
+    // verify would fuse onto them (NearDup.verifyJaccardSides has the
+    // measured case); one round-robin exchange buys full-width verify.
+    val cand = Par.spread(candIds, force = true)
       .join(ex.unionByName(ba).withColumnsRenamed(Map("_id" -> "id_a", "_v" -> "_va")), Seq("id_a"))
       .join(ba.withColumnsRenamed(Map("_id" -> "id_b", "_v" -> "_vb")), Seq("id_b"))
     cand
@@ -668,8 +675,10 @@ object Similarity {
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val candIds = crossIds.unionByName(selfIds).dropDuplicates("id_a", "id_b")
-    // id_a resolves against (pruned) corpus ∪ batch, id_b against the batch
-    val cand = candIds
+    // id_a resolves against (pruned) corpus ∪ batch, id_b against the batch.
+    // Spread before the vector attach — same AQE byte-coalescing collapse
+    // as the indexed form above; see NearDup.verifyJaccardSides.
+    val cand = Par.spread(candIds, force = true)
       .join(vectorsFor(corpusIds).unionByName(ba)
         .withColumnsRenamed(Map("_id" -> "id_a", "_v" -> "_va")), Seq("id_a"))
       .join(ba.withColumnsRenamed(Map("_id" -> "id_b", "_v" -> "_vb")), Seq("id_b"))
