@@ -113,8 +113,15 @@ object Retrieval {
     val idcg: Seq[Long] = idcgTable(k)
     val perQuery = queries.map { case (name, terms) =>
       require(terms.distinct.size == terms.size, s"duplicate terms in query '$name'")
-      val scored = scoredWithHits(df, textCol, idCol, terms, k1, b)
-        .withColumn("_rel", (col("n_terms_hit") === terms.size).cast("int"))
+      // materialized: this frame is referenced THREE times below (the
+      // relevance total, the top-k heap, and the broadcast relevant-id
+      // filter) — unmaterialized, the full tokenize+explode+BM25 subplan
+      // re-evaluates per reference (measured: 9 copies across the 3-query
+      // scorecard, a 138-Exchange plan). The checkpoint is ≤ one row per
+      // matching document — far smaller than the pipeline it caches.
+      val scored = Par.materialize(
+        scoredWithHits(df, textCol, idCol, terms, k1, b)
+          .withColumn("_rel", (col("n_terms_hit") === terms.size).cast("int")))
       val relTotal = scored.agg(coalesce(sum(col("_rel")), lit(0)).cast("long").as("n_rel"))
       val ranked = scored
         .agg(graft.plans.GraftFunctions.topkPairs(scored, col("bm25"),

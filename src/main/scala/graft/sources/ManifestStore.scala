@@ -1196,7 +1196,7 @@ object ManifestStore {
     val paths = todo.map(new Path(dir, _).toString)
     val base = spark.read.schema(ColumnMapping.physicalSchema(schema))
       .parquet(paths: _*)
-      .withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .withColumn("__file", substring_index(input_file_name(), "/", -1))
     // one md5 per (row, column); k 24-bit slices of the hex are the k
     // bit positions — the identical derivation BloomIndex.contains probes
     val hashed = physCols.map { c =>
@@ -1358,9 +1358,15 @@ object ManifestStore {
   }
 
   private def withRowIds(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.{col, substring_index}
+    // basename via substring_index, not regexp_extract("[^/]+$"): this
+    // projection runs on EVERY row of every dv-aware read (the row-identity
+    // key of the tombstone anti-join), and the regex engine is the single
+    // most expensive per-row expression in that pipeline; last-separator
+    // substring is byte-scan codegen. Identical value: both return the
+    // segment after the last '/', and the whole string when no '/' occurs.
     df.withColumn(dvNameCol,
-        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+        substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn(dvIdxCol, col("_metadata.row_index"))
   }
 
@@ -2263,9 +2269,20 @@ object ManifestStore {
     // one writer task — the same tradeoff Delta's optimized writes make;
     // identity-only layouts (typically a handful of values) keep the
     // task-parallel write and their existing plans.
+    // the clustering exchange carries an EXPLICIT partition count: a bare
+    // repartition(cols) is AQE-coalescible, and a small commit's few MB
+    // coalesce to ONE task that then opens every partition value's writer
+    // serially (measured: 104 values ≈ 2.5 s single-task per q153 INSERT —
+    // per-writer open cost dominates small bytes). With the count pinned to
+    // the session parallelism the value-hash still lands each value in
+    // exactly one task (one file per value per commit, as before); tasks
+    // just open their writers in parallel. n is the cluster-sized session
+    // setting, not a local constant.
     val shaped =
-      if (specs.exists(!_.isIdentity)) cloned.repartition(clones.map(col): _*)
-      else cloned
+      if (specs.exists(!_.isIdentity)) {
+        val n = spark.sessionState.conf.numShufflePartitions
+        cloned.repartition(n, clones.map(col): _*)
+      } else cloned
     shaped.write.mode("error").partitionBy(clones: _*)
       .parquet(new Path(dir, dataRel).toString)
     val f = fs(spark, dir)
