@@ -643,15 +643,32 @@ object Corpus {
     * are absent from the output.
     */
   def bigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
-    val cdb = df
-      .select(col(idCol).as("_id"),
-        explode(TextAnalysis.shingles(toks, 2)).as("bigram"))
+    // spread before the explode: a single-file corpus scans as ONE task,
+    // and tokenize + shingle + explode + the partial aggregate all fuse
+    // onto it (measured: a 1-task 3.1 s stage carrying ~the whole query
+    // at the bench shape). One exchange of the raw (id, text) rows buys
+    // full-width execution of the per-row text work; on a many-split
+    // corpus the stats heuristic makes it a no-op.
+    val cdb = Par.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
+      .select(col("_id"),
+        explode(TextAnalysis.shingles(
+          TextAnalysis.tokens(coalesce(col("_text"), lit(""))), 2)).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .groupBy(col("_id"), col("w1"), col("bigram")).agg(count(lit(1)).as("c_db"))
+    // ONE exchange serves both count windows: w1 is a function of bigram
+    // (its first word), so partitioning by w1 already co-locates every
+    // bigram group — the w1 window forces hashpartitioning(w1), and the
+    // bigram window declared as partitionBy(w1, bigram) (identical groups:
+    // adding a determined column splits nothing) has its
+    // ClusteredDistribution(w1, bigram) SATISFIED by that partitioning
+    // (partition expressions ⊆ clustering keys), so EnsureRequirements
+    // inserts only a local sort, not a second full shuffle of the
+    // (doc, bigram) table. Order matters: the w1 window must come first —
+    // hashpartitioning(w1, bigram) would NOT satisfy the w1 window.
     val withTotals = cdb
-      .withColumn("c_b", sum(col("c_db")).over(Window.partitionBy(col("bigram"))))
       .withColumn("c_1", sum(col("c_db")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c_b", sum(col("c_db"))
+        .over(Window.partitionBy(col("w1"), col("bigram"))))
     // cast to LONG before the sum: an exact integer sum is order-free;
     // a double sum of quantized terms would reintroduce the
     // partition-order sensitivity the quantization exists to kill

@@ -2365,7 +2365,15 @@ object ManifestStore {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val inputFile = HadoopInputFile.fromPath(new Path(dir, rel), conf)
-    val reader = ParquetFileReader.open(inputFile)
+    // open with options built over the SHARED conf: the no-options
+    // ParquetFileReader.open(InputFile) overload constructs a fresh
+    // `new Configuration()` whose first property read re-parses the Hadoop
+    // XML defaults from the classpath jars — measured as ~40% of q153's
+    // driver-gap samples (one full XML parse + jar scan PER COMMITTED
+    // FILE; a 104-partition INSERT paid it 104 times). The shared conf's
+    // properties are already loaded, so this build is a cheap wrap.
+    val reader = ParquetFileReader.open(inputFile,
+      org.apache.parquet.HadoopReadOptions.builder(conf, new Path(dir, rel)).build())
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val perCol = scala.collection.mutable.LinkedHashMap[String,
