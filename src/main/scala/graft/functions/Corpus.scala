@@ -266,8 +266,10 @@ object Corpus {
     // shingle transform re-splits the text once per gram index (HOF
     // lambdas are interpreted, not codegen'd — the common subexpression
     // is not shared), which is an O(tokens²) hidden cost per document
-    val perDoc = df
-      .select(col(groupCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    // spread first: single-split corpora serialize tokenize+shingle+explode
+    // onto one scan task (no-op on a many-split corpus — stats heuristic)
+    val perDoc = Par.spread(df.select(col(groupCol), col(textCol).as("_text")))
+      .select(col(groupCol), TextAnalysis.tokens(col("_text")).as("_toks"))
       .select(col(groupCol),
         explode(array_distinct(TextAnalysis.shingles(col("_toks"), n))).as("gram"))
     val dfCounts = perDoc.groupBy(col(groupCol), col("gram"))
@@ -321,15 +323,25 @@ object Corpus {
   def dsirLogWeights(df: DataFrame, textCol: String, idCol: String,
                      targetPred: Column, buckets: Int = 256): DataFrame = {
     require(buckets == 256, "bucket count is pinned to 256 (two md5 hex chars)")
-    val tok = df.select(col(idCol).as("_id"), targetPred.as("_t"),
-      explode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("token"))
+    // spread before the explode (single-split corpora serialize the
+    // tokenize+md5 pass onto one task), and derive the bucket histogram
+    // from the per-doc aggregate instead of a second raw-token pass:
+    // `_t` is a PER-DOCUMENT predicate (constant within `_id`), so
+    // Σ rows[when(_t,1)] over a bucket equals Σ groups[when(_t,c_db)] —
+    // the previous shape re-ran the whole tokenize+explode per reference
+    // and shuffled the raw token stream twice.
+    val base = Par.spread(df.select(col(idCol).as("_id"), targetPred.as("_t"),
+      coalesce(col(textCol), lit("")).as("_text")))
+    val tok = base.select(col("_id"), col("_t"),
+      explode(TextAnalysis.tokens(col("_text"))).as("token"))
     val withB = tok.withColumn("_b",
       conv(substring(md5(col("token")), 1, 2), 16, 10).cast("long"))
-    val perDoc = withB.groupBy(col("_id"), col("_b"))
-      .agg(count(lit(1)).as("c_db"))
-    val perBucket = withB.groupBy(col("_b"))
-      .agg(count(lit(1)).as("c_r"),
-        sum(when(col("_t"), 1L).otherwise(0L)).as("c_t"))
+    val perDocT = Par.materialize(withB.groupBy(col("_id"), col("_t"), col("_b"))
+      .agg(count(lit(1)).as("c_db")))
+    val perDoc = perDocT.select(col("_id"), col("_b"), col("c_db"))
+    val perBucket = perDocT.groupBy(col("_b"))
+      .agg(sum(col("c_db")).as("c_r"),
+        sum(when(col("_t"), col("c_db")).otherwise(0L)).as("c_t"))
     val totals = perBucket.agg(sum(col("c_r")).as("t_r"), sum(col("c_t")).as("t_t"))
     val lr = perBucket.crossJoin(broadcast(totals))
       .withColumn("_lrq", floor(log(
@@ -604,6 +616,12 @@ object Corpus {
     * total rides a broadcast.
     */
   def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // NOTE (round 13): tried spread + materializing this twice-referenced
+    // (doc, token) aggregate — measured WORSE in-run (0.48 → ~0.87
+    // box-normalized): the frame is token-STRING-heavy, and deserialized
+    // block storage of millions of small Strings costs more than the
+    // second tokenize pass it saves. Reverted; contrast dsirLogWeights,
+    // whose all-numeric aggregate made the same trade a win.
     val cdt = df
       .select(col(idCol).as("_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
@@ -808,6 +826,9 @@ object Corpus {
     // word); materialize once or the corpus is re-tokenized per reference
     // (same discipline as the near-dup signature tables). The bigram table
     // is referenced once — plain lineage
+    // NOTE (round 13): tried spreading both exploding passes — measured a
+    // wash-to-worse in-run (the exchange ships the raw text twice, once
+    // per pass, for per-pass compute that is already cheap). Reverted.
     val uni = Par.materialize(df.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
     // native non-distinct shingles: the composable transform/slice form
