@@ -520,10 +520,14 @@ object NearDup {
     // pays), and verify from it is consumed exactly once below
     val pairs = incrementalJaccardPairsStored(
       postingsFor, shinglesFor, batch, textCol, idCol, n, minJaccard, maxBucket)
-    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
-    batch.join(dropped, Seq(idCol), "left_anti")
-      .join(exIds.select(col("_id").as("_exid")),
-        col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
+    // ONE anti-join against the unioned exclusion set (pair losers ∪
+    // defensive corpus ids): a row survives iff its id is in neither set,
+    // which equals two sequential anti-joins — one broadcast build and one
+    // join instead of two of each (no distinct needed: the anti-join's
+    // hash build dedups)
+    val excluded = pairs.select(col("id_b").as(idCol))
+      .unionByName(exIds.select(col("_id").as(idCol)))
+    batch.join(excluded, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination pairs: every (eval doc, corpus doc) pair
@@ -759,14 +763,15 @@ object NearDup {
                         batch: DataFrame, textCol: String, idCol: String,
                         n: Int, minJaccard: Double,
                         maxBucket: Int = 1000): DataFrame = {
-    val exIds = exShingles.select(col("_id").as("_exid"))
     val pairs = Par.materialize(incrementalJaccardPairsIndexed(
       exPostings, exShingles, batch, textCol, idCol, n, minJaccard, maxBucket))
     // a pair's batch-side loser: id_b for existing↔batch (id_b is the batch
-    // doc) and for batch-internal (id_b is the larger id)
-    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
-    batch.join(dropped, Seq(idCol), "left_anti")
-      .join(exIds, col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
+    // doc) and for batch-internal (id_b is the larger id). One anti-join
+    // against the unioned exclusion set (losers ∪ defensive corpus ids) —
+    // equal to two sequential anti-joins, half the broadcast builds
+    val excluded = pairs.select(col("id_b").as(idCol))
+      .unionByName(exShingles.select(col("_id").as(idCol)))
+    batch.join(excluded, Seq(idCol), "left_anti")
   }
 
   /** Deterministic universal-hash family over xxhash64(shingle):

@@ -748,10 +748,12 @@ object Similarity {
     */
   private def admitByPairs(batch: DataFrame, pairs: DataFrame,
                            exIds: DataFrame, idCol: String): DataFrame = {
-    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
-    batch.join(dropped, Seq(idCol), "left_anti")
-      .join(exIds.withColumnRenamed(idCol, "_exid"),
-        col(idCol) === col("_exid"), "left_anti") // paranoia: ids disjoint
+    // ONE anti-join against the unioned exclusion set (pair losers ∪
+    // defensive existing ids): equal to two sequential anti-joins — a row
+    // survives iff its id is in neither set — with one broadcast build
+    // and one join instead of two of each
+    val excluded = pairs.select(col("id_b").as(idCol)).unionByName(exIds)
+    batch.join(excluded, Seq(idCol), "left_anti")
   }
 
   /** Chunk→document mean-pooling: average the embedding vectors of a
